@@ -1,13 +1,35 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.QueryDefs.Q
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * The query library itself lives in `graft.queries.*` (one object per
+  * operator family, mirroring SURVEY.md §2's inventory); this object only
+  * aggregates the maps the driver consumes.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Reference shape: `SELECT * FROM '<file>' WHERE ke > 0.5`
+    * (/root/reference/main.cc:164-169) with `l_extendedprice` standing in
+    * for `ke` (FIXTURES.md). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .where(col("l_extendedprice") > lit(0.5))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, Q] =
+    queries_relational
+
+  private def queries_relational: Map[String, Q] = graft.queries.Relational.defs
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys get a weaker rows-only check
+    * (used for ops DuckDB can't express identically, e.g. HLL sketches). */
+  def oracleSql: Map[String, String] =
+    graft.queries.Relational.oracles
 }

@@ -1,0 +1,742 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import QueryDefs._
+
+/** Layer-B relational surface (SURVEY.md §2b): the analytical-SQL
+  * capabilities the reference delegates to its embedded engine through
+  * `con.SendQuery` (/root/reference/main.cc:181-182), re-expressed as
+  * declarative Spark DataFrame plans so Catalyst handles pushdown,
+  * pruning, join strategy and whole-stage codegen.
+  *
+  * Every query has a DuckDB oracle twin in [[oracles]] with identical
+  * column names and a total ORDER BY (driver hash-compares results).
+  * Scale notes are inline per query.
+  */
+object Relational {
+
+  /** Decimal-exact sum spelled for the DuckDB oracle. */
+  private def oSum(x: String) =
+    s"CAST(SUM(CAST(($x) AS DECIMAL(30,4))) AS DOUBLE)"
+  private def oAvg(x: String) =
+    s"CAST(SUM(CAST(($x) AS DECIMAL(30,4))) AS DOUBLE) / COUNT(*)"
+
+  val defs: Map[String, Q] = Map(
+
+    // ---- flagship: the reference's only query shape ------------------
+    // SELECT * FROM '<file>' WHERE ke > θ  (main.cc:164-169, 405-406);
+    // `l_extendedprice` stands in for `ke` (FIXTURES.md). Filter is pushed
+    // to Parquet row-group stats; no shuffle except the final sort (which
+    // exists only for the deterministic oracle compare — the reference
+    // streams results unsorted).
+    "q_flagship_scan" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .where(col("l_extendedprice") > lit(95000.0))
+        .withColumn("l_shipdate", col("l_shipdate").cast("date"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"), col("l_returnflag"),
+          col("l_linestatus"), col("l_shipdate"))
+    }),
+
+    // ---- projection / expressions ------------------------------------
+    // Column pruning: only 6 of 11 lineitem columns reach the scan
+    // (ReadSchema in explain). Per-row double arithmetic is IEEE-identical
+    // across engines, so no rounding needed.
+    "q_projection_expr" -> ((s, d) => {
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("net_price"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          (lit(1.0) + col("l_tax"))).as("charged"),
+        concat(col("l_returnflag"), lit("/"), col("l_linestatus"))
+          .as("flag_status"),
+        (col("l_quantity") * lit(2.0)).as("double_qty"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("net_price"),
+          col("charged"), col("flag_status"), col("double_qty"))
+    }),
+
+    // ---- filters ------------------------------------------------------
+    // Conjunctive predicate + BETWEEN + IN + LIKE + date range. All of it
+    // is pushed down (PushedFilters) except LIKE '%..%' which Parquet
+    // can't use for row-group skipping; Catalyst still evaluates it
+    // codegen'd post-scan.
+    "q_filter_predicates" -> ((s, d) => {
+      Tables.orders(s, d)
+        .where(col("o_orderstatus").isin("F", "O") &&
+          col("o_totalprice").between(200000.0, 400000.0) &&
+          col("o_orderpriority").like("1%") &&
+          col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate").cast("date").as("o_date"),
+          col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- joins --------------------------------------------------------
+    // Broadcast inner join: part (200*sf rows) is broadcast, so the
+    // lineitem side never shuffles — the right plan at 100 TB when the
+    // dimension fits in spark.sql.autoBroadcastJoinThreshold.
+    "q_join_broadcast" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(dsum(col("l_extendedprice")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // Shuffle join on the two biggest tables. At scale this is a
+    // sort-merge/shuffled-hash join on l_orderkey; AQE picks the
+    // strategy. Co-partitioning both sides on the join key (bucketing in
+    // a real deployment) would remove the shuffle entirely.
+    "q_join_shuffle" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_lines"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // Left outer join keeping customers with no orders (null-extension
+    // semantics checked against the oracle).
+    "q_join_left" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_spent"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Semi/anti joins: EXISTS / NOT EXISTS without materializing the
+    // right side's columns — cheaper than inner+distinct at scale.
+    "q_join_semi" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+        .where(col("o_totalprice") > 400000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q_join_anti" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Theta/range join (non-equi): parts priced within a band around
+    // each supplier's balance percentile — small×small, so Spark's
+    // BroadcastNestedLoopJoin is the right physical plan; at scale a
+    // range-bucketing prepass would bound the cross product.
+    "q_join_range" -> ((s, d) => {
+      val sup = Tables.supplier(s, d)
+      val p = Tables.part(s, d)
+      sup.join(p,
+          p("p_retailprice").between(
+            sup("s_acctbal") / lit(10.0) - lit(50.0),
+            sup("s_acctbal") / lit(10.0) + lit(50.0)))
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("n_parts"),
+          dsum(col("p_retailprice")).as("sum_price"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // Multiway star join: lineitem → supplier → nation → region, the
+    // dimension chain fully broadcast (each hop is tiny); one shuffle
+    // total for the final groupBy.
+    "q_join_star" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val sup = Tables.supplier(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // ---- aggregation ---------------------------------------------------
+    // TPC-H Q1 shape: partial aggregation map-side, single shuffle on the
+    // (tiny-cardinality) group key. dsum/davg keep double sums
+    // order-independent for the oracle hash (QueryDefs).
+    "q_agg_pricing_summary" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("2000-09-02 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_extendedprice")).as("max_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Exact distinct aggregation (expands to a two-phase plan in Spark).
+    "q_agg_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // HAVING: post-aggregation filter.
+    "q_agg_having" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("spent"))
+        .where(col("n_orders") >= 12)
+        .orderBy(col("o_custkey"))
+    }),
+
+    // ROLLUP / CUBE: hierarchical and full grouping-set expansion;
+    // grouping_id() disambiguates NULL-as-subtotal from NULL data.
+    "q_agg_rollup" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"),
+          grouping_id().cast("int").as("gid"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    "q_agg_cube" -> ((s, d) => {
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"),
+          grouping_id().cast("int").as("gid"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // GROUPING SETS via SQL (no DataFrame-DSL equivalent in Spark).
+    "q_agg_grouping_sets" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+      """)
+    }),
+
+    // ---- window functions ---------------------------------------------
+    // Ranking family over a deterministic (unique-key) order.
+    "q_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"))
+        .where(col("rn") <= 20)
+        .orderBy(col("o_orderstatus"), col("rn"))
+    }),
+
+    // Frame aggregates + lag/lead. The frame sum goes through an exact
+    // decimal so segment-tree vs running-sum evaluation order can't
+    // change the hash.
+    "q_window_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_orderkey"))
+      val wf = w.rowsBetween(-2, 0)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          sum(col("o_totalprice").cast("decimal(30,4)")).over(wf)
+            .cast("double").as("moving_sum3"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          first(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .as("first_price"))
+        .orderBy(col("o_orderstatus"), col("o_orderkey"))
+    }),
+
+    // ---- sort / limit / top-k -----------------------------------------
+    // Total order + LIMIT compiles to TakeOrderedAndProject: each
+    // partition keeps only its local top-k, then the driver merges k*P
+    // rows — no full sort at scale.
+    "q_sort_topk" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(25)
+    }),
+
+    // ---- set operations -------------------------------------------------
+    "q_set_union_all" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .select(col("c_nationkey").as("nationkey"), lit("customer").as("side"))
+      val sup = Tables.supplier(s, d)
+        .select(col("s_nationkey").as("nationkey"), lit("supplier").as("side"))
+      c.unionAll(sup)
+        .groupBy(col("nationkey"), col("side"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("nationkey"), col("side"))
+    }),
+
+    "q_set_intersect" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      val sup = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+      c.intersect(sup).orderBy(col("nationkey"))
+    }),
+
+    "q_set_except" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      val sup = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+      c.except(sup).orderBy(col("nationkey"))
+    }),
+
+    "q_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ---- subqueries / CTE ----------------------------------------------
+    // Scalar subquery in a filter; decorrelated by Catalyst. The
+    // threshold is decimal-exact so both engines agree on boundary rows.
+    "q_subquery_scalar" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 1.5 * (
+          SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+                 / COUNT(*) FROM orders)
+        ORDER BY o_orderkey
+      """)
+    }),
+
+    "q_subquery_in" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE c_nationkey IN (
+          SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+        ORDER BY c_custkey
+      """)
+    }),
+
+    "q_subquery_exists" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""
+        SELECT c_custkey, c_acctbal
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 450000)
+        ORDER BY c_custkey
+      """)
+    }),
+
+    "q_cte" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""
+        WITH big_orders AS (
+          SELECT o_custkey, COUNT(*) AS n_big
+          FROM orders WHERE o_totalprice > 300000
+          GROUP BY o_custkey
+        )
+        SELECT c.c_custkey, c.c_name, b.n_big
+        FROM customer c JOIN big_orders b ON c.c_custkey = b.o_custkey
+        ORDER BY c.c_custkey
+      """)
+    }),
+
+    // ---- scalar function library ----------------------------------------
+    "q_string_funcs" -> ((s, d) => {
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        lower(col("p_brand")).as("lbrand"),
+        substring(col("p_type"), 1, 3).as("type3"),
+        length(col("p_name")).as("name_len"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_extract(col("p_brand"), "#(\\d+)", 1).cast("int").as("brand_num"),
+        col("p_name").like("%a%").as("has_a"),
+        trim(lit("  pad  ")).as("trimmed"),
+        lpad(col("p_brand"), 12, "*").as("padded"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    "q_date_funcs" -> ((s, d) => {
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        quarter(col("o_orderdate")).as("q"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        datediff(lit(java.sql.Date.valueOf("2002-01-01")),
+          col("o_orderdate").cast("date")).as("days_to_2002"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_math_funcs" -> ((s, d) => {
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - lit(0.05)).as("abs_dev"),
+        round(col("l_extendedprice"), 0).as("rounded"),
+        floor(col("l_quantity")).as("fl"),
+        ceil(col("l_quantity")).as("ce"),
+        sqrt(col("l_extendedprice")).as("sq"),
+        // pow/ln differ from DuckDB's libm by ≤1 ulp; quantize via
+        // floor-scaling so the oracle hash is stable.
+        floor(pow(col("l_discount"), lit(2.0)) * lit(1e6)).cast("long")
+          .as("disc_sq_u"),
+        (col("l_orderkey") % lit(7L)).as("mod7"),
+        floor(ln(col("l_extendedprice")) * lit(1000.0)).cast("long")
+          .as("log_price_m"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("rounded"),
+          col("fl"), col("sq"))
+    }),
+
+    "q_case_cast" -> ((s, d) => {
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 350000.0, lit("high"))
+          .when(col("o_totalprice") > 150000.0, lit("mid"))
+          .otherwise(lit("low")).as("bucket"),
+        col("o_orderkey").cast("string").as("key_str"),
+        floor(col("o_totalprice")).cast("long").as("price_floor"),
+        col("o_orderstatus").isNotNull.as("has_status"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // JSON extraction over events.props (schema-on-read semi-structured
+    // column, the `from_json`/`get_json_object` row of SURVEY §2b).
+    "q_json_extract" -> ((s, d) => {
+      Tables.events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+        .where(col("k_val") > 50)
+        .orderBy(col("event_id"))
+    }),
+
+    // Array/higher-order functions over embeddings (norms computed with
+    // an exact decimal fold so element order can't shift the hash).
+    "q_array_funcs" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      emb.select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).cast("double").as("first_elem"),
+        aggregate(
+          // widen float→double before arithmetic: float→decimal rounding
+          // differs between engines, double→decimal agrees
+          transform(col("embedding").cast("array<double>"),
+            x => (x * x).cast("decimal(30,8)")),
+          lit(0).cast("decimal(30,8)"),
+          (acc, x) => (acc + x).cast("decimal(30,8)")).cast("double")
+          .as("norm_sq"))
+        .orderBy(col("vec_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_flagship_scan" ->
+      """SELECT * REPLACE (CAST(l_shipdate AS DATE) AS l_shipdate)
+        |FROM lineitem WHERE l_extendedprice > 95000.0
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag,
+        |  l_linestatus, CAST(l_shipdate AS DATE)""".stripMargin,
+
+    "q_projection_expr" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1.0 - l_discount) AS net_price,
+        |  l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charged,
+        |  l_returnflag || '/' || l_linestatus AS flag_status,
+        |  l_quantity * 2.0 AS double_qty
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, net_price, charged,
+        |  flag_status, double_qty""".stripMargin,
+
+    "q_filter_predicates" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(o_orderdate AS DATE) AS o_date, o_orderpriority
+        |FROM orders
+        |WHERE o_orderstatus IN ('F','O')
+        |  AND o_totalprice BETWEEN 200000.0 AND 400000.0
+        |  AND o_orderpriority LIKE '1%'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_join_broadcast" ->
+      s"""SELECT p_brand, ${oSum("l_extendedprice")} AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_join_shuffle" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n_lines,
+         |  ${oSum("l_extendedprice")} AS sum_price
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_join_left" ->
+      s"""SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+         |  COALESCE(${oSum("o_totalprice")}, 0.0) AS total_spent
+         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders
+        |                    WHERE o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name, c_nationkey
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_range" ->
+      s"""SELECT s_suppkey, s_name, COUNT(*) AS n_parts,
+         |  ${oSum("p_retailprice")} AS sum_price
+         |FROM supplier JOIN part
+         |  ON p_retailprice BETWEEN s_acctbal / 10.0 - 50.0
+         |                       AND s_acctbal / 10.0 + 50.0
+         |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin,
+
+    "q_join_star" ->
+      s"""SELECT r_name, n_name,
+         |  ${oSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q_agg_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${oSum("l_quantity")} AS sum_qty,
+         |  ${oSum("l_extendedprice")} AS sum_base_price,
+         |  ${oSum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         |  ${oAvg("l_quantity")} AS avg_qty,
+         |  ${oAvg("l_extendedprice")} AS avg_price,
+         |  MIN(l_quantity) AS min_qty,
+         |  MAX(l_extendedprice) AS max_price,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_having" ->
+      s"""SELECT o_custkey, COUNT(*) AS n_orders,
+         |  ${oSum("o_totalprice")} AS spent
+         |FROM orders GROUP BY o_custkey
+         |HAVING COUNT(*) >= 12 ORDER BY o_custkey""".stripMargin,
+
+    "q_agg_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         |  ${oSum("l_quantity")} AS qty,
+         |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY gid, l_returnflag ASC NULLS FIRST,
+         |  l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_agg_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         |  ${oSum("o_totalprice")} AS total,
+         |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid
+         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         |ORDER BY gid, o_orderstatus ASC NULLS FIRST,
+         |  o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_agg_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         |  ${oSum("l_quantity")} AS qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         |ORDER BY l_returnflag ASC NULLS FIRST,
+         |  l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    ROW_NUMBER() OVER w AS rn,
+        |    RANK() OVER w AS rnk,
+        |    DENSE_RANK() OVER w AS drnk,
+        |    NTILE(4) OVER w AS quartile
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderstatus
+        |               ORDER BY o_totalprice DESC, o_orderkey)
+        |) WHERE rn <= 20 ORDER BY o_orderstatus, rn""".stripMargin,
+
+    "q_window_frame" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) OVER
+        |    (PARTITION BY o_orderstatus ORDER BY o_orderkey
+        |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS moving_sum3,
+        |  LAG(o_totalprice, 1) OVER w AS prev_price,
+        |  LEAD(o_totalprice, 1) OVER w AS next_price,
+        |  FIRST_VALUE(o_totalprice) OVER
+        |    (PARTITION BY o_orderstatus ORDER BY o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS first_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
+
+    "q_sort_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+
+    "q_set_union_all" ->
+      """SELECT nationkey, side, COUNT(*) AS n FROM (
+        |  SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier
+        |) GROUP BY nationkey, side ORDER BY nationkey, side""".stripMargin,
+
+    "q_set_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_set_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_subquery_scalar" ->
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |WHERE o_totalprice > 1.5 * (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+        |         / COUNT(*) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_subquery_in" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE c_nationkey IN (
+        |  SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_subquery_exists" ->
+      """SELECT c_custkey, c_acctbal
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_cte" ->
+      """WITH big_orders AS (
+        |  SELECT o_custkey, COUNT(*) AS n_big
+        |  FROM orders WHERE o_totalprice > 300000
+        |  GROUP BY o_custkey
+        |)
+        |SELECT c.c_custkey, c.c_name, b.n_big
+        |FROM customer c JOIN big_orders b ON c.c_custkey = b.o_custkey
+        |ORDER BY c.c_custkey""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+        |  UPPER(p_name) AS uname,
+        |  LOWER(p_brand) AS lbrand,
+        |  SUBSTRING(p_type, 1, 3) AS type3,
+        |  CAST(LENGTH(p_name) AS INT) AS name_len,
+        |  CONCAT_WS('-', p_brand, p_type) AS brand_type,
+        |  CAST(REGEXP_EXTRACT(p_brand, '#(\d+)', 1) AS INT) AS brand_num,
+        |  p_name LIKE '%a%' AS has_a,
+        |  TRIM('  pad  ') AS trimmed,
+        |  LPAD(p_brand, 12, '*') AS padded
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(YEAR(o_orderdate) AS INT) AS y,
+        |  CAST(MONTH(o_orderdate) AS INT) AS m,
+        |  CAST(DAYOFMONTH(o_orderdate) AS INT) AS dom,
+        |  CAST(QUARTER(o_orderdate) AS INT) AS q,
+        |  CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+        |  CAST(DATE '2002-01-01' - CAST(o_orderdate AS DATE) AS INT)
+        |    AS days_to_2002
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  ABS(l_discount - 0.05) AS abs_dev,
+        |  ROUND(l_extendedprice, 0) AS rounded,
+        |  CAST(FLOOR(l_quantity) AS BIGINT) AS fl,
+        |  CAST(CEIL(l_quantity) AS BIGINT) AS ce,
+        |  SQRT(l_extendedprice) AS sq,
+        |  CAST(FLOOR(POW(l_discount, 2.0) * 1e6) AS BIGINT) AS disc_sq_u,
+        |  l_orderkey % 7 AS mod7,
+        |  CAST(FLOOR(LN(l_extendedprice) * 1000.0) AS BIGINT) AS log_price_m
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, rounded, fl, sq""".stripMargin,
+
+    "q_case_cast" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 350000.0 THEN 'high'
+        |       WHEN o_totalprice > 150000.0 THEN 'mid'
+        |       ELSE 'low' END AS bucket,
+        |  CAST(o_orderkey AS VARCHAR) AS key_str,
+        |  CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
+        |  o_orderstatus IS NOT NULL AS has_status
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_id,
+        |  CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT) AS k_val
+        |FROM events
+        |WHERE CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT) > 50
+        |ORDER BY event_id""".stripMargin,
+
+    "q_array_funcs" ->
+      """SELECT vec_id,
+        |  CAST(LEN(embedding) AS INT) AS dim,
+        |  CAST(embedding[1] AS DOUBLE) AS first_elem,
+        |  (SELECT CAST(SUM(CAST(x * x AS DECIMAL(30,8))) AS DOUBLE)
+        |   FROM UNNEST(CAST(embedding AS DOUBLE[])) AS t(x)) AS norm_sq
+        |FROM embeddings ORDER BY vec_id""".stripMargin
+  )
+}

@@ -1,0 +1,115 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/paritycheck.py <sfDir> <verifyOutDir> [query ...]
+
+Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs
+the matching SQL from <verifyOutDir>/oracle_sql.json in DuckDB against
+views named after the parquet tables in <sfDir>, and compares strictly:
+column names (sorted), row counts, and cell values (exact; floats compared
+bit-exactly, with a reported max-abs-diff when they mismatch).
+
+This mirrors what we know of the driver's compare ("sorts columns by name
+before hashing values"), erring stricter: any value difference is a FAIL.
+"""
+import json
+import math
+import sys
+
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    """Canonicalize a cell for comparison across engines."""
+    if hasattr(v, "isoformat"):          # datetime/date: compare naive wall time
+        try:
+            v = v.replace(tzinfo=None)
+        except (TypeError, ValueError):
+            pass
+        return v.isoformat()
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, list):
+        return tuple(canon(x) for x in v)
+    return v
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        try:
+            spark_tbl = pq.read_table(f"{out_dir}/{name}")
+        except Exception as e:
+            print(f"FAIL {name}: no spark output ({e})")
+            n_fail += 1
+            continue
+        try:
+            duck_tbl = con.execute(sql).fetch_arrow_table()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+
+        s_cols, d_cols = sorted(spark_tbl.column_names), sorted(duck_tbl.column_names)
+        if s_cols != d_cols:
+            print(f"FAIL {name}: columns spark={s_cols} duck={d_cols}")
+            n_fail += 1
+            continue
+        if spark_tbl.num_rows != duck_tbl.num_rows:
+            print(f"FAIL {name}: rows spark={spark_tbl.num_rows} "
+                  f"duck={duck_tbl.num_rows}")
+            n_fail += 1
+            continue
+
+        s_rows = [tuple(canon(r[c]) for c in s_cols)
+                  for r in spark_tbl.to_pylist()]
+        d_rows = [tuple(canon(r[c]) for c in d_cols)
+                  for r in duck_tbl.to_pylist()]
+        # Driver sorts columns; row order should already agree (both sides
+        # ORDER BY), but compare as sorted multisets too so we can tell
+        # "wrong order" apart from "wrong values".
+        if s_rows == d_rows:
+            print(f"PASS {name} ({spark_tbl.num_rows} rows)")
+            n_pass += 1
+            continue
+        if sorted(map(repr, s_rows)) == sorted(map(repr, d_rows)):
+            print(f"FAIL {name}: same multiset, different ROW ORDER")
+            n_fail += 1
+            continue
+        # locate first diff for debugging
+        msg = ""
+        for i, (a, b) in enumerate(zip(s_rows, d_rows)):
+            if a != b:
+                for c, (x, y) in zip(s_cols, zip(a, b)):
+                    if x != y:
+                        msg = (f"first diff row {i} col {c}: "
+                               f"spark={x!r} duck={y!r}")
+                        break
+                break
+        print(f"FAIL {name}: values differ; {msg}")
+        n_fail += 1
+
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
