@@ -23,13 +23,22 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] =
-    queries_relational
-
-  private def queries_relational: Map[String, Q] = graft.queries.Relational.defs
+    graft.queries.Relational.defs ++
+      graft.operators.Dedup.defs ++
+      graft.operators.Similarity.defs ++
+      graft.operators.TextAnalysis.defs ++
+      graft.operators.Multimodal.defs ++
+      graft.streaming.EventStreams.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check
-    * (used for ops DuckDB can't express identically, e.g. HLL sketches). */
+    * (used for ops DuckDB can't express identically, e.g. engine-specific
+    * hashes or approximate ANN). */
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracles
+    graft.queries.Relational.oracles ++
+      graft.operators.Dedup.oracles ++
+      graft.operators.Similarity.oracles ++
+      graft.operators.TextAnalysis.oracles ++
+      graft.operators.Multimodal.oracles ++
+      graft.streaming.EventStreams.oracles
 }

@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.QueryDefs.Q
+import graft.sources.Tables
+import graft.functions.VectorFunctions.rolling_fingerprint
+
+/** Text-analysis operators over the `documents` fixture: token/length
+  * stats, quality scoring, regex tokenization, profile-based language ID,
+  * and winnowing fingerprints. All are single-scan + at most one shuffle
+  * (the groupBys), so they stream at corpus scale; none collects to the
+  * driver.
+  */
+object TextAnalysis {
+
+  val defs: Map[String, Q] = Map(
+
+    // Per-document surface statistics. avg_word_len derives from the
+    // single-spaced layout: chars minus separators over word count.
+    "q_text_stats" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"), col("lang"), col("source"),
+        length(col("text")).as("n_chars_m"),
+        size(split(col("text"), " ")).as("n_words"),
+        size(array_distinct(split(col("text"), " "))).as("n_distinct"),
+        ((length(col("text")) - size(split(col("text"), " ")) + 1)
+          .cast("double") / size(split(col("text"), " ")))
+          .as("avg_word_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quality score: bounded length term + lexical diversity + stopword
+    // ratio (the classic C4/Gopher-style heuristics, condensed). Pure
+    // per-row double arithmetic — deterministic across engines.
+    "q_text_quality" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val nw = size(toks).cast("double")
+      val stop = size(filter(toks, t => t === "a" || t === "the"))
+        .cast("double")
+      val uniq = size(array_distinct(toks)).cast("double")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        (least(nw / lit(100.0), lit(1.0)) * lit(0.3) +
+          (uniq / nw) * lit(0.4) +
+          (stop / nw) * lit(0.3)).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Tokenization: whitespace count vs a BPE-ish regex ([a-z]+ runs,
+    // digit runs, single other glyphs) — the regex subset chosen to
+    // behave identically under Java regex and RE2.
+    "q_text_tokens" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+          .as("re_tokens"),
+        size(array_distinct(split(col("text"), " "))).as("distinct_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Profile-based language ID: build a top-10-words-by-frequency
+    // profile per labelled language (tie-broken deterministically), score
+    // each document by profile-hit ratio, predict the argmax. The n-gram
+    // profile method at its word-unigram degenerate point — the fixture's
+    // langs share one vocabulary (word soup), so the interesting part is
+    // the deterministic pipeline, not the accuracy.
+    "q_text_langid" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tok = docs.select(col("doc_id"), col("lang"),
+        explode(array_distinct(split(col("text"), " "))).as("w"))
+      val prof = tok.groupBy(col("lang"), col("w")).count()
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(col("count").desc, col("w"))))
+        .where(col("rn") <= 10)
+        .select(col("lang").as("plang"), col("w"))
+      val nTok = docs.select(col("doc_id"),
+        size(array_distinct(split(col("text"), " "))).as("n_tok"))
+      val hits = tok.select(col("doc_id"), col("w"))
+        .join(prof, Seq("w"))
+        .groupBy(col("doc_id"), col("plang"))
+        .agg(count(lit(1)).as("nhits"))
+      val langs = docs.select(col("lang").as("plang")).distinct()
+      val scored = nTok.crossJoin(langs)
+        .join(hits, Seq("doc_id", "plang"), "left")
+        .select(col("doc_id"), col("plang"),
+          (coalesce(col("nhits"), lit(0L)).cast("double") /
+            col("n_tok")).as("score"))
+      scored.withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("score").desc, col("plang"))))
+        .where(col("rn") === 1)
+        .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("plang").as("pred_lang"),
+          col("score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Winnowing fingerprint (custom expression, rolling 16-byte
+    // polynomial min-hash): identical texts share fingerprints; no DuckDB
+    // twin (engine-specific hash) → rows-only check.
+    "q_text_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        rolling_fingerprint(col("text"), 16).as("fp"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats" ->
+      """SELECT doc_id, lang, source,
+        |  CAST(LENGTH(text) AS INT) AS n_chars_m,
+        |  CAST(LEN(string_split(text, ' ')) AS INT) AS n_words,
+        |  CAST(LEN(list_distinct(string_split(text, ' '))) AS INT)
+        |    AS n_distinct,
+        |  CAST(LENGTH(text) - LEN(string_split(text, ' ')) + 1 AS DOUBLE)
+        |    / LEN(string_split(text, ' ')) AS avg_word_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      """SELECT doc_id,
+        |  LEAST(LEN(string_split(text, ' ')) / 100.0, 1.0) * 0.3 +
+        |  (CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |     / LEN(string_split(text, ' '))) * 0.4 +
+        |  (CAST(LEN(list_filter(string_split(text, ' '),
+        |                        t -> t = 'a' OR t = 'the')) AS DOUBLE)
+        |     / LEN(string_split(text, ' '))) * 0.3 AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(LEN(string_split(text, ' ')) AS INT) AS ws_tokens,
+        |  CAST(LEN(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+        |    AS INT) AS re_tokens,
+        |  CAST(LEN(list_distinct(string_split(text, ' '))) AS INT)
+        |    AS distinct_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_langid" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, UNNEST(list_distinct(string_split(text, ' ')))
+        |    AS w
+        |  FROM documents),
+        |prof AS (
+        |  SELECT plang, w FROM (
+        |    SELECT lang AS plang, w, COUNT(*) AS cnt,
+        |      ROW_NUMBER() OVER (PARTITION BY lang
+        |                         ORDER BY COUNT(*) DESC, w) AS rn
+        |    FROM tok GROUP BY lang, w)
+        |  WHERE rn <= 10),
+        |ntok AS (
+        |  SELECT doc_id, LEN(list_distinct(string_split(text, ' ')))
+        |    AS n_tok
+        |  FROM documents),
+        |hits AS (
+        |  SELECT t.doc_id, p.plang, COUNT(*) AS nhits
+        |  FROM (SELECT DISTINCT doc_id, w FROM tok) t
+        |  JOIN prof p ON t.w = p.w
+        |  GROUP BY t.doc_id, p.plang),
+        |langs AS (SELECT DISTINCT lang AS plang FROM documents),
+        |scored AS (
+        |  SELECT n.doc_id, l.plang,
+        |    CAST(COALESCE(h.nhits, 0) AS DOUBLE) / n.n_tok AS score
+        |  FROM ntok n CROSS JOIN langs l
+        |  LEFT JOIN hits h ON h.doc_id = n.doc_id AND h.plang = l.plang),
+        |best AS (
+        |  SELECT doc_id, plang, score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                       ORDER BY score DESC, plang) AS rn
+        |  FROM scored)
+        |SELECT b.doc_id, d.lang, b.plang AS pred_lang, b.score
+        |FROM best b JOIN documents d ON b.doc_id = d.doc_id
+        |WHERE b.rn = 1 ORDER BY b.doc_id""".stripMargin
+  )
+}

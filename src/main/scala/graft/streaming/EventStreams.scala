@@ -1,0 +1,135 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.queries.QueryDefs.Q
+
+/** Structured Streaming slices over the `events` fixture (SURVEY.md §2b
+  * "Streaming" row — an extension beyond the reference, whose only sink
+  * is stdout over batch files, /root/reference/main.cc:183-199).
+  *
+  * Each query runs a real streaming pipeline — `readStream` file source →
+  * event-time transform → memory sink — driven to completion with
+  * `Trigger.AvailableNow` so the result is reproducible from static
+  * Parquet and comparable to a batch oracle. At scale the same plans run
+  * unchanged against a live source (Kafka/files); the memory sink and
+  * AvailableNow are the test harness, not the design.
+  *
+  * The raw `ts` column is parquet TIMESTAMP(NANOS) (read as long nanos —
+  * see graft.sources.Tables.events); the stream schema mirrors that and
+  * rebuilds a TimestampType event-time column before watermarking.
+  */
+object EventStreams {
+
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos (legacy nanosAsLong read)
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over the fixture file with a proper event-time col. */
+  private def eventStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // glob form: the file-stream source requires a directory or glob (a
+    // bare file path fails basePath validation)
+    s.readStream.schema(rawSchema).parquet(s"$d/events*.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Run `df` (a streaming DataFrame) to completion into a memory sink,
+    * return the sink table. */
+  private def runToMemory(s: SparkSession, df: DataFrame, mode: String,
+      name: String): DataFrame = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  val defs: Map[String, Q] = Map(
+
+    // Tumbling-window aggregation with a watermark. Complete output mode
+    // so every window is emitted even at end-of-stream (append mode would
+    // hold back windows the final watermark hasn't passed).
+    "q_stream_tumbling" -> ((s, d) => {
+      val agg = eventStream(s, d)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(30,4)")).cast("double").as("sum_value"))
+      runToMemory(s, agg, "complete", s"tumbling_${System.nanoTime()}")
+        .select(unix_timestamp(col("window.start")).as("window_start_s"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("window_start_s"), col("event_type"))
+    }),
+
+    // Session windows (30-minute gap) per user: event-time sessionization
+    // with mergeable state — the streaming twin of gaps-and-islands SQL,
+    // which is exactly what the DuckDB oracle runs.
+    "q_stream_session" -> ((s, d) => {
+      val agg = eventStream(s, d)
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      runToMemory(s, agg, "complete", s"session_${System.nanoTime()}")
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start_us"))
+    }),
+
+    // Streaming exact dedup: global dropDuplicates state (no watermark on
+    // purpose — with one, duplicate keys arriving after state eviction
+    // would re-emit and the result would no longer be DISTINCT; bound the
+    // state with dropDuplicatesWithinWatermark when at-most-once within a
+    // horizon is acceptable at scale).
+    "q_stream_dedup" -> ((s, d) => {
+      val dedup = eventStream(s, d)
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+      runToMemory(s, dedup, "append", s"dedup_${System.nanoTime()}")
+        .orderBy(col("user_id"), col("event_type"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_stream_tumbling" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
+        |    AS window_start_s,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_stream_session" ->
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |y AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT user_id, epoch_us(MIN(ts)) AS session_start_us,
+        |  COUNT(*) AS n_events
+        |FROM y GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
+
+    "q_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin
+  )
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{RollingFingerprint, VectorFunctions}
+
+class ExpressionsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("cosine_sim matches a hand-computed value (codegen path)") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 0.0f, 2.0f), Array(2.0f, 1.0f, 0.0f)))
+      .toDF("a", "b")
+    val got = df.select(VectorFunctions.cosine_sim(col("a"), col("b")))
+      .head.getDouble(0)
+    val expected = 2.0 / (math.sqrt(5.0) * math.sqrt(5.0))
+    assert(math.abs(got - expected) < 1e-12)
+  }
+
+  test("cosine_sim is 1.0 for identical vectors, 0.0 for zero vectors") {
+    import spark.implicits._
+    val df = Seq((Array(0.5f, -1.5f), Array(0.5f, -1.5f), Array(0.0f, 0.0f)))
+      .toDF("a", "b", "z")
+    val r = df.select(
+      VectorFunctions.cosine_sim(col("a"), col("b")).as("same"),
+      VectorFunctions.cosine_sim(col("a"), col("z")).as("zero")).head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getDouble(1) == 0.0)
+  }
+
+  test("cosine_sim interpreted eval agrees with codegen") {
+    // interpreted path: call nullSafeEval directly through the expression
+    import org.apache.spark.sql.graftbridge.Bridge
+    val e = graft.functions.CosineSimilarity(
+      Bridge.expression(lit(1)), Bridge.expression(lit(1)))
+    val a = org.apache.spark.sql.catalyst.util.ArrayData
+      .toArrayData(Array(1.0f, 2.0f))
+    val b = org.apache.spark.sql.catalyst.util.ArrayData
+      .toArrayData(Array(2.0f, 4.0f))
+    val v = e.nullSafeEval(a, b).asInstanceOf[Double]
+    assert(math.abs(v - 1.0) < 1e-12)
+  }
+
+  test("rolling_fingerprint is deterministic and content-sensitive") {
+    import spark.implicits._
+    val df = Seq(("hello world this is a document", 1),
+      ("hello world this is a document", 2),
+      ("a completely different text body", 3)).toDF("text", "id")
+    val fps = df.select(col("id"),
+      VectorFunctions.rolling_fingerprint(col("text"), 8).as("fp"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(fps(1) == fps(2), "identical texts must share a fingerprint")
+    assert(fps(1) != fps(3), "different texts should differ (whp)")
+  }
+
+  test("rolling fingerprint min-window-hash handles short inputs") {
+    val h = RollingFingerprint.minWindowHash("ab".getBytes, 16, 1000003L,
+      0x7FFFFFFFL)
+    assert(h >= 0)
+    assert(RollingFingerprint.minWindowHash(Array.emptyByteArray, 16,
+      1000003L, 0x7FFFFFFFL) == 0L)
+  }
+}

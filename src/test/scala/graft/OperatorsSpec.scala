@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OperatorsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("minhash-LSH near-dup equals exact ngram-jaccard ground truth") {
+    val exact = q("q_dedup_ngram_jaccard")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = q("q_dedup_minhash_lsh")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    assert(lsh == exact)
+  }
+
+  test("exact dedup keeps every distinct text exactly once") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val distinctTexts = docs.select("text").distinct().count()
+    assert(q("q_dedup_exact").count() == distinctTexts)
+  }
+
+  test("simhash pairs all satisfy the hamming bound") {
+    val rows = q("q_dedup_simhash").collect()
+    assert(rows.forall(_.getInt(2) <= 7))
+  }
+
+  test("simhash finds the planted near-dup pairs") {
+    val exact = q("q_dedup_ngram_jaccard")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = q("q_dedup_simhash")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // near-identical token sets ⇒ near-identical simhash; expect high recall
+    val recall = exact.count(sim.contains).toDouble / math.max(exact.size, 1)
+    assert(recall >= 0.8, s"simhash recall $recall too low (found ${sim.size})")
+  }
+
+  test("cosine top-k returns k=5 ranked neighbors per query") {
+    val rows = q("q_sim_cosine_topk").collect()
+    assert(rows.length == 15) // 3 queries × 5
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    byQ.values.foreach { rs =>
+      val cs = rs.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b },
+        "cos must be non-increasing in rank")
+    }
+  }
+
+  test("ANN (LSH and IVF) neighbors are a subset of the corpus, ranked") {
+    for (name <- Seq("q_sim_ann_lsh", "q_sim_ann_ivf")) {
+      val rows = q(name).collect()
+      assert(rows.forall(_.getLong(1) >= 3), s"$name returned a query as neighbor")
+      assert(rows.groupBy(_.getLong(0)).values.forall(_.length <= 5))
+    }
+  }
+
+  test("text stats/quality/tokens cover every document") {
+    val n = graft.sources.Tables.documents(spark, sf).count()
+    assert(q("q_text_stats").count() == n)
+    assert(q("q_text_tokens").count() == n)
+    val quality = q("q_text_quality").collect()
+    assert(quality.length == n)
+    assert(quality.forall { r =>
+      val s = r.getDouble(1); s >= 0.0 && s <= 1.0
+    })
+  }
+
+  test("language-id predicts a known language for every document") {
+    val langs = graft.sources.Tables.documents(spark, sf)
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    val rows = q("q_text_langid").collect()
+    assert(rows.length == 500)
+    assert(rows.forall(r => langs.contains(r.getString(2))))
+  }
+
+  test("multimodal decode produces valid stub metadata for every doc") {
+    val rows = q("q_multimodal_decode").collect()
+    assert(rows.length == 500)
+    assert(rows.forall { r =>
+      val w = r.getInt(2); val h = r.getInt(3); val f = r.getInt(4)
+      w >= 64 && w < 256 && h >= 64 && h < 256 && f >= 1 && f <= 30
+    })
+  }
+
+  test("flagship entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+
+class RelationalSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val li = Tables.lineitem(spark, sf).cache()
+  private lazy val total = li.count()
+
+  /** Draw n deterministic samples from a scalacheck Gen (fixed seed so
+    * CI runs are reproducible). */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    Iterator.iterate(Seed(42L))(_.next)
+      .flatMap(s => g.apply(Gen.Parameters.default, s))
+      .take(n).toSeq
+
+  test("filter(p) and filter(!p) partition the table (property)") {
+    for (θ <- samples(Gen.choose(900.0, 105000.0), 5)) {
+      val p = col("l_extendedprice") > θ
+      assert(li.where(p).count() + li.where(!p).count() == total)
+    }
+  }
+
+  test("union-all is additive, intersect bounded by both sides") {
+    val c = Tables.customer(spark, sf).select(col("c_nationkey"))
+    val s2 = Tables.supplier(spark, sf).select(col("s_nationkey"))
+    assert(c.unionAll(s2.toDF("c_nationkey")).count() == c.count() + s2.count())
+    val i = SparkEntry.queries("q_set_intersect")(spark, sf).count()
+    assert(i <= math.min(c.distinct().count(), s2.distinct().count()))
+  }
+
+  test("rollup row count = groups + partial totals + grand total") {
+    val groups = li.select("l_returnflag", "l_linestatus").distinct().count()
+    val flags = li.select("l_returnflag").distinct().count()
+    val got = SparkEntry.queries("q_agg_rollup")(spark, sf).count()
+    assert(got == groups + flags + 1)
+  }
+
+  test("top-k has exactly k rows in descending order") {
+    val rows = SparkEntry.queries("q_sort_topk")(spark, sf).collect()
+    assert(rows.length == 25)
+    val prices = rows.map(_.getDouble(2))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("dedup is idempotent (property over key subsets)") {
+    val cols = Seq("l_returnflag", "l_linestatus", "l_suppkey")
+    for (ks <- samples(Gen.someOf(cols).suchThat(_.nonEmpty), 4)) {
+      val d1 = li.dropDuplicates(ks.toSeq)
+      assert(d1.dropDuplicates(ks.toSeq).count() == d1.count())
+    }
+  }
+
+  test("every declared oracle key has a query (contract hygiene)") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+}

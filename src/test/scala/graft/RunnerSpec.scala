@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.runner.{DiskStats, ScanRunner}
+
+class RunnerSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("per-file fan-out scans all files, fail-soft on schema mismatch") {
+    val r = ScanRunner.run(spark, Seq(sf), "l_extendedprice",
+      threshold = 30000.0, jobs = 8)
+    assert(r.files == 10)              // one per fixture table
+    assert(r.failedFiles == 9)         // only lineitem has the column
+    assert(r.totalRows > 0)
+    assert(r.readBytes > 0, "listener must observe input bytes")
+    assert(r.seconds > 0)
+    assert(r.predicate == "l_extendedprice > 30000.0")
+  }
+
+  test("merged single-job scan agrees with per-file fan-out row count") {
+    val fanout = ScanRunner.run(spark, Seq(sf), "l_quantity", 25.0, jobs = 4)
+    val merged = ScanRunner.runMerged(spark,
+      Seq(s"$sf/lineitem.parquet"), "l_quantity", 25.0)
+    assert(fanout.totalRows == merged)
+  }
+
+  test("disk stats snapshot parses /sys/block when disks exist") {
+    val disks = new java.io.File("/sys/block").list()
+    if (disks != null && disks.nonEmpty) {
+      val snap = DiskStats.snapshot(disks.toSeq.take(1))
+      snap.values.foreach { s =>
+        assert(s.readIos >= 0 && s.readSectors >= 0 && s.readTicks >= 0)
+      }
+    }
+    assert(DiskStats.read("no_such_disk_xyz").isEmpty)
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("streaming tumbling-window agg equals the batch equivalent") {
+    val stream = SparkEntry.queries("q_stream_tumbling")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("w"), col("event_type"),
+        col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(stream == batch)
+  }
+
+  test("streaming dedup emits each key exactly once") {
+    val out = SparkEntry.queries("q_stream_dedup")(spark, sf).collect()
+    assert(out.length == out.map(r => (r.getLong(0), r.getString(1))).toSet.size)
+    val expected = Tables.events(spark, sf)
+      .select("user_id", "event_type").distinct().count()
+    assert(out.length == expected)
+  }
+
+  test("session windows respect the 30-minute gap") {
+    val sessions = SparkEntry.queries("q_stream_session")(spark, sf)
+    // session count per user can never exceed event count per user
+    val perUser = sessions.groupBy("user_id").count()
+    val events = Tables.events(spark, sf).groupBy("user_id").count()
+      .withColumnRenamed("count", "n_ev")
+    val joined = perUser.join(events, "user_id").collect()
+    assert(joined.nonEmpty)
+    assert(joined.forall(r => r.getLong(1) <= r.getLong(2)))
+  }
+}
