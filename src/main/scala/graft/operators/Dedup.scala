@@ -25,18 +25,31 @@ import graft.functions.VectorFunctions.cosine_sim
 object Dedup {
 
   /** Word-trigram shingle set (distinct) per document. Guarded for texts
-    * shorter than 3 words (falls back to the whole text as one shingle). */
-  private val shingleExpr =
-    """CASE WHEN size(split(text, ' ')) >= 3 THEN
-      |  array_distinct(transform(
-      |    sequence(1, size(split(text, ' ')) - 2),
-      |    i -> concat_ws(' ', element_at(split(text, ' '), i),
-      |                        element_at(split(text, ' '), i + 1),
-      |                        element_at(split(text, ' '), i + 2))))
-      |ELSE array(text) END""".stripMargin
-
-  private def withShingles(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(col("doc_id"), expr(shingleExpr).as("sh"))
+    * shorter than 3 words (falls back to the whole text as one shingle).
+    * Tokenization happens in its own projection: inlining `split(text)`
+    * into the shingle lambda would re-split the text once per element
+    * (O(words²) per doc — measured 2-3× on the whole query). */
+  private[operators] def withShingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      // the fixture is one parquet file = one input split; without this
+      // the whole O(docs × words) shingle compute runs on a single core.
+      // At corpus scale the source is many files and this is a no-op
+      // cost-wise, but the intent (parallelize CPU-bound per-doc work)
+      // is the same.
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), expr(
+        """CASE WHEN size(toks) >= 3 THEN
+          |  array_distinct(transform(
+          |    sequence(1, size(toks) - 2),
+          |    i -> concat_ws(' ', element_at(toks, i),
+          |                        element_at(toks, i + 1),
+          |                        element_at(toks, i + 2))))
+          |ELSE array(array_join(toks, ' ')) END""".stripMargin).as("sh"))
+      // reused by the inverted index, the size lookup, and the LSH
+      // verify joins — and across the dedup queries themselves; cache
+      // once instead of recomputing the shingle transform per branch
+      .cache()
 
   /** jaccard = |A∩B| / |A∪B| from intersection count + set sizes. */
   private def jaccard(inter: Column, na: Column, nb: Column): Column =
@@ -85,22 +98,29 @@ object Dedup {
     // checks.
     "q_dedup_minhash_lsh" -> ((s, d) => {
       val g = withShingles(s, d)
-      val sig = g.select(col("doc_id"), col("sh"), expr(
-        """transform(sequence(0, 31),
-          |  k -> array_min(transform(sh, t -> xxhash64(t, k))))"""
-          .stripMargin).as("sig"))
-      val bands = sig.select(col("doc_id"), col("sh"), explode(expr(
-        """transform(sequence(0, 15),
-          |  b -> xxhash64(element_at(sig, 2*b + 1),
-          |                element_at(sig, 2*b + 2), b))"""
-          .stripMargin)).as("band_key"))
+      // signature: explode shingles once, 32 codegen'd xxhash64 columns,
+      // ONE groupBy with 32 min() aggregates (map-side partial combine) —
+      // not nested lambda folds, which run interpreted per element.
+      val ex = g.select(col("doc_id"), explode(col("sh")).as("t"))
+      val hashCols = (0 until 32).map(k => xxhash64(col("t"), lit(k)).as(s"h$k"))
+      val hashed = ex.select(col("doc_id") +: hashCols: _*)
+      val minAggs = (0 until 32).map(k => min(col(s"h$k")).as(s"m$k"))
+      val sig = hashed.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+      // 16 bands × 2 rows: band key hashes two adjacent minhashes + band id
+      val bandStructs = (0 until 16).map(b => struct(lit(b).as("b"),
+        xxhash64(col(s"m${2 * b}"), col(s"m${2 * b + 1}"), lit(b)).as("k")))
+      val bands = sig.select(col("doc_id"),
+        explode(array(bandStructs: _*)).as("bk"))
       val cand = bands.as("a").join(bands.as("b"),
-          col("a.band_key") === col("b.band_key") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.sh").as("sha"), col("b.sh").as("shb"))
+          col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      cand.select(col("doc_a"), col("doc_b"),
+      // exact verify: join the shingle sets back by id (arrays travel
+      // only for the few candidates, not through the 16× band explosion)
+      cand
+        .join(g.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+        .join(g.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
           jaccard(size(array_intersect(col("sha"), col("shb"))),
             size(col("sha")), size(col("shb"))).as("jaccard"))
         .where(col("jaccard") > 0.5)
