@@ -24,6 +24,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] =
     graft.queries.Relational.defs ++
+      graft.queries.Extended.defs ++
       graft.operators.Dedup.defs ++
       graft.operators.Similarity.defs ++
       graft.operators.TextAnalysis.defs ++
@@ -36,6 +37,7 @@ object SparkEntry {
     * hashes or approximate ANN). */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
+      graft.queries.Extended.oracles ++
       graft.operators.Dedup.oracles ++
       graft.operators.Similarity.oracles ++
       graft.operators.TextAnalysis.oracles ++

@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL-surface registration for the library's custom Catalyst
+  * expressions, so `spark.sql("... cosine_sim(a, b) ...")` works exactly
+  * like a built-in.
+  *
+  * Two entry points, matching how Spark ships extensions:
+  *  - [[GraftFunctions.registerAll]] for an existing session (temp
+  *    function registry);
+  *  - [[GraftExtensions]] for `spark.sql.extensions=graft.functions.
+  *    GraftExtensions` (injected at session build, survives new
+  *    sessions).
+  */
+object GraftFunctions {
+
+  private def fingerprintBuilder(args: Seq[Expression]): Expression = {
+    val window = args match {
+      case Seq(_, Literal(w: Int, _)) => w
+      case Seq(_) => 16
+      case _ => throw new IllegalArgumentException(
+        "rolling_fingerprint(text[, window-literal])")
+    }
+    RollingFingerprint(args.head, window)
+  }
+
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "cosine_sim", args => CosineSimilarity(args(0), args(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "rolling_fingerprint", fingerprintBuilder, "built-in")
+  }
+}
+
+/** `spark.sql.extensions`-injectable variant. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+    e.injectFunction((
+      FunctionIdentifier("rolling_fingerprint"),
+      new ExpressionInfo(classOf[RollingFingerprint].getName,
+        "rolling_fingerprint"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => RollingFingerprint(c, 16)
+        case Seq(c, Literal(w: Int, _)) => RollingFingerprint(c, w)
+        case _ => throw new IllegalArgumentException(
+          "rolling_fingerprint(text[, window-literal])")
+      }))
+  }
+}

@@ -1,0 +1,169 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import QueryDefs._
+
+/** Coverage beyond the core relational families (SURVEY.md §2b rows that
+  * need non-obvious Spark renditions): as-of join, typed Dataset
+  * aggregation, approximate aggregates, SQL-registered custom
+  * expressions, and CSV/JSON source round-trips.
+  */
+object Extended {
+
+  /** Typed row for the Dataset[T] surface. */
+  case class Line(l_returnflag: String, l_quantity: Double,
+      l_extendedprice: Double)
+
+  /** Typed Aggregator: share of lineitems with quantity > 25. Integer
+    * accumulators on purpose — the merge order across partitions is
+    * nondeterministic, so only exact (associative-commutative) state
+    * keeps the DuckDB oracle hash-stable. */
+  object HighQtyShare extends Aggregator[Line, (Long, Long), Double] {
+    def zero: (Long, Long) = (0L, 0L)
+    def reduce(b: (Long, Long), a: Line): (Long, Long) =
+      (b._1 + (if (a.l_quantity > 25.0) 1L else 0L), b._2 + 1L)
+    def merge(x: (Long, Long), y: (Long, Long)): (Long, Long) =
+      (x._1 + y._1, x._2 + y._2)
+    def finish(r: (Long, Long)): Double =
+      if (r._2 == 0) 0.0 else r._1.toDouble / r._2
+    def bufferEncoder: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  val defs: Map[String, Q] = Map(
+
+    // As-of join: each click matched to that user's most recent purchase
+    // at-or-before the click. Spark lacks a batch as-of operator, so this
+    // is the union + running-`last` rendition (SURVEY.md §2b): tag both
+    // streams, sort within user by event time (purchases first on ties),
+    // carry the last purchase forward, keep the click rows. ONE shuffle
+    // on user_id and no per-row subquery — the shape that survives 100 TB
+    // (a broadcast-range or per-key sort merge, never a cross product).
+    // Oracle: DuckDB's native ASOF LEFT JOIN.
+    "q_join_asof" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          lit(0).as("is_p"), lit(null).cast("long").as("p_event"),
+          lit(null).cast("double").as("p_value"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          lit(1).as("is_p"), col("event_id").as("p_event"),
+          col("value").as("p_value"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("is_p").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      purchases.unionAll(clicks)
+        .withColumn("last_p", last(col("p_event"), ignoreNulls = true).over(w))
+        .withColumn("last_v", last(col("p_value"), ignoreNulls = true).over(w))
+        .where(col("is_p") === 0)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("click_ts_us"),
+          col("last_p").as("p_event"), col("last_v").as("p_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Typed Dataset + Aggregator (the Dataset[T]/Encoder surface).
+    "q_typed_agg" -> ((s, d) => {
+      import s.implicits._
+      val ds = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+        .as[Line]
+      ds.groupByKey(_.l_returnflag)
+        .agg(HighQtyShare.toColumn.name("high_qty_share"))
+        .toDF("l_returnflag", "high_qty_share")
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Approximate distinct (HyperLogLog++): sketches are engine-specific,
+    // so no DuckDB oracle (rows-only) — but the query shape (partial
+    // sketch merge, one small shuffle) is exactly what replaces exact
+    // COUNT(DISTINCT) at 100 TB.
+    "q_agg_approx" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Custom expressions through the SQL surface: registered in the
+    // session function registry, then used from spark.sql text. Scores
+    // are a codegen'd double fold (element order fixed left-to-right but
+    // engine-specific libm-free arithmetic) — rows-only check.
+    "q_sim_cosine_sql" -> ((s, d) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      Tables.embeddings(s, d).createOrReplaceTempView("embeddings")
+      s.sql("""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               cosine_sim(a.embedding, b.embedding) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE a.vec_id < 3
+        ORDER BY vec_a, vec_b
+      """)
+    }),
+
+    // CSV source round-trip: write a projection as CSV (header + typed
+    // schema on read-back), aggregate from the CSV scan. Oracle computes
+    // the same aggregate from the original parquet — proving the CSV
+    // reader/writer preserve the data.
+    "q_source_csv" -> ((s, d) => {
+      val out = s"${sys.props("java.io.tmpdir")}/graft_csv_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .write.mode("overwrite").option("header", "true").csv(out)
+      s.read.option("header", "true")
+        .schema("o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE")
+        .csv(out)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), QueryDefs.dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // JSON source round-trip (schema-on-read on the way back).
+    "q_source_json" -> ((s, d) => {
+      val out = s"${sys.props("java.io.tmpdir")}/graft_json_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .write.mode("overwrite").json(out)
+      s.read
+        .schema("c_custkey LONG, c_mktsegment STRING, c_acctbal DOUBLE")
+        .json(out)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), QueryDefs.dsum(col("c_acctbal")).as("total"))
+        .orderBy(col("c_mktsegment"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_join_asof" ->
+      """WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+        |p AS (SELECT * FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, epoch_us(c.ts) AS click_ts_us,
+        |       p.event_id AS p_event, p.value AS p_value
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND p.ts <= c.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    "q_typed_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(*) FILTER (WHERE l_quantity > 25.0) AS DOUBLE)
+        |    / COUNT(*) AS high_qty_share
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_source_csv" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_source_json" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE) AS total
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  )
+}

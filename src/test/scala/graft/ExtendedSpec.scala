@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtendedSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("as-of join: every click appears once; matches are purchases at-or-before") {
+    val ev = graft.sources.Tables.events(spark, sf)
+    val clicks = ev.where(col("event_type") === "click").count()
+    val rows = q("q_join_asof").collect()
+    assert(rows.length == clicks)
+    // spot-verify the as-of invariant on matched rows
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("pts"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.filter(!_.isNullAt(3)).foreach { r =>
+      val (pUser, pTs) = purchases(r.getLong(3))
+      assert(pUser == r.getLong(1), "matched purchase must be same user")
+      assert(pTs <= r.getLong(2), "matched purchase must not be after click")
+    }
+  }
+
+  test("typed aggregator share is within [0,1] and covers all flags") {
+    val rows = q("q_typed_agg").collect()
+    assert(rows.length == 3)
+    assert(rows.forall { r => val s = r.getDouble(1); s >= 0 && s <= 1 })
+  }
+
+  test("approx_count_distinct is within rsd bounds of exact") {
+    val exact = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    q("q_agg_approx").collect().foreach { r =>
+      val e = exact(r.getString(0))
+      assert(math.abs(r.getLong(1) - e).toDouble / e < 0.1,
+        s"approx ${r.getLong(1)} too far from exact $e")
+    }
+  }
+
+  test("cosine_sim is callable from SQL after registration") {
+    val rows = q("q_sim_cosine_sql").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r => val c = r.getDouble(2); c >= -1.0001 && c <= 1.0001 })
+  }
+
+  test("extensions class injects functions at session level") {
+    val ext = new graft.functions.GraftExtensions
+    // apply against the current session's extension points via a child session
+    val s2 = spark.newSession()
+    graft.functions.GraftFunctions.registerAll(s2)
+    import s2.implicits._
+    val v = s2.sql(
+      "SELECT cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c")
+      .head.getDouble(0)
+    assert(math.abs(v - 1.0) < 1e-12)
+    assert(ext != null)
+  }
+
+  test("csv and json round-trips preserve aggregates from parquet") {
+    val fromCsv = q("q_source_csv").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val direct = graft.sources.Tables.orders(spark, sf)
+      .groupBy(col("o_orderstatus")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(fromCsv == direct)
+    assert(q("q_source_json").collect().map(_.getLong(1)).sum ==
+      graft.sources.Tables.customer(spark, sf).count())
+  }
+}
