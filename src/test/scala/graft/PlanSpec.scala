@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression checks: correctness tests prove results
+  * match; these prove the plans stay the ones that scale (pushdown,
+  * pruning, broadcast, top-k). A silent fallback to SortMergeJoin or a
+  * full-column scan is a 100 TB bug even when sf0.001 results match. */
+class PlanSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  // sf0.01, not the shared sf0.001: other suites cache() sf0.001 tables
+  // in this session, which would swap FileScan for InMemoryTableScan and
+  // hide the pushdown/pruning markers being asserted.
+  private val sfDir = "/root/testdata/sf0.01"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("flagship filter is pushed into the parquet scan") {
+    val p = plan("q_flagship_scan")
+    assert(p.contains("PushedFilters: [IsNotNull(l_extendedprice), " +
+      "GreaterThan(l_extendedprice"), p.take(500))
+  }
+
+  test("projection prunes unused columns at the scan") {
+    val read = plan("q_projection_expr").linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_shipdate"), "pruned column still read")
+    assert(!read.contains("l_partkey"), "pruned column still read")
+  }
+
+  test("dimension joins broadcast instead of shuffling") {
+    assert(plan("q_join_broadcast").contains("BroadcastHashJoin"))
+    assert(!plan("q_join_broadcast").contains("SortMergeJoin"))
+    assert(plan("q_join_star").contains("BroadcastHashJoin"))
+  }
+
+  test("semi/anti joins stay semi/anti (no materialized inner)") {
+    assert(plan("q_join_semi").contains("Semi"))
+    assert(plan("q_join_anti").contains("Anti"))
+  }
+
+  test("sort+limit compiles to TakeOrderedAndProject") {
+    assert(plan("q_sort_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("aggregations use partial hash aggregation") {
+    assert(plan("q_agg_pricing_summary").contains("HashAggregate"))
+  }
+}
