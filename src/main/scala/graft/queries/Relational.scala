@@ -261,19 +261,20 @@ object Relational {
 
     // Frame aggregates + lag/lead. The frame sum goes through an exact
     // decimal so segment-tree vs running-sum evaluation order can't
-    // change the hash.
+    // change the hash. Partitioned by o_custkey (high cardinality): a
+    // window over a 3-value column would serialize into 3 tasks at scale.
     "q_window_frame" -> ((s, d) => {
-      val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_orderkey"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
       val wf = w.rowsBetween(-2, 0)
       Tables.orders(s, d)
-        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           sum(col("o_totalprice").cast("decimal(30,4)")).over(wf)
             .cast("double").as("moving_sum3"),
           lag(col("o_totalprice"), 1).over(w).as("prev_price"),
           lead(col("o_totalprice"), 1).over(w).as("next_price"),
           first(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, 0))
             .as("first_price"))
-        .orderBy(col("o_orderstatus"), col("o_orderkey"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
     // ---- sort / limit / top-k -----------------------------------------
@@ -316,6 +317,30 @@ object Relational {
         .select(col("l_returnflag"), col("l_linestatus"))
         .distinct()
         .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Multiset (ALL) set-op variants — bag semantics, no dedup pass.
+    "q_set_except_all" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      val sup = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+      c.exceptAll(sup).groupBy(col("nationkey"))
+        .agg(count(lit(1)).as("n")).orderBy(col("nationkey"))
+    }),
+
+    "q_set_intersect_all" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      val sup = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+      c.intersectAll(sup).groupBy(col("nationkey"))
+        .agg(count(lit(1)).as("n")).orderBy(col("nationkey"))
+    }),
+
+    // Generator / UDTF surface: posexplode (lateral view) over tokens.
+    "q_generator" -> ((s, d) => {
+      Tables.documents(s, d)
+        .where(col("doc_id") < 50)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .toDF("doc_id", "pos", "token")
+        .orderBy(col("doc_id"), col("pos"))
     }),
 
     // ---- subqueries / CTE ----------------------------------------------
@@ -602,20 +627,20 @@ object Relational {
         |) WHERE rn <= 20 ORDER BY o_orderstatus, rn""".stripMargin,
 
     "q_window_frame" ->
-      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+      """SELECT o_orderkey, o_custkey, o_totalprice,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) OVER
-        |    (PARTITION BY o_orderstatus ORDER BY o_orderkey
+        |    (PARTITION BY o_custkey ORDER BY o_orderkey
         |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
         |    AS moving_sum3,
         |  LAG(o_totalprice, 1) OVER w AS prev_price,
         |  LEAD(o_totalprice, 1) OVER w AS next_price,
         |  FIRST_VALUE(o_totalprice) OVER
-        |    (PARTITION BY o_orderstatus ORDER BY o_orderkey
+        |    (PARTITION BY o_custkey ORDER BY o_orderkey
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS first_price
         |FROM orders
-        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
-        |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_sort_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
@@ -643,6 +668,27 @@ object Relational {
     "q_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_set_except_all" ->
+      """SELECT nationkey, COUNT(*) AS n FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  EXCEPT ALL
+        |  SELECT s_nationkey AS nationkey FROM supplier
+        |) GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+
+    "q_set_intersect_all" ->
+      """SELECT nationkey, COUNT(*) AS n FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  INTERSECT ALL
+        |  SELECT s_nationkey AS nationkey FROM supplier
+        |) GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+
+    "q_generator" ->
+      """SELECT doc_id, generate_subscripts(w, 1) - 1 AS pos,
+        |  UNNEST(w) AS token
+        |FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |      FROM documents WHERE doc_id < 50)
+        |ORDER BY doc_id, pos""".stripMargin,
 
     "q_subquery_scalar" ->
       """SELECT o_orderkey, o_totalprice
