@@ -108,6 +108,52 @@ object Extended {
       """)
     }),
 
+    // Skew-mitigated aggregation: two-phase salt → partial agg → final
+    // agg. l_returnflag has 3 values — at 100 TB a plain groupBy funnels
+    // a third of the table through one reducer; salting fans the partial
+    // aggregation across salt×key reducers and the final pass combines
+    // 16 tiny partials. Decimal partials keep the result bit-identical
+    // to the unsalted oracle.
+    "q_agg_salted" -> ((s, d) => {
+      val partial = Tables.lineitem(s, d)
+        .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+        .groupBy(col("l_returnflag"), col("salt"))
+        .agg(sum(col("l_quantity").cast("decimal(30,4)")).as("pq"),
+          count(lit(1)).as("pn"))
+      partial.groupBy(col("l_returnflag"))
+        .agg(sum(col("pq")).cast("double").as("sum_qty"),
+          sum(col("pn")).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Distribution window functions (rank-derived rationals — exact in
+    // both engines). Filtered AFTER the windows so the sampled output
+    // still reflects the full partition statistics.
+    "q_window_dist" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          ntile(10).over(w).as("decile"))
+        .where(col("o_orderkey") % 100 === 0)
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ORC source round-trip (the third columnar format Spark bundles).
+    "q_source_orc" -> ((s, d) => {
+      val out = s"${sys.props("java.io.tmpdir")}/graft_orc_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+      Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          QueryDefs.dsum(col("p_retailprice")).as("total"))
+        .orderBy(col("p_brand"))
+    }),
+
     // CSV source round-trip: write a projection as CSV (header + typed
     // schema on read-back), aggregate from the CSV scan. Oracle computes
     // the same aggregate from the original parquet — proving the CSV
@@ -155,6 +201,28 @@ object Extended {
         |  CAST(COUNT(*) FILTER (WHERE l_quantity > 25.0) AS DOUBLE)
         |    / COUNT(*) AS high_qty_share
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_salted" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_window_dist" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  PERCENT_RANK() OVER w AS pct_rank,
+        |  CUME_DIST() OVER w AS cume,
+        |  NTILE(10) OVER w AS decile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |             ORDER BY o_totalprice DESC, o_orderkey)
+        |QUALIFY o_orderkey % 100 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_source_orc" ->
+      """SELECT p_brand, COUNT(*) AS n,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(30,4))) AS DOUBLE) AS total
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "q_source_csv" ->
       """SELECT o_orderstatus, COUNT(*) AS n,

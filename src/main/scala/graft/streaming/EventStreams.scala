@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
 import graft.queries.QueryDefs.Q
@@ -23,6 +23,9 @@ import graft.queries.QueryDefs.Q
   * rebuilds a TimestampType event-time column before watermarking.
   */
 object EventStreams {
+
+  /** Custom state for q_stream_stateful. */
+  case class UserState(n: Long, maxV: Double)
 
   private val rawSchema = StructType(Seq(
     StructField("event_id", LongType),
@@ -92,6 +95,32 @@ object EventStreams {
     // would re-emit and the result would no longer be DISTINCT; bound the
     // state with dropDuplicatesWithinWatermark when at-most-once within a
     // horizon is acceptable at scale).
+    // Arbitrary stateful processing: flatMapGroupsWithState keeping a
+    // per-user (count, max) state. With AvailableNow + Update mode the
+    // single batch emits each user's final state, so the batch groupBy
+    // is an exact oracle. At scale this is the shape for custom session
+    // logic, CEP, or per-key models that windowed aggs can't express;
+    // state is partitioned by key and checkpointed.
+    "q_stream_stateful" -> ((s, d) => {
+      import s.implicits._
+      val typed = eventStream(s, d)
+        .select(col("user_id"), col("value")).as[(Long, Double)]
+      val updated = typed.groupByKey(_._1)
+        .flatMapGroupsWithState[UserState, (Long, Long, Double)](
+          OutputMode.Update, GroupStateTimeout.NoTimeout) {
+          (uid: Long, it: Iterator[(Long, Double)], st: GroupState[UserState]) =>
+            val prev = st.getOption.getOrElse(UserState(0L, Double.MinValue))
+            var n = prev.n
+            var mx = prev.maxV
+            it.foreach { case (_, v) => n += 1; if (v > mx) mx = v }
+            st.update(UserState(n, mx))
+            Iterator((uid, n, mx))
+        }
+        .toDF("user_id", "n_events", "max_value")
+      runToMemory(s, updated, "update", s"stateful_${System.nanoTime()}")
+        .orderBy(col("user_id"))
+    }),
+
     "q_stream_dedup" -> ((s, d) => {
       val dedup = eventStream(s, d)
         .select(col("user_id"), col("event_type"))
@@ -130,6 +159,10 @@ object EventStreams {
 
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
-        |ORDER BY user_id, event_type""".stripMargin
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q_stream_stateful" ->
+      """SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

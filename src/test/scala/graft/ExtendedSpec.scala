@@ -61,6 +61,17 @@ class ExtendedSpec extends AnyFunSuite {
     assert(ext != null)
   }
 
+  test("salted two-phase aggregation equals the plain groupBy") {
+    val salted = q("q_agg_salted").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val plain = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity").cast("decimal(30,4)")).cast("double")
+        .as("sum_qty"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(salted == plain)
+  }
+
   test("csv and json round-trips preserve aggregates from parquet") {
     val fromCsv = q("q_source_csv").collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap

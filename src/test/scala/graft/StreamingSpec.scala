@@ -28,6 +28,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.length == expected)
   }
 
+  test("stateful flatMapGroupsWithState equals batch per-user aggregates") {
+    val stream = SparkEntry.queries("q_stream_stateful")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), max(col("value")).as("mx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(stream == batch)
+  }
+
   test("session windows respect the 30-minute gap") {
     val sessions = SparkEntry.queries("q_stream_session")(spark, sf)
     // session count per user can never exceed event count per user
