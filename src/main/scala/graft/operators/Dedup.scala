@@ -139,13 +139,10 @@ object Dedup {
       val ex = withShingles(s, d)
         .select(col("doc_id"), explode(col("sh")).as("t"))
         .withColumn("h", xxhash64(col("t")))
-      val bitSums = (0 until 64).map(i =>
-        sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$i"))
-      val votes = ex.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      val simhash = (0 until 64).map(i =>
-          when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-        .reduce(_ + _)
-      val sims = votes.select(col("doc_id"), simhash.as("simhash"))
+      // one-pass native aggregate (TypedImperativeAggregate): the vote
+      // vector is the buffer, partial/final combine is vector addition
+      val sims = ex.groupBy(col("doc_id"))
+        .agg(graft.functions.SimHashAgg.simhash_agg(col("h")).as("simhash"))
       val chunks = sims.select(col("doc_id"), col("simhash"),
         explode(expr(
           """transform(sequence(0, 7),

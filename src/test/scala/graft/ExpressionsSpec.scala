@@ -54,6 +54,22 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(fps(1) != fps(3), "different texts should differ (whp)")
   }
 
+  test("simhash_agg computes bit votes correctly (hand-checked)") {
+    import spark.implicits._
+    // hashes 1 (bit0) and 3 (bits 0,1): bit0 votes +2, bit1 votes 0,
+    // all higher bits vote -2 => signature = 1
+    val v = Seq(1L, 3L).toDF("h")
+      .agg(graft.functions.SimHashAgg.simhash_agg(col("h")))
+      .head.getLong(0)
+    assert(v == 1L)
+    // identical hash sets => identical signatures (merge associativity)
+    val a = Seq(5L, 9L, 17L).toDF("h").repartition(3)
+      .agg(graft.functions.SimHashAgg.simhash_agg(col("h"))).head.getLong(0)
+    val b = Seq(17L, 5L, 9L).toDF("h").repartition(1)
+      .agg(graft.functions.SimHashAgg.simhash_agg(col("h"))).head.getLong(0)
+    assert(a == b)
+  }
+
   test("rolling fingerprint min-window-hash handles short inputs") {
     val h = RollingFingerprint.minWindowHash("ab".getBytes, 16, 1000003L,
       0x7FFFFFFFL)
