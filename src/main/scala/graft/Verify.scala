@@ -17,6 +17,7 @@ object Verify {
       // same instants the oracle computes.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.warehouse.dir", "/root/repo/target/warehouse")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

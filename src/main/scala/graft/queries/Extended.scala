@@ -108,6 +108,48 @@ object Extended {
       """)
     }),
 
+    // Bucketed co-located join: both sides written bucketBy(join key) +
+    // sortBy, then joined with ZERO join-side shuffles — the scan feeds
+    // SortMergeJoin directly from the bucket files (PlanSpec asserts the
+    // missing Exchanges). At 100 TB this is THE answer for a fact table
+    // joined repeatedly on the same key: pay one bucketed write, skip
+    // the shuffle on every subsequent join.
+    "q_join_bucketed" -> ((s, d) => {
+      val suffix = math.abs(d.hashCode).toString
+      val liT = s"li_bkt_$suffix"
+      val oT = s"o_bkt_$suffix"
+      // the warehouse dir outlives the in-memory catalog: a fresh JVM
+      // doesn't know the table, so overwrite would CREATE over the old
+      // location and fail — drop both catalog entry and files first
+      Seq(liT, oT).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val p = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir") + "/" + t)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"))
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .format("parquet").saveAsTable(liT)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .format("parquet").saveAsTable(oT)
+      // merge hint: at test scale the small side would broadcast, which
+      // hides what's being demonstrated — that bucketed sides feed
+      // SortMergeJoin with no Exchange (at fact×fact scale SMJ is what
+      // the planner picks anyway)
+      s.table(liT).hint("merge").join(s.table(oT),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_lines"),
+          QueryDefs.dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Skew-mitigated aggregation: two-phase salt → partial agg → final
     // agg. l_returnflag has 3 values — at 100 TB a plain groupBy funnels
     // a third of the table through one reducer; salting fans the partial
@@ -201,6 +243,13 @@ object Extended {
         |  CAST(COUNT(*) FILTER (WHERE l_quantity > 25.0) AS DOUBLE)
         |    / COUNT(*) AS high_qty_share
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_join_bucketed" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_agg_salted" ->
       """SELECT l_returnflag,

@@ -48,4 +48,17 @@ class PlanSpec extends AnyFunSuite {
   test("aggregations use partial hash aggregation") {
     assert(plan("q_agg_pricing_summary").contains("HashAggregate"))
   }
+
+  test("bucketed join eliminates join-side shuffles") {
+    val p = plan("q_join_bucketed")
+    val joinSection = p.substring(p.indexOf("SortMergeJoin"))
+    // only shuffle allowed below the join is none; the groupBy above it
+    // contributes the single Exchange in the whole plan
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      "expected a non-broadcast join over bucketed tables")
+    assert(!joinSection.contains("Exchange"),
+      "bucketed join sides must not reshuffle:\n" + joinSection.take(600))
+    assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+      "scan should be bucket-aware")
+  }
 }
