@@ -108,6 +108,31 @@ object Extended {
       """)
     }),
 
+    // Pivot (wide aggregation): explicit value list so the plan is a
+    // single pass (no extra distinct-values job). Oracle: conditional
+    // aggregation, the relational-algebra spelling of the same thing.
+    "q_agg_pivot" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(dsum(col("l_quantity")))
+        .toDF("l_linestatus", "qty_a", "qty_n", "qty_r")
+        .orderBy(col("l_linestatus"))
+    }),
+
+    // Stratified sampling (sampleBy with per-stratum fractions, fixed
+    // seed): the training-data downsampling primitive. Sampling is
+    // engine-specific → rows-only check; determinism within Spark comes
+    // from the seed.
+    "q_sample_stratified" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .stat.sampleBy("l_returnflag",
+          Map("A" -> 0.1, "N" -> 0.05, "R" -> 0.1), 42L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_sampled"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Bucketed co-located join: both sides written bucketBy(join key) +
     // sortBy, then joined with ZERO join-side shuffles — the scan feeds
     // SortMergeJoin directly from the bucket files (PlanSpec asserts the
@@ -243,6 +268,16 @@ object Extended {
         |  CAST(COUNT(*) FILTER (WHERE l_quantity > 25.0) AS DOUBLE)
         |    / COUNT(*) AS high_qty_share
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_pivot" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CAST(CASE WHEN l_returnflag = 'A' THEN l_quantity END
+        |    AS DECIMAL(30,4))) AS DOUBLE) AS qty_a,
+        |  CAST(SUM(CAST(CASE WHEN l_returnflag = 'N' THEN l_quantity END
+        |    AS DECIMAL(30,4))) AS DOUBLE) AS qty_n,
+        |  CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity END
+        |    AS DECIMAL(30,4))) AS DOUBLE) AS qty_r
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
 
     "q_join_bucketed" ->
       """SELECT o_orderstatus, COUNT(*) AS n_lines,
