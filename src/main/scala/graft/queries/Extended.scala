@@ -108,6 +108,34 @@ object Extended {
       """)
     }),
 
+    // Exact percentiles (median/p90). Both engines interpolate with the
+    // same rank formula but not necessarily the same FP op order, so the
+    // emitted values are floor-quantized to 1e-3 (same trick as ln/pow).
+    "q_agg_median" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          floor(expr("percentile(l_extendedprice, 0.5)") * 1000).cast("long")
+            .as("median_price_m"),
+          floor(expr("percentile(l_extendedprice, 0.9)") * 1000).cast("long")
+            .as("p90_price_m"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Deterministic collect: collect_set is unordered, sort_array makes
+    // it comparable (and is how any collect should ship at scale anyway:
+    // bounded, canonical).
+    "q_agg_collect" -> ((s, d) => {
+      val n = Tables.nation(s, d)
+      val sup = Tables.supplier(s, d)
+      sup.join(n, sup("s_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sort_array(collect_set(col("s_name"))).as("suppliers"),
+          count(lit(1)).as("n_sup"))
+        .orderBy(col("n_name"))
+    }),
+
     // Pivot (wide aggregation): explicit value list so the plan is a
     // single pass (no extra distinct-values job). Oracle: conditional
     // aggregation, the relational-algebra spelling of the same thing.
@@ -268,6 +296,22 @@ object Extended {
         |  CAST(COUNT(*) FILTER (WHERE l_quantity > 25.0) AS DOUBLE)
         |    / COUNT(*) AS high_qty_share
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_median" ->
+      """SELECT l_returnflag,
+        |  CAST(FLOOR(QUANTILE_CONT(l_extendedprice, 0.5) * 1000) AS BIGINT)
+        |    AS median_price_m,
+        |  CAST(FLOOR(QUANTILE_CONT(l_extendedprice, 0.9) * 1000) AS BIGINT)
+        |    AS p90_price_m,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_collect" ->
+      """SELECT n_name,
+        |  LIST_SORT(LIST(DISTINCT s_name)) AS suppliers,
+        |  COUNT(*) AS n_sup
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "q_agg_pivot" ->
       """SELECT l_linestatus,
