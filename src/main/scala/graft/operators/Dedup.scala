@@ -158,6 +158,33 @@ object Dedup {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Cluster resolution: connected components over the near-dup pair
+    // graph, keeping the min-doc_id as each cluster's canonical doc —
+    // the step that turns pair detection into corpus dedup. Iterative
+    // min-label propagation (8 rounds, join + min-aggregate per round;
+    // near-dup clusters have tiny diameter, so 8 is a safe fixpoint
+    // bound — at web scale swap in the alternating large-star/small-star
+    // algorithm, same join primitive). Oracle: recursive-CTE reachability
+    // in DuckDB.
+    "q_dedup_clusters" -> ((s, d) => {
+      val pairs = ngramJaccardPairs(s, d).select(col("doc_a"), col("doc_b"))
+      val edges = pairs.unionAll(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .toDF("src", "dst").cache()
+      var labels = Tables.documents(s, d)
+        .select(col("doc_id"), col("doc_id").as("lbl"))
+      for (_ <- 1 to 8) {
+        val prop = edges.join(labels, edges("src") === labels("doc_id"))
+          .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
+        labels = labels.join(prop, labels("doc_id") === prop("dst"), "left")
+          .select(col("doc_id"),
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      }
+      labels.select(col("doc_id"), col("lbl").as("keep_id"),
+          (col("doc_id") === col("lbl")).as("is_keeper"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Embedding near-dup: codegen'd double cosine prefilter (custom
     // Catalyst expression, whole-stage codegen) + decimal-exact cosine on
     // survivors so the oracle hash is order-independent.
@@ -211,6 +238,32 @@ object Dedup {
 
     "q_dedup_ngram_jaccard" -> ngramOracle,
     "q_dedup_minhash_lsh" -> ngramOracle,
+
+    "q_dedup_clusters" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                       for i in generate_series(1, len(w) - 2)])
+        |      ELSE [array_to_string(w, ' ')] END AS sh
+        |      FROM t),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        len(list_intersect(a.sh, b.sh)) AS inter,
+        |        len(a.sh) AS na, len(b.sh) AS nb
+        |      FROM g a JOIN g b ON a.doc_id < b.doc_id),
+        |pairs AS (SELECT doc_a, doc_b FROM p
+        |          WHERE inter / (na + nb - inter) > 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |rec AS (
+        |  WITH RECURSIVE reach(id, lbl) AS (
+        |    SELECT doc_id, doc_id FROM documents
+        |    UNION
+        |    SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+        |    WHERE r.lbl < e.dst
+        |  ) SELECT id, MIN(lbl) AS keep_id FROM reach GROUP BY id)
+        |SELECT id AS doc_id, keep_id, (id = keep_id) AS is_keeper
+        |FROM rec ORDER BY doc_id""".stripMargin,
 
     "q_dedup_embedding" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

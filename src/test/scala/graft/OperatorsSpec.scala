@@ -38,6 +38,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"simhash recall $recall too low (found ${sim.size})")
   }
 
+  test("cluster resolution: keepers are cluster minima, members map to them") {
+    val rows = q("q_dedup_clusters").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.length == 500)
+    assert(rows.forall { case (id, keep, isK) => (id == keep) == isK })
+    assert(rows.forall { case (id, keep, _) => keep <= id })
+    // every pair from the exact ground truth lands in one cluster
+    val comp = rows.map(r => r._1 -> r._2).toMap
+    q("q_dedup_ngram_jaccard").collect().foreach { r =>
+      assert(comp(r.getLong(0)) == comp(r.getLong(1)),
+        s"pair ${r.getLong(0)},${r.getLong(1)} split across clusters")
+    }
+  }
+
   test("cosine top-k returns k=5 ranked neighbors per query") {
     val rows = q("q_sim_cosine_topk").collect()
     assert(rows.length == 15) // 3 queries × 5
