@@ -29,7 +29,11 @@ object Bench {
 
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+      // toRdd.count(), not Dataset.count(): wrapping the query in a count
+      // aggregate lets EliminateSorts drop the final ORDER BY, which would
+      // under-measure relative to what Verify actually executes.
+      try { fn(spark, sfDir).queryExecution.toRdd.count() }
+      catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -39,6 +43,10 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = Seq.fill(3)(once(fn))
       val best = if (runs.exists(_ < 0)) -1.0 else runs.min
+      // queries may cache intermediates (shingles, token explodes) for
+      // reuse across their own reps; drop them so a 70-query session
+      // doesn't accumulate executor storage memory
+      spark.catalog.clearCache()
       name -> best
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -1,16 +1,36 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
+import java.io.OutputStream
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.execution.arrow.ArrowBatchStreamWriter
 
 /** Bridge into Spark's `private[sql]` Column↔Expression converters
-  * (org.apache.spark.sql.classic.ExpressionUtils, Spark 4.x). Lives under
-  * the org.apache.spark.sql package namespace solely to satisfy the
-  * access modifier; this is the standard pattern for libraries that ship
-  * custom Catalyst expressions against Spark 4's ColumnNode API.
+  * (org.apache.spark.sql.classic.ExpressionUtils, Spark 4.x) and the
+  * Arrow batch serializer. Lives under the org.apache.spark.sql package
+  * namespace solely to satisfy the access modifiers; this is the standard
+  * pattern for libraries that ship custom Catalyst expressions against
+  * Spark 4's ColumnNode API.
   */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Stream `df` to `out` as an Arrow IPC stream (schema header + one
+    * record batch per partition batch). Batches are serialized
+    * DISTRIBUTED (`toArrowBatchRdd`, the same path `collectAsArrowToPython`
+    * uses); the driver only relays opaque byte batches one partition at a
+    * time (`toLocalIterator`), so the full result never materializes
+    * driver-side — the stream-to-client shape of the reference's binary
+    * columnar sink. */
+  def writeArrowStream(df: DataFrame, out: OutputStream): Unit = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+    val tz = ds.sparkSession.sessionState.conf.sessionLocalTimeZone
+    val writer = new ArrowBatchStreamWriter(ds.schema, out, tz,
+      errorOnDuplicatedFieldNames = true, largeVarTypes = false)
+    writer.writeBatches(ds.toArrowBatchRdd.toLocalIterator)
+    writer.end()
+  }
 }

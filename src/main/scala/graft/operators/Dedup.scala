@@ -19,8 +19,13 @@ import graft.functions.VectorFunctions.cosine_sim
   *    pairs→exact verify. Work is O(docs × shingles + Σ bucket²), never
   *    the O(n²) all-pairs of the naive approach; bucket skew is bounded
   *    because a band key is a 64-bit hash of two 64-bit minhashes.
-  *  - embedding near-dup uses a cheap codegen'd double cosine as a
-  *    prefilter and the decimal-exact cosine only for survivors.
+  *  - the shingle inverted index caps shingle document frequency before
+  *    its self-join (a df=k shingle fans out to k(k-1)/2 join rows), and
+  *    candidates are re-verified against the full shingle sets, so the cap
+  *    costs recall only for pairs whose EVERY shared shingle is hot.
+  *  - embedding near-dup ships in two renditions: the exact all-pairs
+  *    baseline (oracle ground truth) and the SRP-LSH-bucketed variant
+  *    whose candidate stage never materializes the cross product.
   */
 object Dedup {
 
@@ -29,14 +34,17 @@ object Dedup {
     * Tokenization happens in its own projection: inlining `split(text)`
     * into the shingle lambda would re-split the text once per element
     * (O(words²) per doc — measured 2-3× on the whole query). */
-  private[operators] def withShingles(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      // the fixture is one parquet file = one input split; without this
-      // the whole O(docs × words) shingle compute runs on a single core.
-      // At corpus scale the source is many files and this is a no-op
-      // cost-wise, but the intent (parallelize CPU-bound per-doc work)
-      // is the same.
-      .repartition(s.sparkContext.defaultParallelism)
+  private[operators] def withShingles(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    // The single-file fixture arrives as one input split, which would run
+    // the O(docs × words) shingle compute on one core — fan out only when
+    // the scan is short of the session's parallelism. The repartition is
+    // NOT free (it shuffles full text bodies); at corpus scale the source
+    // is many splits, the condition is false, and no shuffle runs.
+    val par = s.sparkContext.defaultParallelism
+    val fanned =
+      if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    fanned
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), expr(
         """CASE WHEN size(toks) >= 3 THEN
@@ -46,34 +54,91 @@ object Dedup {
           |                        element_at(toks, i + 1),
           |                        element_at(toks, i + 2))))
           |ELSE array(array_join(toks, ' ')) END""".stripMargin).as("sh"))
-      // reused by the inverted index, the size lookup, and the LSH
-      // verify joins — and across the dedup queries themselves; cache
-      // once instead of recomputing the shingle transform per branch
+      // reused by the inverted index, the LSH signature, and the verify
+      // joins — and across the dedup queries themselves; cache once
+      // instead of recomputing the shingle transform per branch. The
+      // harness (Bench/Verify) clears the session cache between queries
+      // so the entry does not outlive its query family.
       .cache()
+  }
 
   /** jaccard = |A∩B| / |A∪B| from intersection count + set sizes. */
   private def jaccard(inter: Column, na: Column, nb: Column): Column =
     inter / (na + nb - inter)
 
-  /** Exact pairwise trigram-Jaccard > 0.5 via shingle-inverted-index
-    * self-join (no all-pairs cross product: only docs sharing a shingle
-    * ever meet). */
+  /** Shingles appearing in more than this many documents are dropped from
+    * the CANDIDATE index (never from the verify step). A shingle of df=k
+    * fans out to k(k-1)/2 join rows, so one stop-phrase shingle dominates
+    * the whole self-join at corpus scale; capping bounds the fan-out at
+    * df² ≤ 4096 rows per shingle. Recall cost: a true pair is missed only
+    * if ALL its shared shingles are hot — measured on the fixtures the max
+    * shingle df is 25 (sf0.1), so 64 drops nothing at any tested SF and
+    * the exact ground truth is provably unchanged there. */
+  private val ShingleDfCap = 64
+
+  /** Exact Jaccard for candidate pairs, verified against the FULL shingle
+    * sets (immune to the candidate index's df cap). Arrays travel only for
+    * the candidate pairs, never through the index self-join. */
+  private def verifiedJaccard(g: DataFrame, cand: DataFrame): DataFrame =
+    cand
+      .join(g.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(g.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(size(array_intersect(col("sha"), col("shb"))),
+          size(col("sha")), size(col("shb"))).as("jaccard"))
+
+  /** Exact pairwise trigram-Jaccard > 0.5: df-capped shingle-inverted-index
+    * self-join for candidates (no all-pairs cross product: only docs
+    * sharing a sufficiently rare shingle ever meet), exact verify on the
+    * full shingle sets. */
   private def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
     val g = withShingles(s, d)
     val ex = g.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val sizes = g.select(col("doc_id"), size(col("sh")).as("n"))
-    val inter = ex.as("a").join(ex.as("b"),
+    val rare = ex.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") <= ShingleDfCap)
+      .select(col("shingle"))
+    val exRare = ex.join(rare, Seq("shingle"))
+    val cand = exRare.as("a").join(exRare.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        jaccard(col("inter"), col("sa.n"), col("sb.n")).as("jaccard"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifiedJaccard(g, cand)
       .where(col("jaccard") > 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Min-label propagation to fixpoint over an undirected edge list:
+    * connected components, each labelled by its minimum doc_id.
+    *
+    * Every round `localCheckpoint`s the new label table — the plan would
+    * otherwise double per round (labels feeds both the propagation join
+    * and the carry-forward), reaching 2^rounds re-derivations of the pair
+    * query. The loop stops when a round changes zero labels (near-dup
+    * clusters have tiny diameter, so this exits in a handful of rounds);
+    * `maxRounds` is a web-scale safety bound — at that scale swap in
+    * alternating large-star/small-star, same join primitive. Superseded
+    * checkpoint blocks are unreferenced after each round and reclaimed by
+    * the ContextCleaner. Returns (labels, roundsRun). */
+  private[graft] def connectedComponents(docs: DataFrame, edges: DataFrame,
+      maxRounds: Int = 50): (DataFrame, Int) = {
+    var labels = docs.localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxRounds) {
+      val prop = edges.join(labels, edges("src") === labels("doc_id"))
+        .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels.join(prop, labels("doc_id") === prop("dst"), "left")
+        .select(col("doc_id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
+          (coalesce(col("nlbl"), col("lbl")) < col("lbl")).as("chg"))
+        .localCheckpoint()
+      changed = next.where(col("chg")).count()
+      labels = next.drop("chg")
+      rounds += 1
+    }
+    (labels, rounds)
   }
 
   val defs: Map[String, Q] = Map(
@@ -117,12 +182,7 @@ object Dedup {
         .distinct()
       // exact verify: join the shingle sets back by id (arrays travel
       // only for the few candidates, not through the 16× band explosion)
-      cand
-        .join(g.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
-        .join(g.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          jaccard(size(array_intersect(col("sha"), col("shb"))),
-            size(col("sha")), size(col("shb"))).as("jaccard"))
+      verifiedJaccard(g, cand)
         .where(col("jaccard") > 0.5)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
@@ -131,7 +191,7 @@ object Dedup {
     // votes (trigram shingles — the same feature space as the Jaccard
     // ground truth; unigrams over the fixture's ~30-word vocabulary make
     // every document collide). Computed scale-friendly: explode shingles,
-    // hash once, then 64 codegen'd conditional sums in ONE groupBy (a
+    // hash once, then a one-pass native aggregate in ONE groupBy (a
     // single shuffle) — not nested lambda folds. Candidates via 8×8-bit
     // chunk banding (pigeonhole: hamming ≤ 7 ⇒ some identical chunk);
     // no DuckDB oracle (xxhash64 is engine-specific) → rows-only check.
@@ -160,34 +220,34 @@ object Dedup {
 
     // Cluster resolution: connected components over the near-dup pair
     // graph, keeping the min-doc_id as each cluster's canonical doc —
-    // the step that turns pair detection into corpus dedup. Iterative
-    // min-label propagation (8 rounds, join + min-aggregate per round;
-    // near-dup clusters have tiny diameter, so 8 is a safe fixpoint
-    // bound — at web scale swap in the alternating large-star/small-star
-    // algorithm, same join primitive). Oracle: recursive-CTE reachability
-    // in DuckDB.
+    // the step that turns pair detection into corpus dedup. Oracle:
+    // recursive-CTE reachability in DuckDB.
     "q_dedup_clusters" -> ((s, d) => {
       val pairs = ngramJaccardPairs(s, d).select(col("doc_a"), col("doc_b"))
       val edges = pairs.unionAll(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
         .toDF("src", "dst").cache()
-      var labels = Tables.documents(s, d)
+      val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("doc_id").as("lbl"))
-      for (_ <- 1 to 8) {
-        val prop = edges.join(labels, edges("src") === labels("doc_id"))
-          .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
-        labels = labels.join(prop, labels("doc_id") === prop("dst"), "left")
-          .select(col("doc_id"),
-            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-      }
+      val (labels, _) = connectedComponents(docs, edges)
+      // labels is checkpointed — the returned plan no longer references
+      // the edge list, so its cache can be dropped eagerly.
+      edges.unpersist()
       labels.select(col("doc_id"), col("lbl").as("keep_id"),
           (col("doc_id") === col("lbl")).as("is_keeper"))
         .orderBy(col("doc_id"))
     }),
 
-    // Embedding near-dup: codegen'd double cosine prefilter (custom
-    // Catalyst expression, whole-stage codegen) + decimal-exact cosine on
-    // survivors so the oracle hash is order-independent.
+    // Embedding near-dup, exact baseline: codegen'd double cosine
+    // prefilter (custom Catalyst expression, whole-stage codegen) +
+    // decimal-exact cosine on survivors so the oracle hash is
+    // order-independent. The candidate stage IS all-pairs — deliberately:
+    // the fixture's embeddings are isotropic noise (measured: max pair
+    // cos ≈ 0.5-0.6, and the τ=0.4 output is a continuous tail starting
+    // at 0.401), and NO exact pruning scheme separates cos 0.4 from 0.39
+    // on isotropic data — an exact τ=0.4 join is Ω(n²) comparisons there.
+    // This query is the exact ground truth; the 100 TB path is
+    // q_dedup_embedding_lsh below, which never builds the cross product.
     "q_dedup_embedding" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"),
@@ -201,8 +261,56 @@ object Dedup {
             .as("cos"))
         .where(col("cos") > 0.4)
         .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
+    // Embedding near-dup, SRP-LSH-bucketed (the scale path): 64 bands ×
+    // 12 sign-bits of deterministic random hyperplane projections; a pair
+    // is a candidate iff some band's 12 bits all agree; candidates get the
+    // same decimal-exact rescore at τ=0.4. The plan contains NO cross
+    // product — candidates come from an equi-join on (band, bucket).
+    //
+    // Tuning is for the real near-dup regime, not this noise fixture: at
+    // cos 0.9 (p = 1 - θ/π = 0.856) recall is 1-(1-p^12)^64 ≈ 1-2e-5 and
+    // an isotropic pair becomes a candidate w.p. 1-(1-2^-12)^64 ≈ 0.015 —
+    // 98.5% of the quadratic candidate space never materializes. On this
+    // fixture's τ=0.4 tail (p = 0.63) recall is ~0.22 by design — which
+    // the oracle reproduces bit-exactly, because the hyperplanes derive
+    // from a fixed integer hash both engines compute identically.
+    "q_dedup_embedding_lsh" -> ((s, d) => {
+      val planes = typedLit(Seq.tabulate(Bands * Bits)(p =>
+        Seq.tabulate(64)(j => Similarity.planeWeightD(p, j))))
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val bk = e.withColumn("planes", planes)
+        .select(col("vec_id"), explode(expr(
+          s"""transform(sequence(0, ${Bands - 1}), b -> named_struct(
+             |  'band', b,
+             |  'bucket', aggregate(sequence(0, ${Bits - 1}), 0L, (acc, i) ->
+             |    acc * 2 + CAST(aggregate(
+             |        zip_with(v, element_at(planes, b * $Bits + i + 1),
+             |                 (x, w) -> x * w),
+             |        0.0D, (a, x) -> a + x) > 0 AS LONG))))""".stripMargin))
+          .as("bk"))
+      val cand = bk.as("a").join(bk.as("b"),
+          col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .distinct()
+      cand
+        .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
+        .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
+        .select(col("vec_a"), col("vec_b"),
+          (decSum(zipProd(col("va"), col("vb"))).cast("double") /
+            sqrt(decSum(zipProd(col("va"), col("va"))).cast("double") *
+                 decSum(zipProd(col("vb"), col("vb"))).cast("double")))
+            .as("cos"))
+        .where(col("cos") > 0.4)
+        .orderBy(col("vec_a"), col("vec_b"))
     })
   )
+
+  /** SRP-LSH banding for the embedding near-dup: 64 bands × 12 bits. */
+  private val Bands = 64
+  private val Bits = 12
 
   /** Element-wise product of two double arrays. */
   private def zipProd(a: Column, b: Column): Column =
@@ -280,6 +388,46 @@ object Dedup {
         |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, dot / SQRT(na * nb) AS cos
         |FROM p WHERE dot / SQRT(na * nb) > 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // Twin of the SRP-LSH variant: the hyperplane weights are derived from
+    // the same fixed integer hash (Knuth multiplicative, bit 16), so both
+    // engines compute the identical bucketing, candidate set, and
+    // decimal-exact rescore.
+    "q_dedup_embedding_lsh" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |proj AS (
+        |  SELECT vec_id, p,
+        |    (SELECT SUM(v[j + 1] *
+        |        CASE WHEN ((((p * 64 + j) * 2654435761) >> 16) & 1) = 0
+        |             THEN 1.0 ELSE -1.0 END)
+        |     FROM generate_series(0, 63) AS t(j)) AS pr
+        |  FROM e CROSS JOIN generate_series(0, 767) AS pp(p)),
+        |bk AS (
+        |  SELECT vec_id, p // 12 AS band,
+        |    SUM(CASE WHEN pr > 0 THEN 1 << (11 - (p % 12)) ELSE 0 END)
+        |      AS bucket
+        |  FROM proj GROUP BY vec_id, p // 12),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM bk a JOIN bk b
+        |    ON a.band = b.band AND a.bucket = b.bucket
+        |       AND a.vec_id < b.vec_id),
+        |n AS (SELECT vec_id, v,
+        |        (SELECT CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE)
+        |         FROM UNNEST(v) AS t(x)) AS nsq
+        |      FROM e),
+        |p2 AS (SELECT c.vec_a, c.vec_b,
+        |        (SELECT CAST(SUM(CAST(a.v[i] * b.v[i] AS DECIMAL(30,12)))
+        |                AS DOUBLE)
+        |         FROM generate_series(1, 64) AS s(i)) AS dot,
+        |        a.nsq AS na, b.nsq AS nb
+        |       FROM cand c
+        |       JOIN n a ON a.vec_id = c.vec_a
+        |       JOIN n b ON b.vec_id = c.vec_b)
+        |SELECT vec_a, vec_b, dot / SQRT(na * nb) AS cos
+        |FROM p2 WHERE dot / SQRT(na * nb) > 0.4
         |ORDER BY vec_a, vec_b""".stripMargin
   )
 }

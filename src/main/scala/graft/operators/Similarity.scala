@@ -39,11 +39,15 @@ object Similarity {
            decSum(zipProd(vb, vb)).cast("double"))
 
   /** Deterministic ±1 hyperplane weights for SRP-LSH: plane p, dim j.
-    * Knuth multiplicative hash of (p*64+j) — fixed, reproducible. */
-  private def planeWeight(p: Int, j: Int): Float = {
+    * Knuth multiplicative hash of (p*64+j) — fixed, reproducible (and
+    * re-computable in plain SQL, which is how the q_dedup_embedding_lsh
+    * oracle derives the identical hyperplanes engine-independently). */
+  private[operators] def planeWeightD(p: Int, j: Int): Double = {
     val h = ((p * 64 + j) * 2654435761L) >>> 16
-    if ((h & 1L) == 0L) 1.0f else -1.0f
+    if ((h & 1L) == 0L) 1.0 else -1.0
   }
+
+  private def planeWeight(p: Int, j: Int): Float = planeWeightD(p, j).toFloat
 
   val defs: Map[String, Q] = Map(
 

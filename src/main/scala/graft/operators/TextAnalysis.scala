@@ -69,33 +69,40 @@ object TextAnalysis {
     // langs share one vocabulary (word soup), so the interesting part is
     // the deterministic pipeline, not the accuracy.
     "q_text_langid" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val tok = docs.select(col("doc_id"), col("lang"),
-        explode(array_distinct(split(col("text"), " "))).as("w"))
+      // ONE corpus scan: the exploded token table is cached and every
+      // derived relation (profiles, per-doc token counts, the language
+      // domain, the true-label join) comes from it — the uncached version
+      // re-scanned and re-exploded the corpus three times. The profile is
+      // ≤ 10 rows per language → broadcast to the hit join. The harness
+      // clears the session cache between queries.
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(array_distinct(split(col("text"), " "))).as("w"))
+        .cache()
       val prof = tok.groupBy(col("lang"), col("w")).count()
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("lang"))
             .orderBy(col("count").desc, col("w"))))
         .where(col("rn") <= 10)
         .select(col("lang").as("plang"), col("w"))
-      val nTok = docs.select(col("doc_id"),
-        size(array_distinct(split(col("text"), " "))).as("n_tok"))
+      // tokens are already distinct per doc, so count(*) = n_tok; carrying
+      // lang here also replaces the final re-scan join for the true label
+      val nTok = tok.groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_tok"))
       val hits = tok.select(col("doc_id"), col("w"))
-        .join(prof, Seq("w"))
+        .join(broadcast(prof), Seq("w"))
         .groupBy(col("doc_id"), col("plang"))
         .agg(count(lit(1)).as("nhits"))
-      val langs = docs.select(col("lang").as("plang")).distinct()
-      val scored = nTok.crossJoin(langs)
+      val langs = tok.select(col("lang").as("plang")).distinct()
+      val scored = nTok.crossJoin(broadcast(langs))
         .join(hits, Seq("doc_id", "plang"), "left")
-        .select(col("doc_id"), col("plang"),
+        .select(col("doc_id"), col("lang"), col("plang"),
           (coalesce(col("nhits"), lit(0L)).cast("double") /
             col("n_tok")).as("score"))
       scored.withColumn("rn", row_number().over(
           Window.partitionBy(col("doc_id"))
             .orderBy(col("score").desc, col("plang"))))
         .where(col("rn") === 1)
-        .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
-          Seq("doc_id"))
         .select(col("doc_id"), col("lang"), col("plang").as("pred_lang"),
           col("score"))
         .orderBy(col("doc_id"))

@@ -93,15 +93,17 @@ object Extended {
     }),
 
     // Custom expressions through the SQL surface: registered in the
-    // session function registry, then used from spark.sql text. Scores
-    // are a codegen'd double fold (element order fixed left-to-right but
-    // engine-specific libm-free arithmetic) — rows-only check.
+    // session function registry, then used from spark.sql text. The
+    // codegen'd double fold is left-to-right, so it agrees with DuckDB's
+    // sequential SUM to ~1e-14; floor-quantizing at 1e-6 (the q_math_funcs
+    // trick) absorbs that and makes the oracle hash-exact.
     "q_sim_cosine_sql" -> ((s, d) => {
       graft.functions.GraftFunctions.registerAll(s)
       Tables.embeddings(s, d).createOrReplaceTempView("embeddings")
       s.sql("""
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               cosine_sim(a.embedding, b.embedding) AS cos
+               CAST(floor(cosine_sim(a.embedding, b.embedding) * 1e6)
+                 AS BIGINT) AS cos_q
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE a.vec_id < 3
         ORDER BY vec_a, vec_b
@@ -123,15 +125,18 @@ object Extended {
         .orderBy(col("l_returnflag"))
     }),
 
-    // Deterministic collect: collect_set is unordered, sort_array makes
-    // it comparable (and is how any collect should ship at scale anyway:
-    // bounded, canonical).
+    // Deterministic collect: collect_set is unordered, so sort_array
+    // canonicalizes and array_join flattens to one scalar string —
+    // result columns must never be array-typed (the driver comparator
+    // can't hash them), and a bounded joined string is how a collect
+    // should ship at scale anyway.
     "q_agg_collect" -> ((s, d) => {
       val n = Tables.nation(s, d)
       val sup = Tables.supplier(s, d)
       sup.join(n, sup("s_nationkey") === n("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(sort_array(collect_set(col("s_name"))).as("suppliers"),
+        .agg(array_join(sort_array(collect_set(col("s_name"))), "|")
+            .as("suppliers"),
           count(lit(1)).as("n_sup"))
         .orderBy(col("n_name"))
     }),
@@ -282,6 +287,22 @@ object Extended {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_sim_cosine_sql" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        (SELECT SUM(x * x) FROM UNNEST(v) AS t(x)) AS nsq
+        |      FROM e),
+        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |        (SELECT SUM(a.v[i] * b.v[i])
+        |         FROM generate_series(1, 64) AS s(i)) AS dot,
+        |        a.nsq AS na, b.nsq AS nb
+        |      FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |      WHERE a.vec_id < 3)
+        |SELECT vec_a, vec_b,
+        |  CAST(FLOOR(dot / SQRT(na * nb) * 1e6) AS BIGINT) AS cos_q
+        |FROM p ORDER BY vec_a, vec_b""".stripMargin,
+
     "q_join_asof" ->
       """WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
         |p AS (SELECT * FROM events WHERE event_type = 'purchase')
@@ -308,7 +329,7 @@ object Extended {
 
     "q_agg_collect" ->
       """SELECT n_name,
-        |  LIST_SORT(LIST(DISTINCT s_name)) AS suppliers,
+        |  ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT s_name)), '|') AS suppliers,
         |  COUNT(*) AS n_sup
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,

@@ -57,11 +57,13 @@ object ScanRunner {
   }
 
   final case class Report(predicate: String, threads: Int, seconds: Double,
-      totalRows: Long, readBytes: Long, readRecords: Long, files: Int,
-      failedFiles: Int, diskDeltas: Map[String, DiskStats])
+      totalRows: Long, readOps: Long, readBytes: Long, readRecords: Long,
+      files: Int, failedFiles: Int, diskDeltas: Map[String, DiskStats])
 
   /** Run the harness over `dataDirs`. Mirrors `process_dir`
-    * (main.cc:297-336). */
+    * (main.cc:297-336). Every file is read through [[MonitoredFileSystem]]
+    * so the report carries the reference's op-count metric (one op per
+    * `Read()` call, main.cc:107-113) alongside task-metric bytes. */
   def run(spark: SparkSession, dataDirs: Seq[String], filterCol: String,
       threshold: Double, jobs: Int, monDisks: Seq[String] = Nil): Report = {
     val files = dataDirs.flatMap { d =>
@@ -70,9 +72,12 @@ object ScanRunner {
       dir.listFiles.filter(_.isFile).map(_.getPath).sorted
     }
 
+    spark.sparkContext.hadoopConfiguration
+      .set(MonitoredFs.ImplKey, classOf[MonitoredFileSystem].getName)
     val listener = new InputMetricsListener
     spark.sparkContext.addSparkListener(listener)
     val before = DiskStats.snapshot(monDisks)
+    val (ops0, _) = MonitoredFs.snapshot()
 
     val predicate = s"$filterCol > $threshold"
     val totalRows = new AtomicLong
@@ -80,20 +85,27 @@ object ScanRunner {
     val pool = Executors.newFixedThreadPool(math.max(jobs, 1))
     val t0 = System.nanoTime()
     files.foreach { f =>
+      // per-file scheduling line, reference format (main.cc:259)
+      println(s"Scheduling scan::$f[$predicate]...")
       pool.execute { () =>
         try {
           // SELECT * FROM '<f>' WHERE <col> > θ — executed via toRdd so
           // every column is materialized (no count-driven pruning),
           // matching the reference's full-row fetch loop.
-          val df = spark.read.parquet(f)
+          val df = spark.read.parquet(s"${MonitoredFs.Scheme}:$f")
             .where(org.apache.spark.sql.functions.col(filterCol)
               .cast("double") > threshold)
           val n = df.queryExecution.toRdd.count()
           totalRows.addAndGet(n)
         } catch {
-          case e: Throwable => // fail-soft per file (main.cc:269-271)
+          // fail-soft per file (main.cc:269-271); NonFatal so an executor
+          // OOM/VM error still aborts the run instead of scoring as one
+          // more unreadable file
+          case scala.util.control.NonFatal(e) =>
             System.err.println(s"error processing $f: ${e.getMessage}")
             failed.incrementAndGet()
+        } finally {
+          println(s"scan::$f[$predicate] done!") // main.cc:275
         }
       }
     }
@@ -105,10 +117,24 @@ object ScanRunner {
     val deltas = before.keySet.intersect(after.keySet)
       .map(d => d -> (after(d) - before(d))).toMap
     spark.sparkContext.removeSparkListener(listener)
+    val (ops1, _) = MonitoredFs.snapshot()
 
-    Report(predicate, jobs, secs, totalRows.get(),
+    Report(predicate, jobs, secs, totalRows.get(), ops1 - ops0,
       listener.bytesRead.sum(), listener.recordsRead.sum(),
       files.size, failed.get().toInt, deltas)
+  }
+
+  /** Arrow IPC stream sink (A7's stream-to-client semantics): run the
+    * merged filter-scan and stream the result batches to `out` — the
+    * Spark mapping of the reference's serialized-column-vector stdout
+    * sink (main.cc:186-192). Batches serialize in the executors; the
+    * driver relays them one partition at a time. */
+  def runArrow(spark: SparkSession, dataDirs: Seq[String], filterCol: String,
+      threshold: Double, out: java.io.OutputStream): Unit = {
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.parquet(dataDirs: _*)
+      .where(col(filterCol).cast("double") > threshold)
+    org.apache.spark.sql.graftbridge.Bridge.writeArrowStream(df, out)
   }
 
   /** Single-job variant: all dirs in one scan (the idiomatic-Spark path —
@@ -145,11 +171,21 @@ object ScanRunner {
 
     val r = run(spark, dirs, colName, threshold, jobs, disks)
 
+    // Optional Arrow IPC stream of the merged scan (A7 binary sink):
+    // Env_arrow_out=- streams to stdout, any other value is a file path.
+    sys.env.get("Env_arrow_out").foreach { dest =>
+      val out = if (dest == "-") System.out
+        else new java.io.FileOutputStream(dest)
+      try runArrow(spark, dirs, colName, threshold, out)
+      finally if (dest != "-") out.close()
+    }
+
     // Reference report field set (main.cc:327-335, 350-361).
     System.err.println(s"Predicate: ${r.predicate}")
     System.err.println(s"Threads: ${r.threads}")
     System.err.println(f"Query time: ${r.seconds}%.2f s")
     System.err.println(s"Total rows: ${r.totalRows}")
+    System.err.println(s"Total read ops: ${r.readOps}")
     System.err.println(s"Total read bytes: ${r.readBytes}")
     System.err.println(s"Total read records: ${r.readRecords}")
     r.diskDeltas.foreach { case (d, s) =>

@@ -45,7 +45,8 @@ class ExtendedSpec extends AnyFunSuite {
   test("cosine_sim is callable from SQL after registration") {
     val rows = q("q_sim_cosine_sql").collect()
     assert(rows.nonEmpty)
-    assert(rows.forall { r => val c = r.getDouble(2); c >= -1.0001 && c <= 1.0001 })
+    // cos is emitted floor-quantized at 1e-6 (BIGINT) for oracle parity
+    assert(rows.forall { r => val c = r.getLong(2); c >= -1000001L && c <= 1000000L })
   }
 
   test("extensions class injects functions at session level") {

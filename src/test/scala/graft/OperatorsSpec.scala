@@ -52,6 +52,33 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("label propagation converges early and labels components correctly") {
+    import spark.implicits._
+    // two chains and an isolated node: diameter 3 ⇒ min-label needs 3
+    // propagation rounds + 1 confirming round, far under the safety cap
+    val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L)
+      .toDF("doc_id").select(col("doc_id"), col("doc_id").as("lbl"))
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+    val edges = (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+    val (labels, rounds) = graft.operators.Dedup.connectedComponents(docs, edges)
+    assert(rounds <= 5, s"expected early convergence, ran $rounds rounds")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("LSH embedding near-dup is an exact-rescored subset of the baseline") {
+    val exact = q("q_dedup_embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = q("q_dedup_embedding_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(lsh.nonEmpty, "banding should surface at least some pairs")
+    lsh.foreach { case (pair, cos) =>
+      assert(exact.get(pair).contains(cos),
+        s"$pair not in (or differs from) the exact baseline")
+    }
+  }
+
   test("cosine top-k returns k=5 ranked neighbors per query") {
     val rows = q("q_sim_cosine_topk").collect()
     assert(rows.length == 15) // 3 queries × 5

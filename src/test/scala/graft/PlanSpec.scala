@@ -49,6 +49,25 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q_agg_pricing_summary").contains("HashAggregate"))
   }
 
+  test("LSH embedding near-dup has no cross-product candidate stage") {
+    val p = plan("q_dedup_embedding_lsh")
+    assert(!p.contains("CartesianProduct"),
+      "LSH candidates must come from the (band,bucket) equi-join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "LSH candidates must come from the (band,bucket) equi-join")
+  }
+
+  test("langid token explode is cached and reused, not recomputed") {
+    val p = SparkEntry.queries("q_text_langid")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // profiles, per-doc counts, language domain, and the hit join must all
+    // read the cached explode (each consumer prints one InMemoryTableScan;
+    // the FileScan lines below them are the cached relation's own subtree)
+    val reuses = p.linesIterator.count(_.contains("InMemoryTableScan"))
+    assert(reuses >= 3, s"expected >=3 cached-token consumers, saw $reuses")
+    spark.catalog.clearCache() // don't leak the cache into other suites
+  }
+
   test("bucketed join eliminates join-side shuffles") {
     val p = plan("q_join_bucketed")
     val joinSection = p.substring(p.indexOf("SortMergeJoin"))

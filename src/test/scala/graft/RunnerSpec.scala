@@ -13,9 +13,30 @@ class RunnerSpec extends AnyFunSuite {
     assert(r.files == 10)              // one per fixture table
     assert(r.failedFiles == 9)         // only lineitem has the column
     assert(r.totalRows > 0)
+    assert(r.readOps > 0, "monitored FS must count read calls")
     assert(r.readBytes > 0, "listener must observe input bytes")
     assert(r.seconds > 0)
     assert(r.predicate == "l_extendedprice > 30000.0")
+  }
+
+  test("arrow sink round-trips the filter scan") {
+    val buf = new java.io.ByteArrayOutputStream()
+    ScanRunner.runArrow(spark, Seq(s"$sf/lineitem.parquet"), "l_quantity",
+      25.0, buf)
+    val expected = ScanRunner.runMerged(spark,
+      Seq(s"$sf/lineitem.parquet"), "l_quantity", 25.0)
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+      new java.io.ByteArrayInputStream(buf.toByteArray), alloc)
+    try {
+      var rows = 0L
+      while (reader.loadNextBatch()) {
+        rows += reader.getVectorSchemaRoot.getRowCount
+      }
+      assert(reader.getVectorSchemaRoot.getSchema.getFields.size == 11,
+        "all lineitem columns must survive the stream")
+      assert(rows == expected, s"arrow stream carried $rows of $expected rows")
+    } finally { reader.close(); alloc.close() }
   }
 
   test("merged single-job scan agrees with per-file fan-out row count") {
