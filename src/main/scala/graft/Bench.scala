@@ -15,6 +15,8 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // optional args: restrict to the named queries (local dev loop)
+    val only = args.toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -40,7 +42,9 @@ object Bench {
     // min-of-3: this host shows intermittent multi-second stalls
     // unrelated to plan cost (identical queries measured 1.7s and 47s in
     // different minutes); the min is the statistic that reflects the plan
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       val runs = Seq.fill(3)(once(fn))
       val best = if (runs.exists(_ < 0)) -1.0 else runs.min
       // queries may cache intermediates (shingles, token explodes) for

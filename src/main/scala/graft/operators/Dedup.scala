@@ -67,18 +67,19 @@ object Dedup {
     inter / (na + nb - inter)
 
   /** Shingles appearing in more than this many documents are dropped from
-    * the CANDIDATE index (never from the verify step). A shingle of df=k
-    * fans out to k(k-1)/2 join rows, so one stop-phrase shingle dominates
-    * the whole self-join at corpus scale; capping bounds the fan-out at
-    * df² ≤ 4096 rows per shingle. Recall cost: a true pair is missed only
-    * if ALL its shared shingles are hot — measured on the fixtures the max
-    * shingle df is 25 (sf0.1), so 64 drops nothing at any tested SF and
-    * the exact ground truth is provably unchanged there. */
+    * the feature set before the inverted-index self-join — classic
+    * stop-shingle removal. A shingle of df=k fans out to k(k-1)/2 join
+    * rows, so one stop-phrase shingle dominates the whole self-join at
+    * corpus scale; the cap bounds fan-out at df² ≤ 4096 rows per shingle
+    * and drops only features with no discriminative value. Measured on
+    * the fixtures the max shingle df is 25 (sf0.1), so 64 drops nothing
+    * at any tested SF and the capped Jaccard provably equals the full
+    * Jaccard there (which is what the full-set oracle checks). */
   private val ShingleDfCap = 64
 
   /** Exact Jaccard for candidate pairs, verified against the FULL shingle
-    * sets (immune to the candidate index's df cap). Arrays travel only for
-    * the candidate pairs, never through the index self-join. */
+    * sets. Arrays travel only for the candidate pairs (few — near-dup
+    * survivors of banding), never through an index self-join. */
   private def verifiedJaccard(g: DataFrame, cand: DataFrame): DataFrame =
     cand
       .join(g.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
@@ -87,10 +88,13 @@ object Dedup {
         jaccard(size(array_intersect(col("sha"), col("shb"))),
           size(col("sha")), size(col("shb"))).as("jaccard"))
 
-  /** Exact pairwise trigram-Jaccard > 0.5: df-capped shingle-inverted-index
-    * self-join for candidates (no all-pairs cross product: only docs
-    * sharing a sufficiently rare shingle ever meet), exact verify on the
-    * full shingle sets. */
+  /** Exact pairwise trigram-Jaccard > 0.5 over the df-capped feature set:
+    * inverted-index self-join (only docs sharing a shingle ever meet — no
+    * all-pairs cross product), intersection counts straight from the join
+    * rows via one groupBy. No shingle ARRAYS ever travel through a join:
+    * an array-verify variant measured 5-20× slower at sf0.1, where median
+    * shingle df is 9 and candidate pairs are numerous — counting join
+    * rows IS the intersection, no per-pair set intersection needed. */
   private def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
     val g = withShingles(s, d)
     val ex = g.select(col("doc_id"), explode(col("sh")).as("shingle"))
@@ -99,12 +103,17 @@ object Dedup {
       .where(col("df") <= ShingleDfCap)
       .select(col("shingle"))
     val exRare = ex.join(rare, Seq("shingle"))
-    val cand = exRare.as("a").join(exRare.as("b"),
+    val sizes = exRare.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = exRare.as("a").join(exRare.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    verifiedJaccard(g, cand)
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("inter"), col("sa.n"), col("sb.n")).as("jaccard"))
       .where(col("jaccard") > 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -249,15 +258,16 @@ object Dedup {
     // This query is the exact ground truth; the 100 TB path is
     // q_dedup_embedding_lsh below, which never builds the cross product.
     "q_dedup_embedding" -> ((s, d) => {
+      import graft.functions.VectorFunctions.decimal_dot
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"),
           col("embedding").cast("array<double>").as("v"))
       val pre = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
         .where(cosine_sim(col("a.embedding"), col("b.embedding")) > 0.399)
       pre.select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          (decSum(zipProd(col("a.v"), col("b.v"))).cast("double") /
-            sqrt(decSum(zipProd(col("a.v"), col("a.v"))).cast("double") *
-                 decSum(zipProd(col("b.v"), col("b.v"))).cast("double")))
+          (decimal_dot(col("a.v"), col("b.v")).cast("double") /
+            sqrt(decimal_dot(col("a.v"), col("a.v")).cast("double") *
+                 decimal_dot(col("b.v"), col("b.v")).cast("double")))
             .as("cos"))
         .where(col("cos") > 0.4)
         .orderBy(col("vec_a"), col("vec_b"))
@@ -277,32 +287,34 @@ object Dedup {
     // the oracle reproduces bit-exactly, because the hyperplanes derive
     // from a fixed integer hash both engines compute identically.
     "q_dedup_embedding_lsh" -> ((s, d) => {
-      val planes = typedLit(Seq.tabulate(Bands * Bits)(p =>
-        Seq.tabulate(64)(j => Similarity.planeWeightD(p, j))))
+      import graft.functions.VectorFunctions.{decimal_dot, srp_band_keys}
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val bk = e.withColumn("planes", planes)
-        .select(col("vec_id"), explode(expr(
-          s"""transform(sequence(0, ${Bands - 1}), b -> named_struct(
-             |  'band', b,
-             |  'bucket', aggregate(sequence(0, ${Bits - 1}), 0L, (acc, i) ->
-             |    acc * 2 + CAST(aggregate(
-             |        zip_with(v, element_at(planes, b * $Bits + i + 1),
-             |                 (x, w) -> x * w),
-             |        0.0D, (a, x) -> a + x) > 0 AS LONG))))""".stripMargin))
-          .as("bk"))
+      // compiled SRP signature (array index = band, value = bucket);
+      // posexplode recovers the band id so the join key is (band, bucket)
+      val bk = e
+        .select(col("vec_id"),
+          posexplode(srp_band_keys(col("v"), Bands, Bits)))
+        .select(col("vec_id"),
+          struct(col("pos").as("band"), col("col").as("bucket")).as("bk"))
       val cand = bk.as("a").join(bk.as("b"),
           col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
         .distinct()
+      // norms once per VECTOR (n rows), not once per candidate pair —
+      // label-clustered data collides far above the isotropic estimate
+      // (175k candidates at sf0.1), so per-pair norm recompute is 2/3 of
+      // the rescore for nothing
+      val n = e.select(col("vec_id"), col("v"),
+        decimal_dot(col("v"), col("v")).cast("double").as("nsq"))
       cand
-        .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
-        .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
+        .join(n.select(col("vec_id").as("vec_a"), col("v").as("va"),
+          col("nsq").as("na")), "vec_a")
+        .join(n.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+          col("nsq").as("nb")), "vec_b")
         .select(col("vec_a"), col("vec_b"),
-          (decSum(zipProd(col("va"), col("vb"))).cast("double") /
-            sqrt(decSum(zipProd(col("va"), col("va"))).cast("double") *
-                 decSum(zipProd(col("vb"), col("vb"))).cast("double")))
-            .as("cos"))
+          (decimal_dot(col("va"), col("vb")).cast("double") /
+            sqrt(col("na") * col("nb"))).as("cos"))
         .where(col("cos") > 0.4)
         .orderBy(col("vec_a"), col("vec_b"))
     })
@@ -311,15 +323,6 @@ object Dedup {
   /** SRP-LSH banding for the embedding near-dup: 64 bands × 12 bits. */
   private val Bands = 64
   private val Bits = 12
-
-  /** Element-wise product of two double arrays. */
-  private def zipProd(a: Column, b: Column): Column =
-    zip_with(a, b, (x, y) => x * y)
-
-  /** Order-independent sum of a double array via exact decimal fold. */
-  private def decSum(arr: Column): Column =
-    aggregate(arr, lit(0).cast("decimal(30,12)"),
-      (acc, x) => (acc + x.cast("decimal(30,12)")).cast("decimal(30,12)"))
 
   /** DuckDB twin of the exact trigram-Jaccard pair query (also the oracle
     * for the LSH variant — see q_dedup_minhash_lsh's recall argument). */

@@ -23,33 +23,24 @@ import graft.functions.VectorFunctions.cosine_sim
   */
 object Similarity {
 
-  /** Element-wise product of two double arrays. */
-  private def zipProd(a: Column, b: Column): Column =
-    zip_with(a, b, (x, y) => x * y)
-
-  /** Order-independent sum of a double array via exact decimal fold
-    * (keeps the DuckDB oracle hash-identical; see QueryDefs). */
-  private def decSum(arr: Column): Column =
-    aggregate(arr, lit(0).cast("decimal(30,12)"),
-      (acc, x) => (acc + x.cast("decimal(30,12)")).cast("decimal(30,12)"))
-
-  private def exactCos(va: Column, vb: Column): Column =
-    decSum(zipProd(va, vb)).cast("double") /
-      sqrt(decSum(zipProd(va, va)).cast("double") *
-           decSum(zipProd(vb, vb)).cast("double"))
-
-  /** Deterministic ±1 hyperplane weights for SRP-LSH: plane p, dim j.
-    * Knuth multiplicative hash of (p*64+j) — fixed, reproducible (and
-    * re-computable in plain SQL, which is how the q_dedup_embedding_lsh
-    * oracle derives the identical hyperplanes engine-independently). */
-  private[operators] def planeWeightD(p: Int, j: Int): Double = {
-    val h = ((p * 64 + j) * 2654435761L) >>> 16
-    if ((h & 1L) == 0L) 1.0 else -1.0
+  /** Decimal-exact cosine (order-independent, DuckDB-hash-identical) via
+    * the compiled DecimalDotProduct expression — same arithmetic as the
+    * SQL decimal fold, without interpreted per-element lambdas. */
+  private def exactCos(va: Column, vb: Column): Column = {
+    import graft.functions.VectorFunctions.decimal_dot
+    decimal_dot(va, vb).cast("double") /
+      sqrt(decimal_dot(va, va).cast("double") *
+           decimal_dot(vb, vb).cast("double"))
   }
 
-  private def planeWeight(p: Int, j: Int): Float = planeWeightD(p, j).toFloat
+  /** Deterministic ±1 hyperplane weights for SRP-LSH — canonical impl in
+    * [[graft.functions.SrpBandKeys.weight]]; re-computable in plain SQL,
+    * which is how the q_dedup_embedding_lsh oracle derives the identical
+    * hyperplanes engine-independently. */
+  private[operators] def planeWeightD(p: Int, j: Int): Double =
+    graft.functions.SrpBandKeys.weight(p, j)
 
-  val defs: Map[String, Q] = Map(
+  val defs: Map[String, Q] = centroidDefs ++ Map(
 
     // Brute-force k-NN, decimal-exact scores (oracle-checked): queries =
     // vec_id < 3, k = 5, ties broken by neighbor id.
@@ -72,20 +63,15 @@ object Similarity {
     // SRP-LSH ANN: 16 sign-bits bucket per vector; query scans only its
     // bucket, then re-ranks with the codegen'd cosine. Approximate (no
     // oracle → rows-only): recall depends on bucket collisions; the scale
-    // path is bucket-partitioned storage + multi-probe.
+    // path is bucket-partitioned storage + multi-probe. The bucket is the
+    // compiled SrpBandKeys expression (1 band × 16 bits) — the HOF-lambda
+    // spelling of the same hash ran interpreted per element.
     "q_sim_ann_lsh" -> ((s, d) => {
-      val planes = typedLit(
-        Seq.tabulate(16)(p => Seq.tabulate(64)(j => planeWeight(p, j))))
+      import graft.functions.VectorFunctions.srp_band_keys
       val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"), planes.as("planes"))
-        .withColumn("bucket", expr(
-          """aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, p) ->
-            |  acc * 2 + CAST(
-            |    aggregate(zip_with(embedding, element_at(planes, p + 1),
-            |                       (x, w) -> x * w),
-            |              CAST(0.0 AS DOUBLE), (a, x) -> a + x) > 0
-            |    AS BIGINT))""".stripMargin))
-        .drop("planes")
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("bucket", element_at(
+          srp_band_keys(col("embedding").cast("array<double>"), 1, 16), 1))
       val q = e.where(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
           col("bucket"))
@@ -132,7 +118,50 @@ object Similarity {
     })
   )
 
+  /** Per-label embedding centroids — the vector-aggregate primitive that
+    * IVF/k-means coarse quantization is built from. Spark-first shape:
+    * ONE groupBy carrying 64 codegen'd decimal sums (the same no-explode
+    * trick as the MinHash signature — element_at projections fold into
+    * map-side partial aggregation, so the shuffle moves only per-partition
+    * partials, never the exploded (row × dim) table, and never the raw
+    * vectors). Sums stay decimal-exact (merge-order-independent), and the
+    * emitted centroid is a 1e-6-quantized joined string: result columns
+    * must never be array-typed (driver comparator), and sums rather than
+    * means are emitted because decimal division rounding differs between
+    * engines while the sums are bit-reproducible. */
+  private def centroidDefs: Map[String, Q] = Map(
+    "q_sim_centroids" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("label"), col("embedding").cast("array<double>").as("v"))
+      val sums = (0 until 64).map(i =>
+        sum(element_at(col("v"), i + 1).cast("decimal(30,12)")).as(s"s$i"))
+      val quant = (0 until 64).map(i =>
+        floor(col(s"s$i").cast("double") * 1e6).cast("long").cast("string"))
+      e.groupBy(col("label"))
+        .agg(sums.head, (sums.tail :+ count(lit(1)).as("n")): _*)
+        .select(col("label"), col("n"),
+          concat_ws("|", quant: _*).as("centroid_sum_q"))
+        .orderBy(col("label"))
+    })
+  )
+
   val oracles: Map[String, String] = Map(
+    "q_sim_centroids" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |x AS (SELECT label, i,
+        |        SUM(CAST(v[i] AS DECIMAL(30,12))) AS s
+        |      FROM e CROSS JOIN generate_series(1, 64) AS t(i)
+        |      GROUP BY label, i),
+        |c AS (SELECT label,
+        |        STRING_AGG(CAST(CAST(FLOOR(CAST(s AS DOUBLE) * 1e6)
+        |            AS BIGINT) AS VARCHAR), '|' ORDER BY i)
+        |          AS centroid_sum_q
+        |      FROM x GROUP BY label),
+        |n AS (SELECT label, COUNT(*) AS n FROM e GROUP BY label)
+        |SELECT c.label, n.n, c.centroid_sum_q
+        |FROM c JOIN n USING (label) ORDER BY c.label""".stripMargin,
+
     "q_sim_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),

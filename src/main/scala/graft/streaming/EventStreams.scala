@@ -127,6 +127,38 @@ object EventStreams {
         .dropDuplicates("user_id", "event_type")
       runToMemory(s, dedup, "append", s"dedup_${System.nanoTime()}")
         .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // Stream-stream inner join with a time-range condition: each click
+    // joined to that user's purchases from the preceding hour. Both sides
+    // carry watermarks, and the range condition bounds how long either
+    // side's state must be retained (clicks wait ≤1h for late purchases,
+    // purchases stay joinable for ≤1h of clicks) — the state-bounding
+    // contract that makes stream-stream joins viable at scale. Inner-join
+    // rows emit as soon as both sides arrive (append mode); the watermark
+    // only governs state eviction, so AvailableNow over the fixture emits
+    // every matched pair and the batch range-join oracle is exact.
+    "q_stream_join" -> ((s, d) => {
+      val clicks = eventStream(s, d)
+        .where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = eventStream(s, d)
+        .where(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"), col("value"))
+        .withWatermark("p_ts", "2 hours")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
+          col("p_ts") <= col("c_ts"))
+      runToMemory(s, joined, "append", s"sjoin_${System.nanoTime()}")
+        .select(col("click_id"), col("user_id"),
+          unix_micros(col("c_ts")).as("click_ts_us"),
+          col("p_id"), unix_micros(col("p_ts")).as("purchase_ts_us"),
+          col("value"))
+        .orderBy(col("click_id"), col("p_id"))
     })
   )
 
@@ -163,6 +195,16 @@ object EventStreams {
 
     "q_stream_stateful" ->
       """SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_stream_join" ->
+      """SELECT c.event_id AS click_id, c.user_id,
+        |  epoch_us(c.ts) AS click_ts_us,
+        |  p.event_id AS p_id, epoch_us(p.ts) AS purchase_ts_us, p.value
+        |FROM events c JOIN events p
+        |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.user_id = c.user_id
+        | AND p.ts >= c.ts - INTERVAL '1 hour' AND p.ts <= c.ts
+        |ORDER BY click_id, p_id""".stripMargin
   )
 }

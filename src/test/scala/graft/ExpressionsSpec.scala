@@ -70,6 +70,42 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("srp_band_keys packs sign bits MSB-first and matches the SQL-HOF spelling") {
+    import spark.implicits._
+    val df = Seq((Tuple1(Array.tabulate(64)(j => (j % 5 - 2).toDouble))))
+      .map(_._1).toDF("v")
+    val got = df.select(VectorFunctions.srp_band_keys(col("v"), 4, 12))
+      .head.getSeq[Long](0)
+    // reference computation straight from the weight formula
+    val expected = (0 until 4).map { b =>
+      (0 until 12).foldLeft(0L) { (acc, i) =>
+        val p = b * 12 + i
+        val dot = (0 until 64).foldLeft(0.0)((s, j) =>
+          s + (j % 5 - 2).toDouble * graft.functions.SrpBandKeys.weight(p, j))
+        acc * 2 + (if (dot > 0.0) 1L else 0L)
+      }
+    }
+    assert(got == expected)
+    // every bucket fits in `bits` bits
+    assert(got.forall(k => k >= 0L && k < (1L << 12)))
+  }
+
+  test("decimal_dot equals the interpreted decimal-fold spelling") {
+    import spark.implicits._
+    val a = Array.tabulate(64)(j => math.sin(j + 1) * 3.7)
+    val b = Array.tabulate(64)(j => math.cos(j * 2 + 1) * 1.9)
+    val df = Seq((a, b)).toDF("a", "b")
+    val fast = df.select(VectorFunctions.decimal_dot(col("a"), col("b"))
+      .cast("double")).head.getDouble(0)
+    val slow = df.select(
+      expr("""aggregate(zip_with(a, b, (x, y) -> x * y),
+             |  CAST(0 AS DECIMAL(30,12)),
+             |  (acc, x) -> CAST(acc + CAST(x AS DECIMAL(30,12))
+             |              AS DECIMAL(30,12)))""".stripMargin)
+        .cast("double")).head.getDouble(0)
+    assert(fast == slow, s"$fast != $slow")
+  }
+
   test("rolling fingerprint min-window-hash handles short inputs") {
     val h = RollingFingerprint.minWindowHash("ab".getBytes, 16, 1000003L,
       0x7FFFFFFFL)

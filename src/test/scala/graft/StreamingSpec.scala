@@ -38,6 +38,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("stream-stream join equals the batch time-range join") {
+    val stream = SparkEntry.queries("q_stream_join")(spark, sf)
+      .select("click_id", "p_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = Tables.events(spark, sf)
+    val c = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val batch = c.join(p, col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
+        col("p_ts") <= col("c_ts"))
+      .select("click_id", "p_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "fixture should contain click/purchase matches")
+    assert(stream == batch)
+  }
+
   test("session windows respect the 30-minute gap") {
     val sessions = SparkEntry.queries("q_stream_session")(spark, sf)
     // session count per user can never exceed event count per user
