@@ -226,6 +226,68 @@ object Extended {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Skew-mitigated JOIN (the join-side twin of q_agg_salted): the fact
+    // side gets a deterministic salt, the dimension side is replicated
+    // once per salt value, and the join key becomes (key, salt) — a hot
+    // key's rows spread over `salts` reducers instead of funneling into
+    // one. At 100 TB this is the standard fallback when AQE skew-join
+    // splitting can't help (e.g. the skew is in the build side or the
+    // join feeds a wider pipeline). Result provably equals the unsalted
+    // join, which is what the oracle runs.
+    "q_join_salted" -> ((s, d) => {
+      val salts = 16
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"))
+        .withColumn("salt",
+          pmod(xxhash64(col("l_orderkey"), col("l_quantity")), lit(salts)))
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .crossJoin(s.range(salts).select(col("id").as("salt")))
+      li.join(o, li("l_orderkey") === o("o_orderkey") && li("salt") === o("salt"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // Partition-pruned source: write partitioned by a low-cardinality
+    // column, then filter on it — the scan must touch ONLY the matching
+    // partition directories (PartitionFilters in the plan, asserted in
+    // PlanSpec). At 100 TB partition layout is the first and cheapest
+    // pruning lever: a pruned scan never even lists the skipped data.
+    "q_source_partitioned" -> ((s, d) => {
+      val out = s"${sys.props("java.io.tmpdir")}/graft_part_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+      s.read.parquet(out)
+        .where(col("o_orderstatus") === "F")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // Time-series gap-fill: hourly per-type event counts with explicit
+    // zero rows for silent hours — the resample/densify primitive behind
+    // rate metrics and training-data time slicing. The hour spine comes
+    // from sequence() over the global bounds (one tiny aggregate, spine
+    // broadcast), NOT from a per-key loop; the heavy side stays one
+    // groupBy of the raw events.
+    "q_timeseries_gapfill" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      val counts = ev.groupBy(col("event_type"), col("h"))
+        .agg(count(lit(1)).as("n"))
+      val spine = ev.agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+        .select(explode(sequence(col("mn"), col("mx"),
+          expr("INTERVAL 1 HOUR"))).as("h"))
+      val types = ev.select(col("event_type")).distinct()
+      spine.crossJoin(broadcast(types))
+        .join(counts, Seq("event_type", "h"), "left")
+        .select(col("event_type"), unix_timestamp(col("h")).as("hour_s"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy(col("event_type"), col("hour_s"))
+    }),
+
     // Distribution window functions (rank-derived rationals — exact in
     // both engines). Filtered AFTER the windows so the sampled output
     // still reflects the full partition statistics.
@@ -356,6 +418,35 @@ object Extended {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_join_salted" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_source_partitioned" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_timeseries_gapfill" ->
+      """WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS h
+        |            FROM events),
+        |b AS (SELECT MIN(h) AS mn, MAX(h) AS mx FROM ev),
+        |spine AS (
+        |  SELECT UNNEST(generate_series((SELECT mn FROM b),
+        |                                (SELECT mx FROM b),
+        |                                INTERVAL '1 hour')) AS h),
+        |types AS (SELECT DISTINCT event_type FROM ev),
+        |c AS (SELECT event_type, h, COUNT(*) AS n
+        |      FROM ev GROUP BY event_type, h)
+        |SELECT t.event_type, CAST(epoch(s.h) AS BIGINT) AS hour_s,
+        |       COALESCE(c.n, 0) AS n
+        |FROM spine s CROSS JOIN types t
+        |LEFT JOIN c ON c.event_type = t.event_type AND c.h = s.h
+        |ORDER BY t.event_type, hour_s""".stripMargin,
 
     "q_window_dist" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,

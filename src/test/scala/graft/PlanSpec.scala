@@ -49,6 +49,15 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q_agg_pricing_summary").contains("HashAggregate"))
   }
 
+  test("partitioned source prunes to the matching partition at the scan") {
+    val p = plan("q_source_partitioned")
+    assert(p.contains("PartitionFilters") &&
+      p.linesIterator.exists(l => l.contains("PartitionFilters") &&
+        l.contains("o_orderstatus")),
+      "filter on the partition column must prune directories, not rows:\n" +
+        p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+  }
+
   test("LSH embedding near-dup has no cross-product candidate stage") {
     val p = plan("q_dedup_embedding_lsh")
     assert(!p.contains("CartesianProduct"),
