@@ -71,6 +71,39 @@ object Multimodal {
         .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
           col("frames"), element_at(col("feature"), 1).as("f0"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Full media pipeline: decode (mapPartitions stub) → frame-sample
+    // (sequence+explode: at most 4 frames per doc, stride ⌈frames/4⌉) →
+    // per-frame feature extract (a byte probe into the source blob) →
+    // per-doc aggregate. The shape is the point: decode runs once per
+    // blob, the generator fans out ONLY the sampled frame ids (never the
+    // media bytes), and the per-frame probe joins the blob back by id —
+    // at 100 TB the frames table is thousands of times smaller than the
+    // media column it indexes. The stub arithmetic is deterministic from
+    // the bytes, so a recursive-CTE oracle reproduces it exactly.
+    "q_multimodal_frames" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val decoded = docs
+        .select(col("doc_id"), col("text").cast("binary").as("blob"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, b) => FakeDecoder.decode(id, b) })
+        .toDF()
+      val frames = decoded
+        .select(col("doc_id"), col("frames"),
+          greatest(lit(1), floor(col("frames") / 4).cast("int")).as("stride"))
+        .select(col("doc_id"), col("frames"),
+          explode(sequence(lit(0), col("frames") - 1, col("stride")))
+            .as("idx"))
+      frames.join(docs, "doc_id")
+        .select(col("doc_id"), col("frames"),
+          ascii(col("text").substr(
+            (col("idx") % length(col("text"))).cast("int") + 1, lit(1)))
+            .as("v"))
+        .groupBy(col("doc_id"), col("frames"))
+        .agg(count(lit(1)).as("n_sampled"), sum(col("v")).as("frame_val_sum"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -81,6 +114,32 @@ object Multimodal {
         |  SHA256(text) AS digest,
         |  ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)]
         |    AS modality
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Reproduces the stub decode arithmetic (frames = 1 + n_bytes % 30)
+    // and the stride-sampling loop as a recursive CTE — DuckDB 1.x can't
+    // take per-row bounds in generate_series, recursion can.
+    "q_multimodal_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id, text, OCTET_LENGTH(ENCODE(text)) AS nb,
+        |         1 + OCTET_LENGTH(ENCODE(text)) % 30 AS frames
+        |  FROM documents),
+        |s0 AS (SELECT doc_id, frames,
+        |         GREATEST(1, CAST(frames // 4 AS INT)) AS stride
+        |       FROM m),
+        |fr AS (
+        |  WITH RECURSIVE r(doc_id, frames, stride, idx) AS (
+        |    SELECT doc_id, frames, stride, 0 FROM s0
+        |    UNION ALL
+        |    SELECT doc_id, frames, stride, idx + stride FROM r
+        |    WHERE idx + stride <= frames - 1)
+        |  SELECT doc_id, frames, idx FROM r),
+        |v AS (
+        |  SELECT f.doc_id, f.frames,
+        |    ORD(SUBSTRING(m.text, CAST(f.idx % m.nb AS INT) + 1, 1)) AS val
+        |  FROM fr f JOIN m USING (doc_id))
+        |SELECT doc_id, frames, COUNT(*) AS n_sampled,
+        |       SUM(val) AS frame_val_sum
+        |FROM v GROUP BY doc_id, frames ORDER BY doc_id""".stripMargin
   )
 }

@@ -65,7 +65,8 @@ object ScanRunner {
     * so the report carries the reference's op-count metric (one op per
     * `Read()` call, main.cc:107-113) alongside task-metric bytes. */
   def run(spark: SparkSession, dataDirs: Seq[String], filterCol: String,
-      threshold: Double, jobs: Int, monDisks: Seq[String] = Nil): Report = {
+      threshold: Double, jobs: Int, monDisks: Seq[String] = Nil,
+      printRows: Int = 0): Report = {
     val files = dataDirs.flatMap { d =>
       val dir = new File(d)
       require(dir.isDirectory, s"cannot open data dir $d")
@@ -95,6 +96,9 @@ object ScanRunner {
           val df = spark.read.parquet(s"${MonitoredFs.Scheme}:$f")
             .where(org.apache.spark.sql.functions.col(filterCol)
               .cast("double") > threshold)
+          // A8 pretty-print sink (the reference's print_binary=0 path,
+          // main.cc:193-195) — debug mode, costs a second scan
+          if (printRows > 0) df.show(printRows, truncate = false)
           val n = df.queryExecution.toRdd.count()
           totalRows.addAndGet(n)
         } catch {
@@ -158,6 +162,8 @@ object ScanRunner {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
     val colName = sys.env.getOrElse("Env_col", "ke")
+    // pretty-print sink: rows per file to dump (reference print_binary=0)
+    val printRows = sys.env.getOrElse("Env_print_rows", "0").toInt
     val dirs = if (args.nonEmpty) args.toSeq else Seq("/root/testdata/sf0.001")
 
     val spark = SparkSession.builder()
@@ -169,7 +175,7 @@ object ScanRunner {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val r = run(spark, dirs, colName, threshold, jobs, disks)
+    val r = run(spark, dirs, colName, threshold, jobs, disks, printRows)
 
     // Optional Arrow IPC stream of the merged scan (A7 binary sink):
     // Env_arrow_out=- streams to stdout, any other value is a file path.
