@@ -28,12 +28,23 @@ object GraftFunctions {
     RollingFingerprint(args.head, window)
   }
 
+  private def srpBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(v, Literal(bands: Int, _), Literal(bits: Int, _)) =>
+      SrpBandKeys(v, bands, bits)
+    case _ => throw new IllegalArgumentException(
+      "srp_band_keys(vec, bands-literal, bits-literal)")
+  }
+
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "cosine_sim", args => CosineSimilarity(args(0), args(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "rolling_fingerprint", fingerprintBuilder, "built-in")
+    reg.createOrReplaceTempFunction(
+      "srp_band_keys", srpBuilder, "built-in")
+    reg.createOrReplaceTempFunction(
+      "decimal_dot", args => DecimalDotProduct(args(0), args(1)), "built-in")
   }
 }
 
@@ -54,5 +65,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "rolling_fingerprint(text[, window-literal])")
       }))
+    e.injectFunction((
+      FunctionIdentifier("srp_band_keys"),
+      new ExpressionInfo(classOf[SrpBandKeys].getName, "srp_band_keys"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v, Literal(bands: Int, _), Literal(bits: Int, _)) =>
+          SrpBandKeys(v, bands, bits)
+        case _ => throw new IllegalArgumentException(
+          "srp_band_keys(vec, bands-literal, bits-literal)")
+      }))
+    e.injectFunction((
+      FunctionIdentifier("decimal_dot"),
+      new ExpressionInfo(classOf[DecimalDotProduct].getName, "decimal_dot"),
+      (args: Seq[Expression]) => DecimalDotProduct(args(0), args(1))))
   }
 }

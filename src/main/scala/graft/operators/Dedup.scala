@@ -161,6 +161,30 @@ object Dedup {
         .orderBy(col("keep_id"))
     }),
 
+    // Incremental dedup: documents arriving from one source (src0,
+    // standing in for a new crawl batch) are kept only if their text
+    // doesn't already exist in the established corpus (all other
+    // sources) — the ingest-time shape, where the corpus side is a
+    // pre-built content-hash index and the delta is left-anti-joined
+    // against it. Hash join on xxhash64+length (both codegen'd) so full
+    // text bodies never shuffle; anti join materializes nothing from the
+    // corpus side. (Collision safety: a 64-bit hash + length pair at
+    // corpus scale gives ~n²/2⁶⁵ false drops — add the first/last 8 bytes
+    // to the key if that matters.) The oracle spells the same thing as
+    // NOT EXISTS over the raw text.
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val delta = docs.where(col("source") === "src0")
+        .select(col("doc_id"), col("text"),
+          xxhash64(col("text")).as("h"), length(col("text")).as("len"))
+      val corpus = docs.where(col("source") =!= "src0")
+        .select(xxhash64(col("text")).as("h"), length(col("text")).as("len"))
+        .distinct()
+      delta.join(corpus, Seq("h", "len"), "left_anti")
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact n-gram Jaccard near-dup (ground truth for the LSH variant).
     "q_dedup_ngram_jaccard" -> ((s, d) => ngramJaccardPairs(s, d)),
 
@@ -346,6 +370,13 @@ object Dedup {
     "q_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies, text
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """SELECT doc_id, text FROM documents d
+        |WHERE source = 'src0' AND NOT EXISTS (
+        |  SELECT 1 FROM documents c
+        |  WHERE c.source <> 'src0' AND c.text = d.text)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_ngram_jaccard" -> ngramOracle,
     "q_dedup_minhash_lsh" -> ngramOracle,

@@ -108,6 +108,28 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // Curation funnel: the chained quality gates of a training-data
+    // pipeline (length floor → lexical diversity → stopword presence),
+    // reported as cumulative survivor counts per language. ONE scan with
+    // conditional aggregation — the funnel never materializes
+    // intermediate filtered tables or re-reads the corpus per stage.
+    "q_text_filter_funnel" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val nw = size(toks).cast("double")
+      val uniqRatio = size(array_distinct(toks)).cast("double") / nw
+      val hasStop = size(filter(toks, t => t === "a" || t === "the")) > 0
+      val s1 = nw >= 30.0
+      val s2 = s1 && (uniqRatio > 0.45)
+      val s3 = s2 && hasStop
+      Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(s1.cast("long")).as("n_len"),
+          sum(s2.cast("long")).as("n_diverse"),
+          sum(s3.cast("long")).as("n_kept"))
+        .orderBy(col("lang"))
+    }),
+
     // Winnowing fingerprint (custom expression, rolling 16-byte
     // polynomial min-hash): identical texts share fingerprints; no DuckDB
     // twin (engine-specific hash) → rows-only check.
@@ -120,6 +142,27 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_text_filter_funnel" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    LEN(string_split(text, ' ')) AS nw,
+        |    CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / LEN(string_split(text, ' ')) AS uniq_ratio,
+        |    LEN(list_filter(string_split(text, ' '),
+        |                    x -> x = 'a' OR x = 'the')) > 0 AS has_stop
+        |  FROM documents),
+        |f AS (
+        |  SELECT lang,
+        |    nw >= 30 AS s1,
+        |    nw >= 30 AND uniq_ratio > 0.45 AS s2,
+        |    nw >= 30 AND uniq_ratio > 0.45 AND has_stop AS s3
+        |  FROM t)
+        |SELECT lang, COUNT(*) AS n_total,
+        |  SUM(CAST(s1 AS BIGINT)) AS n_len,
+        |  SUM(CAST(s2 AS BIGINT)) AS n_diverse,
+        |  SUM(CAST(s3 AS BIGINT)) AS n_kept
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q_text_stats" ->
       """SELECT doc_id, lang, source,
         |  CAST(LENGTH(text) AS INT) AS n_chars_m,

@@ -106,6 +106,16 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(fast == slow, s"$fast != $slow")
   }
 
+  test("srp_band_keys and decimal_dot are callable from SQL after registration") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT srp_band_keys(array(1.0D, -2.0D, 0.5D), 2, 4) AS k,
+        |       CAST(decimal_dot(array(1.5D, 2.0D), array(2.0D, 0.25D))
+        |            AS DOUBLE) AS d""".stripMargin).head
+    assert(r.getSeq[Long](0).length == 2)
+    assert(math.abs(r.getDouble(1) - 3.5) < 1e-9)
+  }
+
   test("rolling fingerprint min-window-hash handles short inputs") {
     val h = RollingFingerprint.minWindowHash("ab".getBytes, 16, 1000003L,
       0x7FFFFFFFL)
