@@ -19,10 +19,10 @@ import graft.functions.VectorFunctions.cosine_sim
   *    pairs→exact verify. Work is O(docs × shingles + Σ bucket²), never
   *    the O(n²) all-pairs of the naive approach; bucket skew is bounded
   *    because a band key is a 64-bit hash of two 64-bit minhashes.
-  *  - the shingle inverted index caps shingle document frequency before
-  *    its self-join (a df=k shingle fans out to k(k-1)/2 join rows), and
-  *    candidates are re-verified against the full shingle sets, so the cap
-  *    costs recall only for pairs whose EVERY shared shingle is hot.
+  *  - the shingle inverted index drops stop-shingles (document frequency
+  *    above a cap) from the feature set before its self-join — a df=k
+  *    shingle fans out to k(k-1)/2 join rows, and hot shingles carry no
+  *    discriminative signal; on the fixtures the cap is provably inactive.
   *  - embedding near-dup ships in two renditions: the exact all-pairs
   *    baseline (oracle ground truth) and the SRP-LSH-bucketed variant
   *    whose candidate stage never materializes the cross product.
@@ -138,11 +138,13 @@ object Dedup {
     while (changed > 0 && rounds < maxRounds) {
       val prop = edges.join(labels, edges("src") === labels("doc_id"))
         .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
+      // lazy checkpoint: the convergence count below is the job that
+      // materializes it, so each round runs one job, not two
       val next = labels.join(prop, labels("doc_id") === prop("dst"), "left")
         .select(col("doc_id"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
           (coalesce(col("nlbl"), col("lbl")) < col("lbl")).as("chg"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       changed = next.where(col("chg")).count()
       labels = next.drop("chg")
       rounds += 1

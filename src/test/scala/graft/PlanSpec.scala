@@ -77,6 +77,20 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache() // don't leak the cache into other suites
   }
 
+  test("centroid aggregation has no generator (explode) stage") {
+    val p = plan("q_sim_centroids")
+    assert(!p.contains("Generate"),
+      "centroids must come from per-column sums, not an exploded (row × dim) table")
+    assert(p.contains("HashAggregate"), "expected partial+final hash aggregation")
+  }
+
+  test("incremental dedup plans a hash anti join, not a nested loop") {
+    val p = plan("q_dedup_incremental")
+    assert(p.contains("LeftAnti"), "expected an anti join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "anti join must be hash-based on the content-hash key")
+  }
+
   test("bucketed join eliminates join-side shuffles") {
     val p = plan("q_join_bucketed")
     val joinSection = p.substring(p.indexOf("SortMergeJoin"))
