@@ -26,15 +26,26 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "cosine_sim"
 
+  /** Element accessor per side: raw float columns stay float (the common
+    * embedding storage type); computed vectors (centroids, casts) are
+    * double. Resolved once from the child's ArrayType. */
+  private def isFloatArr(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val xf = isFloatArr(left); val yf = isFloatArr(right)
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
-      val xi = if (x.isNullAt(i)) 0.0 else x.getFloat(i).toDouble
-      val yi = if (y.isNullAt(i)) 0.0 else y.getFloat(i).toDouble
+      val xi = if (x.isNullAt(i)) 0.0
+        else if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (y.isNullAt(i)) 0.0
+        else if (yf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
     }
@@ -50,12 +61,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val ny = ctx.freshName("ny")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val getX = if (isFloatArr(left)) s"(double) $x.getFloat($i)"
+        else s"$x.getDouble($i)"
+      val getY = if (isFloatArr(right)) s"(double) $y.getFloat($i)"
+        else s"$y.getDouble($i)"
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = $x.isNullAt($i) ? 0.0 : (double) $x.getFloat($i);
-         |  double $yi = $y.isNullAt($i) ? 0.0 : (double) $y.getFloat($i);
+         |  double $xi = $x.isNullAt($i) ? 0.0 : $getX;
+         |  double $yi = $y.isNullAt($i) ? 0.0 : $getY;
          |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |}
          |${ev.value} = ($nx == 0.0 || $ny == 0.0)

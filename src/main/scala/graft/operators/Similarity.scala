@@ -86,22 +86,37 @@ object Similarity {
         .orderBy(col("query_id"), col("rn"))
     }),
 
-    // IVF-style ANN: coarse-quantize to the nearest of 8 seed centroids
-    // (vec_id 3..10 double as centroids), probe only the query's cell.
-    // Approximate → rows-only. At scale the cell id is the partition key
-    // and centroids come from a sampled k-means; the probe reads 1/cells
-    // of the corpus.
+    // IVF-style ANN: coarse-quantize to the nearest of 8 centroids from a
+    // real (if short) Lloyd's k-means — deterministic seeds (vec_id 3..10)
+    // refined by 2 assign/recompute rounds — then probe only the query's
+    // cell. Approximate → rows-only. The k-means itself is the scale
+    // shape: assignment is a broadcast join + codegen'd cosine over one
+    // corpus scan, and the centroid update reuses the no-explode
+    // 64-sums-in-one-groupBy trick of q_sim_centroids (only 8×64 doubles
+    // ever return to the driver-side plan as the next broadcast). At
+    // 100 TB you'd run it on a sample; the fixture IS sample-sized.
     "q_sim_ann_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val cent = e.where(col("vec_id").between(3, 10))
-        .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
-      val assigned = e.as("v").join(broadcast(cent))
-        .select(col("vec_id"), col("embedding"), col("cent_id"),
-          cosine_sim(col("embedding"), col("cv")).as("sim"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("vec_id"))
-            .orderBy(col("sim").desc, col("cent_id"))))
-        .where(col("rn") === 1)
+        .withColumn("v", col("embedding").cast("array<double>"))
+      def nearest(cents: DataFrame): DataFrame =
+        e.join(broadcast(cents))
+          .select(col("vec_id"), col("embedding"), col("v"), col("cent_id"),
+            cosine_sim(col("v"), col("cv")).as("sim"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("vec_id"))
+              .orderBy(col("sim").desc, col("cent_id"))))
+          .where(col("rn") === 1)
+      var cents = e.where(col("vec_id").between(3, 10))
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      for (_ <- 1 to 2) {
+        val sums = (0 until 64).map(i =>
+          sum(element_at(col("v"), i + 1)).as(s"s$i"))
+        val counts = nearest(cents).groupBy(col("cent_id"))
+          .agg(sums.head, (sums.tail :+ count(lit(1)).as("n")): _*)
+        cents = counts.select(col("cent_id"),
+          array((0 until 64).map(i => col(s"s$i") / col("n")): _*).as("cv"))
+      }
+      val assigned = nearest(cents)
         .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
       val q = assigned.where(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
