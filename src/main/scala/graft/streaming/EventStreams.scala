@@ -129,6 +129,38 @@ object EventStreams {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // Sliding-window aggregation (2-hour windows every hour): each event
+    // lands in exactly two overlapping windows. Spark assigns windows at
+    // ingest (a 2-row generate per event feeding the same windowed state
+    // machinery as tumbling); the oracle spells the same two-window
+    // assignment as an explicit UNION ALL of the two hour-aligned starts.
+    "q_stream_sliding" -> ((s, d) => {
+      val agg = eventStream(s, d)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      runToMemory(s, agg, "complete", s"sliding_${System.nanoTime()}")
+        .select(unix_timestamp(col("window.start")).as("window_start_s"),
+          col("event_type"), col("n"))
+        .orderBy(col("window_start_s"), col("event_type"))
+    }),
+
+    // Watermark-bounded streaming dedup: unlike q_stream_dedup's global
+    // state, dropDuplicatesWithinWatermark evicts keys once the watermark
+    // passes — the at-scale shape (bounded state) when duplicates are
+    // known to arrive within a horizon. The fixture replays as ONE
+    // AvailableNow batch, so every duplicate is within state lifetime and
+    // the batch DISTINCT oracle is exact.
+    "q_stream_dedup_watermark" -> ((s, d) => {
+      val dedup = eventStream(s, d)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+      runToMemory(s, dedup, "append", s"dedupw_${System.nanoTime()}")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_types"))
+        .orderBy(col("user_id"))
+    }),
+
     // Stream-stream inner join with a time-range condition: each click
     // joined to that user's purchases from the preceding hour. Both sides
     // carry watermarks, and the range condition bounds how long either
@@ -196,6 +228,23 @@ object EventStreams {
     "q_stream_stateful" ->
       """SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_stream_sliding" ->
+      """WITH x AS (
+        |  SELECT date_trunc('hour', ts) AS h, event_type FROM events),
+        |w AS (
+        |  SELECT h AS ws, event_type FROM x
+        |  UNION ALL
+        |  SELECT h - INTERVAL '1 hour' AS ws, event_type FROM x)
+        |SELECT CAST(epoch(ws) AS BIGINT) AS window_start_s,
+        |       event_type, COUNT(*) AS n
+        |FROM w GROUP BY ws, event_type
+        |ORDER BY window_start_s, event_type""".stripMargin,
+
+    "q_stream_dedup_watermark" ->
+      """SELECT user_id, COUNT(*) AS n_types FROM (
+        |  SELECT DISTINCT user_id, event_type FROM events)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_stream_join" ->
       """SELECT c.event_id AS click_id, c.user_id,
