@@ -95,7 +95,7 @@ object Dedup {
     * an array-verify variant measured 5-20× slower at sf0.1, where median
     * shingle df is 9 and candidate pairs are numerous — counting join
     * rows IS the intersection, no per-pair set intersection needed. */
-  private def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def ngramJaccardPairsRaw(s: SparkSession, d: String): DataFrame = {
     val g = withShingles(s, d)
     val ex = g.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val rare = ex.groupBy(col("shingle"))
@@ -115,21 +115,38 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         jaccard(col("inter"), col("sa.n"), col("sb.n")).as("jaccard"))
       .where(col("jaccard") > 0.5)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Min-label propagation to fixpoint over an undirected edge list:
-    * connected components, each labelled by its minimum doc_id.
+  /** The pair query as published: raw pairs + the total ORDER BY the
+    * oracle compare needs. Consumers that feed the pairs into further
+    * shuffles (q_dedup_clusters) use the raw variant — a sort below a
+    * cache() boundary can't be optimized away by EliminateSorts. */
+  private def ngramJaccardPairs(s: SparkSession, d: String): DataFrame =
+    ngramJaccardPairsRaw(s, d).orderBy(col("doc_a"), col("doc_b"))
+
+  /** Min-label propagation WITH pointer jumping to fixpoint over an
+    * undirected edge list: connected components, each labelled by its
+    * minimum doc_id.
+    *
+    * Each round computes, per node,
+    *   lbl' = min(lbl, min over in-neighbors' lbl, lbl(lbl))
+    * — hash-min plus a shortcut hop through the current label table.
+    * Both operations are monotone (labels only decrease within the
+    * component, and every assigned label is a component member's id), so
+    * the fixpoint is unchanged from plain hash-min: the component
+    * minimum. The shortcut contracts label chains exponentially —
+    * O(log diameter) rounds instead of O(diameter) — and each driver
+    * round is dominated by fixed job overhead (two joins over a tiny
+    * (id,lbl) table), so fewer rounds is the whole game. At web scale
+    * swap in alternating large-star/small-star; same join primitive.
     *
     * Every round `localCheckpoint`s the new label table — the plan would
-    * otherwise double per round (labels feeds both the propagation join
-    * and the carry-forward), reaching 2^rounds re-derivations of the pair
-    * query. The loop stops when a round changes zero labels (near-dup
-    * clusters have tiny diameter, so this exits in a handful of rounds);
-    * `maxRounds` is a web-scale safety bound — at that scale swap in
-    * alternating large-star/small-star, same join primitive. Superseded
-    * checkpoint blocks are unreferenced after each round and reclaimed by
-    * the ContextCleaner. Returns (labels, roundsRun). */
+    * otherwise double per round (labels feeds the propagation joins and
+    * the carry-forward), reaching 2^rounds re-derivations of the pair
+    * query. The loop stops when a round changes zero labels; `maxRounds`
+    * is a safety bound. Superseded checkpoint blocks are unreferenced
+    * after each round and reclaimed by the ContextCleaner.
+    * Returns (labels, roundsRun). */
   private[graft] def connectedComponents(docs: DataFrame, edges: DataFrame,
       maxRounds: Int = 50): (DataFrame, Int) = {
     var labels = docs.localCheckpoint()
@@ -138,12 +155,20 @@ object Dedup {
     while (changed > 0 && rounds < maxRounds) {
       val prop = edges.join(labels, edges("src") === labels("doc_id"))
         .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
+      // pointer jump: the label of my label, one hop up the chain
+      val jump = labels.select(col("doc_id").as("jid"), col("lbl").as("jlbl"))
       // lazy checkpoint: the convergence count below is the job that
       // materializes it, so each round runs one job, not two
-      val next = labels.join(prop, labels("doc_id") === prop("dst"), "left")
+      val next = labels
+        .join(prop, labels("doc_id") === prop("dst"), "left")
+        .join(jump, labels("lbl") === col("jid"), "left")
         .select(col("doc_id"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
-          (coalesce(col("nlbl"), col("lbl")) < col("lbl")).as("chg"))
+          least(col("lbl"),
+            coalesce(col("nlbl"), col("lbl")),
+            coalesce(col("jlbl"), col("lbl"))).as("nxt"),
+          col("lbl"))
+        .select(col("doc_id"), col("nxt").as("lbl"),
+          (col("nxt") < col("lbl")).as("chg"))
         .localCheckpoint(eager = false)
       changed = next.where(col("chg")).count()
       labels = next.drop("chg")
@@ -258,16 +283,23 @@ object Dedup {
     // the step that turns pair detection into corpus dedup. Oracle:
     // recursive-CTE reachability in DuckDB.
     "q_dedup_clusters" -> ((s, d) => {
-      val pairs = ngramJaccardPairs(s, d).select(col("doc_a"), col("doc_b"))
+      // raw (unsorted) pairs: the edge list feeds groupBy/join shuffles,
+      // so the pair query's published ORDER BY would be pure waste here.
+      // Cache the PAIRS (tiny — near-dup survivors only), then build the
+      // undirected edge list from the cache: union-ing the raw pair plan
+      // with its own swap would re-derive the whole inverted-index
+      // pipeline once per branch (measured ~2× the query's cost).
+      val pairs = ngramJaccardPairsRaw(s, d)
+        .select(col("doc_a"), col("doc_b")).cache()
       val edges = pairs.unionAll(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .toDF("src", "dst").cache()
+        .toDF("src", "dst")
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("doc_id").as("lbl"))
       val (labels, _) = connectedComponents(docs, edges)
       // labels is checkpointed — the returned plan no longer references
-      // the edge list, so its cache can be dropped eagerly.
-      edges.unpersist()
+      // the pair list, so its cache can be dropped eagerly.
+      pairs.unpersist()
       labels.select(col("doc_id"), col("lbl").as("keep_id"),
           (col("doc_id") === col("lbl")).as("is_keeper"))
         .orderBy(col("doc_id"))

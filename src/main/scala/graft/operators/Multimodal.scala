@@ -139,7 +139,7 @@ object Multimodal {
         |    ORD(SUBSTRING(m.text, CAST(f.idx % m.nb AS INT) + 1, 1)) AS val
         |  FROM fr f JOIN m USING (doc_id))
         |SELECT doc_id, frames, COUNT(*) AS n_sampled,
-        |       SUM(val) AS frame_val_sum
+        |       CAST(SUM(val) AS BIGINT) AS frame_val_sum
         |FROM v GROUP BY doc_id, frames ORDER BY doc_id""".stripMargin
   )
 }

@@ -158,9 +158,9 @@ object TextAnalysis {
         |    nw >= 30 AND uniq_ratio > 0.45 AND has_stop AS s3
         |  FROM t)
         |SELECT lang, COUNT(*) AS n_total,
-        |  SUM(CAST(s1 AS BIGINT)) AS n_len,
-        |  SUM(CAST(s2 AS BIGINT)) AS n_diverse,
-        |  SUM(CAST(s3 AS BIGINT)) AS n_kept
+        |  CAST(SUM(CAST(s1 AS BIGINT)) AS BIGINT) AS n_len,
+        |  CAST(SUM(CAST(s2 AS BIGINT)) AS BIGINT) AS n_diverse,
+        |  CAST(SUM(CAST(s3 AS BIGINT)) AS BIGINT) AS n_kept
         |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_text_stats" ->

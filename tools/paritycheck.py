@@ -68,6 +68,20 @@ def main():
             n_fail += 1
             continue
 
+        # DuckDB's SUM(INTEGER/BIGINT) returns HUGEINT, which the driver's
+        # pandas conversion renders float64 while Spark emits int64 — the
+        # hash then mismatches even when every value is identical. Arrow
+        # (used here) surfaces HUGEINT as decimal128, so this script would
+        # mis-diagnose it as a value diff; flag it as its own failure mode.
+        # Fix pattern: CAST(SUM(...) AS BIGINT) in the oracle SQL.
+        huge = [r[0] for r in con.execute(f"DESCRIBE {sql}").fetchall()
+                if r[1] in ("HUGEINT", "UHUGEINT")]
+        if huge:
+            print(f"FAIL {name}: HUGEINT oracle columns {huge} — wrap in "
+                  f"CAST(... AS BIGINT); pandas renders HUGEINT as float64")
+            n_fail += 1
+            continue
+
         s_cols, d_cols = sorted(spark_tbl.column_names), sorted(duck_tbl.column_names)
         if s_cols != d_cols:
             print(f"FAIL {name}: columns spark={s_cols} duck={d_cols}")
