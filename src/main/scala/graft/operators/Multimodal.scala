@@ -108,6 +108,27 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    // Replays the FakeDecoder arithmetic (all derived from the UTF-8
+    // bytes; fixture text is ASCII so ORD(SUBSTRING) = byte value, the
+    // same equivalence the green q_multimodal_frames oracle relies on).
+    // f0 is genuine float32: DuckDB FLOAT/FLOAT division is IEEE single,
+    // bit-identical to the stub's `(b0 & 0xFF) / 255.0f` (verified).
+    "q_multimodal_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id, text, OCTET_LENGTH(ENCODE(text)) AS nb,
+        |    CASE WHEN OCTET_LENGTH(ENCODE(text)) > 0
+        |         THEN ORD(SUBSTRING(text, 1, 1)) ELSE 0 END AS b0,
+        |    CASE WHEN OCTET_LENGTH(ENCODE(text)) > 1
+        |         THEN ORD(SUBSTRING(text, 2, 1)) ELSE 0 END AS b1
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(nb AS INT) AS n_bytes,
+        |  CAST(64 + b0 % 192 AS INT) AS width,
+        |  CAST(64 + b1 % 192 AS INT) AS height,
+        |  CAST(1 + nb % 30 AS INT) AS frames,
+        |  CAST(b0 AS FLOAT) / CAST(255 AS FLOAT) AS f0
+        |FROM m ORDER BY doc_id""".stripMargin,
+
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS n_bytes,

@@ -61,24 +61,28 @@ object Similarity {
     }),
 
     // SRP-LSH ANN: 16 sign-bits bucket per vector; query scans only its
-    // bucket, then re-ranks with the codegen'd cosine. Approximate (no
-    // oracle → rows-only): recall depends on bucket collisions; the scale
-    // path is bucket-partitioned storage + multi-probe. The bucket is the
-    // compiled SrpBandKeys expression (1 band × 16 bits) — the HOF-lambda
-    // spelling of the same hash ran interpreted per element.
+    // bucket, then re-ranks decimal-exact. Approximate by construction
+    // (bucket recall < 1), but fully DETERMINISTIC: the hyperplanes come
+    // from the fixed integer hash (engine-independent — same derivation
+    // as the q_dedup_embedding_lsh oracle) and the re-rank is the
+    // order-independent decimal cosine, so a DuckDB oracle replays the
+    // whole query bit-exactly. The scale path is bucket-partitioned
+    // storage + multi-probe. The bucket is the compiled SrpBandKeys
+    // expression (1 band × 16 bits) — the HOF-lambda spelling of the
+    // same hash ran interpreted per element.
     "q_sim_ann_lsh" -> ((s, d) => {
       import graft.functions.VectorFunctions.srp_band_keys
       val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"))
-        .withColumn("bucket", element_at(
-          srp_band_keys(col("embedding").cast("array<double>"), 1, 16), 1))
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("bucket", element_at(srp_band_keys(col("v"), 1, 16), 1))
       val q = e.where(col("vec_id") < 3)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
           col("bucket"))
       val cand = e.where(col("vec_id") >= 3)
         .join(q, Seq("bucket"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          cosine_sim(col("qe"), col("embedding")).as("cos"))
+          exactCos(col("qv"), col("v")).as("cos"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("neighbor_id"))
       cand.withColumn("rn", row_number().over(w))
@@ -89,19 +93,37 @@ object Similarity {
     // IVF-style ANN: coarse-quantize to the nearest of 8 centroids from a
     // real (if short) Lloyd's k-means — deterministic seeds (vec_id 3..10)
     // refined by 2 assign/recompute rounds — then probe only the query's
-    // cell. Approximate → rows-only. The k-means itself is the scale
-    // shape: assignment is a broadcast join + codegen'd cosine over one
-    // corpus scan, and the centroid update reuses the no-explode
-    // 64-sums-in-one-groupBy trick of q_sim_centroids (only 8×64 doubles
-    // ever return to the driver-side plan as the next broadcast). At
-    // 100 TB you'd run it on a sample; the fixture IS sample-sized.
+    // cell. The k-means is the scale shape: assignment is a broadcast
+    // join over one corpus scan, and the centroid update reuses the
+    // no-explode 64-sums-in-one-groupBy trick of q_sim_centroids (only
+    // 8×64 doubles ever return to the driver-side plan as the next
+    // broadcast). At 100 TB you'd run it on a sample; the fixture IS
+    // sample-sized.
+    //
+    // Every numeric step is engine-independent, so the whole trajectory
+    // replays in the DuckDB oracle: similarities are the decimal-exact
+    // cosine (order-independent sums), and each "centroid" is the
+    // UN-normalized per-cell decimal SUM vector (cast to double) —
+    // cosine is scale-invariant, so skipping the ÷n changes nothing
+    // about assignments while eliminating decimal-division rounding,
+    // which differs between engines (same reasoning as q_sim_centroids
+    // emitting sums, not means).
     "q_sim_ann_ivf" -> ((s, d) => {
-      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-        .withColumn("v", col("embedding").cast("array<double>"))
+      import s.implicits._
+      import graft.functions.VectorFunctions.decimal_dot
+      // decimal norms once per vector / per centroid, not once per pair:
+      // the VALUES are identical to exactCos's inline spelling (the
+      // oracle mirrors SQRT(q.nsq * c.nsq)), this just stops recomputing
+      // a per-row constant k times across the broadcast join
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nsq", decimal_dot(col("v"), col("v")).cast("double"))
       def nearest(cents: DataFrame): DataFrame =
-        e.join(broadcast(cents))
-          .select(col("vec_id"), col("embedding"), col("v"), col("cent_id"),
-            cosine_sim(col("v"), col("cv")).as("sim"))
+        e.join(broadcast(cents.withColumn("cnsq",
+            decimal_dot(col("cv"), col("cv")).cast("double"))))
+          .select(col("vec_id"), col("v"), col("nsq"), col("cent_id"),
+            (decimal_dot(col("v"), col("cv")).cast("double") /
+              sqrt(col("nsq") * col("cnsq"))).as("sim"))
           .withColumn("rn", row_number().over(
             Window.partitionBy(col("vec_id"))
               .orderBy(col("sim").desc, col("cent_id"))))
@@ -110,21 +132,37 @@ object Similarity {
         .select(col("vec_id").as("cent_id"), col("v").as("cv"))
       for (_ <- 1 to 2) {
         val sums = (0 until 64).map(i =>
-          sum(element_at(col("v"), i + 1)).as(s"s$i"))
-        val counts = nearest(cents).groupBy(col("cent_id"))
-          .agg(sums.head, (sums.tail :+ count(lit(1)).as("n")): _*)
-        cents = counts.select(col("cent_id"),
-          array((0 until 64).map(i => col(s"s$i") / col("n")): _*).as("cv"))
+          sum(element_at(col("v"), i + 1).cast("decimal(30,12)")).as(s"s$i"))
+        val agg = nearest(cents).groupBy(col("cent_id"))
+          .agg(sums.head, sums.tail: _*)
+          .select(col("cent_id"),
+            array((0 until 64).map(i => col(s"s$i").cast("double")): _*)
+              .as("cv"))
+        // materialize the 8×64-double centroid table to the driver and
+        // restart the next round from a local relation: leaving each
+        // round as a chained plan re-derives the whole k-means history
+        // inside every downstream branch (the final query consumes
+        // `assigned` twice), which measured ~4× the query's cost. This
+        // is the one driver-side loop in the library, and it is bounded:
+        // k × dim doubles per round, never data-sized.
+        cents = agg.collect().toSeq
+          .map(r => (r.getLong(0), r.getSeq[Double](1)))
+          .toDF("cent_id", "cv")
       }
+      // both the query side and the candidate side consume `assigned`;
+      // cache it so the final assignment pass evaluates once, not twice
+      // (the harness clears the session cache after each query)
       val assigned = nearest(cents)
-        .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+        .select(col("vec_id"), col("v"), col("nsq"), col("cent_id").as("cell"))
+        .cache()
       val q = assigned.where(col("vec_id") < 3)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-          col("cell"))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nsq").as("qnsq"), col("cell"))
       val cand = assigned.where(col("vec_id") >= 3)
         .join(q, Seq("cell"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          cosine_sim(col("qe"), col("embedding")).as("cos"))
+          (decimal_dot(col("qv"), col("v")).cast("double") /
+            sqrt(col("qnsq") * col("nsq"))).as("cos"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("neighbor_id"))
       cand.withColumn("rn", row_number().over(w))
@@ -161,6 +199,122 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    // Replays the SRP bucketing (1 band × 16 bits) from the same fixed
+    // integer hash as the q_dedup_embedding_lsh oracle, then the
+    // decimal-exact re-rank — the whole approximate query is
+    // deterministic, so it oracle-checks like an exact one.
+    "q_sim_ann_lsh" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |proj AS (
+        |  SELECT vec_id, p,
+        |    (SELECT SUM(v[j + 1] *
+        |        CASE WHEN ((((p * 64 + j) * 2654435761) >> 16) & 1) = 0
+        |             THEN 1.0 ELSE -1.0 END)
+        |     FROM generate_series(0, 63) AS t(j)) AS pr
+        |  FROM e CROSS JOIN generate_series(0, 15) AS pp(p)),
+        |bk AS (
+        |  SELECT vec_id,
+        |    SUM(CASE WHEN pr > 0 THEN 1 << (15 - p) ELSE 0 END) AS bucket
+        |  FROM proj GROUP BY vec_id),
+        |n AS (SELECT e.vec_id, e.v, bk.bucket,
+        |        (SELECT CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE)
+        |         FROM UNNEST(v) AS t(x)) AS nsq
+        |      FROM e JOIN bk USING (vec_id)),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |        (SELECT CAST(SUM(CAST(q.v[i] * c.v[i] AS DECIMAL(30,12)))
+        |                AS DOUBLE)
+        |         FROM generate_series(1, 64) AS t(i))
+        |          / SQRT(q.nsq * c.nsq) AS cos
+        |      FROM n q JOIN n c
+        |        ON q.bucket = c.bucket AND q.vec_id < 3 AND c.vec_id >= 3),
+        |r AS (SELECT query_id, neighbor_id, cos,
+        |        ROW_NUMBER() OVER (PARTITION BY query_id
+        |                           ORDER BY cos DESC, neighbor_id) AS rn
+        |      FROM s)
+        |SELECT query_id, neighbor_id, cos, rn FROM r
+        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+
+    // Replays the full deterministic k-means trajectory: seed centroids
+    // (vec_id 3..10), two assign/update rounds with decimal-exact
+    // similarities and UN-normalized decimal-sum centroids (cosine is
+    // scale-invariant — see the query's comment), then the cell-probe
+    // top-k. Assignment ties break by cent_id in both engines.
+    "q_sim_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |nv AS (SELECT vec_id, v,
+        |        (SELECT CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE)
+        |         FROM UNNEST(v) AS t(x)) AS nsq
+        |       FROM e),
+        |c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
+        |       WHERE vec_id BETWEEN 3 AND 10),
+        |a0 AS (SELECT q.vec_id, c.cent_id,
+        |        (SELECT CAST(SUM(CAST(q.v[i] * c.cv[i] AS DECIMAL(30,12)))
+        |                AS DOUBLE)
+        |         FROM generate_series(1, 64) AS t(i))
+        |          / SQRT(q.nsq *
+        |            (SELECT CAST(SUM(CAST(x * x AS DECIMAL(30,12)))
+        |                    AS DOUBLE) FROM UNNEST(c.cv) AS u(x))) AS sim
+        |       FROM nv q CROSS JOIN c0 c),
+        |g0 AS (SELECT vec_id, cent_id FROM (
+        |         SELECT vec_id, cent_id, ROW_NUMBER() OVER (
+        |           PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
+        |         FROM a0) WHERE rn = 1),
+        |s1 AS (SELECT g.cent_id, t.i AS i,
+        |        CAST(SUM(CAST(e2.v[t.i] AS DECIMAL(30,12))) AS DOUBLE) AS sv
+        |       FROM g0 g JOIN e e2 USING (vec_id)
+        |       CROSS JOIN generate_series(1, 64) AS t(i)
+        |       GROUP BY g.cent_id, t.i),
+        |c1 AS (SELECT cent_id, LIST(sv ORDER BY i) AS cv FROM s1
+        |       GROUP BY cent_id),
+        |a1 AS (SELECT q.vec_id, c.cent_id,
+        |        (SELECT CAST(SUM(CAST(q.v[i] * c.cv[i] AS DECIMAL(30,12)))
+        |                AS DOUBLE)
+        |         FROM generate_series(1, 64) AS t(i))
+        |          / SQRT(q.nsq *
+        |            (SELECT CAST(SUM(CAST(x * x AS DECIMAL(30,12)))
+        |                    AS DOUBLE) FROM UNNEST(c.cv) AS u(x))) AS sim
+        |       FROM nv q CROSS JOIN c1 c),
+        |g1 AS (SELECT vec_id, cent_id FROM (
+        |         SELECT vec_id, cent_id, ROW_NUMBER() OVER (
+        |           PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
+        |         FROM a1) WHERE rn = 1),
+        |s2 AS (SELECT g.cent_id, t.i AS i,
+        |        CAST(SUM(CAST(e2.v[t.i] AS DECIMAL(30,12))) AS DOUBLE) AS sv
+        |       FROM g1 g JOIN e e2 USING (vec_id)
+        |       CROSS JOIN generate_series(1, 64) AS t(i)
+        |       GROUP BY g.cent_id, t.i),
+        |c2 AS (SELECT cent_id, LIST(sv ORDER BY i) AS cv FROM s2
+        |       GROUP BY cent_id),
+        |a2 AS (SELECT q.vec_id, c.cent_id,
+        |        (SELECT CAST(SUM(CAST(q.v[i] * c.cv[i] AS DECIMAL(30,12)))
+        |                AS DOUBLE)
+        |         FROM generate_series(1, 64) AS t(i))
+        |          / SQRT(q.nsq *
+        |            (SELECT CAST(SUM(CAST(x * x AS DECIMAL(30,12)))
+        |                    AS DOUBLE) FROM UNNEST(c.cv) AS u(x))) AS sim
+        |       FROM nv q CROSS JOIN c2 c),
+        |cells AS (SELECT vec_id, cent_id AS cell FROM (
+        |         SELECT vec_id, cent_id, ROW_NUMBER() OVER (
+        |           PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
+        |         FROM a2) WHERE rn = 1),
+        |w AS (SELECT nv.vec_id, nv.v, nv.nsq, cells.cell
+        |      FROM nv JOIN cells USING (vec_id)),
+        |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |        (SELECT CAST(SUM(CAST(q.v[i] * c.v[i] AS DECIMAL(30,12)))
+        |                AS DOUBLE)
+        |         FROM generate_series(1, 64) AS t(i))
+        |          / SQRT(q.nsq * c.nsq) AS cos
+        |       FROM w q JOIN w c
+        |         ON q.cell = c.cell AND q.vec_id < 3 AND c.vec_id >= 3),
+        |r AS (SELECT query_id, neighbor_id, cos,
+        |        ROW_NUMBER() OVER (PARTITION BY query_id
+        |                           ORDER BY cos DESC, neighbor_id) AS rn
+        |      FROM sc)
+        |SELECT query_id, neighbor_id, cos, rn FROM r
+        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+
     "q_sim_centroids" ->
       """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),
