@@ -305,6 +305,14 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // ==================== FIXTURE-SCALE ONLY ====================
+    // The candidate stage below is an all-pairs nested-loop join:
+    // Ω(n²) comparisons. It exists ONLY as the exact ground-truth
+    // baseline the oracle checks the LSH path against. NEVER use this
+    // query as a template for corpus-scale embedding dedup — that is
+    // q_dedup_embedding_lsh below (bucketed candidates, no cross
+    // product, plan-asserted in PlanSpec).
+    // ============================================================
     // Embedding near-dup, exact baseline: codegen'd double cosine
     // prefilter (custom Catalyst expression, whole-stage codegen) +
     // decimal-exact cosine on survivors so the oracle hash is
@@ -350,12 +358,32 @@ object Dedup {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       // compiled SRP signature (array index = band, value = bucket);
       // posexplode recovers the band id so the join key is (band, bucket)
+      // cached: consumed by the size census AND both sides of the
+      // candidate self-join — one SRP evaluation (768 planes × 64 dims
+      // per vector) instead of three; (vec_id, band, bucket) rows are a
+      // few MB at fixture scale, and at corpus scale this table is the
+      // thing you'd persist/bucket-partition anyway. Harness clears the
+      // session cache per query.
       val bk = e
         .select(col("vec_id"),
           posexplode(srp_band_keys(col("v"), Bands, Bits)))
         .select(col("vec_id"),
           struct(col("pos").as("band"), col("col").as("bucket")).as("bk"))
-      val cand = bk.as("a").join(bk.as("b"),
+        .cache()
+      // Explicit skew bound: a (band,bucket) cell of size k fans out to
+      // k(k-1)/2 candidate rows, so one degenerate bucket (all-zero
+      // vectors, a constant embedding column, an adversarial cluster)
+      // could dominate the whole join at corpus scale. Cells above
+      // MaxSrpBucket are dropped from THIS band — the same pair stays
+      // discoverable through its other 63 bands, exactly the
+      // stop-shingle argument of ShingleDfCap. Measured fixture max cell
+      // is 98 (sf0.1) / 31 (sf0.01), so 256 is provably inactive here
+      // and the oracle (which has no cap) checks that: OperatorsSpec
+      // asserts the margin.
+      val hot = bk.groupBy(col("bk")).agg(count(lit(1)).as("bsz"))
+        .where(col("bsz") > MaxSrpBucket).select(col("bk"))
+      val cold = bk.join(hot, Seq("bk"), "left_anti")
+      val cand = cold.as("a").join(cold.as("b"),
           col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
         .distinct()
@@ -370,6 +398,11 @@ object Dedup {
           col("nsq").as("na")), "vec_a")
         .join(n.select(col("vec_id").as("vec_b"), col("v").as("vb"),
           col("nsq").as("nb")), "vec_b")
+        // codegen'd double prefilter before the decimal rescore, same
+        // margin argument as q_dedup_embedding: double and decimal
+        // cosine agree to ~1e-9, so a 1e-3 threshold slack is lossless —
+        // and it spares ~all of the 175k-candidate BigDecimal work
+        .where(cosine_sim(col("va"), col("vb")) > 0.399)
         .select(col("vec_a"), col("vec_b"),
           (decimal_dot(col("va"), col("vb")).cast("double") /
             sqrt(col("na") * col("nb"))).as("cos"))
@@ -381,6 +414,11 @@ object Dedup {
   /** SRP-LSH banding for the embedding near-dup: 64 bands × 12 bits. */
   private val Bands = 64
   private val Bits = 12
+
+  /** Per-(band,bucket) size cap for the SRP candidate join — see the
+    * comment at its use site. Package-visible so OperatorsSpec can assert
+    * the fixture margin (max measured cell 98 at sf0.1). */
+  private[graft] val MaxSrpBucket = 256
 
   /** DuckDB twin of the exact trigram-Jaccard pair query (also the oracle
     * for the LSH variant — see q_dedup_minhash_lsh's recall argument). */

@@ -75,10 +75,18 @@ object TextAnalysis {
       // re-scanned and re-exploded the corpus three times. The profile is
       // ≤ 10 rows per language → broadcast to the hit join. The harness
       // clears the session cache between queries.
+      //
+      // Memory envelope at scale: persist() here is MEMORY_AND_DISK (the
+      // Dataset default) — (doc_id, lang, token) rows for a 100 TB corpus
+      // are far past executor memory, so partitions that don't fit SPILL
+      // TO DISK rather than evict-and-recompute (recompute = re-exploding
+      // the corpus, the exact cost this cache exists to avoid). If the
+      // cluster's disks are the constraint instead, drop the persist and
+      // accept the 3 scans — never MEMORY_ONLY here.
       val tok = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           explode(array_distinct(split(col("text"), " "))).as("w"))
-        .cache()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val prof = tok.groupBy(col("lang"), col("w")).count()
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("lang"))

@@ -45,16 +45,31 @@ object EventStreams {
   }
 
   /** Run `df` (a streaming DataFrame) to completion into a memory sink,
-    * return the sink table. */
+    * return the sink table.
+    *
+    * The stream runs with `spark.sql.shuffle.partitions` = 8 (set before
+    * start, restored after): a stateful stream creates one state store
+    * PER shuffle partition PER stateful operator, and store startup cost
+    * is a fixed floor unrelated to data volume — at fixture scale the
+    * session default of 32 was pure overhead (several seconds across the
+    * suite), while results are partition-count-independent. A real
+    * deployment sizes this to key cardinality × throughput, not to the
+    * batch default. Execution happens inside this method (AvailableNow +
+    * awaitTermination), so the restore cannot race the stream. */
   private def runToMemory(s: SparkSession, df: DataFrame, mode: String,
       name: String): DataFrame = {
-    val q = df.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "8")
+    try {
+      val q = df.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set(key, prev)
     s.table(name)
   }
 

@@ -17,6 +17,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("SRP bucket-size cap is provably inactive at fixture scale") {
+    import graft.functions.VectorFunctions.srp_band_keys
+    // the q_dedup_embedding_lsh skew bound drops (band,bucket) cells
+    // above MaxSrpBucket; the oracle carries no cap, so oracle equality
+    // requires the cap to never fire on fixture data — assert a 2×
+    // margin (measured max: 98 at sf0.1, 31 at sf0.01)
+    val maxCell = graft.sources.Tables.embeddings(spark, sf)
+      .select(posexplode(srp_band_keys(
+        col("embedding").cast("array<double>"), 64, 12)))
+      .groupBy(col("pos"), col("col")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    assert(maxCell * 2 <= graft.operators.Dedup.MaxSrpBucket,
+      s"max SRP cell $maxCell too close to cap ${graft.operators.Dedup.MaxSrpBucket}")
+  }
+
   test("exact dedup keeps every distinct text exactly once") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val distinctTexts = docs.select("text").distinct().count()
