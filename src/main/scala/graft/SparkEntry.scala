@@ -29,6 +29,7 @@ object SparkEntry {
       graft.operators.Similarity.defs ++
       graft.operators.TextAnalysis.defs ++
       graft.operators.Multimodal.defs ++
+      graft.operators.Curation.defs ++
       graft.streaming.EventStreams.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -42,5 +43,6 @@ object SparkEntry {
       graft.operators.Similarity.oracles ++
       graft.operators.TextAnalysis.oracles ++
       graft.operators.Multimodal.oracles ++
+      graft.operators.Curation.oracles ++
       graft.streaming.EventStreams.oracles
 }

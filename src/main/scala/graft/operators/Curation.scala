@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.QueryDefs.Q
+import graft.sources.Tables
+
+/** Corpus-curation operators over the `documents` fixture — the
+  * reproducibility-first shapes a training-data pipeline needs beyond
+  * detection/dedup: deterministic sampling, shard packing, PII scrubbing.
+  *
+  * Everything here is hash- or rule-deterministic (no RNG), so each query
+  * carries a full DuckDB oracle: at 100 TB, "re-run the pipeline and get
+  * the same corpus" is a feature you design in, not an accident — a
+  * seeded engine RNG (cf. q_sample_stratified's sampleBy) changes output
+  * under repartitioning, while a content/key hash never does.
+  */
+object Curation {
+
+  /** Knuth multiplicative hash of the doc id onto [0, 1000) — permille
+    * bucket for sampling. The id is bounded mod 2^20 first so the
+    * multiply never overflows INT64 (DuckDB raises on overflow rather
+    * than wrapping, so both engines must stay in range; the masked id
+    * still separates every doc at fixture scale and cycles harmlessly
+    * beyond it). Same public constant as [[graft.functions.SrpBandKeys]].
+    */
+  private val SampleHashSql =
+    "pmod(shiftright((doc_id % 1048576) * 2654435761, 16), 1000)"
+
+  val defs: Map[String, Q] = Map(
+
+    // Deterministic stratified sampling: per-language permille rates
+    // applied by hashing the KEY, not by drawing randoms — the same doc
+    // is kept or dropped on every run, on any partitioning, on any
+    // engine. One scan, one groupBy; at scale the filter runs in the
+    // scan stage and the only shuffle is the tiny per-stratum count.
+    "q_sample_hash" -> ((s, d) => {
+      val permille = when(col("lang") === "en", 100).otherwise(50)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          expr(SampleHashSql).as("hb"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("hb") < permille, 1L).otherwise(0L)).as("n_sampled"))
+        .orderBy(col("lang"))
+    }),
+
+    // Greedy shard packing: documents stream in deterministic order
+    // (doc_id) within each language and fill fixed-capacity token shards
+    // — bin k holds the docs whose PRECEDING cumulative token count lies
+    // in [k·cap, (k+1)·cap). This is the one-pass streaming packer (a
+    // doc may straddle its shard's nominal capacity, bins stay ≥ cap
+    // full on average); per-language windows parallelize across the
+    // cluster, and the running sum is a single window scan — no
+    // driver-side loop, no second pass.
+    "q_pack_tokens" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cap = 2048L
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      toks
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("bin", ((col("cum") - col("n_tok")) / cap).cast("long"))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_sum"))
+        .orderBy(col("lang"), col("bin"))
+    }),
+
+    // PII scrubbing: regex redaction of emails and phone-shaped strings,
+    // with per-doc redaction counts and a digest of the scrubbed text.
+    // The fixture corpus contains no PII, so the query first INJECTS
+    // deterministic synthetic PII into a third of the docs (keyed on
+    // doc_id — no RNG), then scrubs it; the digest proves the
+    // replacement text, not just the counts. One scan, all codegen'd
+    // string expressions; the patterns are RE2-safe so the oracle runs
+    // them verbatim.
+    "q_pii_scrub" -> ((s, d) => {
+      val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+      val phone = "555-[0-9]{4}"
+      val aug = when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com now")))
+        .when(col("doc_id") % 3 === 1,
+          concat(col("text"), lit(" call 555-"),
+            (lit(1000) + col("doc_id") % 9000).cast("string")))
+        .otherwise(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), aug.as("aug"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("aug"), lit(email), lit(0)))
+            .as("n_emails"),
+          size(regexp_extract_all(col("aug"), lit(phone), lit(0)))
+            .as("n_phones"),
+          sha2(regexp_replace(regexp_replace(col("aug"), email, "<EMAIL>"),
+            phone, "<PHONE>").cast("binary"), 256).as("scrubbed_digest"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_sample_hash" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    ((doc_id % 1048576) * 2654435761 >> 16) % 1000 AS hb,
+        |    CASE WHEN lang = 'en' THEN 100 ELSE 50 END AS permille
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN hb < permille THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_sampled
+        |FROM h GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_pack_tokens" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, n_tok,
+        |    CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS cum
+        |  FROM t)
+        |SELECT lang, (cum - n_tok) // 2048 AS bin,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_sum
+        |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+
+    "q_pii_scrub" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |           text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |                || '@example.com now'
+        |         WHEN doc_id % 3 = 1 THEN
+        |           text || ' call 555-'
+        |                || CAST(1000 + doc_id % 9000 AS VARCHAR)
+        |         ELSE text END AS aug
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(LEN(regexp_extract_all(aug,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INT)
+        |    AS n_emails,
+        |  CAST(LEN(regexp_extract_all(aug, '555-[0-9]{4}')) AS INT)
+        |    AS n_phones,
+        |  SHA256(regexp_replace(regexp_replace(aug,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>',
+        |    'g'), '555-[0-9]{4}', '<PHONE>', 'g')) AS scrubbed_digest
+        |FROM a ORDER BY doc_id""".stripMargin
+  )
+}

@@ -305,6 +305,33 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // Benchmark-contamination check: which corpus documents share ≥ 5
+    // word trigrams with any document in the held-out set (source src0
+    // stands in for an eval benchmark)? The scale shape is the same
+    // inverted-index discipline as the Jaccard pair query, but CROSS-SET
+    // (corpus × eval, not corpus × corpus): only the eval side's posting
+    // list — millions of times smaller than the corpus at 100 TB — is
+    // joined against corpus shingles, and the overlap count falls out of
+    // the join-row groupBy; no shingle arrays travel. (The df-cap is not
+    // applied here: contamination wants exact overlap counts, and the
+    // eval side bounds the fan-out per shingle by ITS df, not the
+    // corpus's.)
+    "q_contamination" -> ((s, d) => {
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val ex = withShingles(s, d)
+        .select(col("doc_id"), explode(col("sh")).as("shingle"))
+        .join(src, "doc_id")
+      val evalEx = ex.where(col("source") === "src0")
+        .select(col("doc_id").as("eval_id"), col("shingle"))
+      val corpEx = ex.where(col("source") =!= "src0")
+        .select(col("doc_id").as("corpus_id"), col("shingle"))
+      corpEx.join(evalEx, "shingle")
+        .groupBy(col("corpus_id"), col("eval_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 5)
+        .orderBy(col("corpus_id"), col("eval_id"))
+    }),
+
     // ==================== FIXTURE-SCALE ONLY ====================
     // The candidate stage below is an all-pairs nested-loop join:
     // Ω(n²) comparisons. It exists ONLY as the exact ground-truth
@@ -452,6 +479,24 @@ object Dedup {
 
     "q_dedup_ngram_jaccard" -> ngramOracle,
     "q_dedup_minhash_lsh" -> ngramOracle,
+
+    // Cross-set overlap via full distinct-shingle sets; the Spark side
+    // counts the same intersection from inverted-index join rows.
+    "q_contamination" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, source, CASE WHEN len(w) >= 3 THEN
+        |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                       for i in generate_series(1, len(w) - 2)])
+        |      ELSE [array_to_string(w, ' ')] END AS sh
+        |      FROM t),
+        |p AS (SELECT a.doc_id AS corpus_id, b.doc_id AS eval_id,
+        |        len(list_intersect(a.sh, b.sh)) AS inter
+        |      FROM g a JOIN g b
+        |        ON a.source <> 'src0' AND b.source = 'src0')
+        |SELECT corpus_id, eval_id, CAST(inter AS BIGINT) AS n_shared
+        |FROM p WHERE inter >= 5
+        |ORDER BY corpus_id, eval_id""".stripMargin,
 
     "q_dedup_clusters" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w

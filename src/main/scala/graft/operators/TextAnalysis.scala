@@ -138,9 +138,36 @@ object TextAnalysis {
         .orderBy(col("lang"))
     }),
 
+    // Repetition quality signal (Gopher/C4-style): the fraction of a
+    // document's word trigrams that are duplicates — high values flag
+    // boilerplate, spam, and degenerate generations. Single scan, all
+    // codegen'd array expressions, no shuffle except the output sort; at
+    // corpus scale this is a pure map stage that fuses into whatever
+    // scan feeds it.
+    "q_text_repetition" -> ((s, d) => {
+      val trigrams = expr(
+        """CASE WHEN size(toks) >= 3 THEN
+          |  transform(sequence(1, size(toks) - 2),
+          |    i -> concat_ws(' ', element_at(toks, i),
+          |                        element_at(toks, i + 1),
+          |                        element_at(toks, i + 2)))
+          |ELSE array(array_join(toks, ' ')) END""".stripMargin)
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), trigrams.as("tri"))
+        .select(col("doc_id"),
+          size(col("tri")).as("n_tri"),
+          size(array_distinct(col("tri"))).as("n_tri_uniq"),
+          (lit(1.0) - size(array_distinct(col("tri"))).cast("double") /
+            size(col("tri")).cast("double")).as("rep_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Winnowing fingerprint (custom expression, rolling 16-byte
-    // polynomial min-hash): identical texts share fingerprints; no DuckDB
-    // twin (engine-specific hash) → rows-only check.
+    // polynomial min-hash). Oracle-checked: the hash is pure integer
+    // arithmetic over fixed public constants (B=1000003, M=2^31-1), so a
+    // recursive CTE replays the byte loop exactly — nothing about it is
+    // engine-specific.
     "q_text_fingerprint" -> ((s, d) => {
       Tables.documents(s, d).select(
         col("doc_id"),
@@ -150,6 +177,59 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // Byte-exact replay of RollingFingerprint.minWindowHash (window 16,
+    // base 1000003, mod 2147483647): the recursion carries (h, min) per
+    // document byte position; 1828017126 = 1000003^15 mod M (the
+    // outgoing-byte power), 549755813632 = M*256 (the positivity pad,
+    // precomputed — DuckDB folds INT32 literals before widening).
+    // Fixture text is ASCII, so ORD(SUBSTRING) = UTF-8 byte, the same
+    // equivalence every multimodal oracle uses.
+    "q_text_fingerprint" ->
+      """WITH m AS (SELECT doc_id, text,
+        |             OCTET_LENGTH(ENCODE(text)) AS n FROM documents),
+        |rec AS (
+        |  WITH RECURSIVE rr(doc_id, i, h, mn) AS (
+        |    SELECT doc_id, 0, CAST(0 AS BIGINT), CAST(NULL AS BIGINT)
+        |    FROM m
+        |    UNION ALL
+        |    SELECT rr.doc_id, rr.i + 1,
+        |      CASE WHEN rr.i + 1 >= 16
+        |        THEN (((rr.h * 1000003
+        |                + ORD(SUBSTRING(m.text, rr.i + 1, 1)))
+        |               % 2147483647)
+        |              - CAST(ORD(SUBSTRING(m.text, rr.i - 14, 1))
+        |                     AS BIGINT) * 1828017126 % 2147483647
+        |              + 549755813632) % 2147483647
+        |        ELSE (rr.h * 1000003
+        |              + ORD(SUBSTRING(m.text, rr.i + 1, 1))) % 2147483647
+        |      END,
+        |      CASE WHEN rr.i + 1 >= 16
+        |        THEN LEAST(COALESCE(rr.mn, 9223372036854775807),
+        |               (rr.h * 1000003
+        |                + ORD(SUBSTRING(m.text, rr.i + 1, 1))) % 2147483647)
+        |        ELSE rr.mn END
+        |    FROM rr JOIN m ON m.doc_id = rr.doc_id
+        |    WHERE rr.i < m.n)
+        |  SELECT doc_id, i, h, mn FROM rr)
+        |SELECT r.doc_id, CASE WHEN r.mn IS NULL THEN r.h ELSE r.mn END AS fp
+        |FROM rec r JOIN m ON m.doc_id = r.doc_id AND r.i = m.n
+        |ORDER BY r.doc_id""".stripMargin,
+
+    "q_text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |        [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |         for i in generate_series(1, len(w) - 2)]
+        |      ELSE [array_to_string(w, ' ')] END AS tri
+        |      FROM t)
+        |SELECT doc_id,
+        |  CAST(len(tri) AS INT) AS n_tri,
+        |  CAST(len(list_distinct(tri)) AS INT) AS n_tri_uniq,
+        |  1.0 - CAST(len(list_distinct(tri)) AS DOUBLE)
+        |      / CAST(len(tri) AS DOUBLE) AS rep_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
+
     "q_text_filter_funnel" ->
       """WITH t AS (
         |  SELECT lang,

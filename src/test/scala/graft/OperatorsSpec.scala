@@ -142,6 +142,71 @@ class OperatorsSpec extends AnyFunSuite {
     })
   }
 
+  test("hash sampling is deterministic and within binomial bounds") {
+    val a = q("q_sample_hash").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2)))
+    val b = q("q_sample_hash").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(a.sameElements(b), "hash sampling must be run-invariant")
+    // en keeps ~10%, the rest ~5%; allow generous binomial slack
+    a.foreach { case (lang, total, sampled) =>
+      val p = if (lang == "en") 0.10 else 0.05
+      val tol = 4 * math.sqrt(total * p * (1 - p)) + 1
+      assert(math.abs(sampled - total * p) <= tol,
+        s"$lang sampled $sampled of $total, expected ~${total * p}")
+    }
+  }
+
+  test("token packing conserves docs and fills shards in order") {
+    val docs = graft.sources.Tables.documents(spark, sf).count()
+    val rows = q("q_pack_tokens").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._3).sum == docs, "every doc lands in exactly one bin")
+    // bins are consecutive from 0 within each language
+    rows.groupBy(_._1).foreach { case (lang, bins) =>
+      val ids = bins.map(_._2).sorted
+      assert(ids.head == 0 && ids.last == ids.length - 1,
+        s"$lang bins not consecutive: ${ids.mkString(",")}")
+      // every bin except possibly the last holds ≥ capacity tokens once
+      // its straddling doc is counted — cheap sanity: non-final bins are
+      // not near-empty
+      assert(bins.filter(_._2 < ids.last).forall(_._4 >= 2048 / 2))
+    }
+  }
+
+  test("pii scrub finds exactly the injected redactions") {
+    val rows = q("q_pii_scrub").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(rows.length == 500)
+    rows.foreach { case (id, emails, phones) =>
+      if (id % 3 == 0) assert(emails >= 1, s"doc $id: injected email missed")
+      if (id % 3 == 1) assert(phones >= 1, s"doc $id: injected phone missed")
+      if (id % 3 == 2) assert(emails == 0 && phones == 0,
+        s"doc $id: phantom PII in clean doc")
+    }
+  }
+
+  test("repetition ratio is consistent with its own counts") {
+    val rows = q("q_text_repetition").collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val n = r.getInt(1); val u = r.getInt(2); val ratio = r.getDouble(3)
+      assert(u <= n && n > 0)
+      assert(math.abs(ratio - (1.0 - u.toDouble / n)) < 1e-12)
+    }
+  }
+
+  test("contamination pairs always cross the corpus/eval boundary") {
+    val src = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    q("q_contamination").collect().foreach { r =>
+      assert(src(r.getLong(0)) != "src0", "corpus side must not be eval")
+      assert(src(r.getLong(1)) == "src0", "eval side must be src0")
+      assert(r.getLong(2) >= 5)
+    }
+  }
+
   test("flagship entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
