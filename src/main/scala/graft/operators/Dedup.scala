@@ -305,6 +305,42 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // Canonical-document selection: the step after cluster resolution
+    // that actually builds the deduplicated corpus — per near-dup
+    // cluster, keep the highest-quality member (quality = distinct-word
+    // count, an integer so the argmax is exactly reproducible; ties
+    // break to the smallest doc_id). Composition of the pair pipeline,
+    // connected components, and a per-cluster window argmax; the window
+    // partitions by cluster label, so at scale it shuffles only
+    // (doc_id, label, quality) triples — never text.
+    "q_dedup_canonical" -> ((s, d) => {
+      val pairs = ngramJaccardPairsRaw(s, d)
+        .select(col("doc_a"), col("doc_b")).cache()
+      val edges = pairs.unionAll(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .toDF("src", "dst")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("doc_id").as("lbl"))
+      val (labels, _) = connectedComponents(docs, edges)
+      pairs.unpersist()
+      val qual = Tables.documents(s, d).select(col("doc_id"),
+        size(array_distinct(split(col("text"), " "))).as("quality"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      labels.select(col("doc_id"), col("lbl").as("cluster_id"))
+        .join(qual, "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("canonical", first(col("doc_id")).over(
+          Window.partitionBy(col("cluster_id"))
+            .orderBy(col("quality").desc, col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("doc_id"), col("cluster_id"), col("quality"),
+          col("canonical").as("canonical_id"),
+          (col("rn") === 1).as("is_canonical"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Benchmark-contamination check: which corpus documents share ≥ 5
     // word trigrams with any document in the held-out set (source src0
     // stands in for an eval benchmark)? The scale shape is the same
@@ -523,6 +559,46 @@ object Dedup {
         |  ) SELECT id, MIN(lbl) AS keep_id FROM reach GROUP BY id)
         |SELECT id AS doc_id, keep_id, (id = keep_id) AS is_keeper
         |FROM rec ORDER BY doc_id""".stripMargin,
+
+    // Clusters twin + integer-quality argmax per cluster.
+    "q_dedup_canonical" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                       for i in generate_series(1, len(w) - 2)])
+        |      ELSE [array_to_string(w, ' ')] END AS sh
+        |      FROM t),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        len(list_intersect(a.sh, b.sh)) AS inter,
+        |        len(a.sh) AS na, len(b.sh) AS nb
+        |      FROM g a JOIN g b ON a.doc_id < b.doc_id),
+        |pairs AS (SELECT doc_a, doc_b FROM p
+        |          WHERE inter / (na + nb - inter) > 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |rec AS (
+        |  WITH RECURSIVE reach(id, lbl) AS (
+        |    SELECT doc_id, doc_id FROM documents
+        |    UNION
+        |    SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+        |    WHERE r.lbl < e.dst
+        |  ) SELECT id, MIN(lbl) AS keep_id FROM reach GROUP BY id),
+        |q AS (SELECT doc_id,
+        |        CAST(LEN(list_distinct(string_split(text, ' '))) AS INT)
+        |          AS quality
+        |      FROM documents),
+        |j AS (SELECT r.id AS doc_id, r.keep_id AS cluster_id, q.quality
+        |      FROM rec r JOIN q ON q.doc_id = r.id),
+        |w AS (SELECT doc_id, cluster_id, quality,
+        |        ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |          ORDER BY quality DESC, doc_id) AS rn,
+        |        FIRST_VALUE(doc_id) OVER (PARTITION BY cluster_id
+        |          ORDER BY quality DESC, doc_id) AS canonical_id
+        |      FROM j)
+        |SELECT doc_id, cluster_id, quality, canonical_id,
+        |       rn = 1 AS is_canonical
+        |FROM w ORDER BY doc_id""".stripMargin,
 
     "q_dedup_embedding" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -196,6 +196,22 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("canonical selection keeps exactly one best doc per cluster") {
+    val rows = q("q_dedup_canonical").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.length == 500)
+    val byCluster = rows.groupBy(_._2)
+    byCluster.values.foreach { ms =>
+      val canon = ms.filter(_._5)
+      assert(canon.length == 1, "exactly one canonical per cluster")
+      // canonical is max-quality (ties to smallest id), all members agree
+      val best = ms.minBy(m => (-m._3, m._1))
+      assert(canon.head._1 == best._1)
+      assert(ms.forall(_._4 == best._1))
+    }
+  }
+
   test("contamination pairs always cross the corpus/eval boundary") {
     val src = graft.sources.Tables.documents(spark, sf)
       .select("doc_id", "source").collect()

@@ -91,6 +91,28 @@ class PlanSpec extends AnyFunSuite {
       "anti join must be hash-based on the content-hash key")
   }
 
+  test("contamination joins through the shingle index, not a cross product") {
+    val p = plan("q_contamination")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "corpus × eval candidates must come from the shingle equi-join")
+  }
+
+  test("hash sampling filters in the scan stage with one aggregation shuffle") {
+    val p = plan("q_sample_hash")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges <= 2, // partial→final agg + output sort
+      s"deterministic sampling must not shuffle the corpus:\n$p")
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("token packing is one window pass, no self-join") {
+    val p = plan("q_pack_tokens")
+    assert(p.contains("Window"), "expected a window cumsum")
+    assert(!p.contains("Join"), "packing must not join the corpus to itself")
+  }
+
   test("bucketed join eliminates join-side shuffles") {
     val p = plan("q_join_bucketed")
     val joinSection = p.substring(p.indexOf("SortMergeJoin"))
