@@ -104,6 +104,27 @@ object Multimodal {
         .groupBy(col("doc_id"), col("frames"))
         .agg(count(lit(1)).as("n_sampled"), sum(col("v")).as("frame_val_sum"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Media-store dedup BEFORE decode: group blobs by content digest,
+    // keep the smallest doc_id per distinct blob. The media pipeline's
+    // first and cheapest win — a duplicate blob costs decode + feature
+    // extraction every time it slips through. Scale shape: the digest is
+    // computed in the scan stage (codegen'd sha2 over the binary column),
+    // and only (digest, doc_id, n_bytes) triples shuffle — media bytes
+    // NEVER leave their scan partition.
+    "q_multimodal_dedup" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("blob"))
+        .select(col("doc_id"), sha2(col("blob"), 256).as("digest"),
+          octet_length(col("blob")).as("n_bytes"))
+        .groupBy(col("digest"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_copies"),
+          sum(col("n_bytes").cast("long")).as("bytes_total"))
+        .select(col("keep_id"), col("n_copies"), col("bytes_total"),
+          col("digest"))
+        .orderBy(col("keep_id"))
     })
   )
 
@@ -128,6 +149,13 @@ object Multimodal {
         |  CAST(1 + nb % 30 AS INT) AS frames,
         |  CAST(b0 AS FLOAT) / CAST(255 AS FLOAT) AS f0
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_dedup" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
+        |  CAST(SUM(OCTET_LENGTH(ENCODE(text))) AS BIGINT) AS bytes_total,
+        |  SHA256(text) AS digest
+        |FROM documents
+        |GROUP BY SHA256(text) ORDER BY keep_id""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,

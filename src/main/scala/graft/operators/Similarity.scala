@@ -168,6 +168,64 @@ object Similarity {
       cand.withColumn("rn", row_number().over(w))
         .where(col("rn") <= 5)
         .orderBy(col("query_id"), col("rn"))
+    }),
+
+    // Symmetric int8 quantization of the embedding column — the storage
+    // shape for an ANN index at 100 TB (4→1 bytes/dim before similarity
+    // search; rescore the shortlist at full precision). Pure per-row math,
+    // no shuffle: scale = max|x|/127, q_i = floor(x_i/scale + 0.5). Every
+    // step is one correctly-rounded IEEE double op, and the per-vector
+    // reductions (q_sum, q_sqsum over int64; reconstruction error summed
+    // in decimal in ARRAY ORDER via a left fold) are order-fixed, so the
+    // whole thing oracle-checks bit-exactly. All-zero vectors quantize to
+    // zeros (scale 0 guard) rather than dividing by zero.
+    "q_embed_quantize" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+        .withColumn("scale", col("mx") / lit(127.0))
+        .withColumn("q", expr(
+          """CASE WHEN mx = 0d THEN transform(v, x -> 0L)
+            |ELSE transform(v, x -> CAST(floor(x / scale + 0.5d) AS LONG))
+            |END""".stripMargin))
+      e.select(col("vec_id"),
+          floor(col("scale") * lit(1e9)).cast("long").as("scale_q"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x * x).as("q_sqsum"),
+          floor(expr(
+            """aggregate(zip_with(v, q, (x, qi) -> abs(x - qi * scale)),
+              |  CAST(0 AS DECIMAL(30,12)),
+              |  (acc, e) -> CAST(acc + CAST(e AS DECIMAL(30,12))
+              |              AS DECIMAL(30,12)))""".stripMargin)
+            .cast("double") * lit(1e9)).cast("long").as("err_q"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // k-NN JOIN (every vector × its top-3 neighbors), LSH-bucketed: one
+    // 10-bit SRP bucket per vector, candidates from the bucket equi-join
+    // (vectors meet only bucket-mates — no cross product), decimal-exact
+    // re-rank. THE batch primitive behind embedding-cluster curation and
+    // semantic dedup at scale: the bucket id is the shuffle/partition
+    // key, per-bucket work is quadratic only in bucket size (expected
+    // n/1024 per bucket), and norms are computed once per vector, not
+    // per pair. Deterministic hyperplanes → full DuckDB oracle.
+    "q_sim_knn_join" -> ((s, d) => {
+      import graft.functions.VectorFunctions.{decimal_dot, srp_band_keys}
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("bucket", element_at(srp_band_keys(col("v"), 1, 10), 1))
+        .withColumn("nsq", decimal_dot(col("v"), col("v")).cast("double"))
+      val cand = e.as("a").join(e.as("b"),
+          col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
+          (decimal_dot(col("a.v"), col("b.v")).cast("double") /
+            sqrt(col("a.nsq") * col("b.nsq"))).as("cos"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("nbr_id"))
+      cand.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .orderBy(col("vec_id"), col("rn"))
     })
   )
 
@@ -199,6 +257,67 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    // Replays the quantization arithmetic step-for-step: same doubles in,
+    // same correctly-rounded IEEE ops, decimal (exact, order-free) sum
+    // for the reconstruction error.
+    "q_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |        (SELECT MAX(ABS(x)) FROM UNNEST(v) AS t(x)) AS mx
+        |      FROM e),
+        |s AS (SELECT vec_id, v, mx, mx / 127.0 AS scale FROM m),
+        |q AS (SELECT vec_id, v, scale,
+        |        CASE WHEN mx = 0 THEN [CAST(0 AS BIGINT) FOR x IN v]
+        |             ELSE [CAST(FLOOR(x / scale + 0.5) AS BIGINT)
+        |                   FOR x IN v] END AS qv
+        |      FROM s)
+        |SELECT vec_id,
+        |  CAST(FLOOR(scale * 1e9) AS BIGINT) AS scale_q,
+        |  (SELECT CAST(SUM(qi) AS BIGINT) FROM UNNEST(qv) AS t(qi))
+        |    AS q_sum,
+        |  (SELECT CAST(SUM(qi * qi) AS BIGINT) FROM UNNEST(qv) AS t(qi))
+        |    AS q_sqsum,
+        |  CAST(FLOOR(CAST((SELECT SUM(CAST(ABS(v[i] - qv[i] * scale)
+        |                   AS DECIMAL(30,12)))
+        |         FROM generate_series(1, 64) AS t(i)) AS DOUBLE) * 1e9)
+        |       AS BIGINT) AS err_q
+        |FROM q ORDER BY vec_id""".stripMargin,
+
+    // The knn-join oracle: identical 10-bit SRP bucketing from the shared
+    // integer hash, then the decimal-exact rescore and per-vector top-3.
+    "q_sim_knn_join" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |proj AS (
+        |  SELECT vec_id, p,
+        |    (SELECT SUM(v[j + 1] *
+        |        CASE WHEN ((((p * 64 + j) * 2654435761) >> 16) & 1) = 0
+        |             THEN 1.0 ELSE -1.0 END)
+        |     FROM generate_series(0, 63) AS t(j)) AS pr
+        |  FROM e CROSS JOIN generate_series(0, 9) AS pp(p)),
+        |bk AS (
+        |  SELECT vec_id,
+        |    SUM(CASE WHEN pr > 0 THEN 1 << (9 - p) ELSE 0 END) AS bucket
+        |  FROM proj GROUP BY vec_id),
+        |n AS (SELECT e.vec_id, e.v, bk.bucket,
+        |        (SELECT CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE)
+        |         FROM UNNEST(v) AS t(x)) AS nsq
+        |      FROM e JOIN bk USING (vec_id)),
+        |s AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+        |        (SELECT CAST(SUM(CAST(a.v[i] * b.v[i] AS DECIMAL(30,12)))
+        |                AS DOUBLE)
+        |         FROM generate_series(1, 64) AS t(i))
+        |          / SQRT(a.nsq * b.nsq) AS cos
+        |      FROM n a JOIN n b
+        |        ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        |r AS (SELECT vec_id, nbr_id, cos,
+        |        ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                           ORDER BY cos DESC, nbr_id) AS rn
+        |      FROM s)
+        |SELECT vec_id, nbr_id, cos, rn FROM r
+        |WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin,
+
     // Replays the SRP bucketing (1 band × 16 bits) from the same fixed
     // integer hash as the q_dedup_embedding_lsh oracle, then the
     // decimal-exact re-rank — the whole approximate query is

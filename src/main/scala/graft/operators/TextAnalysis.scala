@@ -173,6 +173,79 @@ object TextAnalysis {
         col("doc_id"),
         rolling_fingerprint(col("text"), 16).as("fp"))
         .orderBy(col("doc_id"))
+    }),
+
+    // TF-IDF keyword extraction: top-3 terms per document. idf is the
+    // rational (N - df + 0.5)/(df + 0.5) form (BM25's idf without the
+    // log) — every arithmetic step is a single correctly-rounded IEEE
+    // double op, so scores are bit-identical across engines with no
+    // quantization. Scale shape: tf is ONE (doc_id, term) shuffle with
+    // map-side combine; df aggregates the tf table (vocabulary-sized,
+    // far smaller than the corpus) and broadcasts back; the top-k window
+    // shuffles only (doc_id, term, score) triples.
+    "q_text_tfidf" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = tok.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(broadcast(df), "term")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"), col("tf"),
+          (col("tf").cast("double") *
+            ((col("n_docs") - col("df") + lit(0.5)) /
+              (col("df") + lit(0.5)))).as("score"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      scored.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("score"))
+        .orderBy(col("doc_id"), col("rk"))
+    }),
+
+    // Global heavy hitters: exact top-20 terms by corpus frequency with
+    // per-term document frequency. Both aggregates partial-combine
+    // map-side; the final top-k is TakeOrdered-sized (k rows to the
+    // driver). At 100 TB the same plan holds — the only full-width
+    // shuffle is (term, partial-count) pairs; swap in a count-min/
+    // space-saving sketch only if the vocabulary itself outgrows the
+    // cluster (billions of distinct terms).
+    "q_text_heavy_hitters" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n").desc, col("term"))
+        .limit(20)
+    }),
+
+    // Cross-document duplicated-passage signal: the fraction of each
+    // document's distinct word 8-grams that occur in at least one OTHER
+    // document — the span-level dedup metric (C4/RefinedWeb-style
+    // repeated-passage hygiene) that pair-level Jaccard doesn't give
+    // you. Same inverted-index discipline as the dedup family: spans
+    // are hash-grouped once for df, joined back by span, and only
+    // (doc_id, span) pairs ever shuffle — never text bodies.
+    "q_text_dup_spans" -> ((s, d) => {
+      val spans = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(toks) >= 8 THEN
+            |  array_distinct(transform(sequence(1, size(toks) - 7),
+            |    i -> concat_ws(' ', slice(toks, i, 8))))
+            |ELSE array(array_join(toks, ' ')) END""".stripMargin))
+          .as("span"))
+      val df = spans.groupBy(col("span"))
+        .agg(countDistinct(col("doc_id")).as("sdf"))
+      spans.join(df, "span")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum((col("sdf") >= 2).cast("long")).as("n_dup_spans"))
+        .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+          (col("n_dup_spans").cast("double") / col("n_spans"))
+            .as("dup_frac"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -279,6 +352,54 @@ object TextAnalysis {
         |  CAST(LEN(list_distinct(string_split(text, ' '))) AS INT)
         |    AS distinct_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        |  GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+        |    CAST(tf.tf AS DOUBLE) *
+        |      ((n.n_docs - df.df + 0.5) / (df.df + 0.5)) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (
+        |  SELECT doc_id, term, tf, score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                       ORDER BY score DESC, term) AS rk
+        |  FROM s)
+        |SELECT doc_id, CAST(rk AS INT) AS rk, term, tf, score FROM r
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    "q_text_heavy_hitters" ->
+      """SELECT term, COUNT(*) AS n,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+        |      FROM documents)
+        |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+
+    "q_text_dup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(w) >= 8 THEN
+        |        list_distinct([array_to_string(w[i:i+7], ' ')
+        |                       for i in generate_series(1, len(w) - 7)])
+        |      ELSE [array_to_string(w, ' ')] END AS spans
+        |      FROM t),
+        |sp AS (SELECT doc_id, UNNEST(spans) AS span FROM g),
+        |df AS (SELECT span, COUNT(DISTINCT doc_id) AS sdf FROM sp
+        |       GROUP BY span)
+        |SELECT sp.doc_id, COUNT(*) AS n_spans,
+        |  CAST(SUM(CASE WHEN df.sdf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_spans,
+        |  CAST(SUM(CASE WHEN df.sdf >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) AS dup_frac
+        |FROM sp JOIN df USING (span)
+        |GROUP BY sp.doc_id ORDER BY sp.doc_id""".stripMargin,
 
     "q_text_langid" ->
       """WITH tok AS (

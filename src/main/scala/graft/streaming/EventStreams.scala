@@ -206,6 +206,29 @@ object EventStreams {
           col("p_id"), unix_micros(col("p_ts")).as("purchase_ts_us"),
           col("value"))
         .orderBy(col("click_id"), col("p_id"))
+    }),
+
+    // Stream-static enrichment join: the purchase stream joined to a
+    // static dimension (customer) and aggregated per market segment. The
+    // join is STATELESS — the static side is (re)read per micro-batch
+    // and broadcast, no watermark or join state needed — which is why
+    // enrichment dims should stay static/broadcast rather than becoming
+    // a second stream. At scale the dim re-read is the feature, not a
+    // bug: a compacted dim table picks up slowly-changing attributes
+    // between micro-batches for free.
+    "q_stream_static_join" -> ((s, d) => {
+      val dim = s.read.parquet(s"$d/customer.parquet")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val purchases = eventStream(s, d)
+        .where(col("event_type") === "purchase")
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      val agg = purchases
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(30,4)")).cast("double")
+            .as("sum_value"))
+      runToMemory(s, agg, "complete", s"ssjoin_${System.nanoTime()}")
+        .orderBy(col("c_mktsegment"))
     })
   )
 
@@ -269,6 +292,13 @@ object EventStreams {
         |  ON c.event_type = 'click' AND p.event_type = 'purchase'
         | AND p.user_id = c.user_id
         | AND p.ts >= c.ts - INTERVAL '1 hour' AND p.ts <= c.ts
-        |ORDER BY click_id, p_id""".stripMargin
+        |ORDER BY click_id, p_id""".stripMargin,
+
+    "q_stream_static_join" ->
+      """SELECT c.c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE e.event_type = 'purchase'
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin
   )
 }

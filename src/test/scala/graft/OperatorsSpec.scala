@@ -223,6 +223,78 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("tfidf returns ranked positive-score terms per document") {
+    val rows = q("q_text_tfidf").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { ts =>
+      assert(ts.length <= 3)
+      val byRank = ts.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq == (1 to ts.length))
+      val scores = byRank.map(_._5)
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(scores.forall(_ > 0.0))
+    }
+  }
+
+  test("heavy hitters are the exact global top-20, sorted") {
+    val rows = q("q_text_heavy_hitters").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 20)
+    val ns = rows.map(_._2)
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    assert(rows.forall { case (_, n, nd) => nd <= n && nd >= 1 })
+  }
+
+  test("dup-span fractions are consistent and catch the planted dups") {
+    val rows = q("q_text_dup_spans").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == 500)
+    rows.foreach { case (_, n, dup, frac) =>
+      assert(dup <= n)
+      assert(math.abs(frac - dup.toDouble / n) < 1e-12)
+    }
+    // exact-duplicate texts exist in the fixture ⇒ their spans all repeat
+    assert(rows.exists(_._4 == 1.0), "expected fully-duplicated documents")
+  }
+
+  test("int8 quantization error stays within the half-step bound") {
+    val rows = q("q_embed_quantize").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.length == graft.sources.Tables.embeddings(spark, sf).count())
+    rows.foreach { case (id, scaleQ, _, sqsum, errQ) =>
+      assert(scaleQ > 0, s"vec $id degenerate scale")
+      assert(sqsum > 0)
+      // total |err| ≤ dim × scale/2 ⇒ err_q ≤ 32 × scale_q (+1e-9 slack)
+      assert(errQ <= 32 * scaleQ + 1, s"vec $id reconstruction error too big")
+    }
+  }
+
+  test("knn join returns ≤3 ranked neighbors per vector, never itself") {
+    val rows = q("q_sim_knn_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.nonEmpty, "10-bit buckets should pair up some vectors")
+    assert(rows.forall { case (a, b, _, _) => a != b })
+    rows.groupBy(_._1).values.foreach { ns =>
+      assert(ns.length <= 3)
+      val byRank = ns.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1 to ns.length))
+      val cs = byRank.map(_._3)
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("blob dedup conserves the corpus and keeps minimal ids") {
+    val rows = q("q_multimodal_dedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val docs = graft.sources.Tables.documents(spark, sf)
+    assert(rows.map(_._2).sum == docs.count())
+    // one group per distinct blob (sf0.001 has no exact dups; sf0.01+ do)
+    assert(rows.length == docs.select("text").distinct().count())
+  }
+
   test("flagship entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -57,6 +57,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("stream-static enrichment join equals the batch join") {
+    val stream = SparkEntry.queries("q_stream_static_join")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val batch = Tables.events(spark, sf)
+      .where(col("event_type") === "purchase")
+      .join(spark.read.parquet(s"$sf/customer.parquet"),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "fixture purchases should hit the customer dim")
+    assert(stream == batch)
+  }
+
   test("session windows respect the 30-minute gap") {
     val sessions = SparkEntry.queries("q_stream_session")(spark, sf)
     // session count per user can never exceed event count per user
