@@ -341,6 +341,47 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // Edit-distance fuzzy dedup: exact Levenshtein verify over blocked
+    // candidates — catches single-character edits and reorderings that
+    // set-based Jaccard scores bluntly. The blocking stage is the same
+    // inverted shingle index as the Jaccard family (pairs sharing ≥ 3
+    // rare trigrams; never all-pairs), so the O(len²) DP runs only on
+    // the candidate survivors. Distance is unit-cost Levenshtein —
+    // integer, engine-independent — thresholded at 25% of the longer
+    // text (relative edit similarity ≥ 0.75). Text bodies join in by id
+    // AFTER blocking: only (doc_a, doc_b) pairs flow through the index.
+    "q_dedup_editdist" -> ((s, d) => {
+      val g = withShingles(s, d)
+      val ex = g.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      val rare = ex.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("df"))
+        .where(col("df") <= ShingleDfCap)
+        .select(col("shingle"))
+      val exRare = ex.join(rare, Seq("shingle"))
+      val cand = exRare.as("a").join(exRare.as("b"),
+          col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+        .where(col("inter") >= 3)
+        .select(col("doc_a"), col("doc_b"))
+      val t = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      cand
+        .join(t.select(col("doc_id").as("doc_a"), col("text").as("ta")),
+          "doc_a")
+        .join(t.select(col("doc_id").as("doc_b"), col("text").as("tb")),
+          "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("ta"), col("tb")).as("dist"),
+          greatest(length(col("ta")), length(col("tb"))).as("max_len"))
+        .where(col("dist").cast("double") <=
+          col("max_len").cast("double") * 0.25)
+        .select(col("doc_a"), col("doc_b"), col("dist"),
+          (lit(1.0) - col("dist").cast("double") /
+            col("max_len").cast("double")).as("edit_sim"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Benchmark-contamination check: which corpus documents share ≥ 5
     // word trigrams with any document in the held-out set (source src0
     // stands in for an eval benchmark)? The scale shape is the same
@@ -515,6 +556,31 @@ object Dedup {
 
     "q_dedup_ngram_jaccard" -> ngramOracle,
     "q_dedup_minhash_lsh" -> ngramOracle,
+
+    // Candidates from full shingle-set intersections (the df-cap is
+    // provably inactive on the fixtures — same argument as the Jaccard
+    // twin); unit-cost Levenshtein is integer and engine-independent.
+    "q_dedup_editdist" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, text, CASE WHEN len(w) >= 3 THEN
+        |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                       for i in generate_series(1, len(w) - 2)])
+        |      ELSE [array_to_string(w, ' ')] END AS sh
+        |      FROM t),
+        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |           a.text AS ta, b.text AS tb
+        |         FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |         WHERE len(list_intersect(a.sh, b.sh)) >= 3),
+        |v AS (SELECT doc_a, doc_b,
+        |        CAST(levenshtein(ta, tb) AS INT) AS dist,
+        |        GREATEST(LENGTH(ta), LENGTH(tb)) AS max_len
+        |      FROM cand)
+        |SELECT doc_a, doc_b, dist,
+        |  1.0 - CAST(dist AS DOUBLE) / CAST(max_len AS DOUBLE) AS edit_sim
+        |FROM v
+        |WHERE CAST(dist AS DOUBLE) <= CAST(max_len AS DOUBLE) * 0.25
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // Cross-set overlap via full distinct-shingle sets; the Spark side
     // counts the same intersection from inverted-index join rows.

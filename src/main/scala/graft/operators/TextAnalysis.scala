@@ -175,6 +175,29 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // Context-window chunking: split each document into fixed-width
+    // token windows (32 tokens, stride 16 → 50% overlap) — the step that
+    // turns a variable-length corpus into training-context-sized pieces.
+    // Pure per-row generator work (sequence + posexplode + slice), no
+    // shuffle except the output sort: at corpus scale this is a map
+    // stage that fuses into the scan, and output rows ≈ 2× token count
+    // regardless of document skew (a 1 GB document becomes many rows,
+    // never one giant row downstream).
+    "q_text_chunk" -> ((s, d) => {
+      val width = 32
+      val stride = 16
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"),
+          posexplode(sequence(lit(1), size(col("toks")), lit(stride))))
+        .select(col("doc_id"), col("pos").as("chunk_id"),
+          concat_ws(" ", slice(col("toks"), col("col"), lit(width)))
+            .as("chunk"),
+          least(lit(width), size(col("toks")) - col("col") + 1)
+            .as("chunk_tokens"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // TF-IDF keyword extraction: top-3 terms per document. idf is the
     // rational (N - df + 0.5)/(df + 0.5) form (BM25's idf without the
     // log) — every arithmetic step is a single correctly-rounded IEEE
@@ -352,6 +375,20 @@ object TextAnalysis {
         |  CAST(LEN(list_distinct(string_split(text, ' '))) AS INT)
         |    AS distinct_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // DuckDB list slicing clamps at the list end exactly like Spark's
+    // slice(arr, start, length); chunk_id replays posexplode's 0-based
+    // position as (start - 1) / stride.
+    "q_text_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |c AS (SELECT doc_id, w,
+        |        UNNEST(generate_series(1, len(w), 16)) AS s
+        |      FROM t)
+        |SELECT doc_id, CAST((s - 1) // 16 AS INT) AS chunk_id,
+        |  array_to_string(w[s : s + 31], ' ') AS chunk,
+        |  CAST(LEAST(32, len(w) - s + 1) AS INT) AS chunk_tokens
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q_text_tfidf" ->
       """WITH tok AS (

@@ -171,6 +171,26 @@ object Relational {
         .orderBy(col("r_name"), col("n_name"))
     }),
 
+    // Full outer join: keep both null-extension directions — high-balance
+    // customers with no orders AND order-placing customers filtered out of
+    // the left side. Spark cannot broadcast a full outer join (both sides
+    // may need null extension), so this is inherently a two-sided shuffle
+    // on the key — the right default at 100 TB; pre-bucketing both sides
+    // on custkey is the shuffle-free deployment shape.
+    "q_join_full" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .where(col("c_acctbal") > 5000.0)
+        .select(col("c_custkey"), col("c_name"))
+      val o = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("spent"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "full")
+        .select(coalesce(c("c_custkey"), o("o_custkey")).as("cust_id"),
+          col("c_name"), col("n_orders"), col("spent"))
+        .orderBy(col("cust_id"))
+    }),
+
     // ---- aggregation ---------------------------------------------------
     // TPC-H Q1 shape: partial aggregation map-side, single shuffle on the
     // (tiny-cardinality) group key. dsum/davg keep double sums
@@ -242,6 +262,38 @@ object Relational {
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
       """)
+    }),
+
+    // Statistical moments (variance / stddev / covariance / correlation)
+    // computed from decimal-exact sufficient statistics in ONE pass: n,
+    // Σx, Σx², Σy, Σy², Σxy accumulate as decimals (associative →
+    // order-independent across partitions, unlike the built-in stddev/
+    // corr whose float accumulation is shuffle-order-dependent), then the
+    // moments are derived in a fixed sequence of correctly-rounded IEEE
+    // double ops both engines evaluate identically. This is also THE
+    // distributed shape: six map-side-combined aggregates, one shuffle of
+    // (flag, six-decimal) partials, derivation on k final rows.
+    "q_agg_stats" -> ((s, d) => {
+      val x = col("l_quantity")
+      val y = col("l_extendedprice")
+      val dec = "decimal(30,4)"
+      val g = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(x.cast(dec)).as("sx"), sum((x * x).cast(dec)).as("sxx"),
+          sum(y.cast(dec)).as("sy"), sum((y * y).cast(dec)).as("syy"),
+          sum((x * y).cast(dec)).as("sxy"))
+      def dbl(c: String) = col(c).cast("double")
+      val nD = col("n").cast("double")
+      val mxx = dbl("sxx") - dbl("sx") * dbl("sx") / nD
+      val myy = dbl("syy") - dbl("sy") * dbl("sy") / nD
+      val mxy = dbl("sxy") - dbl("sx") * dbl("sy") / nD
+      g.select(col("l_returnflag"), col("n"),
+          (mxx / (nD - lit(1.0))).as("var_qty"),
+          sqrt(mxx / (nD - lit(1.0))).as("stddev_qty"),
+          (mxy / (nD - lit(1.0))).as("covar_qp"),
+          (mxy / sqrt(mxx * myy)).as("corr_qp"))
+        .orderBy(col("l_returnflag"))
     }),
 
     // ---- window functions ---------------------------------------------
@@ -561,6 +613,46 @@ object Relational {
          |JOIN nation ON s_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q_join_full" ->
+      s"""WITH c AS (SELECT c_custkey, c_name FROM customer
+         |           WHERE c_acctbal > 5000.0),
+         |o AS (SELECT o_custkey, COUNT(*) AS n_orders,
+         |        ${oSum("o_totalprice")} AS spent
+         |      FROM orders GROUP BY o_custkey)
+         |SELECT COALESCE(c.c_custkey, o.o_custkey) AS cust_id,
+         |  c.c_name, o.n_orders, o.spent
+         |FROM c FULL JOIN o ON c.c_custkey = o.o_custkey
+         |ORDER BY cust_id""".stripMargin,
+
+    // Same sufficient-statistics derivation, spelled as the identical
+    // IEEE double op sequence (decimal sums are exact; every subsequent
+    // -, *, /, SQRT is one correctly-rounded double op in both engines).
+    "q_agg_stats" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(30,4))) AS sx,
+        |    SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,4))) AS sxx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS sy,
+        |    SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,4)))
+        |      AS syy,
+        |    SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,4))) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag),
+        |m AS (
+        |  SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS mxx,
+        |    CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS myy,
+        |    CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS mxy
+        |  FROM a)
+        |SELECT l_returnflag, n,
+        |  mxx / (nd - 1.0) AS var_qty,
+        |  SQRT(mxx / (nd - 1.0)) AS stddev_qty,
+        |  mxy / (nd - 1.0) AS covar_qp,
+        |  mxy / SQRT(mxx * myy) AS corr_qp
+        |FROM m ORDER BY l_returnflag""".stripMargin,
 
     "q_agg_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,

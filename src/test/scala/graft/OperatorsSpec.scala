@@ -295,6 +295,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.length == docs.select("text").distinct().count())
   }
 
+  test("edit-distance dedup finds the planted near-dups, zero dist means equal") {
+    val exact = q("q_dedup_ngram_jaccard")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = q("q_dedup_editdist").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2), r.getDouble(3)))
+    val pairs = rows.map(_._1).toSet
+    // token-level near-dups (J > 0.5) are character-level near-dups too
+    val recall = exact.count(pairs.contains).toDouble / math.max(exact.size, 1)
+    assert(recall >= 0.8, s"edit-distance recall $recall too low")
+    assert(rows.forall { case ((a, b), dist, sim) =>
+      a < b && dist >= 0 && sim >= 0.75 })
+  }
+
+  test("chunking tiles every document with stride-16 windows of ≤32 tokens") {
+    val perDoc = q("q_text_chunk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .groupBy(_._1)
+    val nWords = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("nw"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(perDoc.keySet == nWords.keySet)
+    for ((id, chunks) <- perDoc) {
+      val n = nWords(id)
+      assert(chunks.length == (n + 15) / 16) // ceil(n / stride) starts
+      assert(chunks.map(_._2).sorted.toSeq == (0 until chunks.length))
+      assert(chunks.forall { case (_, _, c, nt) =>
+        nt <= 32 && c.split(" ").length == nt })
+      // consecutive chunks overlap by half a window: total tokens add up
+      assert(chunks.map(_._4).sum ==
+        (0 until n by 16).map(s => math.min(32, n - s)).sum)
+    }
+  }
+
   test("flagship entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

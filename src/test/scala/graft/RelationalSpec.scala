@@ -61,4 +61,34 @@ class RelationalSpec extends AnyFunSuite {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
+
+  test("full outer join covers both sides exactly once") {
+    val c = Tables.customer(spark, sf).where(col("c_acctbal") > 5000.0)
+    val custWithOrders = Tables.orders(spark, sf)
+      .select(col("o_custkey")).distinct()
+    val expected = c.select(col("c_custkey"))
+      .union(custWithOrders.toDF("c_custkey")).distinct().count()
+    val rows = SparkEntry.queries("q_join_full")(spark, sf)
+    assert(rows.count() == expected)
+    assert(rows.select("cust_id").distinct().count() == expected)
+  }
+
+  test("sufficient-statistics moments match Spark's built-in aggregates") {
+    val ours = SparkEntry.queries("q_agg_stats")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(4), r.getDouble(5))).toMap
+    val ref = li.groupBy(col("l_returnflag"))
+      .agg(var_samp(col("l_quantity")).as("v"),
+        covar_samp(col("l_quantity"), col("l_extendedprice")).as("cv"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("cr"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    for ((flag, (v, cv, cr)) <- ours) {
+      val (rv, rcv, rcr) = ref(flag)
+      assert(math.abs(v - rv) / math.abs(rv) < 1e-9)
+      assert(math.abs(cv - rcv) / math.abs(rcv) < 1e-6)
+      assert(math.abs(cr - rcr) < 1e-6)
+    }
+  }
 }
