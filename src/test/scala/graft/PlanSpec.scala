@@ -113,6 +113,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "packing must not join the corpus to itself")
   }
 
+  test("edit-distance dedup blocks through the shingle index, no cross product") {
+    val p = plan("q_dedup_editdist")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "Levenshtein must run only on shingle-blocked candidates")
+  }
+
+  test("full outer join is a two-sided shuffle join (cannot broadcast)") {
+    val p = plan("q_join_full")
+    assert(p.contains("FullOuter"), "expected a full outer join")
+    assert(!p.contains("BroadcastHashJoin FullOuter"),
+      "full outer cannot be broadcast")
+  }
+
+  test("statistical moments aggregate in one pass (single agg shuffle)") {
+    val p = plan("q_agg_stats")
+    // one partial→final HashAggregate pair; the only other Exchange is
+    // the output sort — six sufficient statistics must not become six
+    // passes over lineitem
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan") && !l.contains("Reused"))
+    assert(scans == 1, s"expected ONE lineitem scan, saw $scans:\n$p")
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("chunking is a pure map stage: generator, no pre-sort shuffle") {
+    val p = plan("q_text_chunk")
+    assert(p.contains("Generate"), "expected posexplode")
+    assert(!p.contains("Join"), "chunking must not join")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges <= 1, // the output ORDER BY only
+      s"chunking must not shuffle before the output sort:\n$p")
+  }
+
   test("bucketed join eliminates join-side shuffles") {
     val p = plan("q_join_bucketed")
     val joinSection = p.substring(p.indexOf("SortMergeJoin"))
