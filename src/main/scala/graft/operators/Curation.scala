@@ -45,6 +45,40 @@ object Curation {
         .orderBy(col("lang"))
     }),
 
+    // Temperature-based mixture sampling (α = 0.5): the multilingual
+    // data-mixing step — per-language budgets ∝ n_lang^α flatten the
+    // language distribution (rare languages up-weighted, head languages
+    // capped), then each budget is filled deterministically by hash
+    // rank, never RNG. Scale shape: language counts are a k-row
+    // aggregate (k = #languages) broadcast back; the rank window
+    // partitions by language; the corpus itself never shuffles twice.
+    // Cross-engine determinism: SQRT is one correctly-rounded IEEE op;
+    // the denominator Σ√n quantizes each term to decimal before the
+    // (order-free) sum; budget = floor of a single double expression
+    // both engines evaluate identically.
+    "q_sample_temperature" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 200.0
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          expr("shiftright((doc_id % 1048576) * 2654435761, 16)").as("hs"))
+      val counts = docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_l"))
+        .withColumn("sq", sqrt(col("n_l").cast("double"))
+          .cast("decimal(30,12)"))
+      val tot = counts.agg(sum(col("sq")).as("tot"))
+      val targets = counts.crossJoin(broadcast(tot))
+        .select(col("lang"),
+          floor(lit(budget) * col("sq").cast("double") /
+            col("tot").cast("double")).as("target"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("hs"), col("doc_id"))
+      docs.join(broadcast(targets), "lang")
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= col("target"))
+        .select(col("doc_id"), col("lang"), col("rk"), col("target"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Greedy shard packing: documents stream in deterministic order
     // (doc_id) within each language and fill fixed-capacity token shards
     // — bin k holds the docs whose PRECEDING cumulative token count lies
@@ -111,6 +145,28 @@ object Curation {
         |  CAST(SUM(CASE WHEN hb < permille THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_sampled
         |FROM h GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_sample_temperature" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    ((doc_id % 1048576) * 2654435761 >> 16) AS hs
+        |  FROM documents),
+        |c AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
+        |cq AS (SELECT lang, CAST(SQRT(CAST(n_l AS DOUBLE))
+        |                         AS DECIMAL(30,12)) AS sq FROM c),
+        |t AS (SELECT SUM(sq) AS tot FROM cq),
+        |tg AS (SELECT lang,
+        |         CAST(FLOOR(200.0 * CAST(sq AS DOUBLE)
+        |                    / CAST(tot AS DOUBLE)) AS BIGINT) AS target
+        |       FROM cq CROSS JOIN t),
+        |r AS (SELECT doc_id, lang,
+        |        ROW_NUMBER() OVER (PARTITION BY lang
+        |                           ORDER BY hs, doc_id) AS rk
+        |      FROM h)
+        |SELECT r.doc_id, r.lang, CAST(r.rk AS INT) AS rk, tg.target
+        |FROM r JOIN tg USING (lang)
+        |WHERE r.rk <= tg.target
+        |ORDER BY r.doc_id""".stripMargin,
 
     "q_pack_tokens" ->
       """WITH t AS (

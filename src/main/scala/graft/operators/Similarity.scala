@@ -201,6 +201,36 @@ object Similarity {
         .orderBy(col("vec_id"))
     }),
 
+    // Johnson-Lindenstrauss random projection 64 → 16 dims with a
+    // deterministic ±1 sign matrix (same public Knuth-hash family as the
+    // SRP-LSH planes, so both engines derive the identical matrix). THE
+    // dimensionality-reduction step before clustering / coarse ANN at
+    // 100 TB: 4× smaller vectors with pairwise distances preserved in
+    // expectation (E[p_k²] = ‖v‖² per component). Pure per-row math — a
+    // map stage, no shuffle; each component folds in ARRAY ORDER into a
+    // decimal accumulator and is emitted 1e-6-quantized (the
+    // q_sim_centroids discipline: the double→decimal cast of a single
+    // term can differ between engines by one decimal ulp at scale 12,
+    // so raw decimal sums aren't hash-safe — the quantized component
+    // is).
+    "q_embed_project" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val comps = (0 until 16).map { k =>
+        floor(expr(
+          s"""CAST(aggregate(sequence(0, 63),
+             |  CAST(0 AS DECIMAL(30,12)),
+             |  (acc, j) -> CAST(acc + CAST(element_at(v, j + 1) *
+             |    (CASE WHEN (shiftright((${k} * 64 + j) * 2654435761, 16)
+             |                & 1) = 0
+             |          THEN 1.0 ELSE -1.0 END)
+             |    AS DECIMAL(30,12)) AS DECIMAL(30,12))) AS DOUBLE)
+             |""".stripMargin) * lit(1e6)).cast("long").as(s"p$k")
+      }
+      e.select(col("vec_id") +: comps: _*)
+        .orderBy(col("vec_id"))
+    }),
+
     // k-NN JOIN (every vector × its top-3 neighbors), LSH-bucketed: one
     // 10-bit SRP bucket per vector, candidates from the bucket equi-join
     // (vectors meet only bucket-mates — no cross product), decimal-exact
@@ -283,6 +313,24 @@ object Similarity {
         |         FROM generate_series(1, 64) AS t(i)) AS DOUBLE) * 1e9)
         |       AS BIGINT) AS err_q
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    // Identical ±1 matrix from the shared integer hash; decimal sums are
+    // associative (order-free) and the 1e-6 quantization absorbs the
+    // engines' one-ulp disagreement on double→decimal term rounding.
+    "q_embed_project" -> {
+      val comps = (0 until 16).map { k =>
+        s"""  CAST(FLOOR(CAST((SELECT SUM(CAST(v[j + 1] *
+           |    (CASE WHEN ((($k * 64 + j) * 2654435761 >> 16) & 1) = 0
+           |          THEN 1.0 ELSE -1.0 END) AS DECIMAL(30,12)))
+           |   FROM generate_series(0, 63) AS t(j)) AS DOUBLE) * 1e6)
+           |   AS BIGINT) AS p$k""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings)
+         |SELECT vec_id,
+         |$comps
+         |FROM e ORDER BY vec_id""".stripMargin
+    },
 
     // The knn-join oracle: identical 10-bit SRP bucketing from the shared
     // integer hash, then the decimal-exact rescore and per-vector top-3.

@@ -328,6 +328,37 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("JL projection preserves norms in expectation (E[‖Pv‖²] = 16‖v‖²)") {
+    val norms = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), aggregate(col("embedding").cast("array<double>"),
+        lit(0.0), (a, x) => a + x * x).as("nsq"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ratios = q("q_embed_project").collect().map { r =>
+      val psq = (1 to 16).map(i => r.getLong(i) / 1e6)
+        .map(p => p * p).sum
+      psq / (16.0 * norms(r.getLong(0)))
+    }.sorted
+    val median = ratios(ratios.length / 2)
+    assert(median > 0.5 && median < 2.0,
+      s"median projected/original norm ratio $median outside JL envelope")
+  }
+
+  test("temperature sampling fills each language budget exactly") {
+    val rows = q("q_sample_temperature").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    val byLang = rows.groupBy(_._2)
+    for ((lang, sel) <- byLang) {
+      val target = sel.head._4
+      assert(sel.length == target, s"$lang: ${sel.length} picked != $target")
+      assert(sel.map(_._3).sorted.toSeq == (1 to target.toInt))
+    }
+    // budgets are ∝ √n, so they sum to ≤ the global budget (floor each)
+    assert(byLang.values.map(_.head._4).sum <= 200)
+    // flattening: no language exceeds twice the uniform share
+    val langs = byLang.size
+    assert(byLang.values.forall(_.head._4 <= 2 * 200 / langs))
+  }
+
   test("flagship entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
