@@ -371,10 +371,21 @@ object Dedup {
           "doc_a")
         .join(t.select(col("doc_id").as("doc_b"), col("text").as("tb")),
           "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          levenshtein(col("ta"), col("tb")).as("dist"),
+        .select(col("doc_a"), col("doc_b"), col("ta"), col("tb"),
           greatest(length(col("ta")), length(col("tb"))).as("max_len"))
-        .where(col("dist").cast("double") <=
+        // necessary condition first: dist ≥ |len gap|, so pairs whose
+        // lengths differ by more than the budget never run the DP
+        .where(abs(length(col("ta")) - length(col("tb"))).cast("double") <=
+          col("max_len").cast("double") * 0.25)
+        // banded DP: the threshold caps the band width at the per-pair
+        // budget (O(len × budget) instead of O(len²)); distances within
+        // the band are exact, beyond it the result is -1 (dropped by the
+        // same ≤ budget predicate we'd apply anyway)
+        .select(col("doc_a"), col("doc_b"),
+          expr("levenshtein(ta, tb, CAST(floor(max_len * 0.25) AS INT))")
+            .as("dist"),
+          col("max_len"))
+        .where(col("dist") >= 0 && col("dist").cast("double") <=
           col("max_len").cast("double") * 0.25)
         .select(col("doc_a"), col("doc_b"), col("dist"),
           (lit(1.0) - col("dist").cast("double") /

