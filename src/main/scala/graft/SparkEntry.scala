@@ -25,6 +25,7 @@ object SparkEntry {
   def queries: Map[String, Q] =
     graft.queries.Relational.defs ++
       graft.queries.Extended.defs ++
+      graft.queries.Reshape.defs ++
       graft.operators.Dedup.defs ++
       graft.operators.Similarity.defs ++
       graft.operators.TextAnalysis.defs ++
@@ -39,6 +40,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.Extended.oracles ++
+      graft.queries.Reshape.oracles ++
       graft.operators.Dedup.oracles ++
       graft.operators.Similarity.oracles ++
       graft.operators.TextAnalysis.oracles ++

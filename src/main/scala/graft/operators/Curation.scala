@@ -103,6 +103,47 @@ object Curation {
         .orderBy(col("lang"), col("bin"))
     }),
 
+    // Model-based quality filtering via the hashing trick: a linear
+    // classifier whose features are hashed token buckets and whose
+    // weights derive from the shared Knuth hash — the fastText-shaped
+    // quality gate (score = Σ w[bucket(token)], keep if positive)
+    // expressed as ONE codegen'd aggregate() fold per document. No
+    // explode, no shuffle: the score is computed inside the scan stage,
+    // so at 100 TB this filter costs exactly one pass over the text. All
+    // arithmetic is integer, so the oracle replays it bit-for-bit.
+    "q_text_classifier" -> ((s, d) => {
+      val score = expr(
+        """aggregate(split(text, ' '), 0L, (acc, t) ->
+          |  acc + (shiftright((pmod(ascii(t) * 31 + length(t), 64) + 1)
+          |                    * 2654435761, 16) % 2001) - 1000)""".stripMargin)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_tok"),
+          score.as("score"))
+        .withColumn("kept", (col("score") > 0).cast("int"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-domain document cap (the Common-Crawl anti-spam lever): at most
+    // `cap` docs survive per source, chosen by deterministic hash rank so
+    // reruns keep the same docs. The window partitions by domain —
+    // embarrassingly parallel — and only (doc_id, source, hash) triples
+    // ever shuffle; kept_id_sum proves WHICH docs survived, not just how
+    // many.
+    "q_domain_cap" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cap = 15
+      val w = Window.partitionBy(col("source")).orderBy(col("hs"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          expr("shiftright((doc_id % 1048576) * 2654435761, 16)").as("hs"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= cap)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_id_sum"))
+        .orderBy(col("source"))
+    }),
+
     // PII scrubbing: regex redaction of emails and phone-shaped strings,
     // with per-doc redaction counts and a digest of the scrubbed text.
     // The fixture corpus contains no PII, so the query first INJECTS
@@ -182,6 +223,33 @@ object Curation {
         |SELECT lang, (cum - n_tok) // 2048 AS bin,
         |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_sum
         |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+
+    "q_text_classifier" ->
+      """SELECT doc_id,
+        |  CAST(LEN(string_split(text, ' ')) AS INT) AS n_tok,
+        |  CAST(COALESCE(list_sum(list_transform(string_split(text, ' '),
+        |    t -> ((((ascii(t) * 31 + length(t)) % 64 + 1) * 2654435761
+        |           >> 16) % 2001) - 1000)), 0) AS BIGINT) AS score,
+        |  CASE WHEN CAST(COALESCE(list_sum(list_transform(
+        |    string_split(text, ' '),
+        |    t -> ((((ascii(t) * 31 + length(t)) % 64 + 1) * 2654435761
+        |           >> 16) % 2001) - 1000)), 0) AS BIGINT) > 0
+        |    THEN 1 ELSE 0 END AS kept
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_domain_cap" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    ((doc_id % 1048576) * 2654435761 >> 16) AS hs
+        |  FROM documents),
+        |r AS (SELECT doc_id, source,
+        |        ROW_NUMBER() OVER (PARTITION BY source
+        |                           ORDER BY hs, doc_id) AS rk
+        |      FROM h)
+        |SELECT source, COUNT(*) AS n_kept,
+        |  CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum
+        |FROM r WHERE rk <= 15
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_pii_scrub" ->
       """WITH a AS (

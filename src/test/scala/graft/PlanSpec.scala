@@ -148,6 +148,31 @@ class PlanSpec extends AnyFunSuite {
       s"chunking must not shuffle before the output sort:\n$p")
   }
 
+  test("lateral top-k decorrelates into a window, not a per-row subquery") {
+    val p = plan("q_join_lateral")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "LATERAL LIMIT must decorrelate to a single join:\n" + p.take(800))
+    assert(p.contains("Window") || p.contains("TakeOrdered"),
+      "expected the per-key top-k to become a window rank")
+  }
+
+  test("hashed-linear classifier scores inside the scan stage, no shuffle") {
+    val p = plan("q_text_classifier")
+    assert(!p.contains("Join"), "classifier must not join")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges <= 1, // the output ORDER BY only
+      s"hashing-trick scoring must be a pure map stage:\n$p")
+  }
+
+  test("unpivot is a projection over the aggregate, not extra scans") {
+    val p = plan("q_unpivot")
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan") && !l.contains("Reused"))
+    assert(scans == 1, s"melt must not rescan lineitem per value column, saw $scans")
+  }
+
   test("bucketed join eliminates join-side shuffles") {
     val p = plan("q_join_bucketed")
     val joinSection = p.substring(p.indexOf("SortMergeJoin"))
