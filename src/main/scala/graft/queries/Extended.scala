@@ -35,7 +35,86 @@ object Extended {
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** Typed row for the flatMapGroups surface. */
+  case class DocLen(lang: String, doc_id: Long, n_chars: Long)
+
+  /** Spark-dialect z-value: interleave the low 10 bits of `a` (odd
+    * positions) and `b` (even positions) into a 20-bit Morton code.
+    * Pure integer expression — replayed verbatim (with `>>` spelling)
+    * in the DuckDB oracle. */
+  private[queries] def zInterleaveSpark(a: String, b: String): String =
+    (0 until 10).map { i =>
+      s"(((shiftright($a, $i) & 1) * ${1L << (2 * i + 1)}) + " +
+        s"((shiftright($b, $i) & 1) * ${1L << (2 * i)}))"
+    }.mkString(" + ")
+
+  private[queries] def zInterleaveDuck(a: String, b: String): String =
+    (0 until 10).map { i =>
+      s"((($a >> $i) & 1) * ${1L << (2 * i + 1)} + " +
+        s"(($b >> $i) & 1) * ${1L << (2 * i)})"
+    }.mkString(" + ")
+
   val defs: Map[String, Q] = Map(
+
+    // Typed per-group transformation (KeyValueGroupedDataset
+    // .flatMapGroups): per-language z-score of document length, computed
+    // by materializing each group on one executor. The group payload
+    // here is (id, len) pairs keyed by language — bounded and safe; at
+    // 100 TB the same statistic should come from an aggregate +
+    // broadcast join (q_agg_stats shape) because flatMapGroups holds a
+    // whole group in memory and a skewed key becomes one giant task.
+    // This entry exists to cover the typed API surface itself.
+    // Cross-engine exactness: z_milli = floor(1000·(n·x − Σx)/√(n·Σx²
+    // − (Σx)²)) — integer sufficient statistics, then one sqrt, one
+    // multiply, one divide, in the same order in both engines.
+    "q_typed_mapgroups" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+        .as[DocLen]
+        .groupByKey(_.lang)
+        .flatMapGroups { (lang: String, it: Iterator[DocLen]) =>
+          val rows = it.toVector
+          val n = rows.size.toLong
+          val sm = rows.iterator.map(_.n_chars).sum
+          val sq = rows.iterator.map(r => r.n_chars * r.n_chars).sum
+          val varN = n * sq - sm * sm // n² · variance, exact integer
+          val sd = math.sqrt(varN.toDouble) // = n · stddev
+          rows.map { r =>
+            val z =
+              if (varN == 0L) 0L
+              else math.floor(1000.0 * (n * r.n_chars - sm).toDouble / sd).toLong
+            (r.doc_id, lang, r.n_chars, z)
+          }
+        }
+        .toDF("doc_id", "lang", "n_chars", "z_milli")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Z-order (Morton) data layout: interleave the bits of two filter
+    // keys into one clustering value, range-partition + sort the write
+    // by it, and serve a 2-D box filter from the clustered files. Both
+    // dimensions' ranges land in FEW row groups (a 1-D sort would
+    // scatter the second key across all of them), so parquet min/max
+    // stats skip most of the file — the same lever as Delta's OPTIMIZE
+    // ZORDER, built from repartitionByRange + sortWithinPartitions.
+    // The oracle replays the box filter on the original table.
+    "q_layout_zorder" -> ((s, d) => {
+      val out = s"${sys.props("java.io.tmpdir")}/graft_zorder_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          (col("o_custkey") % 1024).as("za"),
+          (col("o_orderkey") % 1024).as("zb"))
+        .withColumn("z", expr(zInterleaveSpark("za", "zb")))
+        .repartitionByRange(8, col("z"))
+        .sortWithinPartitions(col("z"))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .where(col("za").between(100, 300) && col("zb").between(200, 400))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("total"),
+          min(col("z")).as("z_min"), max(col("z")).as("z_max"))
+    }),
 
     // As-of join: each click matched to that user's most recent purchase
     // at-or-before the click. Spark lacks a batch as-of operator, so this
@@ -349,6 +428,33 @@ object Extended {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_typed_mapgroups" ->
+      """WITH s AS (
+        |  SELECT lang, COUNT(*) AS n,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sm,
+        |    CAST(SUM(n_chars * n_chars) AS BIGINT) AS sq
+        |  FROM documents GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.n_chars,
+        |  CASE WHEN s.n * s.sq = s.sm * s.sm THEN 0
+        |       ELSE CAST(FLOOR(1000.0 * (s.n * d.n_chars - s.sm)
+        |              / SQRT(CAST(s.n * s.sq - s.sm * s.sm AS DOUBLE)))
+        |            AS BIGINT)
+        |  END AS z_milli
+        |FROM documents d JOIN s USING (lang)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_layout_zorder" ->
+      s"""WITH z AS (
+         |  SELECT o_orderkey, o_totalprice,
+         |    o_custkey % 1024 AS za, o_orderkey % 1024 AS zb
+         |  FROM orders)
+         |SELECT COUNT(*) AS n,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS total,
+         |  MIN(${zInterleaveDuck("za", "zb")}) AS z_min,
+         |  MAX(${zInterleaveDuck("za", "zb")}) AS z_max
+         |FROM z
+         |WHERE za BETWEEN 100 AND 300 AND zb BETWEEN 200 AND 400""".stripMargin,
+
     "q_sim_cosine_sql" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),

@@ -191,6 +191,17 @@ object Relational {
         .orderBy(col("cust_id"))
     }),
 
+    // Explicit cross join (the deliberate small×small case): every
+    // region paired with every nation. The ONLY sound use at scale is
+    // tiny×anything (here 5×25); Spark plans BroadcastNestedLoopJoin and
+    // rightly demands the explicit crossJoin call so an accidental
+    // missing join condition can't silently go quadratic.
+    "q_join_cross" -> ((s, d) => {
+      Tables.region(s, d).select(col("r_name"))
+        .crossJoin(Tables.nation(s, d).select(col("n_name")))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
     // ---- aggregation ---------------------------------------------------
     // TPC-H Q1 shape: partial aggregation map-side, single shuffle on the
     // (tiny-cardinality) group key. dsum/davg keep double sums
@@ -624,6 +635,10 @@ object Relational {
          |  c.c_name, o.n_orders, o.spent
          |FROM c FULL JOIN o ON c.c_custkey = o.o_custkey
          |ORDER BY cust_id""".stripMargin,
+
+    "q_join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
 
     // Same sufficient-statistics derivation, spelled as the identical
     // IEEE double op sequence (decimal sums are exact; every subsequent

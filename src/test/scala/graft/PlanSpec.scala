@@ -173,6 +173,16 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"melt must not rescan lineitem per value column, saw $scans")
   }
 
+  test("z-order layout read pushes both box-filter dimensions to the scan") {
+    // toString truncates PushedFilters mid-list; formatted explain doesn't
+    val p = SparkEntry.queries("q_layout_zorder")(spark, sfDir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("GreaterThanOrEqual(za,100)") &&
+      p.contains("LessThanOrEqual(zb,400)"),
+      s"box filter must reach the parquet row-group stats:\n$p")
+  }
+
   test("bucketed join eliminates join-side shuffles") {
     val p = plan("q_join_bucketed")
     val joinSection = p.substring(p.indexOf("SortMergeJoin"))
