@@ -243,6 +243,38 @@ object TextAnalysis {
         .limit(20)
     }),
 
+    // Approximate heavy hitters via a Count-Min sketch (the native
+    // graft.functions.CountMinAgg TypedImperativeAggregate): one pass
+    // folds every token into a 4×256 counter matrix that merges
+    // elementwise — at 100 TB each executor sketches its split and only
+    // 1024 longs travel, vs. the exact path's full term dictionary
+    // shuffle. The exact counts computed alongside exist to VERIFY the
+    // sketch (est ≥ exact, bounded overestimate); a production pipeline
+    // would skip them — that's the point of the sketch. The engine-
+    // neutral hash (char fold mod 2^20, Knuth row mix) lets DuckDB
+    // rebuild the identical sketch in SQL, making an approximate
+    // operator fully oracle-checked.
+    "q_text_heavy_hitters_approx" -> ((s, d) => {
+      import graft.functions.CountMinAgg.count_min_agg
+      val toks = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("term"))
+      val sketch = toks.agg(count_min_agg(col("term")).as("cms"))
+      val top = toks.groupBy(col("term"))
+        .agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("term"))
+        .limit(20)
+      val est = (0 until 4).map { r =>
+        s"element_at(cms, CAST(shiftright(base * ${2654435761L + r}, 16) " +
+          s"% 256 + ${r * 256} + 1 AS INT))"
+      }.mkString("least(", ", ", ")")
+      top.crossJoin(broadcast(sketch))
+        .withColumn("base", expr(
+          "aggregate(split(term, ''), 0L, (h, c) -> pmod(h * 31 + ascii(c), 1048576))"))
+        .withColumn("cms_est", expr(est))
+        .select(col("term"), col("n_exact"), col("cms_est"))
+        .orderBy(col("n_exact").desc, col("term"))
+    }),
+
     // Cross-document duplicated-passage signal: the fraction of each
     // document's distinct word 8-grams that occur in at least one OTHER
     // document — the span-level dedup metric (C4/RefinedWeb-style
@@ -418,6 +450,30 @@ object TextAnalysis {
         |FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
         |      FROM documents)
         |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+
+    "q_text_heavy_hitters_approx" ->
+      """WITH toks AS (SELECT UNNEST(string_split(text, ' ')) AS term
+        |              FROM documents),
+        |counts AS (SELECT term, COUNT(*) AS n FROM toks GROUP BY term),
+        |b AS (SELECT term, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(term, ''),
+        |          c -> CAST(ascii(c) AS BIGINT))),
+        |        (h, c) -> (h * 31 + c) % 1048576) AS base
+        |      FROM counts),
+        |r AS (SELECT UNNEST([0, 1, 2, 3]) AS r),
+        |cell AS (SELECT r.r,
+        |           ((b.base * (2654435761 + r.r)) >> 16) % 256 AS idx,
+        |           CAST(SUM(c.n) AS BIGINT) AS cnt
+        |         FROM counts c JOIN b USING (term) CROSS JOIN r
+        |         GROUP BY r.r, idx),
+        |top AS (SELECT term, n FROM counts ORDER BY n DESC, term LIMIT 20)
+        |SELECT t.term, t.n AS n_exact, CAST(MIN(cl.cnt) AS BIGINT) AS cms_est
+        |FROM top t JOIN b USING (term)
+        |CROSS JOIN r
+        |JOIN cell cl ON cl.r = r.r
+        |  AND cl.idx = ((b.base * (2654435761 + r.r)) >> 16) % 256
+        |GROUP BY t.term, t.n
+        |ORDER BY n_exact DESC, term""".stripMargin,
 
     "q_text_dup_spans" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w

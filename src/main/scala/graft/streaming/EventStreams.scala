@@ -208,6 +208,41 @@ object EventStreams {
         .orderBy(col("click_id"), col("p_id"))
     }),
 
+    // Stream-stream LEFT OUTER join: like q_stream_join, but clicks with
+    // no purchase in the preceding hour ALSO emit, null-extended — and
+    // only once the global watermark proves no matching purchase can
+    // still arrive (a clicks row is evictable when the watermark passes
+    // its c_ts, the latest joinable p_ts). With AvailableNow over the
+    // static fixture the final watermark is deterministic:
+    // min(max(c_ts) - 1h, max(p_ts) - 2h) (multipleWatermarkPolicy=min),
+    // so the oracle can replay exactly which unmatched clicks flush and
+    // which stay held in state at end-of-stream — the honest semantics
+    // of a live outer join, where recent rows are still awaiting
+    // matches.
+    "q_stream_left_join" -> ((s, d) => {
+      val clicks = eventStream(s, d)
+        .where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = eventStream(s, d)
+        .where(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"), col("value"))
+        .withWatermark("p_ts", "2 hours")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
+          col("p_ts") <= col("c_ts"),
+        "leftOuter")
+      runToMemory(s, joined, "append", s"sljoin_${System.nanoTime()}")
+        .select(col("click_id"), col("user_id"),
+          unix_micros(col("c_ts")).as("click_ts_us"),
+          col("p_id"), unix_micros(col("p_ts")).as("purchase_ts_us"),
+          col("value"))
+        .orderBy(col("click_id"), col("p_id"))
+    }),
+
     // Stream-static enrichment join: the purchase stream joined to a
     // static dimension (customer) and aggregated per market segment. The
     // join is STATELESS — the static side is (re)read per micro-batch
@@ -293,6 +328,29 @@ object EventStreams {
         | AND p.user_id = c.user_id
         | AND p.ts >= c.ts - INTERVAL '1 hour' AND p.ts <= c.ts
         |ORDER BY click_id, p_id""".stripMargin,
+
+    "q_stream_left_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, ts AS c_ts
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts, value
+        |      FROM events WHERE event_type = 'purchase'),
+        |wm AS (SELECT LEAST(
+        |         (SELECT MAX(c_ts) FROM c) - INTERVAL '1 hour',
+        |         (SELECT MAX(p_ts) FROM p) - INTERVAL '2 hours') AS w)
+        |SELECT c.click_id, c.user_id, epoch_us(c.c_ts) AS click_ts_us,
+        |       p.p_id, epoch_us(p.p_ts) AS purchase_ts_us, p.value
+        |FROM c JOIN p ON p.p_user = c.user_id
+        |  AND p.p_ts >= c.c_ts - INTERVAL '1 hour' AND p.p_ts <= c.c_ts
+        |UNION ALL
+        |SELECT c.click_id, c.user_id, epoch_us(c.c_ts),
+        |       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |       CAST(NULL AS DOUBLE)
+        |FROM c
+        |WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.p_user = c.user_id
+        |        AND p.p_ts >= c.c_ts - INTERVAL '1 hour'
+        |        AND p.p_ts <= c.c_ts)
+        |  AND c.c_ts < (SELECT w FROM wm)
+        |ORDER BY click_id, p_id NULLS FIRST""".stripMargin,
 
     "q_stream_static_join" ->
       """SELECT c.c_mktsegment, COUNT(*) AS n,

@@ -116,6 +116,30 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(1) - 3.5) < 1e-9)
   }
 
+  test("count-min sketch estimates are upper bounds on exact counts") {
+    import spark.implicits._
+    import graft.functions.CountMinAgg
+    val words = Seq.tabulate(2000)(i => s"w${i % 97}") ++ Seq.fill(500)("hot")
+    val df = words.toDF("term")
+    val cms = df.agg(CountMinAgg.count_min_agg(col("term")))
+      .head.getSeq[Long](0).toArray
+    assert(cms.length == CountMinAgg.DEPTH * CountMinAgg.WIDTH)
+    // each row of counters sums to the total token count (mass conservation)
+    (0 until CountMinAgg.DEPTH).foreach { r =>
+      val rowSum = cms.slice(r * CountMinAgg.WIDTH, (r + 1) * CountMinAgg.WIDTH).sum
+      assert(rowSum == words.length.toLong, s"row $r mass $rowSum")
+    }
+    // estimate(t) >= exact(t) for every term, and the hot key is sharp-ish
+    val exact = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    exact.foreach { case (t, n) =>
+      var base = 0L
+      t.foreach(c => base = (base * 31 + c) % 1048576)
+      val est = (0 until CountMinAgg.DEPTH).map(r =>
+        cms(r * CountMinAgg.WIDTH + CountMinAgg.rowIndex(base, r))).min
+      assert(est >= n, s"$t est $est < exact $n")
+    }
+  }
+
   test("rolling fingerprint min-window-hash handles short inputs") {
     val h = RollingFingerprint.minWindowHash("ab".getBytes, 16, 1000003L,
       0x7FFFFFFFL)
