@@ -54,7 +54,42 @@ object Extended {
         s"(($b >> $i) & 1) * ${1L << (2 * i)})"
     }.mkString(" + ")
 
+  /** The join under q_join_runtime_filter, exposed so PlanSpec can
+    * assert the injected bloom filter on the same plan the query runs. */
+  private[graft] def runtimeFilteredJoin(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).where(col("o_orderstatus") === "P"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_lines"),
+        QueryDefs.dsum(col("l_extendedprice")).as("sum_price"))
+
   val defs: Map[String, Q] = Map(
+
+    // Runtime bloom-filter join pruning (InjectRuntimeFilter): the
+    // selective dimension predicate is turned into a bloom filter,
+    // built on the dim side at RUN time and applied to the fact scan
+    // BEFORE the join shuffle — at 100 TB this is the difference
+    // between shuffling every lineitem row and shuffling only the ~3%
+    // that can possibly match. Spark's size thresholds are tuned for
+    // real clusters, so the fixture-scale knobs here force what a 100 TB
+    // plan gets for free (broadcast is disabled for the same reason —
+    // at real fact×dim scale this join is a shuffle join, which is
+    // exactly when runtime filters matter). Materialized inside the
+    // conf window because injection happens at optimization time.
+    "q_join_runtime_filter" -> ((s, d) => {
+      val out = s"${sys.props("java.io.tmpdir")}/graft_rtf_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+      val knobs = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val prev = knobs.map { case (k, _) => k -> s.conf.getOption(k) }
+      knobs.foreach { case (k, v) => s.conf.set(k, v) }
+      try runtimeFilteredJoin(s, d)
+        .write.mode("overwrite").parquet(out)
+      finally prev.foreach { case (k, v) =>
+        v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+      s.read.parquet(out).orderBy(col("o_orderstatus"))
+    }),
 
     // Typed per-group transformation (KeyValueGroupedDataset
     // .flatMapGroups): per-language z-score of document length, computed
@@ -428,6 +463,14 @@ object Extended {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_join_runtime_filter" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'P'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
     "q_typed_mapgroups" ->
       """WITH s AS (
         |  SELECT lang, COUNT(*) AS n,

@@ -183,6 +183,21 @@ class PlanSpec extends AnyFunSuite {
       s"box filter must reach the parquet row-group stats:\n$p")
   }
 
+  test("selective dim predicate injects a bloom runtime filter on the fact side") {
+    val knobs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = knobs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    knobs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val p = graft.queries.Extended.runtimeFilteredJoin(spark, sfDir)
+        .queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        s"expected an injected bloom runtime filter:\n${p.take(1200)}")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("bucketed join eliminates join-side shuffles") {
     val p = plan("q_join_bucketed")
     val joinSection = p.substring(p.indexOf("SortMergeJoin"))
