@@ -56,6 +56,35 @@ object Multimodal {
         .orderBy(col("doc_id"))
     }),
 
+    // Raw-media ingest via the binaryFile source — the step BEFORE every
+    // other multimodal query: media sitting as loose files becomes a
+    // (path, length, content) DataFrame, ids recovered from filenames,
+    // content digested in the scan stage. The landing zone is
+    // materialized driver-side from 50 fixture docs (bounded, setup-only
+    // — at scale the raw files already exist and the operator under
+    // test is the DISTRIBUTED binaryFile scan, which plans one task per
+    // file exactly like the reference's per-file fan-out).
+    "q_source_binaryfile" -> ((s, d) => {
+      val dir = new java.io.File(
+        s"${sys.props("java.io.tmpdir")}/graft_blobs_${d.replaceAll("[^0-9a-zA-Z]", "_")}")
+      dir.mkdirs()
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .where(col("doc_id") < 50)
+        .collect() // 50 rows: fixture landing-zone setup, not a query path
+        .foreach { r =>
+          java.nio.file.Files.write(
+            dir.toPath.resolve(s"blob_${r.getLong(0)}.bin"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      s.read.format("binaryFile").load(s"$dir/*.bin")
+        .select(
+          regexp_extract(col("path"), "blob_(\\d+)\\.bin", 1)
+            .cast("long").as("doc_id"),
+          col("length").as("n_bytes"),
+          sha2(col("content"), 256).as("digest"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Batch decode via mapPartitions over a typed Dataset: the real
     // plumbing for a codec UDF (schema, encoder, per-partition batch
     // iteration). Decoder itself is the stub above → rows-only check.
@@ -164,6 +193,12 @@ object Multimodal {
         |  ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)]
         |    AS modality
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_source_binaryfile" ->
+      """SELECT doc_id,
+        |  CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+        |  SHA256(text) AS digest
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
 
     // Reproduces the stub decode arithmetic (frames = 1 + n_bytes % 30)
     // and the stride-sampling loop as a recursive CTE — DuckDB 1.x can't

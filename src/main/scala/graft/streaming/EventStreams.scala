@@ -243,6 +243,42 @@ object EventStreams {
         .orderBy(col("click_id"), col("p_id"))
     }),
 
+    // foreachBatch sink — the production sink pattern (upsert into a
+    // table, not a demo memory sink) — driven across FOUR real
+    // micro-batches (maxFilesPerTrigger=1 over a 4-file landing zone),
+    // so aggregation state genuinely carries between batches. Complete
+    // mode + overwrite makes each batch a full upsert of the running
+    // counts; the final table equals the global aggregate no matter how
+    // the files were batched, which is exactly the idempotent-sink
+    // contract foreachBatch exists to implement.
+    "q_stream_foreach_batch" -> ((s, d) => {
+      val base = s"${sys.props("java.io.tmpdir")}/graft_fb_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+      val (in, out) = (s"$base/in", s"$base/out")
+      graft.sources.Tables.events(s, d).select(col("event_type"), col("value"))
+        .repartition(4).write.mode("overwrite").parquet(in)
+      val agg = s.readStream
+        .schema("event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(30,4)")).cast("double").as("sum_value"))
+      val key = "spark.sql.shuffle.partitions"
+      val prev = s.conf.get(key)
+      s.conf.set(key, "8")
+      try {
+        val q = agg.writeStream
+          .outputMode("complete")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("overwrite").parquet(out) // full upsert per batch
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set(key, prev)
+      s.read.parquet(out).orderBy(col("event_type"))
+    }),
+
     // Stream-static enrichment join: the purchase stream joined to a
     // static dimension (customer) and aggregated per market segment. The
     // join is STATELESS — the static side is (re)read per micro-batch
@@ -351,6 +387,11 @@ object EventStreams {
         |        AND p.p_ts <= c.c_ts)
         |  AND c.c_ts < (SELECT w FROM wm)
         |ORDER BY click_id, p_id NULLS FIRST""".stripMargin,
+
+    "q_stream_foreach_batch" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_stream_static_join" ->
       """SELECT c.c_mktsegment, COUNT(*) AS n,
