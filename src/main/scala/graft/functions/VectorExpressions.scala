@@ -248,6 +248,35 @@ case class DecimalDotProduct(left: Expression, right: Expression)
 }
 
 /** Column-API entry points (the user-facing surface of the expressions). */
+/** Engine-neutral 40-bit string hash: byte fold
+  * h' = (h · 1000003 + byte) mod 2^40 (compiled loop). Exists so sketch
+  * operators built on it (SimHash) can be ORACLE-checked — DuckDB
+  * replays the identical fold with list_reduce over the chars, which
+  * xxhash64 (Spark-internal) never allows. 40 bits keeps every
+  * intermediate product under 2^60, inside DuckDB's overflow-checked
+  * BIGINT arithmetic. */
+case class NeutralHash40(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "neutral_hash40"
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h * 1000003L + (bytes(i) & 0xFF)) & 0xFFFFFFFFFFL
+      i += 1
+    }
+    java.lang.Long.valueOf(h)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Cosine similarity of two `array<float>` columns (codegen'd). */
   def cosine_sim(a: Column, b: Column): Column =
@@ -265,4 +294,8 @@ object VectorFunctions {
     * columns, DECIMAL(30,12) out. */
   def decimal_dot(a: Column, b: Column): Column =
     Bridge.column(DecimalDotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Engine-neutral 40-bit hash of a string column (compiled loop). */
+  def neutral_hash40(c: Column): Column =
+    Bridge.column(NeutralHash40(Bridge.expression(c)))
 }

@@ -247,25 +247,30 @@ object Dedup {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
-    // SimHash near-dup: 64-bit signature from per-shingle xxhash64 bit
-    // votes (trigram shingles — the same feature space as the Jaccard
-    // ground truth; unigrams over the fixture's ~30-word vocabulary make
-    // every document collide). Computed scale-friendly: explode shingles,
-    // hash once, then a one-pass native aggregate in ONE groupBy (a
-    // single shuffle) — not nested lambda folds. Candidates via 8×8-bit
-    // chunk banding (pigeonhole: hamming ≤ 7 ⇒ some identical chunk);
-    // no DuckDB oracle (xxhash64 is engine-specific) → rows-only check.
+    // SimHash near-dup: 40-bit signature from per-shingle bit votes
+    // (trigram shingles — the same feature space as the Jaccard ground
+    // truth; unigrams over the fixture's ~30-word vocabulary make every
+    // document collide). Computed scale-friendly: explode shingles, hash
+    // once (the compiled engine-neutral fold, graft.functions
+    // .NeutralHash40), then a one-pass native aggregate in ONE groupBy
+    // (a single shuffle) — not nested lambda folds. Candidates via
+    // 5×8-bit chunk banding (pigeonhole: hamming ≤ 4 ⇒ some identical
+    // chunk; 5..7 still surface when a chunk happens to match, and both
+    // engines replay the identical algorithm). The neutral hash is what
+    // makes this ORACLE-checked: DuckDB rebuilds signature, bands, and
+    // hamming filter bit-for-bit, where the previous xxhash64 spelling
+    // allowed only a rows-only check.
     "q_dedup_simhash" -> ((s, d) => {
       val ex = withShingles(s, d)
         .select(col("doc_id"), explode(col("sh")).as("t"))
-        .withColumn("h", xxhash64(col("t")))
+        .withColumn("h", graft.functions.VectorFunctions.neutral_hash40(col("t")))
       // one-pass native aggregate (TypedImperativeAggregate): the vote
       // vector is the buffer, partial/final combine is vector addition
       val sims = ex.groupBy(col("doc_id"))
         .agg(graft.functions.SimHashAgg.simhash_agg(col("h")).as("simhash"))
       val chunks = sims.select(col("doc_id"), col("simhash"),
         explode(expr(
-          """transform(sequence(0, 7),
+          """transform(sequence(0, 4),
             |  c -> named_struct('c', c,
             |    'v', shiftright(simhash, c * 8) & 255))""".stripMargin))
           .as("ck"))
@@ -567,6 +572,41 @@ object Dedup {
 
     "q_dedup_ngram_jaccard" -> ngramOracle,
     "q_dedup_minhash_lsh" -> ngramOracle,
+
+    // Full replay of the SimHash pipeline: shingles → neutral 40-bit
+    // fold → per-bit votes → signature → 5×8-bit bands → hamming ≤ 7.
+    "q_dedup_simhash" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                       for i in generate_series(1, len(w) - 2)])
+        |      ELSE [array_to_string(w, ' ')] END AS sh
+        |      FROM t),
+        |e AS (SELECT doc_id, UNNEST(sh) AS sg FROM g),
+        |h AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(sg, ''),
+        |          c -> CAST(ascii(c) AS BIGINT))),
+        |        (h, c) -> (h * 1000003 + c) % 1099511627776) AS hv
+        |      FROM e),
+        |bits AS (SELECT UNNEST(generate_series(0, 39)) AS b),
+        |votes AS (SELECT doc_id, b,
+        |            SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |          FROM h CROSS JOIN bits GROUP BY doc_id, b),
+        |sig AS (SELECT doc_id,
+        |          CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
+        |                        ELSE 0 END) AS BIGINT) AS simhash
+        |        FROM votes GROUP BY doc_id),
+        |ck AS (SELECT doc_id, simhash, c, (simhash >> (c * 8)) & 255 AS cv
+        |       FROM sig CROSS JOIN (SELECT UNNEST([0, 1, 2, 3, 4]) AS c)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |           a.simhash AS sa, b.simhash AS sb
+        |         FROM ck a JOIN ck b
+        |           ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(sa, sb)) <= 7
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // Candidates from full shingle-set intersections (the df-cap is
     // provably inactive on the fixtures — same argument as the Jaccard
