@@ -42,13 +42,13 @@ object Extended {
     * positions) and `b` (even positions) into a 20-bit Morton code.
     * Pure integer expression — replayed verbatim (with `>>` spelling)
     * in the DuckDB oracle. */
-  private[queries] def zInterleaveSpark(a: String, b: String): String =
+  private[graft] def zInterleaveSpark(a: String, b: String): String =
     (0 until 10).map { i =>
       s"(((shiftright($a, $i) & 1) * ${1L << (2 * i + 1)}) + " +
         s"((shiftright($b, $i) & 1) * ${1L << (2 * i)}))"
     }.mkString(" + ")
 
-  private[queries] def zInterleaveDuck(a: String, b: String): String =
+  private[graft] def zInterleaveDuck(a: String, b: String): String =
     (0 until 10).map { i =>
       s"((($a >> $i) & 1) * ${1L << (2 * i + 1)} + " +
         s"(($b >> $i) & 1) * ${1L << (2 * i)})"
@@ -89,6 +89,31 @@ object Extended {
       finally prev.foreach { case (k, v) =>
         v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
       s.read.parquet(out).orderBy(col("o_orderstatus"))
+    }),
+
+    // Event-time RANGE window frame: per-user trailing-hour count and
+    // sum — the time-based sliding aggregate, where the frame is an
+    // INTERVAL over the ORDER BY column, not a row count (q_window_frame
+    // covers ROWS). RANGE includes ts-ties as peers, so the result is
+    // order-deterministic even with duplicate timestamps; the decimal
+    // sum keeps the frame aggregate bit-exact across engines. One
+    // shuffle on user_id, sort within partition — same cost envelope as
+    // any window at scale.
+    "q_window_range_frame" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .withColumn("n_1h", expr(
+          """count(*) OVER (PARTITION BY user_id ORDER BY ts
+            |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"""
+            .stripMargin))
+        .withColumn("sum_1h", expr(
+          """CAST(sum(CAST(value AS DECIMAL(30,4))) OVER (
+            |  PARTITION BY user_id ORDER BY ts
+            |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+            |AS DOUBLE)""".stripMargin))
+        .where(col("event_id") % 13 === 0)
+        .select(col("event_id"), col("user_id"), col("n_1h"), col("sum_1h"))
+        .orderBy(col("event_id"))
     }),
 
     // Typed per-group transformation (KeyValueGroupedDataset
@@ -463,6 +488,17 @@ object Extended {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_window_range_frame" ->
+      """SELECT event_id, user_id,
+        |  COUNT(*) OVER w AS n_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,4))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL '1 hour' PRECEDING
+        |               AND CURRENT ROW)
+        |QUALIFY event_id % 13 = 0
+        |ORDER BY event_id""".stripMargin,
+
     "q_join_runtime_filter" ->
       """SELECT o_orderstatus, COUNT(*) AS n_lines,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE)

@@ -27,6 +27,25 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("z-order interleave is a bijection on the 10-bit key pair (property)") {
+    import spark.implicits._
+    val pairs = samples(Gen.zip(Gen.choose(0L, 1023L), Gen.choose(0L, 1023L)), 64)
+    val df = pairs.toDF("za", "zb")
+      .withColumn("z", expr(graft.queries.Extended.zInterleaveSpark("za", "zb")))
+      .collect()
+    df.foreach { r =>
+      val (za, zb, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      // decode: odd bit positions hold za, even hold zb
+      var (da, db) = (0L, 0L)
+      (0 until 10).foreach { i =>
+        da |= ((z >> (2 * i + 1)) & 1L) << i
+        db |= ((z >> (2 * i)) & 1L) << i
+      }
+      assert(da == za && db == zb, s"z=$z decoded ($da,$db) != ($za,$zb)")
+      assert(z >= 0 && z < (1L << 20))
+    }
+  }
+
   test("union-all is additive, intersect bounded by both sides") {
     val c = Tables.customer(spark, sf).select(col("c_nationkey"))
     val s2 = Tables.supplier(spark, sf).select(col("s_nationkey"))
