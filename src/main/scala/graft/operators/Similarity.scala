@@ -44,6 +44,35 @@ object Similarity {
 
     // Brute-force k-NN, decimal-exact scores (oracle-checked): queries =
     // vec_id < 3, k = 5, ties broken by neighbor id.
+    // ColBERT-style MaxSim late interaction: the query is a SET of
+    // vectors (label-0 sample) and each candidate "document" is a set
+    // (labels 1-4); score(Q, D) = Σ_{q∈Q} max_{d∈D} cos(q, d). This is
+    // the multi-vector retrieval primitive — single-vector cosine loses
+    // token-level matches that MaxSim keeps. Shape: the small query set
+    // broadcasts, the corpus is scanned once, the per-(q, doc) max is a
+    // partial-aggregable groupBy, and the final score is k rows. The
+    // per-pair cosine is floor-quantized BEFORE max/sum, so both the
+    // selection and the (integer) sum replay exactly in the oracle. At
+    // 100 TB candidates come from an ANN shortlist (q_sim_ann_*) and
+    // MaxSim re-ranks only that shortlist.
+    "q_sim_maxsim" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val q = e.where(col("label") === 0 && col("vec_id") % 7 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val c = e.where(col("label").between(1, 4))
+        .select(col("label").as("c_label"), col("v"))
+      c.join(broadcast(q))
+        .select(col("q_id"), col("c_label"),
+          floor(exactCos(col("qv"), col("v")) * lit(1e6)).cast("long").as("cq"))
+        .groupBy(col("q_id"), col("c_label"))
+        .agg(max(col("cq")).as("best_q"))
+        .groupBy(col("c_label"))
+        .agg(sum(col("best_q")).as("maxsim_q"), count(lit(1)).as("n_q"))
+        .orderBy(col("c_label"))
+    }),
+
     "q_sim_cosine_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -498,6 +527,30 @@ object Similarity {
         |n AS (SELECT label, COUNT(*) AS n FROM e GROUP BY label)
         |SELECT c.label, n.n, c.centroid_sum_q
         |FROM c JOIN n USING (label) ORDER BY c.label""".stripMargin,
+
+    "q_sim_maxsim" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |        (SELECT CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE)
+        |         FROM UNNEST(v) AS t(x)) AS nsq
+        |      FROM e),
+        |q AS (SELECT vec_id AS q_id, v AS qv, nsq AS qn
+        |      FROM n WHERE label = 0 AND vec_id % 7 = 0),
+        |c AS (SELECT label AS c_label, v, nsq AS cn
+        |      FROM n WHERE label BETWEEN 1 AND 4),
+        |s AS (SELECT q.q_id, c.c_label,
+        |        CAST(FLOOR(
+        |          ((SELECT CAST(SUM(CAST(q.qv[i] * c.v[i]
+        |                    AS DECIMAL(30,12))) AS DOUBLE)
+        |            FROM generate_series(1, 64) AS t(i))
+        |           / SQRT(q.qn * c.cn)) * 1e6) AS BIGINT) AS cq
+        |      FROM q CROSS JOIN c),
+        |b AS (SELECT q_id, c_label, MAX(cq) AS best_q
+        |      FROM s GROUP BY q_id, c_label)
+        |SELECT c_label, CAST(SUM(best_q) AS BIGINT) AS maxsim_q,
+        |  COUNT(*) AS n_q
+        |FROM b GROUP BY c_label ORDER BY c_label""".stripMargin,
 
     "q_sim_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
