@@ -59,13 +59,19 @@ object Similarity {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"),
           col("embedding").cast("array<double>").as("v"))
+      import graft.functions.VectorFunctions.decimal_dot
+      // norms once per VECTOR (scan stage), never per pair — with an
+      // ANN-shortlisted candidate set this is the dominant saving
       val q = e.where(col("label") === 0 && col("vec_id") % 7 === 0)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          decimal_dot(col("v"), col("v")).cast("double").as("qn"))
       val c = e.where(col("label").between(1, 4))
-        .select(col("label").as("c_label"), col("v"))
+        .select(col("label").as("c_label"), col("v"),
+          decimal_dot(col("v"), col("v")).cast("double").as("cn"))
       c.join(broadcast(q))
         .select(col("q_id"), col("c_label"),
-          floor(exactCos(col("qv"), col("v")) * lit(1e6)).cast("long").as("cq"))
+          floor(decimal_dot(col("qv"), col("v")).cast("double") /
+            sqrt(col("qn") * col("cn")) * lit(1e6)).cast("long").as("cq"))
         .groupBy(col("q_id"), col("c_label"))
         .agg(max(col("cq")).as("best_q"))
         .groupBy(col("c_label"))
