@@ -138,6 +138,41 @@ object TextAnalysis {
         .orderBy(col("lang"))
     }),
 
+    // Statistical language-model quality scoring (CCNet-style): an
+    // add-1-smoothed bigram LM trained on the corpus itself scores each
+    // document by Σ log p(w_i | w_{i-1}) — the perplexity-proxy quality
+    // gate. Everything is rational (counts, +1, vocab size) except the
+    // final ln, which is floor-quantized at 1e4 per DISTINCT bigram
+    // before the (integer, order-free) per-doc sum — the q_math_funcs
+    // transcendental discipline. Shapes that scale: bigram counts are
+    // one groupBy of (a, b) pairs; doc scoring joins (doc_id, a, b)
+    // triples — never text — against the count tables; the vocab size
+    // is a scalar broadcast.
+    "q_text_lm_score" -> ((s, d) => {
+      val toksD = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val big = toksD.select(col("doc_id"), explode(expr(
+          """CASE WHEN size(toks) >= 2 THEN
+            |  transform(sequence(1, size(toks) - 1),
+            |    i -> named_struct('a', element_at(toks, i),
+            |                      'b', element_at(toks, i + 1)))
+            |ELSE array() END""".stripMargin)).as("bg"))
+        .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+      val c2 = big.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+      val c1 = big.groupBy(col("a")).agg(count(lit(1)).as("n_a"))
+      val vocab = toksD.select(explode(col("toks")).as("t"))
+        .agg(countDistinct(col("t")).as("v"))
+      big.join(c2, Seq("a", "b")).join(c1, Seq("a"))
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"),
+          floor(log((col("n_ab") + 1).cast("double") /
+            (col("n_a") + col("v")).cast("double")) * lit(1e4))
+            .cast("long").as("lp_q"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_q")).as("score_q"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Repetition quality signal (Gopher/C4-style): the fraction of a
     // document's word trigrams that are duplicates — high values flag
     // boilerplate, spam, and degenerate generations. Single scan, all
@@ -342,6 +377,27 @@ object TextAnalysis {
         |SELECT r.doc_id, CASE WHEN r.mn IS NULL THEN r.h ELSE r.mn END AS fp
         |FROM rec r JOIN m ON m.doc_id = r.doc_id AND r.i = m.n
         |ORDER BY r.doc_id""".stripMargin,
+
+    "q_text_lm_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |p0 AS (SELECT doc_id,
+        |         UNNEST([struct_pack(a := toks[i], b := toks[i + 1])
+        |                 for i in generate_series(1, len(toks) - 1)]) AS bg
+        |       FROM t WHERE len(toks) >= 2),
+        |p AS (SELECT doc_id, bg.a AS a, bg.b AS b FROM p0),
+        |c2 AS (SELECT a, b, COUNT(*) AS n_ab FROM p GROUP BY a, b),
+        |c1 AS (SELECT a, COUNT(*) AS n_a FROM p GROUP BY a),
+        |v AS (SELECT COUNT(DISTINCT tk) AS v
+        |      FROM (SELECT UNNEST(toks) AS tk FROM t)),
+        |sc AS (SELECT p.doc_id,
+        |         CAST(FLOOR(LN(CAST(c2.n_ab + 1 AS DOUBLE)
+        |                       / CAST(c1.n_a + v.v AS DOUBLE)) * 1e4)
+        |              AS BIGINT) AS lp_q
+        |       FROM p JOIN c2 USING (a, b) JOIN c1 USING (a) CROSS JOIN v)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(lp_q) AS BIGINT) AS score_q
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_text_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
