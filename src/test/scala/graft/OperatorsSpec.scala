@@ -343,6 +343,28 @@ class OperatorsSpec extends AnyFunSuite {
       s"median projected/original norm ratio $median outside JL envelope")
   }
 
+  test("maxsim scores are bounded by n_q (cosine <= 1) and positive-normed") {
+    val rows = q("q_sim_maxsim").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (score, nq) = (r.getLong(1), r.getLong(2))
+      assert(score <= nq * 1000000L, s"maxsim $score exceeds $nq vectors * 1e6")
+      assert(score >= -nq * 1000000L)
+    }
+  }
+
+  test("LM scores are negative log-probs with one bigram per adjacent pair") {
+    import graft.sources.Tables
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), (size(split(col("text"), " ")) - 1).as("exp"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    q("q_text_lm_score").collect().foreach { r =>
+      val (id, n, score) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(n == toks(id).toLong, s"doc $id bigram count $n != ${toks(id)}")
+      assert(score < 0L, s"doc $id log-prob sum must be negative, got $score")
+    }
+  }
+
   test("temperature sampling fills each language budget exactly") {
     val rows = q("q_sample_temperature").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
