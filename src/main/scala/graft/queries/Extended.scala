@@ -91,6 +91,30 @@ object Extended {
       s.read.parquet(out).orderBy(col("o_orderstatus"))
     }),
 
+    // Parquet schema evolution (mergeSchema): two write generations —
+    // the newer one adds a column — read back as ONE table with the
+    // union'd schema, old files null-filled by NAME. The 100 TB reality
+    // this models: a corpus written over months drifts schema, and the
+    // reader must reconcile footers without rewriting petabytes.
+    // mergeSchema costs a footer pass per file at planning, so real
+    // deployments pin it per-dataset, not globally.
+    "q_source_mergeschema" -> ((s, d) => {
+      val out = s"${sys.props("java.io.tmpdir")}/graft_ms_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+      val p = Tables.part(s, d)
+      p.select(col("p_partkey"), col("p_brand"))
+        .where(col("p_partkey") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$out/gen=1")
+      p.select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+        .where(col("p_partkey") % 2 === 1)
+        .write.mode("overwrite").parquet(s"$out/gen=2")
+      s.read.option("mergeSchema", "true").parquet(out)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          count(col("p_retailprice")).as("n_priced"),
+          dsum(coalesce(col("p_retailprice"), lit(0.0))).as("total"))
+        .orderBy(col("p_brand"))
+    }),
+
     // Event-time RANGE window frame: per-user trailing-hour count and
     // sum — the time-based sliding aggregate, where the frame is an
     // INTERVAL over the ORDER BY column, not a row count (q_window_frame
@@ -488,6 +512,18 @@ object Extended {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_source_mergeschema" ->
+      """WITH u AS (
+        |  SELECT p_partkey, p_brand, CAST(NULL AS DOUBLE) AS p_retailprice
+        |  FROM part WHERE p_partkey % 2 = 0
+        |  UNION ALL
+        |  SELECT p_partkey, p_brand, p_retailprice
+        |  FROM part WHERE p_partkey % 2 = 1)
+        |SELECT p_brand, COUNT(*) AS n, COUNT(p_retailprice) AS n_priced,
+        |  CAST(SUM(CAST(COALESCE(p_retailprice, 0.0) AS DECIMAL(30,4)))
+        |    AS DOUBLE) AS total
+        |FROM u GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
     "q_window_range_frame" ->
       """SELECT event_id, user_id,
         |  COUNT(*) OVER w AS n_1h,
