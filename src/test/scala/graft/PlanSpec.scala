@@ -198,6 +198,21 @@ class PlanSpec extends AnyFunSuite {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("maxsim broadcasts the query set; candidates never self-shuffle") {
+    val p = plan("q_sim_maxsim")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "query vector set must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "the pair stage must not shuffle the corpus against itself")
+  }
+
+  test("LM scoring joins count tables by bigram key, no cartesian on data") {
+    val p = plan("q_text_lm_score")
+    assert(!p.contains("CartesianProduct"),
+      "only the 1-row vocab scalar may cross join (as broadcast)")
+    assert(p.contains("HashAggregate"), "bigram counts must hash-aggregate")
+  }
+
   test("bucketed join eliminates join-side shuffles") {
     val p = plan("q_join_bucketed")
     val joinSection = p.substring(p.indexOf("SortMergeJoin"))
