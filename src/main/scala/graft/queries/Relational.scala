@@ -458,6 +458,48 @@ object Relational {
       """)
     }),
 
+    // Recursive CTE (Spark 4): per-seed halving chain walked to the
+    // root — each recursion step joins the previous frontier only, so
+    // work per round is |frontier|, not |table|, and the engine stops
+    // when the frontier empties. The declarative twin of the driver-loop
+    // label propagation in q_dedup_clusters; at 100 TB the loop form
+    // wins (checkpointing, convergence control), but the surface must
+    // exist for queries that are naturally hierarchical.
+    "q_recursive_cte" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""
+        WITH RECURSIVE chain(start_key, k, depth) AS (
+          SELECT o_orderkey, o_orderkey, 0
+          FROM orders WHERE o_orderkey % 997 = 0
+          UNION ALL
+          SELECT start_key, k div 2, depth + 1 FROM chain WHERE k > 1
+        )
+        SELECT start_key, MAX(depth) AS chain_len, SUM(k) AS path_sum
+        FROM chain GROUP BY start_key ORDER BY start_key
+      """)
+    }),
+
+    // VARIANT (Spark 4 semi-structured type): construct JSON once,
+    // parse_json into the shredded binary encoding, then extract MANY
+    // typed paths with variant_get — no per-field re-parse, which is
+    // the at-scale story for telemetry columns (parse on ingest, read
+    // fields for free). The oracle checks the round-trip recovers the
+    // source values exactly.
+    "q_json_variant" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"),
+          concat(lit("{\"k\": "), get_json_object(col("props"), "$.k"),
+            lit(", \"u\": "), col("user_id"),
+            lit(", \"tag\": \""), col("event_type"), lit("\"}")).as("js"))
+        .select(col("event_id"), parse_json(col("js")).as("v"))
+        .select(col("event_id"),
+          expr("variant_get(v, '$.k', 'int')").as("k_val"),
+          expr("variant_get(v, '$.u', 'long')").as("u_val"),
+          expr("variant_get(v, '$.tag', 'string')").as("tag"))
+        .where(col("k_val") % 10 === 0)
+        .orderBy(col("event_id"))
+    }),
+
     // ---- scalar function library ----------------------------------------
     "q_string_funcs" -> ((s, d) => {
       Tables.part(s, d).select(
@@ -829,6 +871,27 @@ object Relational {
         |SELECT c.c_custkey, c.c_name, b.n_big
         |FROM customer c JOIN big_orders b ON c.c_custkey = b.o_custkey
         |ORDER BY c.c_custkey""".stripMargin,
+
+    "q_recursive_cte" ->
+      """WITH RECURSIVE chain(start_key, k, depth) AS (
+        |  SELECT o_orderkey, o_orderkey, 0
+        |  FROM orders WHERE o_orderkey % 997 = 0
+        |  UNION ALL
+        |  SELECT start_key, k // 2, depth + 1 FROM chain WHERE k > 1
+        |)
+        |SELECT start_key, MAX(depth) AS chain_len,
+        |  CAST(SUM(k) AS BIGINT) AS path_sum
+        |FROM chain GROUP BY start_key ORDER BY start_key""".stripMargin,
+
+    // The VARIANT round-trip must recover the source values, so the
+    // oracle reads them straight from the columns the JSON was built of.
+    "q_json_variant" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS INT) AS k_val,
+        |  user_id AS u_val, event_type AS tag
+        |FROM events
+        |WHERE CAST(json_extract(props, '$.k') AS INT) % 10 = 0
+        |ORDER BY event_id""".stripMargin,
 
     "q_string_funcs" ->
       """SELECT p_partkey,
