@@ -27,6 +27,33 @@ object EventStreams {
   /** Custom state for q_stream_stateful. */
   case class UserState(n: Long, maxV: Double)
 
+  /** StatefulProcessor for q_stream_transform_state: per-event-type
+    * running (count, Σ value-micros) in a ValueState. Sums are LONG
+    * micro-units (floor(value·1e6) per row) so state merges are
+    * order-free — a double accumulator would drift with shuffle order. */
+  class TotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long), (String, Long, Long)] {
+    @transient private var totals:
+        org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Long)]("totals",
+        org.apache.spark.sql.Encoders.product[(Long, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(String, Long, Long)] = {
+      var (n, sm) = if (totals.exists()) totals.get() else (0L, 0L)
+      rows.foreach { r => n += 1L; sm += r._2 }
+      totals.update((n, sm))
+      Iterator.single((key, n, sm))
+    }
+  }
+
   private val rawSchema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType), // nanos (legacy nanosAsLong read)
@@ -243,6 +270,33 @@ object EventStreams {
         .orderBy(col("click_id"), col("p_id"))
     }),
 
+    // transformWithState (Spark 4's arbitrary-state API, successor to
+    // flatMapGroupsWithState): per-event-type running totals in a typed
+    // ValueState on the RocksDB state store — the provider that makes
+    // billion-key state viable (off-heap, spillable, changelog-
+    // checkpointed), where the default HDFS-backed store holds state on
+    // the executor heap. Values accumulate as LONG micro-units so the
+    // state is shuffle-order-free and the batch oracle exact.
+    "q_stream_transform_state" -> ((s, d) => {
+      import s.implicits._
+      val src = eventStream(s, d)
+        .select(col("event_type"),
+          floor(col("value") * lit(1e6)).cast("long").as("vmicro"))
+        .as[(String, Long)]
+      val out = src.groupByKey(_._1)
+        .transformWithState(new TotalsProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .toDF("event_type", "n", "sum_vmicro")
+      val pk = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(pk)
+      s.conf.set(pk,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try runToMemory(s, out, "update", s"tws_${System.nanoTime()}")
+        .orderBy(col("event_type"))
+      finally prev.fold(s.conf.unset(pk))(s.conf.set(pk, _))
+    }),
+
     // foreachBatch sink — the production sink pattern (upsert into a
     // table, not a demo memory sink) — driven across FOUR real
     // micro-batches (maxFilesPerTrigger=1 over a 4-file landing zone),
@@ -387,6 +441,12 @@ object EventStreams {
         |        AND p.p_ts <= c.c_ts)
         |  AND c.c_ts < (SELECT w FROM wm)
         |ORDER BY click_id, p_id NULLS FIRST""".stripMargin,
+
+    "q_stream_transform_state" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) AS BIGINT)
+        |    AS sum_vmicro
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_stream_foreach_batch" ->
       """SELECT event_type, COUNT(*) AS n,
