@@ -299,11 +299,19 @@ object Relational {
       val mxx = dbl("sxx") - dbl("sx") * dbl("sx") / nD
       val myy = dbl("syy") - dbl("sy") * dbl("sy") / nD
       val mxy = dbl("sxy") - dbl("sx") * dbl("sy") / nD
+      // Outputs are fixed-point-quantized: the sufficient statistics are
+      // decimal-exact, but their conversion to double is NOT bit-identical
+      // across engines (DuckDB scales an int128 where the JVM rounds a
+      // BigDecimal — found as a last-ulp corr mismatch at sf0.001), and
+      // the cancellation in sxx - sx²/n amplifies that ulp. Quantizing
+      // the derived moments absorbs conversion noise the same way the
+      // library quantizes transcendentals.
       g.select(col("l_returnflag"), col("n"),
-          (mxx / (nD - lit(1.0))).as("var_qty"),
-          sqrt(mxx / (nD - lit(1.0))).as("stddev_qty"),
-          (mxy / (nD - lit(1.0))).as("covar_qp"),
-          (mxy / sqrt(mxx * myy)).as("corr_qp"))
+          floor((mxx / (nD - lit(1.0))) * lit(1e6)).cast("long").as("var_q6"),
+          floor(sqrt(mxx / (nD - lit(1.0))) * lit(1e6)).cast("long")
+            .as("stddev_q6"),
+          floor((mxy / (nD - lit(1.0))) * lit(1e6)).cast("long").as("covar_q6"),
+          floor((mxy / sqrt(mxx * myy)) * lit(1e9)).cast("long").as("corr_q9"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -705,10 +713,10 @@ object Relational {
         |      / CAST(n AS DOUBLE) AS mxy
         |  FROM a)
         |SELECT l_returnflag, n,
-        |  mxx / (nd - 1.0) AS var_qty,
-        |  SQRT(mxx / (nd - 1.0)) AS stddev_qty,
-        |  mxy / (nd - 1.0) AS covar_qp,
-        |  mxy / SQRT(mxx * myy) AS corr_qp
+        |  CAST(FLOOR(mxx / (nd - 1.0) * 1e6) AS BIGINT) AS var_q6,
+        |  CAST(FLOOR(SQRT(mxx / (nd - 1.0)) * 1e6) AS BIGINT) AS stddev_q6,
+        |  CAST(FLOOR(mxy / (nd - 1.0) * 1e6) AS BIGINT) AS covar_q6,
+        |  CAST(FLOOR(mxy / SQRT(mxx * myy) * 1e9) AS BIGINT) AS corr_q9
         |FROM m ORDER BY l_returnflag""".stripMargin,
 
     "q_agg_pricing_summary" ->
