@@ -91,6 +91,32 @@ object Extended {
       s.read.parquet(out).orderBy(col("o_orderstatus"))
     }),
 
+    // Small-file compaction: the maintenance pass that rewrites a
+    // many-small-files dataset into few large ones (here 64 shuffle-
+    // grain files → 4 via repartition, with maxRecordsPerFile as the
+    // upper-bound guard). At 100 TB this is the difference between a
+    // scan planning 10M tasks and 10k — file count, not byte count, is
+    // what kills listing and scheduling. The oracle checks the rewrite
+    // preserved the data exactly; CompactionSpec-style file-count
+    // assertions live in PlanSpec.
+    "q_layout_compaction" -> ((s, d) => {
+      val base = s"${sys.props("java.io.tmpdir")}/graft_cmp_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+      val (small, big) = (s"$base/small", s"$base/big")
+      val ev = Tables.events(s, d).select(col("event_id"), col("event_type"),
+        col("value"))
+      ev.repartition(64).write.mode("overwrite").parquet(small)
+      s.read.parquet(small)
+        .repartition(4)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 1000000)
+        .parquet(big)
+      s.read.parquet(big)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+        .orderBy(col("event_type"))
+    }),
+
     // Parquet schema evolution (mergeSchema): two write generations —
     // the newer one adds a column — read back as ONE table with the
     // union'd schema, old files null-filled by NAME. The 100 TB reality
@@ -512,6 +538,12 @@ object Extended {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_layout_compaction" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value,
+        |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q_source_mergeschema" ->
       """WITH u AS (
         |  SELECT p_partkey, p_brand, CAST(NULL AS DOUBLE) AS p_retailprice

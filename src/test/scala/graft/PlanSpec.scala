@@ -213,6 +213,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), "bigram counts must hash-aggregate")
   }
 
+  test("compaction rewrites 64 small files into 4 large ones") {
+    SparkEntry.queries("q_layout_compaction")(spark, sfDir).collect()
+    val base = s"${sys.props("java.io.tmpdir")}/graft_cmp_${sfDir.replaceAll("[^0-9a-zA-Z]", "_")}"
+    def parquets(p: String) =
+      new java.io.File(p).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(parquets(s"$base/small") == 64)
+    assert(parquets(s"$base/big") == 4)
+  }
+
   test("bucketed join eliminates join-side shuffles") {
     val p = plan("q_join_bucketed")
     val joinSection = p.substring(p.indexOf("SortMergeJoin"))
