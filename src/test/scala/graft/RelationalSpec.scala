@@ -93,9 +93,10 @@ class RelationalSpec extends AnyFunSuite {
   }
 
   test("sufficient-statistics moments match Spark's built-in aggregates") {
+    // outputs are fixed-point longs (var/covar at 1e6, corr at 1e9)
     val ours = SparkEntry.queries("q_agg_stats")(spark, sf).collect()
       .map(r => r.getString(0) ->
-        (r.getDouble(2), r.getDouble(4), r.getDouble(5))).toMap
+        (r.getLong(2) / 1e6, r.getLong(4) / 1e6, r.getLong(5) / 1e9)).toMap
     val ref = li.groupBy(col("l_returnflag"))
       .agg(var_samp(col("l_quantity")).as("v"),
         covar_samp(col("l_quantity"), col("l_extendedprice")).as("cv"),
@@ -105,7 +106,7 @@ class RelationalSpec extends AnyFunSuite {
         (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
     for ((flag, (v, cv, cr)) <- ours) {
       val (rv, rcv, rcr) = ref(flag)
-      assert(math.abs(v - rv) / math.abs(rv) < 1e-9)
+      assert(math.abs(v - rv) / math.abs(rv) < 1e-7) // 1e-6 fixed-point grid
       assert(math.abs(cv - rcv) / math.abs(rcv) < 1e-6)
       assert(math.abs(cr - rcr) < 1e-6)
     }
