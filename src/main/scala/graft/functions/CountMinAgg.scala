@@ -21,10 +21,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * Estimates are upper bounds: est(t) = min over rows r of
   * counter[r][h_r(t)] ≥ true count, with overestimate bounded by
   * 2·N/WIDTH per row pair. The hash is deliberately engine-neutral —
-  * base = fold over chars of (h·31 + codepoint) mod 2^20, then
-  * h_r = ((base · (2654435761 + r)) >> 16) mod WIDTH — so a DuckDB
-  * oracle can replay the whole sketch exactly (cf. the SQL twin in
-  * TextAnalysis.q_text_heavy_hitters_approx).
+  * base = fold over UTF-8 BYTES of (h·31 + byte) mod 2^20, then
+  * h_r = ((base · (2654435761 + r)) >> 16) mod WIDTH. The byte alphabet
+  * matches [[NeutralHash40]] and the compiled lookup fold
+  * ([[CmsBaseHash]]), so update and query agree for ANY input — the
+  * upper-bound invariant holds beyond ASCII (ExpressionsSpec exercises
+  * non-ASCII tokens). The DuckDB twin in
+  * TextAnalysis.q_text_heavy_hitters_approx folds codepoints, which
+  * equals the byte fold exactly on the ASCII fixtures (asserted in
+  * OperatorsSpec).
   */
 case class CountMinAgg(
     child: Expression,
@@ -44,10 +49,8 @@ case class CountMinAgg(
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val t = v.toString
-      var base = 0L
-      var i = 0
-      while (i < t.length) { base = (base * 31 + t.charAt(i)) % 1048576; i += 1 }
+      val base = CountMinAgg.baseHash(
+        v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
       var r = 0
       while (r < DEPTH) { buf(r * WIDTH + rowIndex(base, r)) += 1L; r += 1 }
     }
@@ -85,6 +88,20 @@ object CountMinAgg {
   val DEPTH = 4
   val WIDTH = 256
 
+  /** Base hash: (h·31 + byte) fold over UTF-8 bytes, mod 2^20. ONE
+    * definition shared by the aggregate's update and the compiled lookup
+    * expression [[CmsBaseHash]] — the update/query hash alphabets can
+    * never drift apart. */
+  def baseHash(bytes: Array[Byte]): Long = {
+    var base = 0L
+    var i = 0
+    while (i < bytes.length) {
+      base = (base * 31 + (bytes(i) & 0xFF)) % 1048576
+      i += 1
+    }
+    base
+  }
+
   /** Row-r bucket of a base hash (base < 2^20, so the multiply stays
     * far under 2^63). Same Knuth constant as the rest of the library. */
   def rowIndex(base: Long, r: Int): Int =
@@ -93,4 +110,29 @@ object CountMinAgg {
   /** Aggregate Column: DEPTH×WIDTH Count-Min counters over a string col. */
   def count_min_agg(c: Column): Column =
     Bridge.column(CountMinAgg(Bridge.expression(c)).toAggregateExpression())
+
+  /** Lookup-side base hash of a string column — same UTF-8 byte fold the
+    * aggregate's update runs, as a compiled expression (the SQL-HOF
+    * spelling folded ascii() codepoints of split chars, which diverges
+    * from the byte fold on any non-ASCII token). */
+  def cms_base(c: Column): Column =
+    Bridge.column(CmsBaseHash(Bridge.expression(c)))
+}
+
+/** Compiled CMS base-hash fold (see [[CountMinAgg.baseHash]]).
+  * CodegenFallback: one virtual call per row, O(bytes) loop inside is
+  * JIT'd — same justification as NeutralHash40. */
+case class CmsBaseHash(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cms_base"
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(CountMinAgg.baseHash(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes))
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

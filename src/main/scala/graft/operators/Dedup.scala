@@ -254,9 +254,10 @@ object Dedup {
     // once (the compiled engine-neutral fold, graft.functions
     // .NeutralHash40), then a one-pass native aggregate in ONE groupBy
     // (a single shuffle) — not nested lambda folds. Candidates via
-    // 5×8-bit chunk banding (pigeonhole: hamming ≤ 4 ⇒ some identical
-    // chunk; 5..7 still surface when a chunk happens to match, and both
-    // engines replay the identical algorithm). The neutral hash is what
+    // 8×5-bit chunk banding (pigeonhole: hamming ≤ 7 over 8 chunks ⇒
+    // some chunk is identical, so the advertised hamming ≤ 7 filter has
+    // GUARANTEED recall — a 5×8 split only guaranteed ≤ 4, surfacing
+    // 5..7 by luck). The neutral hash is what
     // makes this ORACLE-checked: DuckDB rebuilds signature, bands, and
     // hamming filter bit-for-bit, where the previous xxhash64 spelling
     // allowed only a rows-only check.
@@ -270,9 +271,9 @@ object Dedup {
         .agg(graft.functions.SimHashAgg.simhash_agg(col("h")).as("simhash"))
       val chunks = sims.select(col("doc_id"), col("simhash"),
         explode(expr(
-          """transform(sequence(0, 4),
+          """transform(sequence(0, 7),
             |  c -> named_struct('c', c,
-            |    'v', shiftright(simhash, c * 8) & 255))""".stripMargin))
+            |    'v', shiftright(simhash, c * 5) & 31))""".stripMargin))
           .as("ck"))
       chunks.as("a").join(chunks.as("b"),
           col("a.ck") === col("b.ck") && col("a.doc_id") < col("b.doc_id"))
@@ -574,7 +575,7 @@ object Dedup {
     "q_dedup_minhash_lsh" -> ngramOracle,
 
     // Full replay of the SimHash pipeline: shingles → neutral 40-bit
-    // fold → per-bit votes → signature → 5×8-bit bands → hamming ≤ 7.
+    // fold → per-bit votes → signature → 8×5-bit bands → hamming ≤ 7.
     "q_dedup_simhash" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
         |           FROM documents),
@@ -597,8 +598,9 @@ object Dedup {
         |          CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
         |                        ELSE 0 END) AS BIGINT) AS simhash
         |        FROM votes GROUP BY doc_id),
-        |ck AS (SELECT doc_id, simhash, c, (simhash >> (c * 8)) & 255 AS cv
-        |       FROM sig CROSS JOIN (SELECT UNNEST([0, 1, 2, 3, 4]) AS c)),
+        |ck AS (SELECT doc_id, simhash, c, (simhash >> (c * 5)) & 31 AS cv
+        |       FROM sig CROSS JOIN
+        |         (SELECT UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS c)),
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |           a.simhash AS sa, b.simhash AS sb
         |         FROM ck a JOIN ck b

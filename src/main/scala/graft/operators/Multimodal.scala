@@ -67,6 +67,10 @@ object Multimodal {
     "q_source_binaryfile" -> ((s, d) => {
       val dir = new java.io.File(
         s"${sys.props("java.io.tmpdir")}/graft_blobs_${d.replaceAll("[^0-9a-zA-Z]", "_")}")
+      // recreate the landing zone from scratch: stale blob_*.bin from an
+      // older run (or an older fixture generation with different doc_ids)
+      // would match the glob below and silently corrupt the result
+      if (dir.exists()) dir.listFiles().foreach(_.delete())
       dir.mkdirs()
       Tables.documents(s, d).select(col("doc_id"), col("text"))
         .where(col("doc_id") < 50)

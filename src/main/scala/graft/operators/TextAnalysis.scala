@@ -286,11 +286,15 @@ object TextAnalysis {
     // shuffle. The exact counts computed alongside exist to VERIFY the
     // sketch (est ≥ exact, bounded overestimate); a production pipeline
     // would skip them — that's the point of the sketch. The engine-
-    // neutral hash (char fold mod 2^20, Knuth row mix) lets DuckDB
+    // neutral hash (UTF-8 byte fold mod 2^20, Knuth row mix) lets DuckDB
     // rebuild the identical sketch in SQL, making an approximate
-    // operator fully oracle-checked.
+    // operator fully oracle-checked. Update AND lookup use the same
+    // compiled byte fold (CountMinAgg.baseHash), so the upper-bound
+    // invariant holds for any input, not just ASCII; the DuckDB twin's
+    // codepoint fold equals the byte fold on the ASCII fixtures
+    // (asserted in OperatorsSpec).
     "q_text_heavy_hitters_approx" -> ((s, d) => {
-      import graft.functions.CountMinAgg.count_min_agg
+      import graft.functions.CountMinAgg.{cms_base, count_min_agg}
       val toks = Tables.documents(s, d)
         .select(explode(split(col("text"), " ")).as("term"))
       val sketch = toks.agg(count_min_agg(col("term")).as("cms"))
@@ -303,8 +307,7 @@ object TextAnalysis {
           s"% 256 + ${r * 256} + 1 AS INT))"
       }.mkString("least(", ", ", ")")
       top.crossJoin(broadcast(sketch))
-        .withColumn("base", expr(
-          "aggregate(split(term, ''), 0L, (h, c) -> pmod(h * 31 + ascii(c), 1048576))"))
+        .withColumn("base", cms_base(col("term")))
         .withColumn("cms_est", expr(est))
         .select(col("term"), col("n_exact"), col("cms_est"))
         .orderBy(col("n_exact").desc, col("term"))

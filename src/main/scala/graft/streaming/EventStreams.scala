@@ -62,9 +62,11 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming source over the fixture file with a proper event-time col. */
+  /** Streaming source over the fixture file with a proper event-time col.
+    * The explicit schema means nothing is read at definition time; the
+    * `nanosAsLong` conf the scan needs is set (and restored) around
+    * execution in [[runToMemory]]. */
   private def eventStream(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // glob form: the file-stream source requires a directory or glob (a
     // bare file path fails basePath validation)
     s.readStream.schema(rawSchema).parquet(s"$d/events*.parquet")
@@ -81,13 +83,18 @@ object EventStreams {
     * session default of 32 was pure overhead (several seconds across the
     * suite), while results are partition-count-independent. A real
     * deployment sizes this to key cardinality × throughput, not to the
-    * batch default. Execution happens inside this method (AvailableNow +
-    * awaitTermination), so the restore cannot race the stream. */
+    * batch default. `nanosAsLong` (needed by the eventStream parquet scan,
+    * whose `ts` is TIMESTAMP(NANOS)) gets the same save/restore treatment
+    * so no session conf stays mutated after a streaming query returns.
+    * Execution happens inside this method (AvailableNow +
+    * awaitTermination), so the restores cannot race the stream. */
   private def runToMemory(s: SparkSession, df: DataFrame, mode: String,
       name: String): DataFrame = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, "8")
+    val knobs = Seq(
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+    val prev = knobs.map { case (k, _) => k -> s.conf.getOption(k) }
+    knobs.foreach { case (k, v) => s.conf.set(k, v) }
     try {
       val q = df.writeStream
         .outputMode(mode)
@@ -96,7 +103,8 @@ object EventStreams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally s.conf.set(key, prev)
+    } finally prev.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
     s.table(name)
   }
 

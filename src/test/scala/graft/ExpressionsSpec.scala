@@ -132,11 +132,39 @@ class ExpressionsSpec extends AnyFunSuite {
     // estimate(t) >= exact(t) for every term, and the hot key is sharp-ish
     val exact = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
     exact.foreach { case (t, n) =>
-      var base = 0L
-      t.foreach(c => base = (base * 31 + c) % 1048576)
+      val base = CountMinAgg.baseHash(t.getBytes("UTF-8"))
       val est = (0 until CountMinAgg.DEPTH).map(r =>
         cms(r * CountMinAgg.WIDTH + CountMinAgg.rowIndex(base, r))).min
       assert(est >= n, s"$t est $est < exact $n")
+    }
+  }
+
+  test("count-min upper bound holds for non-ASCII tokens (UTF-8 byte fold)") {
+    import spark.implicits._
+    import graft.functions.CountMinAgg
+    // multi-byte UTF-8: accented latin, CJK, an astral-plane emoji — the
+    // update fold and the compiled lookup fold must agree on the BYTES
+    // (a codepoint/char fold would read the wrong cell and could report
+    // est < exact, violating the CMS contract)
+    val words = Seq.fill(7)("café") ++ Seq.fill(5)("日本語") ++
+      Seq.fill(3)("naïve") ++ Seq.fill(2)("😀ok") ++
+      Seq.tabulate(100)(i => s"w$i")
+    val df = words.toDF("term")
+    val row = df.agg(CountMinAgg.count_min_agg(col("term")).as("cms"))
+    val cms = row.head.getSeq[Long](0).toArray
+    val exact = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    exact.foreach { case (t, n) =>
+      val base = CountMinAgg.baseHash(t.getBytes("UTF-8"))
+      val est = (0 until CountMinAgg.DEPTH).map(r =>
+        cms(r * CountMinAgg.WIDTH + CountMinAgg.rowIndex(base, r))).min
+      assert(est >= n, s"$t est $est < exact $n")
+    }
+    // and the compiled cms_base expression matches the scala fold
+    val bases = df.distinct()
+      .select(col("term"), CountMinAgg.cms_base(col("term")).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    bases.foreach { case (t, b) =>
+      assert(b == CountMinAgg.baseHash(t.getBytes("UTF-8")), t)
     }
   }
 

@@ -43,6 +43,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.forall(_.getInt(2) <= 7))
   }
 
+  test("fixture text is pure ASCII (byte-fold vs codepoint-fold oracle equivalence)") {
+    // several oracles (CMS base hash, NeutralHash40/simhash, rolling
+    // fingerprint, multimodal ORD probes) replay Spark's UTF-8 BYTE folds
+    // with DuckDB codepoint folds; those coincide exactly when every char
+    // is ASCII. This makes that standing assumption a checked invariant
+    // instead of a comment.
+    val nonAscii = graft.sources.Tables.documents(spark, sf)
+      .where(not(col("text").rlike("^[\\x00-\\x7F]*$")))
+      .count()
+    assert(nonAscii == 0L, s"$nonAscii documents contain non-ASCII text")
+  }
+
   test("simhash finds the planted near-dup pairs") {
     val exact = q("q_dedup_ngram_jaccard")
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
