@@ -125,6 +125,40 @@ object Similarity {
         .orderBy(col("query_id"), col("rn"))
     }),
 
+    // Multi-probe SRP-LSH ANN: same 16-bit bucketing as q_sim_ann_lsh,
+    // but each query probes its home bucket PLUS the 16 single-bit-flip
+    // neighbor buckets — the recall knob for bucketed ANN at scale
+    // (probing 17 of 65536 buckets reads ~17/65536 of a bucket-
+    // partitioned corpus while recovering most of what one probe
+    // misses: a near neighbor that disagrees on exactly one hyperplane
+    // sign). The 17 probe buckets per query are distinct by
+    // construction (flipping different bits of the same word), so the
+    // (bucket) equi-join yields each candidate at most once — no
+    // distinct pass needed. Deterministic hyperplanes → the oracle
+    // replays the identical probe set; OperatorsSpec asserts recall ≥
+    // the single-probe query's recall against the exact top-k.
+    "q_sim_ann_multiprobe" -> ((s, d) => {
+      import graft.functions.VectorFunctions.srp_band_keys
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("bucket", element_at(srp_band_keys(col("v"), 1, 16), 1))
+      val probes = col("bucket") +: (0 until 16).map(b =>
+        expr(s"bucket ^ ${1L << b}"))
+      val q = e.where(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          explode(array(probes: _*)).as("bucket"))
+      val cand = e.where(col("vec_id") >= 3)
+        .join(q, Seq("bucket"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          exactCos(col("qv"), col("v")).as("cos"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      cand.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 5)
+        .orderBy(col("query_id"), col("rn"))
+    }),
+
     // IVF-style ANN: coarse-quantize to the nearest of 8 centroids from a
     // real (if short) Lloyd's k-means — deterministic seeds (vec_id 3..10)
     // refined by 2 assign/recompute rounds — then probe only the query's
@@ -431,6 +465,47 @@ object Similarity {
         |          / SQRT(q.nsq * c.nsq) AS cos
         |      FROM n q JOIN n c
         |        ON q.bucket = c.bucket AND q.vec_id < 3 AND c.vec_id >= 3),
+        |r AS (SELECT query_id, neighbor_id, cos,
+        |        ROW_NUMBER() OVER (PARTITION BY query_id
+        |                           ORDER BY cos DESC, neighbor_id) AS rn
+        |      FROM s)
+        |SELECT query_id, neighbor_id, cos, rn FROM r
+        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+
+    // The multiprobe twin: identical 16-bit bucketing, then each query's
+    // probe set = home bucket + the 16 single-bit xor flips, the same
+    // derivation the Spark side runs.
+    "q_sim_ann_multiprobe" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |proj AS (
+        |  SELECT vec_id, p,
+        |    (SELECT SUM(v[j + 1] *
+        |        CASE WHEN ((((p * 64 + j) * 2654435761) >> 16) & 1) = 0
+        |             THEN 1.0 ELSE -1.0 END)
+        |     FROM generate_series(0, 63) AS t(j)) AS pr
+        |  FROM e CROSS JOIN generate_series(0, 15) AS pp(p)),
+        |bk AS (
+        |  SELECT vec_id,
+        |    SUM(CASE WHEN pr > 0 THEN 1 << (15 - p) ELSE 0 END) AS bucket
+        |  FROM proj GROUP BY vec_id),
+        |pr2 AS (
+        |  SELECT vec_id, CASE WHEN g.g = 16 THEN bucket
+        |                      ELSE xor(bucket, 1 << g.g) END AS bucket
+        |  FROM bk CROSS JOIN generate_series(0, 16) AS g(g)
+        |  WHERE vec_id < 3),
+        |n AS (SELECT e.vec_id, e.v, bk.bucket,
+        |        (SELECT CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE)
+        |         FROM UNNEST(v) AS t(x)) AS nsq
+        |      FROM e JOIN bk USING (vec_id)),
+        |s AS (SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |        (SELECT CAST(SUM(CAST(q.v[i] * c.v[i] AS DECIMAL(30,12)))
+        |                AS DOUBLE)
+        |         FROM generate_series(1, 64) AS t(i))
+        |          / SQRT(q.nsq * c.nsq) AS cos
+        |      FROM pr2 p
+        |      JOIN n q ON q.vec_id = p.vec_id
+        |      JOIN n c ON c.bucket = p.bucket AND c.vec_id >= 3),
         |r AS (SELECT query_id, neighbor_id, cos,
         |        ROW_NUMBER() OVER (PARTITION BY query_id
         |                           ORDER BY cos DESC, neighbor_id) AS rn

@@ -54,6 +54,102 @@ object Extended {
         s"(($b >> $i) & 1) * ${1L << (2 * i)})"
     }.mkString(" + ")
 
+  /** Drop a managed table's catalog entry AND its warehouse files (the
+    * warehouse dir outlives the in-memory catalog: a fresh JVM doesn't
+    * know the table, so overwrite would CREATE over the old location and
+    * fail). */
+  private def dropManaged(s: SparkSession, tables: String*): Unit =
+    tables.foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir") + "/" + t)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+
+  /** The bucket-pruned point-lookup scan under q_join_bucket_prune,
+    * exposed so PlanSpec can assert `SelectedBucketsCount: 1 out of 8`
+    * on the same plan the query runs. Writes (once per sf dir) a
+    * lineitem table bucketed 8 ways on l_orderkey, then filters on one
+    * key: Spark prunes the scan to the single bucket file set that can
+    * contain it — the read-side payoff of bucketing beyond shuffle-free
+    * joins (at 100 TB a point lookup reads 1/8th of the files with NO
+    * index structure, just the bucket hash). */
+  private[graft] def bucketPrunedScan(s: SparkSession, d: String): DataFrame = {
+    val t = s"li_bktp_${math.abs(d.hashCode)}"
+    dropManaged(s, t)
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      .write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .format("parquet").saveAsTable(t)
+    s.table(t).where(col("l_orderkey") === 1L)
+  }
+
+  /** Conf pinning bucketed reads on for scan-shaped plans: Spark's
+    * autoBucketedScan heuristic turns bucketed scans OFF when no
+    * join/aggregate consumes the bucketing — which also turns off bucket
+    * PRUNING, the thing q_join_bucket_prune demonstrates. At 100 TB the
+    * consumer (a bucketed join or keyed agg) keeps it on automatically;
+    * the pin makes the fixture-scale plan show what the cluster-scale
+    * plan does. */
+  private[graft] val BucketScanKnobs = Seq(
+    "spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false")
+
+  /** The skewed shuffle join under q_join_skew_aqe, exposed so PlanSpec
+    * can run it with the skew knobs and assert the AQE final plan split
+    * the skewed partitions. l_returnflag has 3 values, so each key is a
+    * third of the fact table funneling into one reducer — the textbook
+    * skew shape AQE's OptimizeSkewedJoin exists for. */
+  private[graft] def skewedJoin(s: SparkSession, d: String): DataFrame = {
+    // Fan the single-file fixture scan out first: OptimizeSkewedJoin
+    // splits a skewed reduce partition into groups of MAP-side blocks,
+    // so a shuffle fed by ONE map task (one parquet file = one split)
+    // is unsplittable no matter how skewed — at corpus scale the scan
+    // has thousands of splits and this repartition doesn't exist (same
+    // single-file-fixture argument as Dedup.withShingles).
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity"))
+      .repartition(16)
+    // The dim side must reach the join as shuffle→sort directly:
+    // OptimizeSkewedJoin only rewrites the canonical
+    // SMJ(Sort(ShuffleStage), Sort(ShuffleStage)) shape, so an
+    // aggregate (e.g. a distinct) sitting between the dim's shuffle and
+    // the join defeats it — a real pipeline materializes such dims
+    // first for exactly this reason. Here the status dimension is a
+    // 3-row local relation (flag → ascii weight), replayed verbatim by
+    // the oracle.
+    import s.implicits._
+    val dim = Seq("A", "N", "R").toDF("l_returnflag")
+      .withColumn("w", ascii(col("l_returnflag")).cast("long"))
+    li.join(dim, Seq("l_returnflag"))
+  }
+
+  /** Knobs that force AQE skew handling at fixture scale (thresholds are
+    * sized for clusters; a real 100 TB run hits them without help):
+    * tiny skew threshold + advisory size so the per-flag partitions
+    * qualify and split, broadcast off so the join is the shuffle join
+    * skew optimization applies to, force=true because the downstream
+    * per-flag aggregate would otherwise veto the split (it introduces an
+    * extra shuffle — the documented trade AQE makes). */
+  private[graft] val SkewKnobs = Seq(
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8192",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4096",
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+
+  /** Run `body` with `knobs` set, restoring previous values after. */
+  private[graft] def withConf[A](s: SparkSession,
+      knobs: Seq[(String, String)])(body: => A): A = {
+    val prev = knobs.map { case (k, _) => k -> s.conf.getOption(k) }
+    knobs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally prev.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+  }
+
   /** The join under q_join_runtime_filter, exposed so PlanSpec can
     * assert the injected bloom filter on the same plan the query runs. */
   private[graft] def runtimeFilteredJoin(s: SparkSession, d: String): DataFrame =
@@ -79,16 +175,103 @@ object Extended {
     // conf window because injection happens at optimization time.
     "q_join_runtime_filter" -> ((s, d) => {
       val out = s"${sys.props("java.io.tmpdir")}/graft_rtf_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
-      val knobs = Seq(
+      withConf(s, Seq(
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
-        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-      val prev = knobs.map { case (k, _) => k -> s.conf.getOption(k) }
-      knobs.foreach { case (k, v) => s.conf.set(k, v) }
-      try runtimeFilteredJoin(s, d)
-        .write.mode("overwrite").parquet(out)
-      finally prev.foreach { case (k, v) =>
-        v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")) {
+        runtimeFilteredJoin(s, d).write.mode("overwrite").parquet(out)
+      }
       s.read.parquet(out).orderBy(col("o_orderstatus"))
+    }),
+
+    // AQE skew-join splitting — the AUTOMATIC twin of q_join_salted: the
+    // 3-valued join key funnels a third of the fact table into single
+    // reducers, and OptimizeSkewedJoin splits those partitions into
+    // advisory-sized chunks at RUNTIME (the dim side is replicated per
+    // chunk by the skew-aware shuffle read). At 100 TB this is the
+    // first line of defense against skew — salting is the fallback when
+    // the skew is in a build side or AQE's trade is refused. Result
+    // provably equals the unsalted/unsplit join, which is what the
+    // oracle runs; the split itself is plan-asserted in PlanSpec.
+    // Materialized inside the conf window (skew handling happens at
+    // execution time under AQE).
+    "q_join_skew_aqe" -> ((s, d) => {
+      val out = s"${sys.props("java.io.tmpdir")}/graft_skew_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+      withConf(s, SkewKnobs) {
+        skewedJoin(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"),
+            max(col("w")).as("weight"))
+          .write.mode("overwrite").parquet(out)
+      }
+      s.read.parquet(out).orderBy(col("l_returnflag"))
+    }),
+
+    // Bucket-pruned point lookup: filter on the bucketBy key reads ONLY
+    // the one bucket (of 8) that can contain it — plan-asserted via
+    // SelectedBucketsCount in PlanSpec. Materialized inside the
+    // BucketScanKnobs window so the pruned scan is what actually runs
+    // (see the knob's comment). See bucketPrunedScan.
+    "q_join_bucket_prune" -> ((s, d) => {
+      val out = s"${sys.props("java.io.tmpdir")}/graft_bkp_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+      withConf(s, BucketScanKnobs) {
+        bucketPrunedScan(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_price"))
+          .write.mode("overwrite").parquet(out)
+      }
+      s.read.parquet(out).orderBy(col("l_orderkey"))
+    }),
+
+    // Dynamic-partition-overwrite incremental write — the write-side
+    // primitive an incrementally maintained 100 TB corpus needs (the
+    // role Delta MERGE would play; Delta jars don't exist in this
+    // offline container, so this is the expressible-today equivalent):
+    // a full partitioned baseline, then an INSERT OVERWRITE carrying
+    // ONLY partition P, with partitionOverwriteMode=dynamic replacing
+    // just the partitions present in the incoming data. The result
+    // carries file-level PROOF: per partition, whether the baseline
+    // part-files survived byte-identical (same file names — a rewrite
+    // generates fresh UUIDs), which the oracle pins to F/O=true,
+    // P=false.
+    "q_layout_incremental" -> ((s, d) => {
+      val out = s"${sys.props("java.io.tmpdir")}/graft_dpo_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      // baseline: static overwrite, all three partitions written fresh
+      orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+      def listing(): Map[String, Seq[String]] = {
+        val base = new org.apache.hadoop.fs.Path(out)
+        val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+        Seq("F", "O", "P").map { st =>
+          val dir = new org.apache.hadoop.fs.Path(base, s"o_orderstatus=$st")
+          val files =
+            if (fs.exists(dir))
+              fs.listStatus(dir).map(_.getPath.getName)
+                .filter(_.startsWith("part-")).sorted.toSeq
+            else Seq.empty[String]
+          st -> files
+        }.toMap
+      }
+      val before = listing()
+      // the increment: only P rows (restated at double price); dynamic
+      // mode overwrites just the partitions present in this write
+      withConf(s, Seq(
+        "spark.sql.sources.partitionOverwriteMode" -> "dynamic")) {
+        orders.where(col("o_orderstatus") === "P")
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+          .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+      }
+      val after = listing()
+      import s.implicits._
+      val unchanged = Seq("F", "O", "P")
+        .map(st => (st, before(st).nonEmpty && before(st) == after(st)))
+        .toDF("o_orderstatus", "files_unchanged")
+      s.read.parquet(out)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .join(broadcast(unchanged), Seq("o_orderstatus"))
+        .orderBy(col("o_orderstatus"))
     }),
 
     // Small-file compaction: the maintenance pass that rewrites a
@@ -365,16 +548,7 @@ object Extended {
       val suffix = math.abs(d.hashCode).toString
       val liT = s"li_bkt_$suffix"
       val oT = s"o_bkt_$suffix"
-      // the warehouse dir outlives the in-memory catalog: a fresh JVM
-      // doesn't know the table, so overwrite would CREATE over the old
-      // location and fail — drop both catalog entry and files first
-      Seq(liT, oT).foreach { t =>
-        s.sql(s"DROP TABLE IF EXISTS $t")
-        val p = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir") + "/" + t)
-        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(p)) fs.delete(p, true)
-      }
+      dropManaged(s, liT, oT)
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_extendedprice"))
         .write.mode("overwrite")
@@ -566,6 +740,33 @@ object Extended {
         |               AND CURRENT ROW)
         |QUALIFY event_id % 13 = 0
         |ORDER BY event_id""".stripMargin,
+
+    // The skew split is a pure execution-strategy change: the result is
+    // the unsplit join, and the dim side contributes w = ascii(flag).
+    "q_join_skew_aqe" ->
+      """SELECT l_returnflag, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(ascii(l_returnflag) AS BIGINT) AS weight
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_join_bucket_prune" ->
+      """SELECT l_orderkey, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem WHERE l_orderkey = 1
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    // Untouched partitions keep their baseline files (names unchanged),
+    // the overwritten partition gets fresh ones — the oracle pins that
+    // per-partition expectation alongside the post-write aggregates.
+    "q_layout_incremental" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 2
+        |                     ELSE o_totalprice END AS DECIMAL(30,4)))
+        |       AS DOUBLE) AS total,
+        |  o_orderstatus <> 'P' AS files_unchanged
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_join_runtime_filter" ->
       """SELECT o_orderstatus, COUNT(*) AS n_lines,

@@ -119,10 +119,31 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("ANN (LSH and IVF) neighbors are a subset of the corpus, ranked") {
-    for (name <- Seq("q_sim_ann_lsh", "q_sim_ann_ivf")) {
+    for (name <- Seq("q_sim_ann_lsh", "q_sim_ann_ivf", "q_sim_ann_multiprobe")) {
       val rows = q(name).collect()
       assert(rows.forall(_.getLong(1) >= 3), s"$name returned a query as neighbor")
       assert(rows.groupBy(_.getLong(0)).values.forall(_.length <= 5))
+    }
+  }
+
+  test("multiprobe ANN recall is at least single-probe recall vs exact top-k") {
+    def hits(name: String) = q(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = hits("q_sim_cosine_topk")   // brute-force ground truth
+    val single = hits("q_sim_ann_lsh")
+    val multi = hits("q_sim_ann_multiprobe")
+    val rs = (single & exact).size.toDouble / exact.size
+    val rm = (multi & exact).size.toDouble / exact.size
+    assert(rm >= rs, s"multiprobe recall $rm < single-probe recall $rs")
+    // the 17-bucket probe set strictly contains the single probe, so per
+    // query the kept top-5's WORST cosine can only improve
+    def worst(name: String) = q(name).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getDouble(2)).min).toMap
+    val ws = worst("q_sim_ann_lsh")
+    val wm = worst("q_sim_ann_multiprobe")
+    ws.foreach { case (qid, w) =>
+      assert(wm.getOrElse(qid, Double.MinValue) >= w - 1e-12,
+        s"query $qid: multiprobe worst ${wm.get(qid)} < single worst $w")
     }
   }
 

@@ -234,4 +234,39 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
       "scan should be bucket-aware")
   }
+
+  test("point lookup on the bucket key prunes the scan to 1 of 8 buckets") {
+    import graft.queries.Extended.{bucketPrunedScan, withConf, BucketScanKnobs}
+    withConf(spark, BucketScanKnobs) {
+      val p = bucketPrunedScan(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("SelectedBucketsCount: 1 out of 8"),
+        "equality filter on the bucketBy key must select a single bucket:\n" +
+          p.linesIterator.filter(_.contains("Bucket")).mkString("\n"))
+    }
+  }
+
+  test("AQE splits the skewed join partitions at runtime") {
+    import graft.queries.Extended.{skewedJoin, withConf, SkewKnobs}
+    withConf(spark, SkewKnobs) {
+      val df = skewedJoin(spark, sfDir)
+      df.queryExecution.toRdd.count() // AQE finalizes during execution
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true") || p.contains("isSkewJoin=true"),
+        "final adaptive plan should mark the join as skew-optimized:\n" +
+          p.take(1500))
+    }
+  }
+
+  test("dynamic partition overwrite leaves untouched partitions' files intact") {
+    val rows = SparkEntry.queries("q_layout_incremental")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(rows == Map("F" -> true, "O" -> true, "P" -> false),
+      s"expected F/O baseline files to survive and P to be rewritten: $rows")
+    // and the on-disk layout is genuinely partitioned by status
+    val base = s"${sys.props("java.io.tmpdir")}/graft_dpo_${sfDir.replaceAll("[^0-9a-zA-Z]", "_")}"
+    Seq("F", "O", "P").foreach { st =>
+      assert(new java.io.File(s"$base/o_orderstatus=$st").isDirectory, st)
+    }
+  }
 }
