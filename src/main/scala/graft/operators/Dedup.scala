@@ -29,6 +29,17 @@ import graft.functions.VectorFunctions.cosine_sim
   */
 object Dedup {
 
+  /** Distinct word-trigram shingles from a `toks` array column, guarded
+    * for texts shorter than 3 words (whole text as one shingle). */
+  private val ShingleExpr =
+    """CASE WHEN size(toks) >= 3 THEN
+      |  array_distinct(transform(
+      |    sequence(1, size(toks) - 2),
+      |    i -> concat_ws(' ', element_at(toks, i),
+      |                        element_at(toks, i + 1),
+      |                        element_at(toks, i + 2))))
+      |ELSE array(array_join(toks, ' ')) END""".stripMargin
+
   /** Word-trigram shingle set (distinct) per document. Guarded for texts
     * shorter than 3 words (falls back to the whole text as one shingle).
     * Tokenization happens in its own projection: inlining `split(text)`
@@ -46,14 +57,7 @@ object Dedup {
       if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
     fanned
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), expr(
-        """CASE WHEN size(toks) >= 3 THEN
-          |  array_distinct(transform(
-          |    sequence(1, size(toks) - 2),
-          |    i -> concat_ws(' ', element_at(toks, i),
-          |                        element_at(toks, i + 1),
-          |                        element_at(toks, i + 2))))
-          |ELSE array(array_join(toks, ' ')) END""".stripMargin).as("sh"))
+      .select(col("doc_id"), expr(ShingleExpr).as("sh"))
       // reused by the inverted index, the LSH signature, and the verify
       // joins — and across the dedup queries themselves; cache once
       // instead of recomputing the shingle transform per branch. The
@@ -88,15 +92,15 @@ object Dedup {
         jaccard(size(array_intersect(col("sha"), col("shb"))),
           size(col("sha")), size(col("shb"))).as("jaccard"))
 
-  /** Exact pairwise trigram-Jaccard > 0.5 over the df-capped feature set:
-    * inverted-index self-join (only docs sharing a shingle ever meet — no
-    * all-pairs cross product), intersection counts straight from the join
-    * rows via one groupBy. No shingle ARRAYS ever travel through a join:
-    * an array-verify variant measured 5-20× slower at sf0.1, where median
-    * shingle df is 9 and candidate pairs are numerous — counting join
-    * rows IS the intersection, no per-pair set intersection needed. */
-  private[graft] def ngramJaccardPairsRaw(s: SparkSession, d: String): DataFrame = {
-    val g = withShingles(s, d)
+  /** Exact pairwise trigram-Jaccard > 0.5 over the df-capped feature set
+    * of any (doc_id, sh) table: inverted-index self-join (only docs
+    * sharing a shingle ever meet — no all-pairs cross product),
+    * intersection counts straight from the join rows via one groupBy. No
+    * shingle ARRAYS ever travel through a join: an array-verify variant
+    * measured 5-20× slower at sf0.1, where median shingle df is 9 and
+    * candidate pairs are numerous — counting join rows IS the
+    * intersection, no per-pair set intersection needed. */
+  private def jaccardPairsFrom(g: DataFrame): DataFrame = {
     val ex = g.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val rare = ex.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
@@ -116,6 +120,44 @@ object Dedup {
         jaccard(col("inter"), col("sa.n"), col("sb.n")).as("jaccard"))
       .where(col("jaccard") > 0.5)
   }
+
+  /** The whole-corpus pair query (see [[jaccardPairsFrom]]). */
+  private[graft] def ngramJaccardPairsRaw(s: SparkSession, d: String): DataFrame =
+    jaccardPairsFrom(withShingles(s, d))
+
+  /** Stages 1-2 of q_pipeline_e2e: the shared single-scan projection
+    * (cached — Spark's CacheManager dedupes by logical plan, so every
+    * caller shares one in-memory relation), the quality funnel, and
+    * exact dedup via one window over (content-hash, length) — text
+    * shuffles once, never again (same 64-bit collision envelope as
+    * q_dedup_incremental). Exposed for PlanSpec's scan-count assertion. */
+  private[graft] def e2eExact(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"),
+        split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("source"), col("lang"), col("text"),
+        size(col("toks")).as("n_tok"),
+        size(array_distinct(col("toks"))).as("quality"),
+        (size(filter(col("toks"), t => t === "a" || t === "the")) > 0)
+          .as("has_stop"),
+        expr(ShingleExpr).as("sh"))
+      .cache()
+    // stage 1: quality funnel (the q_text_filter_funnel gates)
+    val funneled = base.where(col("n_tok") >= 30 &&
+      col("quality").cast("double") / col("n_tok").cast("double") > 0.45 &&
+      col("has_stop"))
+    // stage 2: exact dedup — keep the min doc_id per identical text
+    val hw = Window.partitionBy(xxhash64(col("text")), length(col("text")))
+    funneled
+      .withColumn("keep_id", min(col("doc_id")).over(hw))
+      .where(col("doc_id") === col("keep_id"))
+  }
+
+  /** Stage 3 of q_pipeline_e2e: near-dup candidate pairs among the exact
+    * survivors, via the shared inverted shingle index. */
+  private[graft] def e2eCandidates(s: SparkSession, d: String): DataFrame =
+    jaccardPairsFrom(e2eExact(s, d).select(col("doc_id"), col("sh")))
 
   /** The pair query as published: raw pairs + the total ORDER BY the
     * oracle compare needs. Consumers that feed the pairs into further
@@ -146,14 +188,22 @@ object Dedup {
     * query. The loop stops when a round changes zero labels; `maxRounds`
     * is a safety bound. Superseded checkpoint blocks are unreferenced
     * after each round and reclaimed by the ContextCleaner.
+    *
+    * `docs` may carry PAYLOAD columns beyond (doc_id, lbl) — they ride
+    * along unchanged through the label table (a few extra bytes per NODE
+    * per round), which lets consumers like q_dedup_canonical avoid a
+    * second corpus scan + join after convergence.
     * Returns (labels, roundsRun). */
   private[graft] def connectedComponents(docs: DataFrame, edges: DataFrame,
       maxRounds: Int = 50): (DataFrame, Int) = {
+    val payload = docs.columns.filterNot(Set("doc_id", "lbl")).toSeq
     var labels = docs.localCheckpoint()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
-      val prop = edges.join(labels, edges("src") === labels("doc_id"))
+      val prop = edges
+        .join(labels.select(col("doc_id"), col("lbl")),
+          edges("src") === col("doc_id"))
         .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
       // pointer jump: the label of my label, one hop up the chain
       val jump = labels.select(col("doc_id").as("jid"), col("lbl").as("jlbl"))
@@ -162,13 +212,14 @@ object Dedup {
       val next = labels
         .join(prop, labels("doc_id") === prop("dst"), "left")
         .join(jump, labels("lbl") === col("jid"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id") +: payload.map(col) :+
           least(col("lbl"),
             coalesce(col("nlbl"), col("lbl")),
-            coalesce(col("jlbl"), col("lbl"))).as("nxt"),
-          col("lbl"))
-        .select(col("doc_id"), col("nxt").as("lbl"),
-          (col("nxt") < col("lbl")).as("chg"))
+            coalesce(col("jlbl"), col("lbl"))).as("nxt") :+
+          col("lbl"): _*)
+        .select(col("doc_id") +: payload.map(col) :+
+          col("nxt").as("lbl") :+
+          (col("nxt") < col("lbl")).as("chg"): _*)
         .localCheckpoint(eager = false)
       changed = next.where(col("chg")).count()
       labels = next.drop("chg")
@@ -318,7 +369,11 @@ object Dedup {
     // break to the smallest doc_id). Composition of the pair pipeline,
     // connected components, and a per-cluster window argmax; the window
     // partitions by cluster label, so at scale it shuffles only
-    // (doc_id, label, quality) triples — never text.
+    // (doc_id, label, quality) triples — never text. Quality is computed
+    // in the SAME initial projection as the labels and carried through
+    // the CC loop as payload, so the post-CC step needs no second
+    // documents scan or join (it was the suite's slowest query when it
+    // re-derived quality from a fresh corpus scan).
     "q_dedup_canonical" -> ((s, d) => {
       val pairs = ngramJaccardPairsRaw(s, d)
         .select(col("doc_a"), col("doc_b")).cache()
@@ -326,16 +381,15 @@ object Dedup {
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
         .toDF("src", "dst")
       val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("doc_id").as("lbl"))
+        .select(col("doc_id"),
+          size(array_distinct(split(col("text"), " "))).as("quality"),
+          col("doc_id").as("lbl"))
       val (labels, _) = connectedComponents(docs, edges)
       pairs.unpersist()
-      val qual = Tables.documents(s, d).select(col("doc_id"),
-        size(array_distinct(split(col("text"), " "))).as("quality"))
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("cluster_id"))
         .orderBy(col("quality").desc, col("doc_id"))
-      labels.select(col("doc_id"), col("lbl").as("cluster_id"))
-        .join(qual, "doc_id")
+      labels.select(col("doc_id"), col("lbl").as("cluster_id"), col("quality"))
         .withColumn("rn", row_number().over(w))
         .withColumn("canonical", first(col("doc_id")).over(
           Window.partitionBy(col("cluster_id"))
@@ -529,6 +583,65 @@ object Dedup {
             sqrt(col("na") * col("nb"))).as("cos"))
         .where(col("cos") > 0.4)
         .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
+    // ==================== THE END-TO-END PIPELINE ====================
+    // The north-star composition: quality funnel → exact dedup →
+    // near-dup clustering → canonical selection → per-domain cap →
+    // token-shard packing, as ONE DataFrame DAG over ONE corpus scan.
+    // Everything derives from a single cached projection (doc_id,
+    // source, lang, text, token stats, shingles) — PlanSpec asserts the
+    // final plan reads `documents` at most twice. The per-stage
+    // operators exist standalone elsewhere in this library; this query
+    // is what a user actually runs, and its oracle is the per-stage
+    // oracles composed into one CTE chain.
+    //
+    // Scale notes, stage by stage: the funnel is scan-stage predicates;
+    // exact dedup is one window over (content-hash, length) — text
+    // travels that shuffle once, never again (same collision envelope
+    // as q_dedup_incremental); pair candidates come from the inverted
+    // shingle index (df-capped, no cross product); CC carries
+    // (source, lang, n_tok, quality) as loop payload so no post-CC
+    // corpus join; canonical/cap/packing are windows over id-sized
+    // rows. Hash ranks, integer quality, and integer bin arithmetic
+    // keep every stage engine-replayable.
+    "q_pipeline_e2e" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val exact = e2eExact(s, d)
+      // stage 3: near-dup pairs among the exact survivors
+      val pairs = e2eCandidates(s, d)
+        .select(col("doc_a"), col("doc_b")).cache()
+      val edges = pairs.unionAll(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .toDF("src", "dst")
+      // stage 4: connected components, metadata carried as payload
+      val docs = exact.select(col("doc_id"), col("source"), col("lang"),
+        col("n_tok").cast("long").as("n_tok"), col("quality"),
+        col("doc_id").as("lbl"))
+      val (labels, _) = connectedComponents(docs, edges)
+      pairs.unpersist()
+      // stage 5: canonical member per cluster (max quality, tie min id)
+      val wc = Window.partitionBy(col("lbl"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      val canon = labels.withColumn("rn", row_number().over(wc))
+        .where(col("rn") === 1)
+      // stage 6: per-domain cap (hash rank, at most 10 docs per source)
+      val wd = Window.partitionBy(col("source"))
+        .orderBy(col("hs"), col("doc_id"))
+      val capped = canon
+        .withColumn("hs",
+          expr("shiftright((doc_id % 1048576) * 2654435761, 16)"))
+        .withColumn("rk", row_number().over(wd))
+        .where(col("rk") <= 10)
+      // stage 7: pack survivors into 2048-token shards per language
+      val wp = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      capped
+        .withColumn("cum", sum(col("n_tok")).over(wp))
+        .withColumn("bin", ((col("cum") - col("n_tok")) / 2048).cast("long"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_tok"),
+          col("bin"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -740,6 +853,69 @@ object Dedup {
     // the same fixed integer hash (Knuth multiplicative, bit 16), so both
     // engines compute the identical bucketing, candidate set, and
     // decimal-exact rescore.
+    // The per-stage oracles composed into one CTE chain: funnel gates →
+    // min-id-per-text exact dedup → trigram-Jaccard pairs → recursive
+    // CC → quality argmax per cluster → hash-rank domain cap → running
+    // token packing. Every step is integer/rational, so the whole
+    // pipeline hash-matches.
+    "q_pipeline_e2e" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, lang, text, string_split(text, ' ') AS w
+        |  FROM documents),
+        |f AS (
+        |  SELECT * FROM t
+        |  WHERE len(w) >= 30
+        |    AND CAST(len(list_distinct(w)) AS DOUBLE) / len(w) > 0.45
+        |    AND len(list_filter(w, x -> x = 'a' OR x = 'the')) > 0),
+        |e AS (
+        |  SELECT * FROM (
+        |    SELECT f.*, MIN(doc_id) OVER (PARTITION BY text) AS keep_id
+        |    FROM f)
+        |  WHERE doc_id = keep_id),
+        |g AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                       for i in generate_series(1, len(w) - 2)])
+        |      ELSE [array_to_string(w, ' ')] END AS sh
+        |      FROM e),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        len(list_intersect(a.sh, b.sh)) AS inter,
+        |        len(a.sh) AS na, len(b.sh) AS nb
+        |      FROM g a JOIN g b ON a.doc_id < b.doc_id),
+        |pairs AS (SELECT doc_a, doc_b FROM p
+        |          WHERE inter / (na + nb - inter) > 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |rec AS (
+        |  WITH RECURSIVE reach(id, lbl) AS (
+        |    SELECT doc_id, doc_id FROM e
+        |    UNION
+        |    SELECT e2.dst, r.lbl FROM reach r JOIN edges e2 ON e2.src = r.id
+        |    WHERE r.lbl < e2.dst
+        |  ) SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+        |q AS (SELECT e.doc_id, e.source, e.lang,
+        |        CAST(len(e.w) AS BIGINT) AS n_tok,
+        |        len(list_distinct(e.w)) AS quality, r.cluster_id
+        |      FROM e JOIN rec r ON r.id = e.doc_id),
+        |canon AS (
+        |  SELECT * FROM (
+        |    SELECT q.*, ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |      ORDER BY quality DESC, doc_id) AS rn FROM q)
+        |  WHERE rn = 1),
+        |capped AS (
+        |  SELECT * FROM (
+        |    SELECT c.*, ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY ((doc_id % 1048576) * 2654435761 >> 16), doc_id) AS rk
+        |    FROM canon c)
+        |  WHERE rk <= 10),
+        |packed AS (
+        |  SELECT doc_id, lang, source, n_tok,
+        |    (CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |     - n_tok) // 2048 AS bin
+        |  FROM capped)
+        |SELECT doc_id, lang, source, n_tok, bin FROM packed
+        |ORDER BY doc_id""".stripMargin,
+
     "q_dedup_embedding_lsh" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),

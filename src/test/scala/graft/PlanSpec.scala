@@ -258,6 +258,43 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("e2e pipeline derives every stage from at most 2 corpus reads") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive._
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // walk through AQE wrappers and query stages, but NOT into cached
+    // relations (their subtree is materialized once, not re-executed)
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => q +: walk(q.plan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    def docReads(df: org.apache.spark.sql.DataFrame): Int = {
+      val nodes = walk(df.queryExecution.executedPlan)
+      val direct = nodes.count {
+        case f: FileSourceScanExec => f.toString.contains("documents.parquet")
+        case _ => false
+      }
+      // each use of a cached relation gets fresh exprIds, so dedupe by
+      // the shared CachedRDDBuilder (one per cache entry), by identity
+      val cached = nodes.collect {
+        case m: InMemoryTableScanExec => m.relation.cacheBuilder
+      }.distinctBy(System.identityHashCode)
+        .count(_.cachedPlan.toString.contains("documents.parquet"))
+      direct + cached
+    }
+    // the candidate stage (funnel → exact dedup → pair index) must hang
+    // off ONE shared cached projection of the corpus
+    val cand = graft.operators.Dedup.e2eCandidates(spark, sfDir)
+    assert(docReads(cand) <= 2,
+      s"candidate stage reads documents ${docReads(cand)} times")
+    // the full pipeline (CC labels are checkpointed) adds no re-scan
+    val full = SparkEntry.queries("q_pipeline_e2e")(spark, sfDir)
+    assert(docReads(full) <= 2,
+      s"full pipeline reads documents ${docReads(full)} times")
+    spark.catalog.clearCache()
+  }
+
   test("dynamic partition overwrite leaves untouched partitions' files intact") {
     val rows = SparkEntry.queries("q_layout_incremental")(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
