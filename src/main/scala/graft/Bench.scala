@@ -29,6 +29,41 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // State-store observability: accumulate per-stream state metrics
+    // (rows held, memory, commit latency) from every streaming query's
+    // progress events, keyed by the memory-sink name each streaming def
+    // uses ("tumbling_<nanos>", "tws_<nanos>", ...). Emitted as a
+    // "state" block in the metrics line so wall time isn't the only
+    // signal the round records for stateful streaming.
+    val stateAgg =
+      new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryProgressEvent): Unit = {
+          val p = e.progress
+          val ops = p.stateOperators
+          if (p.name != null && ops != null && ops.nonEmpty) {
+            val key = p.name.takeWhile(_ != '_')
+            // rows/memory: latest snapshot wins; commit time: summed
+            // across micro-batches
+            val cur = stateAgg.computeIfAbsent(key, _ => Array(0L, 0L, 0L))
+            cur.synchronized {
+              cur(0) = ops.map(_.numRowsTotal).sum
+              cur(1) = ops.map(_.memoryUsedBytes).sum
+              cur(2) += ops.map(_.commitTimeMs).sum
+            }
+          }
+        }
+      })
+
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // toRdd.count(), not Dataset.count(): wrapping the query in a count
@@ -56,7 +91,23 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // map the memory-sink name prefixes back to library query names
+    val sinkToQuery = Map(
+      "tumbling" -> "q_stream_tumbling", "session" -> "q_stream_session",
+      "stateful" -> "q_stream_stateful", "dedup" -> "q_stream_dedup",
+      "sliding" -> "q_stream_sliding", "dedupw" -> "q_stream_dedup_watermark",
+      "sjoin" -> "q_stream_join", "sljoin" -> "q_stream_left_join",
+      "tws" -> "q_stream_transform_state",
+      "ssjoin" -> "q_stream_static_join")
+    Thread.sleep(500) // listener bus is async; let the tail drain
+    import scala.jdk.CollectionConverters._
+    val state = stateAgg.asScala.toSeq
+      .flatMap { case (k, v) => sinkToQuery.get(k).map(q => (q, v)) }
+      .sortBy(_._1)
+      .map { case (q, v) =>
+        s""""$q":{"rows":${v(0)},"mem_bytes":${v(1)},"commit_ms":${v(2)}}""" }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"state":$state,"sf":"$sfDir"}"""
     println(line)
     // stdout of a 70-query session gets truncated by log-tail capture;
     // also persist the metrics line where the judge can always read it

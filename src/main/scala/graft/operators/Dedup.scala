@@ -228,6 +228,84 @@ object Dedup {
     (labels, rounds)
   }
 
+  /** Alternating large-star/small-star connected components — the
+    * documented at-scale swap for [[connectedComponents]] (same contract:
+    * docs (doc_id, lbl = doc_id), undirected edges (src, dst); returns
+    * (labels, rounds)).
+    *
+    * Why it exists: min-label propagation moves labels ONE HOP per join
+    * round (pointer jumping shortcuts chains but still serializes through
+    * the label table), so a web-scale pair graph with long path
+    * components pays O(log d) rounds of full-table joins. Star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) instead rewrites the EDGE LIST: large-star hangs
+    * every larger neighbor of u under min(Γ(u) ∪ {u}), small-star does
+    * the same for smaller neighbors, and the alternation converges to
+    * one star per component in O(log² n) rounds of two groupBy+join
+    * passes over edges — no label table, no chain to serialize through,
+    * and each round's shuffle is proportional to the (monotonically
+    * shrinking) edge list.
+    *
+    * Convergence is detected by an (count, hash-sum) checksum of the
+    * canonicalized edge set — one tiny aggregate per round, no
+    * edge-set diff join. Labels fall out of the final star edges:
+    * child → its star center, center → itself. */
+  private[graft] def connectedComponentsStars(docs: DataFrame,
+      edges: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
+    def canon(df: DataFrame): DataFrame =
+      df.select(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b"))
+        .where(col("a") =!= col("b"))
+        .distinct()
+    var e = canon(edges.select(col("src").as("x"), col("dst").as("y")))
+      .localCheckpoint()
+    def checksum(df: DataFrame): (Long, Long) = {
+      // hashes bounded to < 2^31 before summing so the ANSI-mode sum
+      // can't overflow below ~2^32 edges
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(pmod(xxhash64(col("a"), col("b")),
+          lit(2147483647L))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var sig = checksum(e)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      // large-star: from each endpoint u, hang strictly-larger
+      // neighbors (and u itself) under m = min(Γ(u) ∪ {u})
+      val nbr = e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+      val mins = nbr.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val ls = canon(
+        nbr.join(mins, "u").where(col("v") > col("u"))
+          .select(col("v").as("x"), col("m").as("y"))
+          .unionAll(mins.select(col("u").as("x"), col("m").as("y"))))
+        .localCheckpoint(eager = false)
+      // small-star: direct edges large→small; hang every smaller
+      // neighbor (and u) under the minimum
+      val nbr2 = ls.select(col("b").as("u"), col("a").as("v"))
+      val mins2 = nbr2.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val ss = canon(
+        nbr2.join(mins2, "u")
+          .select(col("v").as("x"), col("m").as("y"))
+          .unionAll(mins2.select(col("u").as("x"), col("m").as("y"))))
+        .localCheckpoint(eager = false)
+      val nsig = checksum(ss)
+      converged = nsig == sig
+      sig = nsig
+      e = ss
+      rounds += 1
+    }
+    val lbl = e.groupBy(col("b")).agg(min(col("a")).as("lbl"))
+      .select(col("b").as("doc_id"), col("lbl"))
+    val labels = docs.select(col("doc_id"))
+      .join(lbl, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("lbl"))
+    (labels, rounds)
+  }
+
   val defs: Map[String, Q] = Map(
 
     // Exact dedup: keep the smallest doc_id per identical text.

@@ -285,11 +285,27 @@ object EventStreams {
     // checkpointed), where the default HDFS-backed store holds state on
     // the executor heap. Values accumulate as LONG micro-units so the
     // state is shuffle-order-free and the batch oracle exact.
+    //
+    // Driven across FOUR real micro-batches (maxFilesPerTrigger=1 over
+    // a 4-file landing zone) so ValueState genuinely persists and
+    // accumulates between RocksDB commits. The processor emits the
+    // running total on every batch a key appears in, and the
+    // update-mode memory sink RETAINS every emission — so the query
+    // keeps only each key's LAST emission (max n: the count strictly
+    // increases whenever the key appears). Without that final
+    // projection the result would be single-batch-only by accident.
     "q_stream_transform_state" -> ((s, d) => {
       import s.implicits._
-      val src = eventStream(s, d)
+      val base = s"${sys.props("java.io.tmpdir")}/graft_tws_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+      val in = s"$base/in"
+      graft.sources.Tables.events(s, d)
         .select(col("event_type"),
           floor(col("value") * lit(1e6)).cast("long").as("vmicro"))
+        .repartition(4).write.mode("overwrite").parquet(in)
+      val src = s.readStream
+        .schema("event_type STRING, vmicro LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in)
         .as[(String, Long)]
       val out = src.groupByKey(_._1)
         .transformWithState(new TotalsProcessor,
@@ -300,9 +316,14 @@ object EventStreams {
       val prev = s.conf.getOption(pk)
       s.conf.set(pk,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try runToMemory(s, out, "update", s"tws_${System.nanoTime()}")
-        .orderBy(col("event_type"))
-      finally prev.fold(s.conf.unset(pk))(s.conf.set(pk, _))
+      try {
+        import org.apache.spark.sql.expressions.Window
+        runToMemory(s, out, "update", s"tws_${System.nanoTime()}")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("event_type")).orderBy(col("n").desc)))
+          .where(col("rn") === 1).drop("rn")
+          .orderBy(col("event_type"))
+      } finally prev.fold(s.conf.unset(pk))(s.conf.set(pk, _))
     }),
 
     // foreachBatch sink — the production sink pattern (upsert into a

@@ -35,6 +35,12 @@ object ClusterProbe {
       println(s"[probe] rounds=$rounds")
       t("final sort+count")(labels.orderBy(col("doc_id"))
         .queryExecution.toRdd.count())
+      val (labels2, rounds2) = t("cc stars loop") {
+        graft.operators.Dedup.connectedComponentsStars(docs, edges)
+      }
+      println(s"[probe] stars rounds=$rounds2")
+      t("stars final sort+count")(labels2.orderBy(col("doc_id"))
+        .queryExecution.toRdd.count())
       pairs.unpersist()
       // NOTE: no clearCache between reps — mimics Bench's 3 reps of one
       // query, where the shingle cache should carry across reps

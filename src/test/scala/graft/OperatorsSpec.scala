@@ -79,6 +79,42 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("large-star/small-star CC labels equal pointer-jumping CC labels") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    def labelsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // fixture near-dup pair graph
+    val pairs = Dedup.ngramJaccardPairsRaw(spark, sf)
+      .select(col("doc_a"), col("doc_b")).cache()
+    val edges = pairs.unionAll(
+      pairs.select(col("doc_b"), col("doc_a"))).toDF("src", "dst")
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("doc_id").as("lbl"))
+    val (lp, _) = Dedup.connectedComponents(docs, edges)
+    val (ls, _) = Dedup.connectedComponentsStars(docs, edges)
+    assert(labelsOf(lp) == labelsOf(ls))
+    pairs.unpersist()
+    // synthetic worst cases: a 64-node chain (long diameter), a star
+    // with a high-id center, an isolated node, two components
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val star = (100L to 110L).map(i => (150L, i))
+    val syn = (chain ++ star).toDF("src", "dst")
+    val synEdges = syn.unionAll(syn.select(col("dst"), col("src")))
+      .toDF("src", "dst")
+    val synDocs = (((0L to 63L) ++ (100L to 110L)) :+ 150L :+ 999L)
+      .toDF("doc_id").withColumn("lbl", col("doc_id"))
+    val (sp, _) = Dedup.connectedComponents(synDocs, synEdges)
+    val (ss, ssRounds) = Dedup.connectedComponentsStars(synDocs, synEdges)
+    val expect = (0L to 63L).map(_ -> 0L) ++
+      ((100L to 110L).map(_ -> 100L) :+ (150L -> 100L)) :+ (999L -> 999L)
+    assert(labelsOf(sp) == expect.toSet)
+    assert(labelsOf(ss) == expect.toSet)
+    // star contraction must beat O(diameter): the 64-chain collapses in
+    // O(log^2 n) alternations, far under the 63 hops propagation needs
+    assert(ssRounds <= 10, s"star contraction took $ssRounds rounds")
+  }
+
   test("label propagation converges early and labels components correctly") {
     import spark.implicits._
     // two chains and an isolated node: diameter 3 ⇒ min-label needs 3
