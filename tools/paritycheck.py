@@ -104,6 +104,35 @@ def main():
             print(f"PASS {name} ({spark_tbl.num_rows} rows)")
             n_pass += 1
             continue
+        # Quantized integer columns (floor(x * 1eK) outputs, named *_q*/
+        # *_milli/_m) can legitimately differ by ONE grid step when the
+        # underlying double lands within an ulp of a grid point and the
+        # engines' last-ulp disagreement (libm ln, decimal->double
+        # conversion) flips the floor. The DRIVER's gate is hash-exact
+        # and would flag it; this sweep separates that knife-edge from a
+        # real bug by tolerating |diff| <= 1 on those columns ONLY, and
+        # reporting every tolerated cell.
+        qcols = {c for c in s_cols
+                 if c.endswith(("_q", "_q6", "_q9", "_q4", "_milli", "_m"))
+                 or "_q" in c.rsplit("_", 1)[-1]}
+        tolerated = []
+        def row_ok(a, b):
+            for c, x, y in zip(s_cols, a, b):
+                if x == y:
+                    continue
+                if (c in qcols and isinstance(x, int) and isinstance(y, int)
+                        and abs(x - y) <= 1):
+                    tolerated.append((c, x, y))
+                    continue
+                return False
+            return True
+        if all(row_ok(a, b) for a, b in zip(s_rows, d_rows)):
+            print(f"PASS {name} ({spark_tbl.num_rows} rows) — "
+                  f"WARNING: {len(tolerated)} quantization-grid cells off "
+                  f"by one step (driver gate would FAIL): "
+                  f"{tolerated[:3]}")
+            n_pass += 1
+            continue
         if sorted(map(repr, s_rows)) == sorted(map(repr, d_rows)):
             print(f"FAIL {name}: same multiset, different ROW ORDER")
             n_fail += 1
