@@ -341,6 +341,48 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // Bloom-filter membership pre-filter for incremental dedup — the
+    // 100 TB shape of q_dedup_incremental's corpus side: fold the
+    // established corpus into ONE mergeable 4096-bit filter (native
+    // aggregate, map-side combined — M/8 bytes of state per partition,
+    // OR-merged to a single row), broadcast it, and probe each delta doc
+    // with the K=3 shared-fold bit positions. A bloom miss is a verdict
+    // (no false negatives — asserted per-row in OperatorsSpec); only the
+    // bloom-positive sliver would proceed to the exact anti-join, so the
+    // corpus is never re-shuffled against the delta. Emits the verdict
+    // pair (bloom_hit, true_dup) per delta doc so all three classes are
+    // visible and oracle-checked — true dup (1,1), clean miss (0,0), and
+    // false positive (1,0): the DuckDB twin replays the identical bit
+    // positions from the shared UTF-8 fold
+    // ([[graft.functions.CountMinAgg.baseHash]]; codepoint spelling —
+    // equal on the ASCII fixtures, invariant-asserted like the CMS).
+    // The corpus/delta split is overlapping modular slices (a re-crawl
+    // where half the batch was already ingested) because the fixture
+    // has no cross-SOURCE exact duplicates to find.
+    "q_dedup_bloom" -> ((s, d) => {
+      import graft.functions.BloomFilterAgg.bloom_agg
+      import graft.functions.CountMinAgg.cms_base
+      val docs = Tables.documents(s, d)
+      val delta = docs.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"))
+      val corpus = docs.where(col("doc_id") % 6 =!= 3).select(col("text"))
+      val filt = corpus.agg(bloom_agg(col("text")).as("bloom"))
+      val probed = delta.crossJoin(broadcast(filt))
+        .withColumn("base", cms_base(col("text")))
+      val hit = (0 until graft.functions.BloomFilterAgg.K).map { r =>
+        val p = s"((shiftright(base * ${2654435761L + r}, 16)) % 4096)"
+        expr(s"(shiftrightunsigned(element_at(bloom, CAST($p DIV 64 AS INT) + 1)," +
+          s" CAST($p % 64 AS INT)) & 1) = 1")
+      }.reduce(_ && _)
+      val dup = corpus.distinct().withColumn("true_dup", lit(1L))
+      probed
+        .withColumn("bloom_hit", when(hit, lit(1L)).otherwise(lit(0L)))
+        .join(dup, Seq("text"), "left")
+        .select(col("doc_id"), col("bloom_hit"),
+          coalesce(col("true_dup"), lit(0L)).as("true_dup"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact n-gram Jaccard near-dup (ground truth for the LSH variant).
     "q_dedup_ngram_jaccard" -> ((s, d) => ngramJaccardPairs(s, d)),
 
@@ -760,6 +802,46 @@ object Dedup {
         |WHERE source = 'src0' AND NOT EXISTS (
         |  SELECT 1 FROM documents c
         |  WHERE c.source <> 'src0' AND c.text = d.text)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Replays the bloom filter's bit array as a position SET: every
+    // corpus text folds to its base hash (codepoint spelling of the
+    // UTF-8 byte fold — equal on ASCII fixtures), each base sets K=3
+    // Knuth-family positions, and a delta doc is bloom-positive iff all
+    // 3 of its own probe positions are in the set — definitionally the
+    // same verdict as reading the packed 64-long words.
+    "q_dedup_bloom" ->
+      """WITH delta AS (SELECT doc_id, text FROM documents
+        |               WHERE doc_id % 3 = 0),
+        |corpus AS (SELECT text FROM documents WHERE doc_id % 6 <> 3),
+        |cb AS (SELECT DISTINCT list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(string_split(text, ''),
+        |           c -> CAST(ascii(c) AS BIGINT))),
+        |         (h, c) -> (h * 31 + c) % 1048576) AS base
+        |       FROM corpus),
+        |r AS (SELECT UNNEST([0, 1, 2]) AS r),
+        |setpos AS (SELECT DISTINCT
+        |             ((base * (2654435761 + r)) >> 16) % 4096 AS p
+        |           FROM cb CROSS JOIN r),
+        |db AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(string_split(text, ''),
+        |           c -> CAST(ascii(c) AS BIGINT))),
+        |         (h, c) -> (h * 31 + c) % 1048576) AS base
+        |       FROM delta),
+        |probe AS (SELECT doc_id,
+        |            ((base * (2654435761 + r)) >> 16) % 4096 AS p
+        |          FROM db CROSS JOIN r),
+        |hits AS (SELECT pr.doc_id,
+        |           CAST(CASE WHEN COUNT(sp.p) = 3 THEN 1 ELSE 0 END
+        |                AS BIGINT) AS bloom_hit
+        |         FROM probe pr LEFT JOIN setpos sp ON sp.p = pr.p
+        |         GROUP BY pr.doc_id),
+        |td AS (SELECT d.doc_id, CAST(CASE WHEN EXISTS (
+        |           SELECT 1 FROM corpus c WHERE c.text = d.text)
+        |         THEN 1 ELSE 0 END AS BIGINT) AS true_dup
+        |       FROM delta d)
+        |SELECT h.doc_id, h.bloom_hit, t.true_dup
+        |FROM hits h JOIN td t USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_ngram_jaccard" -> ngramOracle,

@@ -168,6 +168,37 @@ class ExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom filter has no false negatives and merges by OR (incl. non-ASCII)") {
+    import spark.implicits._
+    import graft.functions.{BloomFilterAgg, CountMinAgg}
+    // multi-byte members too: the aggregate's update fold and the probe's
+    // cms_base fold share the UTF-8 byte alphabet, so membership holds
+    // beyond ASCII by construction — assert it anyway
+    val members = Seq.tabulate(300)(i => s"doc-$i") ++
+      Seq("café", "日本語", "😀ok")
+    val absent = Seq.tabulate(1000)(i => s"other-$i")
+    val df = members.toDF("t")
+    val bits = df.agg(BloomFilterAgg.bloom_agg(col("t")))
+      .head.getSeq[Long](0).toArray
+    assert(bits.length == BloomFilterAgg.WORDS)
+    def hit(t: String): Boolean = {
+      val base = CountMinAgg.baseHash(t.getBytes("UTF-8"))
+      (0 until BloomFilterAgg.K).forall { r =>
+        val p = BloomFilterAgg.position(base, r)
+        (bits(p >>> 6) >>> (p & 63) & 1L) == 1L
+      }
+    }
+    members.foreach(t => assert(hit(t), s"false negative: $t"))
+    // FP rate stays in the analytical envelope: ~(1-e^(-Kn/M))^K ≈ 4.4%
+    // for n=303; 1000 probes should see far fewer than 10× that
+    val fps = absent.count(hit)
+    assert(fps < 150, s"implausible FP count $fps/1000")
+    // partial/final merge is the bitwise OR of per-partition filters
+    val merged = df.repartition(7).agg(BloomFilterAgg.bloom_agg(col("t")))
+      .head.getSeq[Long](0).toArray
+    assert(merged.sameElements(bits), "merge is not order/partition invariant")
+  }
+
   test("rolling fingerprint min-window-hash handles short inputs") {
     val h = RollingFingerprint.minWindowHash("ab".getBytes, 16, 1000003L,
       0x7FFFFFFFL)
