@@ -45,6 +45,8 @@ object GraftFunctions {
       "srp_band_keys", srpBuilder, "built-in")
     reg.createOrReplaceTempFunction(
       "decimal_dot", args => DecimalDotProduct(args(0), args(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "decimal_sqdist", args => DecimalSqDist(args(0), args(1)), "built-in")
   }
 }
 
@@ -78,5 +80,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("decimal_dot"),
       new ExpressionInfo(classOf[DecimalDotProduct].getName, "decimal_dot"),
       (args: Seq[Expression]) => DecimalDotProduct(args(0), args(1))))
+    e.injectFunction((
+      FunctionIdentifier("decimal_sqdist"),
+      new ExpressionInfo(classOf[DecimalSqDist].getName, "decimal_sqdist"),
+      (args: Seq[Expression]) => DecimalSqDist(args(0), args(1))))
   }
 }

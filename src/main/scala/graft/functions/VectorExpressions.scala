@@ -247,6 +247,47 @@ case class DecimalDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Decimal-exact squared L2 distance of two `array<double>` columns:
+  * each squared difference `(a_i-b_i)²` is two correctly-rounded IEEE
+  * ops (identical in every engine), rounded to DECIMAL(30,12) (HALF_UP —
+  * Spark's double→decimal cast semantics) and summed exactly. Same
+  * order-independence/bit-parity contract as [[DecimalDotProduct]]; the
+  * DuckDB twin is `SUM(CAST((a.v[i]-b.v[i])*(a.v[i]-b.v[i]) AS
+  * DECIMAL(30,12)))`. Distance (not cosine) is what product-quantization
+  * codebook learning and ADC lookups minimize. CodegenFallback: one
+  * virtual call per row, O(dims) loop JIT'd.
+  */
+case class DecimalSqDist(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = DecimalType(30, 12)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "decimal_sqdist"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = java.math.BigDecimal.ZERO
+    var i = 0
+    while (i < n) {
+      // null elements contribute 0, matching DecimalDotProduct
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        val diff = x.getDouble(i) - y.getDouble(i)
+        acc = acc.add(java.math.BigDecimal.valueOf(diff * diff)
+          .setScale(12, java.math.RoundingMode.HALF_UP))
+      }
+      i += 1
+    }
+    org.apache.spark.sql.types.Decimal(scala.math.BigDecimal(acc), 30, 12)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API entry points (the user-facing surface of the expressions). */
 /** Engine-neutral 40-bit string hash: byte fold
   * h' = (h · 1000003 + byte) mod 2^40 (compiled loop). Exists so sketch
@@ -294,6 +335,11 @@ object VectorFunctions {
     * columns, DECIMAL(30,12) out. */
   def decimal_dot(a: Column, b: Column): Column =
     Bridge.column(DecimalDotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Decimal-exact (order-independent) squared L2 distance of two
+    * `array<double>` columns, DECIMAL(30,12) out. */
+  def decimal_sqdist(a: Column, b: Column): Column =
+    Bridge.column(DecimalSqDist(Bridge.expression(a), Bridge.expression(b)))
 
   /** Engine-neutral 40-bit hash of a string column (compiled loop). */
   def neutral_hash40(c: Column): Column =

@@ -239,6 +239,77 @@ object Similarity {
         .orderBy(col("query_id"), col("rn"))
     }),
 
+    // Product-quantization ANN (IVF-PQ's compression half): split the
+    // 64-dim vector into 8 subspaces of 8 dims, learn a 4-centroid
+    // codebook per subspace (seeds = sub-vectors of vec_id 3..6, one
+    // deterministic Lloyd round — the full-k-means story is
+    // q_sim_ann_ivf; PQ's own content is the subspace decomposition),
+    // encode every vector as 8 codes (64 doubles → 8 × 2 bits — the
+    // memory shape that fits a 100 TB corpus's index in executor RAM),
+    // and answer queries by Asymmetric Distance Computation: a
+    // |queries|×8×4 lookup table of query-subvector→centroid distances
+    // is broadcast, and each candidate's approximate distance is the
+    // 8-way sum of ITS codes' table cells — the corpus is scanned as
+    // codes only, full vectors never touch the query path. All
+    // distances are decimal-exact squared L2 (compiled DecimalSqDist);
+    // codebook means divide a decimal-sum-cast-to-double by the cell
+    // count (one IEEE division — engine-identical), so the entire
+    // trajectory replays in the DuckDB oracle. Ties break by centroid
+    // id / neighbor id in both engines.
+    "q_sim_ann_pq" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.VectorFunctions.decimal_sqdist
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      // (vec_id, s, 8-dim sub-vector) — the fan-out is ×8 rows but the
+      // same total doubles; at scale this is the one-time index build.
+      val subs = e.select(col("vec_id"), posexplode(
+          array((0 until 8).map(ss => slice(col("v"), ss * 8 + 1, 8)): _*))
+          .as(Seq("s", "sv")))
+        .cache()
+      def assign(cents: DataFrame): DataFrame =
+        subs.join(broadcast(cents), Seq("s"))
+          .withColumn("dist", decimal_sqdist(col("sv"), col("cv")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("vec_id"), col("s"))
+              .orderBy(col("dist").asc, col("c"))))
+          .where(col("rn") === 1)
+      val seeds = subs.where(col("vec_id").between(3, 6))
+        .select((col("vec_id") - 3).as("c"), col("s"), col("sv").as("cv"))
+      // one Lloyd round: assign to seeds, recompute per-cell means.
+      // Bounded driver materialization (≤ 8×4 cells × 8 doubles), same
+      // rationale as q_sim_ann_ivf's centroid loop.
+      val sums = (0 until 8).map(i =>
+        sum(element_at(col("sv"), i + 1).cast("decimal(30,12)")).as(s"m$i"))
+      val cents1 = assign(seeds)
+        .groupBy(col("s"), col("c"))
+        .agg(sums.head, (sums.tail :+ count(lit(1)).as("n")): _*)
+        .select(col("s"), col("c"), array((0 until 8).map(i =>
+          col(s"m$i").cast("double") / col("n").cast("double")): _*).as("cv"))
+        .collect().toSeq
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+        .toDF("s", "c", "cv")
+      // encode the corpus: each (vec_id, s) → nearest refined centroid
+      val codes = assign(cents1)
+        .where(col("vec_id") >= 3)
+        .select(col("vec_id"), col("s"), col("c"))
+      // ADC lookup table: query sub-vector × every centroid of its
+      // subspace (|queries| × 8 × 4 rows — broadcast-sized by design)
+      val lut = subs.where(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("s"), col("sv"))
+        .join(broadcast(cents1), Seq("s"))
+        .select(col("query_id"), col("s"), col("c"),
+          decimal_sqdist(col("sv"), col("cv")).as("dd"))
+      val ad = codes.join(broadcast(lut), Seq("s", "c"))
+        .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+        .agg(sum(col("dd")).cast("double").as("adist"))
+      val w2 = Window.partitionBy(col("query_id"))
+        .orderBy(col("adist").asc, col("neighbor_id"))
+      ad.withColumn("rn", row_number().over(w2))
+        .where(col("rn") <= 5)
+        .orderBy(col("query_id"), col("rn"))
+    }),
+
     // Symmetric int8 quantization of the embedding column — the storage
     // shape for an ANN index at 100 TB (4→1 bytes/dim before similarity
     // search; rescore the shortlist at full precision). Pure per-row math,
@@ -591,6 +662,58 @@ object Similarity {
         |                           ORDER BY cos DESC, neighbor_id) AS rn
         |      FROM sc)
         |SELECT query_id, neighbor_id, cos, rn FROM r
+        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+
+    // Replays the full PQ trajectory: 8×8 sub-vectors, seed codebooks
+    // (vec_id 3..6), one Lloyd round with decimal-exact squared-L2
+    // assignment and double-mean centroids, corpus encoding, then the
+    // ADC lookup-table sum. The subspace/centroid loops are
+    // generate_series, so the SQL is generic over (s, c).
+    "q_sim_ann_pq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |sub AS (SELECT vec_id, ss.s AS s, v[ss.s*8+1 : ss.s*8+8] AS sv
+        |        FROM e CROSS JOIN generate_series(0, 7) AS ss(s)),
+        |seed AS (SELECT vec_id - 3 AS c, s, sv AS cv FROM sub
+        |         WHERE vec_id BETWEEN 3 AND 6),
+        |d0 AS (SELECT x.vec_id, x.s, sd.c, x.sv,
+        |        (SELECT SUM(CAST((x.sv[i] - sd.cv[i]) * (x.sv[i] - sd.cv[i])
+        |                AS DECIMAL(30,12)))
+        |         FROM generate_series(1, 8) AS t(i)) AS dist
+        |       FROM sub x JOIN seed sd ON sd.s = x.s),
+        |g0 AS (SELECT vec_id, s, c, sv FROM (
+        |         SELECT vec_id, s, c, sv, ROW_NUMBER() OVER (
+        |           PARTITION BY vec_id, s ORDER BY dist ASC, c) AS rn
+        |         FROM d0) WHERE rn = 1),
+        |m1 AS (SELECT s, c, t.i AS i,
+        |        CAST(SUM(CAST(sv[t.i] AS DECIMAL(30,12))) AS DOUBLE)
+        |          / COUNT(*) AS mv
+        |       FROM g0 CROSS JOIN generate_series(1, 8) AS t(i)
+        |       GROUP BY s, c, t.i),
+        |c1 AS (SELECT s, c, LIST(mv ORDER BY i) AS cv FROM m1
+        |       GROUP BY s, c),
+        |d1 AS (SELECT x.vec_id, x.s, cc.c,
+        |        (SELECT SUM(CAST((x.sv[i] - cc.cv[i]) * (x.sv[i] - cc.cv[i])
+        |                AS DECIMAL(30,12)))
+        |         FROM generate_series(1, 8) AS t(i)) AS dist
+        |       FROM sub x JOIN c1 cc ON cc.s = x.s),
+        |codes AS (SELECT vec_id, s, c FROM (
+        |            SELECT vec_id, s, c, ROW_NUMBER() OVER (
+        |              PARTITION BY vec_id, s ORDER BY dist ASC, c) AS rn
+        |            FROM d1) WHERE rn = 1 AND vec_id >= 3),
+        |lut AS (SELECT x.vec_id AS query_id, x.s, cc.c,
+        |        (SELECT SUM(CAST((x.sv[i] - cc.cv[i]) * (x.sv[i] - cc.cv[i])
+        |                AS DECIMAL(30,12)))
+        |         FROM generate_series(1, 8) AS t(i)) AS dd
+        |        FROM sub x JOIN c1 cc ON cc.s = x.s WHERE x.vec_id < 3),
+        |ad AS (SELECT l.query_id, k.vec_id AS neighbor_id,
+        |         CAST(SUM(l.dd) AS DOUBLE) AS adist
+        |       FROM codes k JOIN lut l ON l.s = k.s AND l.c = k.c
+        |       GROUP BY l.query_id, k.vec_id),
+        |r AS (SELECT query_id, neighbor_id, adist, ROW_NUMBER() OVER (
+        |        PARTITION BY query_id ORDER BY adist ASC, neighbor_id) AS rn
+        |      FROM ad)
+        |SELECT query_id, neighbor_id, adist, rn FROM r
         |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
 
     "q_sim_centroids" ->

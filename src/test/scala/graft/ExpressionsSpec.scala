@@ -116,6 +116,30 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(1) - 3.5) < 1e-9)
   }
 
+  test("decimal_sqdist equals the interpreted decimal-fold spelling") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.decimal_sqdist
+    graft.functions.GraftFunctions.registerAll(spark)
+    val df = Seq((Array(1.5, -2.0, 0.25, 1e-7), Array(0.5, 2.0, 0.25, 0.0)))
+      .toDF("a", "b")
+    val fast = df.select(decimal_sqdist(col("a"), col("b")).cast("double"))
+      .head.getDouble(0)
+    val slow = df.select(
+      expr("""aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)),
+             |  CAST(0 AS DECIMAL(30,12)),
+             |  (acc, x) -> CAST(acc + CAST(x AS DECIMAL(30,12))
+             |              AS DECIMAL(30,12)))""".stripMargin)
+        .cast("double")).head.getDouble(0)
+    assert(fast == slow, s"$fast != $slow")
+    // hand value: 1 + 16 + 0 + round(1e-14 → 0 at scale 12) = 17
+    assert(fast == 17.0)
+    // and the SQL registration surface
+    val viaSql = spark.sql(
+      "SELECT CAST(decimal_sqdist(array(3.0D), array(1.0D)) AS DOUBLE)")
+      .head.getDouble(0)
+    assert(viaSql == 4.0)
+  }
+
   test("count-min sketch estimates are upper bounds on exact counts") {
     import spark.implicits._
     import graft.functions.CountMinAgg

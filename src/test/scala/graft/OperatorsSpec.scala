@@ -183,6 +183,21 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ ANN: 8-code ADC ranking is valid, non-negative, and deterministic") {
+    val rows = q("q_sim_ann_pq").collect()
+    assert(rows.length == 15) // 3 queries × 5
+    assert(rows.forall(_.getLong(1) >= 3), "returned a query as neighbor")
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      val ds = rs.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(ds.forall(_ >= 0.0), "squared distance must be non-negative")
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b },
+        "adist must be non-decreasing in rank")
+    }
+    // the codebook trajectory is deterministic — a re-run is bit-identical
+    val again = q("q_sim_ann_pq").collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("text stats/quality/tokens cover every document") {
     val n = graft.sources.Tables.documents(spark, sf).count()
     assert(q("q_text_stats").count() == n)
