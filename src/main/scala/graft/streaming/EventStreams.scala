@@ -383,6 +383,49 @@ object EventStreams {
             .as("sum_value"))
       runToMemory(s, agg, "complete", s"ssjoin_${System.nanoTime()}")
         .orderBy(col("c_mktsegment"))
+    }),
+
+    // Streaming end-to-end curation — the streaming twin of
+    // q_pipeline_e2e, over a DOCUMENTS file stream (ingest-time shape: a
+    // crawler drops parquet batches into a directory and curation runs
+    // continuously instead of as a nightly batch): stateless quality
+    // gates (the q_text_filter_funnel predicates) → stateful streaming
+    // exact-dedup on text (global state; the one stateful operator, so
+    // append mode emits every survivor immediately) → stream-static
+    // LEFT ANTI join against a static contamination blocklist (the
+    // doc_id % 50 eval slice, broadcast — re-read per micro-batch, which
+    // at scale is how a slowly-changing blocklist propagates) → a
+    // content-addressed curated corpus (engine-neutral 40-bit content
+    // fingerprint + token count). The output is deliberately a function
+    // of the TEXT alone: streaming keep-first picks an arbitrary arrival
+    // among duplicate texts (the sf0.1 fixture has 8 such pairs), so
+    // emitting doc_id/source/lang would be run-order-dependent — the
+    // same reason q_stream_dedup emits its dedup key. Canonical-row
+    // selection among duplicates is the batch job q_dedup_canonical.
+    "q_stream_pipeline" -> ((s, d) => {
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType),
+        StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val blocklist = s.read.parquet(s"$d/documents.parquet")
+        .where(col("doc_id") % 50 === 0)
+        .select(col("text"))
+      val toks = split(col("text"), " ")
+      val curated = s.readStream.schema(docSchema)
+        .parquet(s"$d/documents*.parquet")
+        .withColumn("n_tok", size(toks).cast("long"))
+        .where(col("n_tok") >= 30 &&
+          size(array_distinct(toks)).cast("double") /
+            col("n_tok").cast("double") > 0.45 &&
+          size(filter(toks, t => t === "a" || t === "the")) > 0)
+        .dropDuplicates("text")
+        .join(broadcast(blocklist), Seq("text"), "left_anti")
+        .select(graft.functions.VectorFunctions.neutral_hash40(col("text"))
+          .as("fp"), col("n_tok"))
+      runToMemory(s, curated, "append", s"spipe_${System.nanoTime()}")
+        .orderBy(col("fp"))
     })
   )
 
@@ -487,6 +530,25 @@ object EventStreams {
         |  CAST(SUM(CAST(e.value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |WHERE e.event_type = 'purchase'
-        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
+
+    // Batch spelling of the streaming curation pipeline: funnel gates,
+    // blocklist anti-join, DISTINCT on text, then the same neutral
+    // 40-bit fold (codepoint spelling — ASCII fixture) + token count.
+    "q_stream_pipeline" ->
+      """WITH b AS (SELECT text FROM documents WHERE doc_id % 50 = 0),
+        |kept AS (SELECT DISTINCT text FROM documents d
+        |  WHERE LEN(string_split(text, ' ')) >= 30
+        |    AND CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |        / LEN(string_split(text, ' ')) > 0.45
+        |    AND LEN(list_filter(string_split(text, ' '),
+        |                        x -> x = 'a' OR x = 'the')) > 0
+        |    AND NOT EXISTS (SELECT 1 FROM b WHERE b.text = d.text))
+        |SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(string_split(text, ''),
+        |           c -> CAST(ascii(c) AS BIGINT))),
+        |         (h, c) -> (h * 1000003 + c) % 1099511627776) AS fp,
+        |  CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |FROM kept ORDER BY fp""".stripMargin
   )
 }

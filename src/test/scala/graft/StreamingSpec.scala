@@ -28,6 +28,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.length == expected)
   }
 
+  test("streaming curation pipeline equals the batch gates+dedup+blocklist") {
+    val out = SparkEntry.queries("q_stream_pipeline")(spark, sf).collect()
+    val fps = out.map(_.getLong(0))
+    assert(fps.length == fps.toSet.size, "content fingerprints must be unique")
+    // batch twin: same gates, distinct text, blocklist removed
+    import graft.functions.VectorFunctions.neutral_hash40
+    val toks = split(col("text"), " ")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val blocked = docs.where(col("doc_id") % 50 === 0).select(col("text"))
+    val batch = docs
+      .where(size(toks) >= 30 &&
+        size(array_distinct(toks)).cast("double") /
+          size(toks).cast("double") > 0.45 &&
+        size(filter(toks, t => t === "a" || t === "the")) > 0)
+      .join(blocked, Seq("text"), "left_anti")
+      .select(col("text")).distinct()
+      .select(neutral_hash40(col("text")).as("fp"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == batch)
+  }
+
   test("stateful flatMapGroupsWithState equals batch per-user aggregates") {
     val stream = SparkEntry.queries("q_stream_stateful")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
