@@ -91,6 +91,36 @@ class PlanSpec extends AnyFunSuite {
       "anti join must be hash-based on the content-hash key")
   }
 
+  test("bloom membership is map-side combined and probes via broadcast") {
+    val p = plan("q_dedup_bloom")
+    // the corpus folds into per-partition filters merged by OR — partial
+    // then final ObjectHashAggregate, never a shuffle of texts to one node
+    assert(p.contains("partial_bloom_agg"),
+      "bloom build must run as a partial (map-side) aggregate")
+    assert(p.contains("functions=[bloom_agg"),
+      "expected the final bloom_agg merge stage")
+    // the single-row filter reaches every probe by broadcast; the
+    // ground-truth join stays a hash join on text
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), "filter must broadcast to probes")
+    assert(!p.contains("SortMergeJoin"), "no shuffle join anywhere:\n" + p)
+  }
+
+  test("PQ ANN joins codebooks/LUT by broadcast; sub-vectors cached once") {
+    val p = plan("q_sim_ann_pq")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "ADC must join codes to the LUT on (s, c), never a cross product")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 32-row codebook / 96-row LUT must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "nothing in the PQ path is big enough to shuffle-join")
+    val reuses = p.linesIterator.count(_.contains("InMemoryTableScan"))
+    assert(reuses >= 2, s"sub-vector table must be cached and reused " +
+      s"(encode + LUT), saw $reuses InMemoryTableScans")
+    spark.catalog.clearCache()
+  }
+
   test("contamination joins through the shingle index, not a cross product") {
     val p = plan("q_contamination")
     assert(!p.contains("CartesianProduct") &&
