@@ -47,6 +47,14 @@ object GraftFunctions {
       "decimal_dot", args => DecimalDotProduct(args(0), args(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "decimal_sqdist", args => DecimalSqDist(args(0), args(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "word_ngrams", ngramsBuilder, "built-in")
+  }
+
+  private def ngramsBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(c, Literal(n: Int, _)) => WordNgramsGenerator(c, n)
+    case _ => throw new IllegalArgumentException(
+      "word_ngrams(text, n-literal)")
   }
 }
 
@@ -84,5 +92,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("decimal_sqdist"),
       new ExpressionInfo(classOf[DecimalSqDist].getName, "decimal_sqdist"),
       (args: Seq[Expression]) => DecimalSqDist(args(0), args(1))))
+    e.injectFunction((
+      FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgramsGenerator].getName, "word_ngrams"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, Literal(n: Int, _)) => WordNgramsGenerator(c, n)
+        case _ => throw new IllegalArgumentException(
+          "word_ngrams(text, n-literal)")
+      }))
   }
 }

@@ -45,7 +45,8 @@ object Dedup {
     * Tokenization happens in its own projection: inlining `split(text)`
     * into the shingle lambda would re-split the text once per element
     * (O(words²) per doc — measured 2-3× on the whole query). */
-  private[operators] def withShingles(s: SparkSession, d: String): DataFrame = {
+  private[operators] def withShingles(s: SparkSession, d: String,
+      withQuality: Boolean = false): DataFrame = {
     val docs = Tables.documents(s, d)
     // The single-file fixture arrives as one input split, which would run
     // the O(docs × words) shingle compute on one core — fan out only when
@@ -55,15 +56,25 @@ object Dedup {
     val par = s.sparkContext.defaultParallelism
     val fanned =
       if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
-    fanned
+    val toksDf = fanned
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), expr(ShingleExpr).as("sh"))
-      // reused by the inverted index, the LSH signature, and the verify
-      // joins — and across the dedup queries themselves; cache once
-      // instead of recomputing the shingle transform per branch. The
-      // harness (Bench/Verify) clears the session cache between queries
-      // so the entry does not outlive its query family.
-      .cache()
+    // `withQuality` additionally carries the distinct-word count in the
+    // SAME projection (q_dedup_canonical's argmax key) — one text
+    // split/scan for the whole query instead of a second corpus pass.
+    // It's a parameter, not unconditional: the column would change the
+    // cached plan every OTHER shingle consumer shares.
+    val proj =
+      if (withQuality)
+        toksDf.select(col("doc_id"),
+          size(array_distinct(col("toks"))).as("quality"),
+          expr(ShingleExpr).as("sh"))
+      else toksDf.select(col("doc_id"), expr(ShingleExpr).as("sh"))
+    // reused by the inverted index, the LSH signature, and the verify
+    // joins — and across the dedup queries themselves; cache once
+    // instead of recomputing the shingle transform per branch. The
+    // harness (Bench/Verify) clears the session cache between queries
+    // so the entry does not outlive its query family.
+    proj.cache()
   }
 
   /** jaccard = |A∩B| / |A∪B| from intersection count + set sizes. */
@@ -489,21 +500,22 @@ object Dedup {
     // break to the smallest doc_id). Composition of the pair pipeline,
     // connected components, and a per-cluster window argmax; the window
     // partitions by cluster label, so at scale it shuffles only
-    // (doc_id, label, quality) triples — never text. Quality is computed
-    // in the SAME initial projection as the labels and carried through
-    // the CC loop as payload, so the post-CC step needs no second
-    // documents scan or join (it was the suite's slowest query when it
-    // re-derived quality from a fresh corpus scan).
+    // (doc_id, label, quality) triples — never text. Quality rides in
+    // the SAME cached shingle projection the pair pipeline reads
+    // (withQuality — CacheManager dedupes by logical plan, so both the
+    // inverted index and the label seed hit one in-memory relation) and
+    // is carried through the CC loop as payload: the whole query splits
+    // the corpus text exactly once (it was the suite's slowest query
+    // when quality came from a second scan).
     "q_dedup_canonical" -> ((s, d) => {
-      val pairs = ngramJaccardPairsRaw(s, d)
+      val g = withShingles(s, d, withQuality = true)
+      val pairs = jaccardPairsFrom(g.select(col("doc_id"), col("sh")))
         .select(col("doc_a"), col("doc_b")).cache()
       val edges = pairs.unionAll(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
         .toDF("src", "dst")
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"),
-          size(array_distinct(split(col("text"), " "))).as("quality"),
-          col("doc_id").as("lbl"))
+      val docs = g.select(col("doc_id"), col("quality"),
+        col("doc_id").as("lbl"))
       val (labels, _) = connectedComponents(docs, edges)
       pairs.unpersist()
       import org.apache.spark.sql.expressions.Window

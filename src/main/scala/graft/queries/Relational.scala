@@ -414,6 +414,18 @@ object Relational {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // Custom UDTF: the native word_ngrams Generator (one Generate
+    // operator, no intermediate per-row n-gram array — see
+    // graft.functions.WordNgramsGenerator). The built-in-generator twin
+    // is q_generator; this row is the (c)-path extension surface.
+    "q_udtf_ngrams" -> ((s, d) => {
+      import graft.functions.WordNgramsGenerator.word_ngrams
+      Tables.documents(s, d)
+        .where(col("doc_id") < 30)
+        .select(col("doc_id"), word_ngrams(col("text"), 3))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // ---- subqueries / CTE ----------------------------------------------
     // Scalar subquery in a filter; decorrelated by Catalyst. The
     // threshold is decimal-exact so both engines agree on boundary rows.
@@ -845,6 +857,17 @@ object Relational {
         |  UNNEST(w) AS token
         |FROM (SELECT doc_id, string_split(text, ' ') AS w
         |      FROM documents WHERE doc_id < 50)
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    // The two UNNESTs zip positionally (same length); the clamped slice
+    // w[i:i+2] reproduces the short-text guard (whole text at pos 0).
+    "q_udtf_ngrams" ->
+      """SELECT doc_id,
+        |  UNNEST(generate_series(1, GREATEST(len(w) - 2, 1))) - 1 AS pos,
+        |  UNNEST(list_transform(generate_series(1, GREATEST(len(w) - 2, 1)),
+        |    i -> array_to_string(w[i:i+2], ' '))) AS ngram
+        |FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |      FROM documents WHERE doc_id < 30)
         |ORDER BY doc_id, pos""".stripMargin,
 
     "q_subquery_scalar" ->

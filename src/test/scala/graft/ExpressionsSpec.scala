@@ -192,6 +192,24 @@ class ExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("word_ngrams generator emits positioned n-grams incl. the short guard") {
+    import spark.implicits._
+    import graft.functions.WordNgramsGenerator.word_ngrams
+    graft.functions.GraftFunctions.registerAll(spark)
+    val df = Seq((1L, "a b c d"), (2L, "x y")).toDF("id", "text")
+    val rows = df.select(col("id"), word_ngrams(col("text"), 3))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(rows == Set((1L, 0, "a b c"), (1L, 1, "b c d"), (2L, 0, "x y")))
+    // LATERAL VIEW / SQL surface, like any built-in generator
+    df.createOrReplaceTempView("wn_docs")
+    val viaSql = spark.sql(
+      """SELECT id, pos, ngram FROM wn_docs
+        |LATERAL VIEW word_ngrams(text, 2) AS pos, ngram""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(viaSql == Set((1L, 0, "a b"), (1L, 1, "b c"), (1L, 2, "c d"),
+      (2L, 0, "x y")))
+  }
+
   test("bloom filter has no false negatives and merges by OR (incl. non-ASCII)") {
     import spark.implicits._
     import graft.functions.{BloomFilterAgg, CountMinAgg}
