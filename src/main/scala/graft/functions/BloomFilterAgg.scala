@@ -33,10 +33,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   */
 case class BloomFilterAgg(
     child: Expression,
+    k: Int = BloomFilterAgg.K,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] {
-  import BloomFilterAgg.{K, WORDS, position}
+  import BloomFilterAgg.{WORDS, position}
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
@@ -51,7 +52,7 @@ case class BloomFilterAgg(
       val base = CountMinAgg.baseHash(
         v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
       var r = 0
-      while (r < K) {
+      while (r < k) {
         val pos = position(base, r)
         buf(pos >>> 6) |= 1L << (pos & 63)
         r += 1
@@ -109,4 +110,12 @@ object BloomFilterAgg {
     * column, bit positions from [[CountMinAgg.baseHash]]. */
   def bloom_agg(c: Column): Column =
     Bridge.column(BloomFilterAgg(Bridge.expression(c)).toAggregateExpression())
+
+  /** k=1 variant: the bit array IS a linear-counting sketch (Whang et
+    * al. 1990) — with n keys in M bits, E[set bits] = M(1-e^(-n/M)), so
+    * n̂ = -M·ln(empty/M). Used by q_agg_distinct_lc as the
+    * oracle-checkable counterpart of HLL cardinality estimation. */
+  def lc_agg(c: Column): Column =
+    Bridge.column(BloomFilterAgg(Bridge.expression(c), k = 1)
+      .toAggregateExpression())
 }

@@ -464,6 +464,40 @@ object Extended {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Linear-counting cardinality estimate (Whang et al. 1990) — the
+    // ORACLE-CHECKABLE twin of q_agg_approx's HLL (whose sketch
+    // internals are Spark-private, hence that row's rows-only check):
+    // hash each distinct key to ONE bit of a 4096-bit bitmap (the k=1
+    // BloomFilterAgg — same mergeable OR-combine, same engine-neutral
+    // fold, so DuckDB replays the exact bit set), then invert the
+    // occupancy: n̂ = -M·ln(empty/M). Input is word bigrams (~920
+    // distinct at the fixtures — load factor ~0.22, squarely in LC's
+    // sweet spot, with ~90 real hash collisions for the estimator to
+    // correct). bits_set is integer-exact parity; the estimate is
+    // floor-quantized at 1e6 (the ln is the one libm call — same
+    // discipline and risk envelope as q_text_lm_score). At 100 TB the
+    // bitmap merges map-side like the CMS and the memory is M/8 bytes
+    // per partition — cardinality estimation without a shuffle of keys.
+    "q_agg_distinct_lc" -> ((s, d) => {
+      import graft.functions.BloomFilterAgg.lc_agg
+      val bg = Tables.documents(s, d)
+        .select(split(col("text"), " ").as("w"))
+        .select(explode(expr(
+          """CASE WHEN size(w) >= 2 THEN
+            |  transform(sequence(1, size(w) - 1),
+            |    i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))
+            |ELSE array() END""".stripMargin)).as("bg"))
+      bg.agg(count_distinct(col("bg")).as("n_exact"),
+          lc_agg(col("bg")).as("bits"))
+        .select(col("n_exact"),
+          expr("aggregate(transform(bits, x -> bit_count(x)), 0, " +
+            "(a, x) -> a + x)").cast("long").as("bits_set"))
+        .withColumn("lc_est_q",
+          floor(lit(-4096.0) *
+            log((lit(4096.0) - col("bits_set").cast("double")) / lit(4096.0)) *
+            lit(1e6)).cast("long"))
+    }),
+
     // Custom expressions through the SQL surface: registered in the
     // session function registry, then used from spark.sql text. The
     // codegen'd double fold is left-to-right, so it agrees with DuckDB's
@@ -712,6 +746,29 @@ object Extended {
   )
 
   val oracles: Map[String, String] = Map(
+    // Replays the k=1 bit set from the shared fold (codepoint spelling —
+    // ASCII fixture) and the LC inversion; bits_set is integer-exact,
+    // the estimate shares q_text_lm_score's single-libm-ln envelope.
+    "q_agg_distinct_lc" ->
+      """WITH bg AS (SELECT UNNEST(
+        |    [w[i] || ' ' || w[i + 1] for i in generate_series(1, len(w) - 1)])
+        |    AS t
+        |  FROM (SELECT string_split(text, ' ') AS w FROM documents)),
+        |b AS (SELECT DISTINCT list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(t, ''),
+        |          c -> CAST(ascii(c) AS BIGINT))),
+        |        (h, c) -> (h * 31 + c) % 1048576) AS base
+        |      FROM bg),
+        |pos AS (SELECT DISTINCT ((base * 2654435761) >> 16) % 4096 AS p
+        |        FROM b),
+        |m AS (SELECT CAST((SELECT COUNT(DISTINCT t) FROM bg) AS BIGINT)
+        |        AS n_exact,
+        |      CAST((SELECT COUNT(*) FROM pos) AS BIGINT) AS bits_set)
+        |SELECT n_exact, bits_set,
+        |  CAST(FLOOR(-4096.0 * LN((4096.0 - bits_set) / 4096.0) * 1e6)
+        |       AS BIGINT) AS lc_est_q
+        |FROM m""".stripMargin,
+
     "q_layout_compaction" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value,

@@ -241,6 +241,22 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(merged.sameElements(bits), "merge is not order/partition invariant")
   }
 
+  test("linear-counting estimate tracks true cardinality through collisions") {
+    import spark.implicits._
+    import graft.functions.BloomFilterAgg
+    val n = 900 // load factor ~0.22 on the 4096-bit map — LC sweet spot
+    val df = Seq.tabulate(3 * n)(i => s"key-${i % n}").toDF("t")
+    val bits = df.repartition(5).agg(BloomFilterAgg.lc_agg(col("t")))
+      .head.getSeq[Long](0).toArray
+    val set = bits.map(java.lang.Long.bitCount).sum
+    assert(set <= n, "k=1: at most one bit per distinct key")
+    assert(set < n, "with ~0.22 load some collisions must occur")
+    val est = -BloomFilterAgg.M * math.log((BloomFilterAgg.M - set).toDouble /
+      BloomFilterAgg.M)
+    // LC standard error at this load is well under 2%; allow 5%
+    assert(math.abs(est - n) / n < 0.05, s"LC estimate $est vs true $n")
+  }
+
   test("rolling fingerprint min-window-hash handles short inputs") {
     val h = RollingFingerprint.minWindowHash("ab".getBytes, 16, 1000003L,
       0x7FFFFFFFL)
