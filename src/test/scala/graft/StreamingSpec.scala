@@ -92,6 +92,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("a restarted stream resumes from its checkpoint exactly once") {
+    // the recovery contract a 100 TB ingest relies on: the file source
+    // records processed files in the checkpoint's offset log and the
+    // parquet sink commits atomically through its own log, so a restart
+    // (here: a second AvailableNow run over the same checkpoint) picks
+    // up ONLY files that arrived since — nothing reprocessed, nothing
+    // lost, even though run 2 can still see run 1's input files.
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val root = java.nio.file.Files.createTempDirectory("graft_ckpt").toFile
+    val src = new java.io.File(root, "in").getPath
+    val out = new java.io.File(root, "out").getPath
+    val ckpt = new java.io.File(root, "ck").getPath
+    val schema = StructType(Seq(StructField("id", LongType)))
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(src)
+        .selectExpr("id", "id * 2 AS doubled")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.range(0, 5).write.mode("append").parquet(src)
+    runOnce()
+    val afterRun1 = spark.read.parquet(out).count()
+    assert(afterRun1 == 5, s"run 1 must emit the first batch, saw $afterRun1")
+    spark.range(5, 9).write.mode("append").parquet(src)
+    runOnce()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(rows == (0L until 9L).map(i => (i, i * 2)),
+      s"restart must process ONLY the new file (no dups, no loss): $rows")
+  }
+
   test("session windows respect the 30-minute gap") {
     val sessions = SparkEntry.queries("q_stream_session")(spark, sf)
     // session count per user can never exceed event count per user
