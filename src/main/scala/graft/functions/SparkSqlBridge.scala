@@ -18,6 +18,14 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Wrap a (resolved) logical plan as a DataFrame — the entry point a
+    * custom LogicalPlan node needs (Dataset.ofRows is private[sql]). */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Stream `df` to `out` as an Arrow IPC stream (schema header + one
     * record batch per partition batch). Batches are serialized
     * DISTRIBUTED (`toArrowBatchRdd`, the same path `collectAsArrowToPython`

@@ -464,6 +464,22 @@ object Extended {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Grouped top-k through the CUSTOM PHYSICAL OPERATOR (logical node +
+    // planner strategy + bounded-heap exec — graft.plans.TopKPerGroup):
+    // top-3 orders by total price per priority class. The window
+    // spelling (row_number <= k) sorts every group completely; this
+    // plans a hash Exchange + one heap pass, no sort — plan-asserted in
+    // PlanSpec, result-identical to the window oracle because the
+    // (score DESC, tie ASC) tiebreak makes the kept set deterministic.
+    "q_topk_custom" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          col("o_totalprice"))
+      graft.plans.TopK.topKPerGroup(o, Seq("o_orderpriority"),
+          "o_totalprice", "o_orderkey", 3)
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    }),
+
     // Linear-counting cardinality estimate (Whang et al. 1990) — the
     // ORACLE-CHECKABLE twin of q_agg_approx's HLL (whose sketch
     // internals are Spark-private, hence that row's rows-only check):
@@ -746,6 +762,13 @@ object Extended {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_topk_custom" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice
+        |FROM orders
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice DESC, o_orderkey) <= 3
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
     // Replays the k=1 bit set from the shared fold (codepoint spelling —
     // ASCII fixture) and the LC inversion; bits_set is integer-exact,
     // the estimate shares q_text_lm_score's single-libm-ln envelope.

@@ -73,6 +73,26 @@ class ExtendedSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("custom TopKPerGroup operator equals the window spelling") {
+    import spark.implicits._
+    // adversarial input: groups interleaved across many partitions, ties
+    // on score resolved by the tiebreak, one group smaller than k
+    val df = (0 until 2000).map { i =>
+      (s"g${i % 7}", (i * 37 % 19).toDouble, i.toLong)
+    }.toDF("g", "score", "id")
+      .union(Seq(("tiny", 1.0, 9999L)).toDF("g", "score", "id"))
+      .repartition(13)
+    val custom = graft.plans.TopK.topKPerGroup(df, Seq("g"), "score", "id", 5)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+      .orderBy(col("score").desc, col("id"))
+    val window = df.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5).drop("rn")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(custom == window)
+    assert(custom.count(_._1 == "tiny") == 1, "undersized group keeps all rows")
+  }
+
   test("csv and json round-trips preserve aggregates from parquet") {
     val fromCsv = q("q_source_csv").collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap

@@ -121,6 +121,20 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("custom grouped top-k plans a heap pass over one hash exchange, no sort") {
+    val p = plan("q_topk_custom")
+    assert(p.contains("TopKPerGroup"), "the custom strategy must plan the node")
+    assert(!p.contains("Window"),
+      "grouped top-k must NOT fall back to the sort-everything window")
+    // exactly one Exchange below the operator (the ClusteredDistribution
+    // hash shuffle); the final ORDER BY's range exchange sits above it
+    val below = p.linesIterator.dropWhile(!_.contains("TopKPerGroup")).toSeq
+    assert(below.exists(_.contains("Exchange hashpartitioning")),
+      "groups must hash-cluster")
+    assert(!below.exists(_.contains("Sort ")),
+      "no per-group sort may run under the heap operator:\n" + below.mkString("\n"))
+  }
+
   test("contamination joins through the shingle index, not a cross product") {
     val p = plan("q_contamination")
     assert(!p.contains("CartesianProduct") &&
