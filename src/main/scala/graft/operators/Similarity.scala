@@ -40,6 +40,66 @@ object Similarity {
   private[operators] def planeWeightD(p: Int, j: Int): Double =
     graft.functions.SrpBandKeys.weight(p, j)
 
+  // ---- product-quantization machinery (q_sim_ann_pq + q_sim_ann_ivfpq) —
+  // see q_sim_ann_pq's comment for the full design rationale. ----
+
+  /** (vec_id, s, 8-dim sub-vector) — the fan-out is ×8 rows but the same
+    * total doubles; at scale this is the one-time index build. */
+  private def pqSubs(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), posexplode(
+        array((0 until 8).map(ss => slice(col("v"), ss * 8 + 1, 8)): _*))
+        .as(Seq("s", "sv")))
+      .cache()
+
+  /** Nearest centroid per (vec_id, s) by decimal-exact squared L2, ties
+    * to the smallest centroid id. */
+  private def pqAssign(subs: DataFrame, cents: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.decimal_sqdist
+    subs.join(broadcast(cents), Seq("s"))
+      .withColumn("dist", decimal_sqdist(col("sv"), col("cv")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"), col("s"))
+          .orderBy(col("dist").asc, col("c"))))
+      .where(col("rn") === 1)
+  }
+
+  /** 4-centroid codebook per subspace: seed sub-vectors (vec_id 3..6) +
+    * one Lloyd round with double-mean centroids. Bounded driver
+    * materialization (≤ 8×4 cells × 8 doubles), same rationale as
+    * q_sim_ann_ivf's centroid loop. */
+  private def pqCodebooks(s: SparkSession, subs: DataFrame): DataFrame = {
+    import s.implicits._
+    val seeds = subs.where(col("vec_id").between(3, 6))
+      .select((col("vec_id") - 3).as("c"), col("s"), col("sv").as("cv"))
+    val sums = (0 until 8).map(i =>
+      sum(element_at(col("sv"), i + 1).cast("decimal(30,12)")).as(s"m$i"))
+    pqAssign(subs, seeds)
+      .groupBy(col("s"), col("c"))
+      .agg(sums.head, (sums.tail :+ count(lit(1)).as("n")): _*)
+      .select(col("s"), col("c"), array((0 until 8).map(i =>
+        col(s"m$i").cast("double") / col("n").cast("double")): _*).as("cv"))
+      .collect().toSeq
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+      .toDF("s", "c", "cv")
+  }
+
+  /** Corpus encoding: each (vec_id, s) → its nearest refined centroid. */
+  private def pqCodes(subs: DataFrame, cents1: DataFrame): DataFrame =
+    pqAssign(subs, cents1)
+      .where(col("vec_id") >= 3)
+      .select(col("vec_id"), col("s"), col("c"))
+
+  /** ADC lookup table: query sub-vector × every centroid of its subspace
+    * (|queries| × 8 × 4 rows — broadcast-sized by design). */
+  private def pqLut(subs: DataFrame, cents1: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.decimal_sqdist
+    subs.where(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("s"), col("sv"))
+      .join(broadcast(cents1), Seq("s"))
+      .select(col("query_id"), col("s"), col("c"),
+        decimal_sqdist(col("sv"), col("cv")).as("dd"))
+  }
+
   val defs: Map[String, Q] = centroidDefs ++ Map(
 
     // Brute-force k-NN, decimal-exact scores (oracle-checked): queries =
@@ -257,55 +317,74 @@ object Similarity {
     // trajectory replays in the DuckDB oracle. Ties break by centroid
     // id / neighbor id in both engines.
     "q_sim_ann_pq" -> ((s, d) => {
-      import s.implicits._
-      import graft.functions.VectorFunctions.decimal_sqdist
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      // (vec_id, s, 8-dim sub-vector) — the fan-out is ×8 rows but the
-      // same total doubles; at scale this is the one-time index build.
-      val subs = e.select(col("vec_id"), posexplode(
-          array((0 until 8).map(ss => slice(col("v"), ss * 8 + 1, 8)): _*))
-          .as(Seq("s", "sv")))
-        .cache()
-      def assign(cents: DataFrame): DataFrame =
-        subs.join(broadcast(cents), Seq("s"))
-          .withColumn("dist", decimal_sqdist(col("sv"), col("cv")))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("vec_id"), col("s"))
-              .orderBy(col("dist").asc, col("c"))))
-          .where(col("rn") === 1)
-      val seeds = subs.where(col("vec_id").between(3, 6))
-        .select((col("vec_id") - 3).as("c"), col("s"), col("sv").as("cv"))
-      // one Lloyd round: assign to seeds, recompute per-cell means.
-      // Bounded driver materialization (≤ 8×4 cells × 8 doubles), same
-      // rationale as q_sim_ann_ivf's centroid loop.
-      val sums = (0 until 8).map(i =>
-        sum(element_at(col("sv"), i + 1).cast("decimal(30,12)")).as(s"m$i"))
-      val cents1 = assign(seeds)
-        .groupBy(col("s"), col("c"))
-        .agg(sums.head, (sums.tail :+ count(lit(1)).as("n")): _*)
-        .select(col("s"), col("c"), array((0 until 8).map(i =>
-          col(s"m$i").cast("double") / col("n").cast("double")): _*).as("cv"))
-        .collect().toSeq
-        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
-        .toDF("s", "c", "cv")
-      // encode the corpus: each (vec_id, s) → nearest refined centroid
-      val codes = assign(cents1)
-        .where(col("vec_id") >= 3)
-        .select(col("vec_id"), col("s"), col("c"))
-      // ADC lookup table: query sub-vector × every centroid of its
-      // subspace (|queries| × 8 × 4 rows — broadcast-sized by design)
-      val lut = subs.where(col("vec_id") < 3)
-        .select(col("vec_id").as("query_id"), col("s"), col("sv"))
-        .join(broadcast(cents1), Seq("s"))
-        .select(col("query_id"), col("s"), col("c"),
-          decimal_sqdist(col("sv"), col("cv")).as("dd"))
+      val subs = pqSubs(e)
+      val cents1 = pqCodebooks(s, subs)
+      val codes = pqCodes(subs, cents1)
+      val lut = pqLut(subs, cents1)
       val ad = codes.join(broadcast(lut), Seq("s", "c"))
         .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
         .agg(sum(col("dd")).cast("double").as("adist"))
       val w2 = Window.partitionBy(col("query_id"))
         .orderBy(col("adist").asc, col("neighbor_id"))
       ad.withColumn("rn", row_number().over(w2))
+        .where(col("rn") <= 5)
+        .orderBy(col("query_id"), col("rn"))
+    }),
+
+    // The composed ANN index — coarse partition + PQ compression +
+    // exact rescore, the three-stage shape a 100 TB vector index
+    // actually runs: (1) a 4-bit SRP cell prunes the candidate set to
+    // ~1/16 of the corpus (the k-means coarse stage is demonstrated in
+    // q_sim_ann_ivf; SRP cells keep this oracle compact), (2) the PQ
+    // codes (same codebooks/LUT as q_sim_ann_pq) rank ONLY the probed
+    // cell's candidates by ADC — full vectors never touch this stage,
+    // (3) the ADC top-10 shortlist is re-scored at full precision
+    // (decimal-exact squared L2) and the top-5 emitted. Every stage is
+    // deterministic, so the whole three-stage trajectory replays in
+    // DuckDB. At scale: the cell is the partition key, codes live in
+    // RAM (1 byte/vector here), and only k·|queries| full vectors are
+    // ever fetched for the rescore.
+    "q_sim_ann_ivfpq" -> ((s, d) => {
+      import graft.functions.VectorFunctions.{decimal_sqdist, srp_band_keys}
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("cell", element_at(srp_band_keys(col("v"), 1, 4), 1))
+        .cache() // probe + rescore both read it; harness clears per query
+      val subs = pqSubs(e.select(col("vec_id"), col("v")))
+      val cents1 = pqCodebooks(s, subs)
+      val codes = pqCodes(subs, cents1)
+        .withColumnRenamed("vec_id", "neighbor_id")
+      val lut = pqLut(subs, cents1)
+      val q = e.where(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell"))
+      // stage 1: candidates = the query's cell only (equi-join, no
+      // cross product; at scale this is a partition-pruned read)
+      val cand = e.where(col("vec_id") >= 3)
+        .select(col("vec_id").as("neighbor_id"), col("cell"))
+        .join(broadcast(q.select(col("query_id"), col("cell"))), Seq("cell"))
+      // stage 2: ADC over the probed candidates' codes
+      val ad = cand.join(codes, Seq("neighbor_id"))
+        .join(broadcast(lut), Seq("query_id", "s", "c"))
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg(sum(col("dd")).cast("double").as("adist"))
+      val short = ad.withColumn("arn", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("adist").asc, col("neighbor_id"))))
+        .where(col("arn") <= 10)
+        .select(col("query_id"), col("neighbor_id"))
+      // stage 3: full-precision rescore of the 10-row shortlist
+      val res = short
+        .join(e.select(col("vec_id").as("neighbor_id"), col("v")),
+          Seq("neighbor_id"))
+        .join(broadcast(q.select(col("query_id"), col("qv"))),
+          Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          decimal_sqdist(col("qv"), col("v")).cast("double").as("dist"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("dist").asc, col("neighbor_id"))
+      res.withColumn("rn", row_number().over(w))
         .where(col("rn") <= 5)
         .orderBy(col("query_id"), col("rn"))
     }),
@@ -714,6 +793,85 @@ object Similarity {
         |        PARTITION BY query_id ORDER BY adist ASC, neighbor_id) AS rn
         |      FROM ad)
         |SELECT query_id, neighbor_id, adist, rn FROM r
+        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+
+    // Replays all three index stages: the PQ chain (identical to the
+    // q_sim_ann_pq oracle), the 4-bit SRP cell probe, ADC over the
+    // probed candidates, and the decimal-exact rescore of the top-10.
+    "q_sim_ann_ivfpq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |sub AS (SELECT vec_id, ss.s AS s, v[ss.s*8+1 : ss.s*8+8] AS sv
+        |        FROM e CROSS JOIN generate_series(0, 7) AS ss(s)),
+        |seed AS (SELECT vec_id - 3 AS c, s, sv AS cv FROM sub
+        |         WHERE vec_id BETWEEN 3 AND 6),
+        |d0 AS (SELECT x.vec_id, x.s, sd.c, x.sv,
+        |        (SELECT SUM(CAST((x.sv[i] - sd.cv[i]) * (x.sv[i] - sd.cv[i])
+        |                AS DECIMAL(30,12)))
+        |         FROM generate_series(1, 8) AS t(i)) AS dist
+        |       FROM sub x JOIN seed sd ON sd.s = x.s),
+        |g0 AS (SELECT vec_id, s, c, sv FROM (
+        |         SELECT vec_id, s, c, sv, ROW_NUMBER() OVER (
+        |           PARTITION BY vec_id, s ORDER BY dist ASC, c) AS rn
+        |         FROM d0) WHERE rn = 1),
+        |m1 AS (SELECT s, c, t.i AS i,
+        |        CAST(SUM(CAST(sv[t.i] AS DECIMAL(30,12))) AS DOUBLE)
+        |          / COUNT(*) AS mv
+        |       FROM g0 CROSS JOIN generate_series(1, 8) AS t(i)
+        |       GROUP BY s, c, t.i),
+        |c1 AS (SELECT s, c, LIST(mv ORDER BY i) AS cv FROM m1
+        |       GROUP BY s, c),
+        |d1 AS (SELECT x.vec_id, x.s, cc.c,
+        |        (SELECT SUM(CAST((x.sv[i] - cc.cv[i]) * (x.sv[i] - cc.cv[i])
+        |                AS DECIMAL(30,12)))
+        |         FROM generate_series(1, 8) AS t(i)) AS dist
+        |       FROM sub x JOIN c1 cc ON cc.s = x.s),
+        |codes AS (SELECT vec_id, s, c FROM (
+        |            SELECT vec_id, s, c, ROW_NUMBER() OVER (
+        |              PARTITION BY vec_id, s ORDER BY dist ASC, c) AS rn
+        |            FROM d1) WHERE rn = 1 AND vec_id >= 3),
+        |lut AS (SELECT x.vec_id AS query_id, x.s, cc.c,
+        |        (SELECT SUM(CAST((x.sv[i] - cc.cv[i]) * (x.sv[i] - cc.cv[i])
+        |                AS DECIMAL(30,12)))
+        |         FROM generate_series(1, 8) AS t(i)) AS dd
+        |        FROM sub x JOIN c1 cc ON cc.s = x.s WHERE x.vec_id < 3),
+        |proj AS (
+        |  SELECT vec_id, p,
+        |    (SELECT SUM(v[j + 1] *
+        |        CASE WHEN ((((p * 64 + j) * 2654435761) >> 16) & 1) = 0
+        |             THEN 1.0 ELSE -1.0 END)
+        |     FROM generate_series(0, 63) AS t(j)) AS pr
+        |  FROM e CROSS JOIN generate_series(0, 3) AS pp(p)),
+        |bk AS (
+        |  SELECT vec_id,
+        |    SUM(CASE WHEN pr > 0 THEN 1 << (3 - p) ELSE 0 END) AS cell
+        |  FROM proj GROUP BY vec_id),
+        |cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |         FROM bk q JOIN bk c
+        |           ON q.cell = c.cell AND q.vec_id < 3 AND c.vec_id >= 3),
+        |ad AS (SELECT ca.query_id, ca.neighbor_id,
+        |         CAST(SUM(l.dd) AS DOUBLE) AS adist
+        |       FROM cand ca
+        |       JOIN codes k ON k.vec_id = ca.neighbor_id
+        |       JOIN lut l ON l.query_id = ca.query_id
+        |         AND l.s = k.s AND l.c = k.c
+        |       GROUP BY ca.query_id, ca.neighbor_id),
+        |short AS (SELECT query_id, neighbor_id FROM (
+        |            SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+        |              PARTITION BY query_id ORDER BY adist ASC, neighbor_id)
+        |              AS arn
+        |            FROM ad) WHERE arn <= 10),
+        |res AS (SELECT sh.query_id, sh.neighbor_id,
+        |         (SELECT CAST(SUM(CAST((q.v[i] - c.v[i]) * (q.v[i] - c.v[i])
+        |                 AS DECIMAL(30,12))) AS DOUBLE)
+        |          FROM generate_series(1, 64) AS t(i)) AS dist
+        |        FROM short sh
+        |        JOIN e q ON q.vec_id = sh.query_id
+        |        JOIN e c ON c.vec_id = sh.neighbor_id),
+        |r AS (SELECT query_id, neighbor_id, dist, ROW_NUMBER() OVER (
+        |        PARTITION BY query_id ORDER BY dist ASC, neighbor_id) AS rn
+        |      FROM res)
+        |SELECT query_id, neighbor_id, dist, rn FROM r
         |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
 
     "q_sim_centroids" ->

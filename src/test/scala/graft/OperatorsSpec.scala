@@ -155,10 +155,30 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("ANN (LSH and IVF) neighbors are a subset of the corpus, ranked") {
-    for (name <- Seq("q_sim_ann_lsh", "q_sim_ann_ivf", "q_sim_ann_multiprobe")) {
+    for (name <- Seq("q_sim_ann_lsh", "q_sim_ann_ivf", "q_sim_ann_multiprobe",
+        "q_sim_ann_ivfpq")) {
       val rows = q(name).collect()
       assert(rows.forall(_.getLong(1) >= 3), s"$name returned a query as neighbor")
       assert(rows.groupBy(_.getLong(0)).values.forall(_.length <= 5))
+    }
+  }
+
+  test("IVF-PQ rescore stage reports exact (not approximate) distances") {
+    import graft.functions.VectorFunctions.decimal_sqdist
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+    val reported = q("q_sim_ann_ivfpq").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val pairs = reported.keys.toSeq
+    val exact = vecs.as("a").join(vecs.as("b"),
+        col("a.vec_id") < 3 && col("b.vec_id") >= 3)
+      .select(col("a.vec_id").as("q"), col("b.vec_id").as("n"),
+        decimal_sqdist(col("a.v"), col("b.v")).cast("double").as("d"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    pairs.foreach { p =>
+      assert(reported(p) == exact(p),
+        s"pair $p: stage-3 must emit the full-precision distance")
     }
   }
 
