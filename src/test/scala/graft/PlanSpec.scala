@@ -135,6 +135,22 @@ class PlanSpec extends AnyFunSuite {
       "no per-group sort may run under the heap operator:\n" + below.mkString("\n"))
   }
 
+  test("IVF-PQ probes by cell equi-join; codebook/LUT broadcast; no cross product") {
+    val p = plan("q_sim_ann_ivfpq")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "candidates must come from the cell equi-join")
+    assert(p.contains("BroadcastHashJoin"),
+      "the query cells / codebook / LUT must broadcast")
+    // the one shuffle join allowed is candidates ⋈ codes on neighbor_id —
+    // both sides are corpus-scaled, so a hash-partitioned join IS the
+    // 100 TB plan (codes would be bucketed by vector id in a real index)
+    val smj = p.linesIterator.filter(_.contains("SortMergeJoin")).toSeq
+    assert(smj.forall(_.contains("neighbor_id")),
+      "only the codes join may shuffle:\n" + smj.mkString("\n"))
+    spark.catalog.clearCache()
+  }
+
   test("contamination joins through the shingle index, not a cross product") {
     val p = plan("q_contamination")
     assert(!p.contains("CartesianProduct") &&
