@@ -459,6 +459,16 @@ object Similarity {
     // key, per-bucket work is quadratic only in bucket size (expected
     // n/1024 per bucket), and norms are computed once per vector, not
     // per pair. Deterministic hyperplanes → full DuckDB oracle.
+    //
+    // The emitted score is floor-quantized at 1e6: this query evaluates
+    // the most decimal casts in the library (~25M element-products at
+    // sf0.1), and the round-5 cross-scale sweep caught exactly ONE of
+    // them landing on the scale-12 double→decimal rounding boundary,
+    // where Spark (shortest-repr HALF_UP) and DuckDB (nearbyint of
+    // value·10¹²) legally disagree by one decimal ulp — a raw-cos hash
+    // compare is therefore not scale-stable. Quantizing shrinks the
+    // knife-edge by 10⁶ and puts the column under paritycheck's ±1
+    // tolerance reporting. Ranking still uses the full-precision cos.
     "q_sim_knn_join" -> ((s, d) => {
       import graft.functions.VectorFunctions.{decimal_dot, srp_band_keys}
       val e = Tables.embeddings(s, d)
@@ -475,6 +485,8 @@ object Similarity {
         .orderBy(col("cos").desc, col("nbr_id"))
       cand.withColumn("rn", row_number().over(w))
         .where(col("rn") <= 3)
+        .select(col("vec_id"), col("nbr_id"),
+          floor(col("cos") * lit(1e6)).cast("long").as("cos_q"), col("rn"))
         .orderBy(col("vec_id"), col("rn"))
     })
   )
@@ -583,7 +595,8 @@ object Similarity {
         |        ROW_NUMBER() OVER (PARTITION BY vec_id
         |                           ORDER BY cos DESC, nbr_id) AS rn
         |      FROM s)
-        |SELECT vec_id, nbr_id, cos, rn FROM r
+        |SELECT vec_id, nbr_id,
+        |  CAST(FLOOR(cos * 1e6) AS BIGINT) AS cos_q, rn FROM r
         |WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin,
 
     // Replays the SRP bucketing (1 band × 16 bits) from the same fixed

@@ -378,7 +378,7 @@ class OperatorsSpec extends AnyFunSuite {
 
   test("knn join returns ≤3 ranked neighbors per vector, never itself") {
     val rows = q("q_sim_knn_join").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
     assert(rows.nonEmpty, "10-bit buckets should pair up some vectors")
     assert(rows.forall { case (a, b, _, _) => a != b })
     rows.groupBy(_._1).values.foreach { ns =>
