@@ -746,6 +746,21 @@ object Extended {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // XML source round-trip — Spark 4 ships the (donated spark-xml)
+    // XML data source built in; rowTag framing on write and read.
+    "q_source_xml" -> ((s, d) => {
+      val out = s"${sys.props("java.io.tmpdir")}/graft_xml_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+      Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+        .write.mode("overwrite").option("rowTag", "supplier").xml(out)
+      s.read.option("rowTag", "supplier")
+        .schema("s_suppkey LONG, s_nationkey LONG, s_acctbal DOUBLE")
+        .xml(out)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), QueryDefs.dsum(col("s_acctbal")).as("total"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     // JSON source round-trip (schema-on-read on the way back).
     "q_source_json" -> ((s, d) => {
       val out = s"${sys.props("java.io.tmpdir")}/graft_json_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
@@ -1006,6 +1021,11 @@ object Extended {
     "q_source_json" ->
       """SELECT c_mktsegment, COUNT(*) AS n,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE) AS total
-        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_source_xml" ->
+      """SELECT s_nationkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(30,4))) AS DOUBLE) AS total
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
   )
 }
