@@ -7,6 +7,18 @@ import graft.runner.{DiskStats, ScanRunner}
 class RunnerSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("driver contract: oracles ⊆ queries; rows-only set is exactly the documented two") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((o -- q).isEmpty, s"oracle entries without a query: ${o -- q}")
+    // every query is oracle-checked except the two inherently
+    // engine-specific rows (HLL++ sketch internals, engine-seeded RNG) —
+    // adding a query without an oracle must be a conscious decision here
+    assert((q -- o) == Set("q_agg_approx", "q_sample_stratified"),
+      s"rows-only queries drifted: ${q -- o}")
+    assert(q.forall(_.startsWith("q_")), "query naming convention")
+  }
+
   test("per-file fan-out scans all files, fail-soft on schema mismatch") {
     val r = ScanRunner.run(spark, Seq(sf), "l_extendedprice",
       threshold = 30000.0, jobs = 8)
