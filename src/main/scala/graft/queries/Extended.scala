@@ -150,6 +150,34 @@ object Extended {
       v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
   }
 
+  /** The star join under q_join_dpp, exposed so PlanSpec can assert the
+    * `dynamicpruningexpression` on the same plan the query runs.
+    *
+    * Layout: fact = orders partitioned by o_orderstatus; dim = one row
+    * per status carrying a NON-partition attribute (d_open). The dim is
+    * round-tripped through parquet on purpose — a LocalRelation dim
+    * would constant-fold its filter away at optimization time and
+    * PartitionPruning would see no selective predicate to subscribe to.
+    * The dim filter (d_open = 1) is invisible to static pruning, so the
+    * only way the fact scan can skip directories is the runtime DPP
+    * subquery fed by the reused dim broadcast. */
+  private[graft] def dppStarJoin(s: SparkSession, d: String): DataFrame = {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_dpp_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(s"$base/fact")
+    Tables.orders(s, d)
+      .select(col("o_orderstatus").as("d_status")).distinct()
+      .withColumn("d_open", when(col("d_status") === "O", 1).otherwise(0))
+      .write.mode("overwrite").parquet(s"$base/dim")
+    val fact = s.read.parquet(s"$base/fact")
+    val dim = s.read.parquet(s"$base/dim").where(col("d_open") === 1)
+    fact.join(dim, fact("o_orderstatus") === dim("d_status"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** The join under q_join_runtime_filter, exposed so PlanSpec can
     * assert the injected bloom filter on the same plan the query runs. */
   private[graft] def runtimeFilteredJoin(s: SparkSession, d: String): DataFrame =
@@ -182,6 +210,17 @@ object Extended {
       }
       s.read.parquet(out).orderBy(col("o_orderstatus"))
     }),
+
+    // Dynamic partition pruning — the partition-level twin of
+    // q_join_runtime_filter's row-level bloom: a star join whose
+    // dimension predicate lives on a NON-partition dim attribute, so
+    // the partitions the fact scan may skip are only knowable at RUN
+    // time, after the dim broadcast materializes. Spark subscribes the
+    // fact scan's PartitionFilters to that broadcast
+    // (dynamicpruningexpression — plan-asserted in PlanSpec). On a
+    // partitioned 100 TB star schema this is the single largest
+    // scan-eliminator: the skipped partitions are never even listed.
+    "q_join_dpp" -> ((s, d) => dppStarJoin(s, d)),
 
     // AQE skew-join splitting — the AUTOMATIC twin of q_join_salted: the
     // 3-valued join key funnels a third of the fact table into single
@@ -838,6 +877,17 @@ object Extended {
 
     // The skew split is a pure execution-strategy change: the result is
     // the unsplit join, and the dim side contributes w = ascii(flag).
+    "q_join_dpp" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT o_orderstatus AS d_status,
+        |         CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS d_open
+        |  FROM orders)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS total
+        |FROM orders JOIN dim ON o_orderstatus = d_status
+        |WHERE d_open = 1
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
     "q_join_skew_aqe" ->
       """SELECT l_returnflag, COUNT(*) AS n_lines,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,

@@ -306,6 +306,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("star join prunes fact partitions at runtime (DPP)") {
+    val p = graft.queries.Extended.dppStarJoin(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.linesIterator.exists(l => l.contains("PartitionFilters") &&
+        l.contains("dynamicpruningexpression")),
+      "dim filter on a non-partition attribute must subscribe the fact " +
+        "scan's PartitionFilters to the runtime broadcast:\n" +
+        p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+  }
+
   test("AQE splits the skewed join partitions at runtime") {
     import graft.queries.Extended.{skewedJoin, withConf, SkewKnobs}
     withConf(spark, SkewKnobs) {
