@@ -339,6 +339,42 @@ object TextAnalysis {
           (col("n_dup_spans").cast("double") / col("n_spans"))
             .as("dup_frac"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Duplicated-span REMOVAL — the reconstruction half of
+    // q_text_dup_spans (the Lee-et-al.-style substring-level dedup every
+    // production corpus gets): positional word 8-grams are owned by the
+    // lowest doc_id containing them corpus-wide; every later occurrence
+    // marks its 8 token positions for excision, and each doc's text is
+    // rebuilt from the surviving tokens. Distribution discipline matches
+    // the detection pass: spans hash-group once for ownership, and only
+    // (doc_id, position) pairs ever shuffle — the text bodies stay in
+    // their scan partitions until the final index-filtered rebuild.
+    // Docs under 8 tokens have no spans and pass through unchanged.
+    "q_text_despanned" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val spans = toks.where(size(col("w")) >= 8)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(1, size(w) - 7), i -> concat_ws(' ', slice(w, i, 8)))")))
+        .toDF("doc_id", "pos", "span")
+      val owner = spans.groupBy(col("span"))
+        .agg(min(col("doc_id")).as("owner_id"))
+      val rm = spans.join(owner, "span")
+        .where(col("doc_id") > col("owner_id"))
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + 7)).as("p"))
+        .distinct()
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_set(col("p"))).as("ps"))
+      toks.join(rm, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("ps").isNull, concat_ws(" ", col("w")))
+            .otherwise(expr(
+              "concat_ws(' ', filter(w, (t, i) -> NOT array_contains(ps, i)))"))
+            .as("clean_text"),
+          coalesce(size(col("ps")), lit(0)).as("n_removed"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -552,6 +588,37 @@ object TextAnalysis {
         |    / COUNT(*) AS dup_frac
         |FROM sp JOIN df USING (span)
         |GROUP BY sp.doc_id ORDER BY sp.doc_id""".stripMargin,
+
+    // Same span index as q_text_dup_spans, then ownership (MIN doc_id
+    // per span), covered-position expansion, and an index-filtered list
+    // comprehension rebuild. Positions are 0-based in both engines
+    // (Spark posexplode / filter-lambda index vs i - 1 here).
+    "q_text_despanned" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |sp0 AS (SELECT doc_id,
+        |          UNNEST([struct_pack(pos := i - 1,
+        |                    span := array_to_string(w[i:i+7], ' '))
+        |                  for i in generate_series(1, len(w) - 7)]) AS s
+        |        FROM t WHERE len(w) >= 8),
+        |sp AS (SELECT doc_id, s.pos AS pos, s.span AS span FROM sp0),
+        |own AS (SELECT span, MIN(doc_id) AS owner_id FROM sp
+        |        GROUP BY span),
+        |rm0 AS (SELECT sp.doc_id,
+        |          UNNEST(generate_series(sp.pos, sp.pos + 7)) AS p
+        |        FROM sp JOIN own USING (span)
+        |        WHERE sp.doc_id > own.owner_id),
+        |rml AS (SELECT doc_id, list(DISTINCT p) AS ps FROM rm0
+        |        GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CASE WHEN rml.ps IS NULL THEN array_to_string(t.w, ' ')
+        |       ELSE COALESCE(array_to_string(
+        |         [t.w[i] for i in generate_series(1, len(t.w))
+        |          if NOT list_contains(rml.ps, i - 1)], ' '), '')
+        |  END AS clean_text,
+        |  COALESCE(len(rml.ps), 0) AS n_removed
+        |FROM t LEFT JOIN rml USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
 
     "q_text_langid" ->
       """WITH tok AS (

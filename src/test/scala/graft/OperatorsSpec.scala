@@ -363,6 +363,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.exists(_._4 == 1.0), "expected fully-duplicated documents")
   }
 
+  test("despanning matches an independent in-memory reimplementation") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val rows = q("q_text_despanned").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(rows.length == docs.size)
+    // ground truth, recomputed from scratch on the driver: positional
+    // 8-grams, corpus-wide min-doc_id ownership, covered-position union
+    val spans = docs.toSeq.flatMap { case (id, text) =>
+      val w = text.split(" ")
+      if (w.length >= 8)
+        (0 to w.length - 8).map(i => (id, i, w.slice(i, i + 8).mkString(" ")))
+      else Nil
+    }
+    val owner = spans.groupBy(_._3).map { case (sp, g) => sp -> g.map(_._1).min }
+    val rmPos = spans.filter { case (id, _, sp) => id > owner(sp) }
+      .groupBy(_._1).map { case (id, g) =>
+        id -> g.flatMap { case (_, p, _) => p to p + 7 }.toSet }
+    rows.foreach { case (id, clean, nRemoved) =>
+      val rm = rmPos.getOrElse(id, Set.empty[Int])
+      val expected = docs(id).split(" ").zipWithIndex
+        .collect { case (t, i) if !rm(i) => t }.mkString(" ")
+      assert(clean == expected, s"doc $id reconstruction")
+      assert(nRemoved == rm.size, s"doc $id removal count")
+    }
+    assert(rows.exists(_._3 > 0), "fixture should contain cross-doc dup spans")
+    assert(rows.exists(_._3 == 0), "expected untouched documents")
+  }
+
   test("int8 quantization error stays within the half-step bound") {
     val rows = q("q_embed_quantize").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
