@@ -493,6 +493,28 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // Cluster resolution on the large-star/small-star path — the
+    // diameter-independent web-scale swap for the pointer-jumping loop
+    // above (Kiveris et al., "Connected Components in MapReduce and
+    // Beyond"): same pair graph, same labels (asserted against
+    // q_dedup_clusters' recursive-CTE oracle), but each round is two
+    // edge-relinking shuffles whose work shrinks with the graph instead
+    // of growing label-propagation frontiers — the variant to reach for
+    // when a 100 TB near-dup graph has long chains.
+    "q_dedup_clusters_stars" -> ((s, d) => {
+      val pairs = ngramJaccardPairsRaw(s, d)
+        .select(col("doc_a"), col("doc_b")).cache()
+      val edges = pairs.unionAll(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .toDF("src", "dst")
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val (labels, _) = connectedComponentsStars(docs, edges)
+      pairs.unpersist()
+      labels.select(col("doc_id"), col("lbl").as("keep_id"),
+          (col("doc_id") === col("lbl")).as("is_keeper"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Canonical-document selection: the step after cluster resolution
     // that actually builds the deduplicated corpus — per near-dup
     // cluster, keep the highest-quality member (quality = distinct-word
@@ -937,6 +959,34 @@ object Dedup {
         |SELECT corpus_id, eval_id, CAST(inter AS BIGINT) AS n_shared
         |FROM p WHERE inter >= 5
         |ORDER BY corpus_id, eval_id""".stripMargin,
+
+    // Identical oracle for both CC spellings: the stars variant must
+    // produce the exact same labeling as pointer jumping.
+    "q_dedup_clusters_stars" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                       for i in generate_series(1, len(w) - 2)])
+        |      ELSE [array_to_string(w, ' ')] END AS sh
+        |      FROM t),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        len(list_intersect(a.sh, b.sh)) AS inter,
+        |        len(a.sh) AS na, len(b.sh) AS nb
+        |      FROM g a JOIN g b ON a.doc_id < b.doc_id),
+        |pairs AS (SELECT doc_a, doc_b FROM p
+        |          WHERE inter / (na + nb - inter) > 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |rec AS (
+        |  WITH RECURSIVE reach(id, lbl) AS (
+        |    SELECT doc_id, doc_id FROM documents
+        |    UNION
+        |    SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+        |    WHERE r.lbl < e.dst
+        |  ) SELECT id, MIN(lbl) AS keep_id FROM reach GROUP BY id)
+        |SELECT id AS doc_id, keep_id, (id = keep_id) AS is_keeper
+        |FROM rec ORDER BY doc_id""".stripMargin,
 
     "q_dedup_clusters" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
