@@ -64,14 +64,25 @@ object Bench {
         }
       })
 
+    // observe() pipeline telemetry: checkpoint-time metrics arrive via
+    // the async listener; final-plan metrics are harvested synchronously
+    // after each run (toRdd.count() bypasses listener dispatch)
+    val observed = new ObservedMetrics
+    spark.listenerManager.register(observed)
+
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // toRdd.count(), not Dataset.count(): wrapping the query in a count
       // aggregate lets EliminateSorts drop the final ORDER BY, which would
       // under-measure relative to what Verify actually executes.
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        val df = fn(spark, sfDir)
+        df.queryExecution.toRdd.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        observed.harvestFrom(df)
+        dt
+      }
+      catch { case _: Throwable => -1.0 }
     }
 
     // min-of-3: this host shows intermittent multi-second stalls
@@ -107,7 +118,8 @@ object Bench {
       .map { case (q, v) =>
         s""""$q":{"rows":${v(0)},"mem_bytes":${v(1)},"commit_ms":${v(2)}}""" }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"state":$state,"sf":"$sfDir"}"""
+    val obsJson = observed.drainJson()
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"state":$state,"observed":$obsJson,"sf":"$sfDir"}"""
     println(line)
     // stdout of a 70-query session gets truncated by log-tail capture;
     // also persist the metrics line where the judge can always read it

@@ -23,11 +23,26 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // capture observe() pipeline telemetry (checkpoint-time metrics
+    // arrive via the async listener; final-plan metrics synchronously)
+    val observed = new ObservedMetrics
+    spark.listenerManager.register(observed)
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        val hasObs = df.queryExecution.analyzed.collectFirst {
+          case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics => c
+        }.nonEmpty
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // the write runs through withAction, so the listener receives its
+        // final-plan metrics too — but asynchronously; settle, then drain
+        if (hasObs) {
+          Thread.sleep(400)
+          println(s"[observed] $name ${observed.drainJson()}")
+        }
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

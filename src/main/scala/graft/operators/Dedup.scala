@@ -141,8 +141,18 @@ object Dedup {
     * caller shares one in-memory relation), the quality funnel, and
     * exact dedup via one window over (content-hash, length) — text
     * shuffles once, never again (same 64-bit collision envelope as
-    * q_dedup_incremental). Exposed for PlanSpec's scan-count assertion. */
-  private[graft] def e2eExact(s: SparkSession, d: String): DataFrame = {
+    * q_dedup_incremental). Exposed for PlanSpec's scan-count assertion.
+    *
+    * `observed = true` threads `observe()` survivor counters through the
+    * funnel and exact stages (the Spark-idiomatic embedded-measurement
+    * analogue of the reference's in-run I/O accounting,
+    * /root/reference/main.cc:327-335): CollectMetrics accumulators ride
+    * the SAME job that does the work — at 100 TB, per-stage counts for
+    * free instead of one recount scan per stage. Only ONE e2eExact
+    * instance per query tree may observe (duplicate CollectMetrics
+    * names in a single plan are rejected at analysis). */
+  private[graft] def e2eExact(s: SparkSession, d: String,
+      observed: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), col("lang"), col("text"),
@@ -155,14 +165,19 @@ object Dedup {
         expr(ShingleExpr).as("sh"))
       .cache()
     // stage 1: quality funnel (the q_text_filter_funnel gates)
-    val funneled = base.where(col("n_tok") >= 30 &&
+    val funneled0 = base.where(col("n_tok") >= 30 &&
       col("quality").cast("double") / col("n_tok").cast("double") > 0.45 &&
       col("has_stop"))
+    val funneled = if (observed)
+      funneled0.observe("e2e_funnel", count(lit(1)).as("rows"))
+    else funneled0
     // stage 2: exact dedup — keep the min doc_id per identical text
     val hw = Window.partitionBy(xxhash64(col("text")), length(col("text")))
-    funneled
+    val exact = funneled
       .withColumn("keep_id", min(col("doc_id")).over(hw))
       .where(col("doc_id") === col("keep_id"))
+    if (observed) exact.observe("e2e_exact", count(lit(1)).as("rows"))
+    else exact
   }
 
   /** Stage 3 of q_pipeline_e2e: near-dup candidate pairs among the exact
@@ -761,7 +776,11 @@ object Dedup {
     // keep every stage engine-replayable.
     "q_pipeline_e2e" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val exact = e2eExact(s, d)
+      // observe survivor counts on the CC-seed instance only: funnel +
+      // exact fire with the label table's eager checkpoint, canonical +
+      // capped with the final job (harvested by Verify/Bench's
+      // QueryExecutionListener — no extra scan for any of the four)
+      val exact = e2eExact(s, d, observed = true)
       // stage 3: near-dup pairs among the exact survivors
       val pairs = e2eCandidates(s, d)
         .select(col("doc_a"), col("doc_b")).cache()
@@ -779,6 +798,7 @@ object Dedup {
         .orderBy(col("quality").desc, col("doc_id"))
       val canon = labels.withColumn("rn", row_number().over(wc))
         .where(col("rn") === 1)
+        .observe("e2e_canonical", count(lit(1)).as("rows"))
       // stage 6: per-domain cap (hash rank, at most 10 docs per source)
       val wd = Window.partitionBy(col("source"))
         .orderBy(col("hs"), col("doc_id"))
@@ -787,6 +807,7 @@ object Dedup {
           expr("shiftright((doc_id % 1048576) * 2654435761, 16)"))
         .withColumn("rk", row_number().over(wd))
         .where(col("rk") <= 10)
+        .observe("e2e_capped", count(lit(1)).as("rows"))
       // stage 7: pack survivors into 2048-token shards per language
       val wp = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -393,6 +393,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.exists(_._3 == 0), "expected untouched documents")
   }
 
+  test("pipeline observe() telemetry matches independent stage counts") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val acc = scala.collection.concurrent.TrieMap[String, Long]()
+    val l = new QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit =
+        qe.observedMetrics.foreach { case (n, r) => acc.put(n, r.getLong(0)) }
+      override def onFailure(f: String, qe: QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      // construction fires the checkpoint-stage observations (funnel,
+      // exact); count() fires the final-plan ones (canonical, capped)
+      val out = q("q_pipeline_e2e").count()
+      val deadline = System.currentTimeMillis() + 10000
+      while (acc.size < 4 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(acc.keySet == Set("e2e_funnel", "e2e_exact", "e2e_canonical",
+        "e2e_capped"), s"missing observations: $acc")
+      // funnel gate respelled independently of e2eExact's projection
+      val funnel = graft.sources.Tables.documents(spark, sf)
+        .select(split(col("text"), " ").as("t"))
+        .where("size(t) >= 30 AND size(array_distinct(t)) / size(t) > 0.45" +
+          " AND (array_contains(t, 'a') OR array_contains(t, 'the'))")
+        .count()
+      assert(acc("e2e_funnel") == funnel, "funnel survivor count")
+      assert(acc("e2e_exact") <= acc("e2e_funnel"))
+      assert(acc("e2e_canonical") <= acc("e2e_exact"))
+      assert(acc("e2e_capped") <= acc("e2e_canonical"))
+      assert(acc("e2e_capped") == out, "capped count must equal output rows")
+    } finally spark.listenerManager.unregister(l)
+  }
+
   test("int8 quantization error stays within the half-step bound") {
     val rows = q("q_embed_quantize").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
