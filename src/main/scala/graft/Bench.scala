@@ -54,11 +54,15 @@ object Bench {
             val key = p.name.takeWhile(_ != '_')
             // rows/memory: latest snapshot wins; commit time: summed
             // across micro-batches
-            val cur = stateAgg.computeIfAbsent(key, _ => Array(0L, 0L, 0L))
+            val cur = stateAgg.computeIfAbsent(key, _ => Array(0L, 0L, 0L, 0L))
             cur.synchronized {
               cur(0) = ops.map(_.numRowsTotal).sum
               cur(1) = ops.map(_.memoryUsedBytes).sum
               cur(2) += ops.map(_.commitTimeMs).sum
+              // latest batch's commit alone = the steady state (batch 0
+              // carries one-time costs: store bring-up, and under
+              // changelog checkpointing the base-snapshot upload)
+              cur(3) = ops.map(_.commitTimeMs).sum
             }
           }
         }
@@ -116,7 +120,7 @@ object Bench {
       .flatMap { case (k, v) => sinkToQuery.get(k).map(q => (q, v)) }
       .sortBy(_._1)
       .map { case (q, v) =>
-        s""""$q":{"rows":${v(0)},"mem_bytes":${v(1)},"commit_ms":${v(2)}}""" }
+        s""""$q":{"rows":${v(0)},"mem_bytes":${v(1)},"commit_ms":${v(2)},"commit_last_ms":${v(3)}}""" }
       .mkString("{", ",", "}")
     val obsJson = observed.drainJson()
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"state":$state,"observed":$obsJson,"sf":"$sfDir"}"""
