@@ -71,7 +71,15 @@ case class TopKPerGroupExec(child: SparkPlan, groupCols: Seq[Attribute],
     val gCols = groupCols
     val order = Seq(SortOrder(scoreCol, Descending),
       SortOrder(tieCol, Ascending))
+    // flat JVM-overhead estimates: HashMap entry + PriorityQueue header
+    // per group; object header + array slot per retained row (locals so
+    // the task closure captures two longs, not the plan node)
+    val groupOverhead = 128L
+    val rowOverhead = 40L
     child.execute().mapPartitions { iter =>
+      val budget = java.lang.Long.parseLong(
+        org.apache.spark.sql.internal.SQLConf.get.getConfString(
+          TopK.BudgetConfKey, TopK.DefaultBudgetBytes.toString))
       val keyProj = UnsafeProjection.create(gCols, out)
       // compare(a, b) < 0 ⇔ a is better; the max-heap's head is then
       // the WORST kept row — the eviction candidate
@@ -79,20 +87,48 @@ case class TopKPerGroupExec(child: SparkPlan, groupCols: Seq[Attribute],
         order.map(BindReferences.bindReference(_, out)))
       val heaps =
         mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+      // Memory accounting: the heap map holds O(k·groups) row copies,
+      // and unlike WindowExec there is no spill path — a partition
+      // whose group cardinality outgrows the executor would OOM where
+      // the window spelling degrades to disk. Track retained bytes
+      // (key + row payloads + flat per-entry overhead) and FAIL FAST
+      // with the remediation in the message once the per-partition
+      // budget is exceeded; this operator's contract is "k·groups fits
+      // in memory" (the regime where skipping the sort is the win).
+      var used = 0L
+      def sizeOf(r: InternalRow): Long = r match {
+        case u: UnsafeRow => u.getSizeInBytes.toLong + rowOverhead
+        case _ => 64L
+      }
+      def checkBudget(): Unit =
+        if (used > budget) throw new IllegalStateException(
+          s"TopKPerGroup retained ~$used bytes (> budget $budget) in one " +
+            s"partition: ${heaps.size} groups x k=$numK kept rows. Either " +
+            s"raise ${TopK.BudgetConfKey}, repartition into more " +
+            "partitions, or use the window spelling (row_number over " +
+            "partitionBy), which sorts but spills.")
       iter.foreach { row =>
         val key = keyProj(row) // reused buffer — copy only on first sight
         val heap = heaps.get(key) match {
           case Some(h) => h
           case None =>
             val h = new mutable.PriorityQueue[InternalRow]()(ord)
-            heaps.put(key.copy(), h)
+            val kc = key.copy()
+            heaps.put(kc, h)
+            used += kc.getSizeInBytes.toLong + groupOverhead
             h
         }
         if (heap.size < numK) {
-          heap.enqueue(row.copy())
+          val c = row.copy()
+          heap.enqueue(c)
+          used += sizeOf(c)
+          checkBudget()
         } else if (ord.compare(row, heap.head) < 0) {
-          heap.dequeue()
-          heap.enqueue(row.copy())
+          used -= sizeOf(heap.dequeue())
+          val c = row.copy()
+          heap.enqueue(c)
+          used += sizeOf(c)
+          checkBudget()
         }
       }
       heaps.valuesIterator.flatMap(_.iterator)
@@ -105,6 +141,13 @@ case class TopKPerGroupExec(child: SparkPlan, groupCols: Seq[Attribute],
 
 /** User-facing API. */
 object TopK {
+  /** Per-partition retained-bytes budget for [[TopKPerGroupExec]]'s
+    * heap map (see the accounting comment in doExecute). Settable as a
+    * runtime conf; the 256 MiB default is far under executor memory at
+    * the 32-partition local harness scale and proportionally safe on a
+    * real cluster's per-core share. */
+  val BudgetConfKey = "spark.graft.topk.partitionBudgetBytes"
+  val DefaultBudgetBytes: Long = 256L * 1024 * 1024
   /** Top `k` rows per group by (`scoreCol` DESC, `tieCol` ASC). Columns
     * are resolved against `df`'s analyzed plan; the planner strategy is
     * registered on the session on first use. */

@@ -93,6 +93,31 @@ class ExtendedSpec extends AnyFunSuite {
     assert(custom.count(_._1 == "tiny") == 1, "undersized group keeps all rows")
   }
 
+  test("TopKPerGroup fails fast (not OOM) when groups exceed the budget") {
+    import spark.implicits._
+    import graft.plans.TopK
+    // high-cardinality group column: every row its own group — the
+    // degenerate input where the heap map grows with the data and the
+    // operator's no-spill contract is violated
+    val wide = (0 until 50000).map { i =>
+      (s"group_$i", i.toDouble, i.toLong)
+    }.toDF("g", "score", "id").repartition(4)
+    spark.conf.set(TopK.BudgetConfKey, "65536")
+    try {
+      val e = intercept[org.apache.spark.SparkException] {
+        TopK.topKPerGroup(wide, Seq("g"), "score", "id", 3).count()
+      }
+      val msg = Option(e.getCause).fold(e.getMessage)(_.getMessage)
+      assert(msg.contains(TopK.BudgetConfKey),
+        s"failure must name the budget conf, got: $msg")
+      assert(msg.contains("window spelling"),
+        "failure must point at the spilling fallback")
+    } finally spark.conf.unset(TopK.BudgetConfKey)
+    // same input under the default budget completes fine
+    assert(graft.plans.TopK.topKPerGroup(wide, Seq("g"), "score", "id", 3)
+      .count() == 50000)
+  }
+
   test("csv and json round-trips preserve aggregates from parquet") {
     val fromCsv = q("q_source_csv").collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap
