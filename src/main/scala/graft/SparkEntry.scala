@@ -31,6 +31,7 @@ object SparkEntry {
       graft.operators.TextAnalysis.defs ++
       graft.operators.Multimodal.defs ++
       graft.operators.Curation.defs ++
+      graft.operators.Bpe.defs ++
       graft.streaming.EventStreams.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -46,5 +47,6 @@ object SparkEntry {
       graft.operators.TextAnalysis.oracles ++
       graft.operators.Multimodal.oracles ++
       graft.operators.Curation.oracles ++
+      graft.operators.Bpe.oracles ++
       graft.streaming.EventStreams.oracles
 }

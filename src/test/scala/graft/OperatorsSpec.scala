@@ -427,6 +427,37 @@ class OperatorsSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(l)
   }
 
+  test("BPE merge table is well-formed and encode counts are consistent") {
+    val merges = q("q_text_bpe_merges").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.length == graft.operators.Bpe.Rounds)
+    // well-formed: each side is a single char or an earlier merge's
+    // output — the property that makes one rank-ordered application
+    // pass equal canonical lowest-rank-first BPE encoding
+    val known = scala.collection.mutable.Set[String]()
+    merges.sortBy(_._1).foreach { case (rank, lhs, rhs, cnt) =>
+      assert(lhs.length == 1 || known(lhs), s"rank $rank lhs $lhs unformed")
+      assert(rhs.length == 1 || known(rhs), s"rank $rank rhs $rhs unformed")
+      assert(cnt > 0)
+      known += lhs + rhs
+    }
+    // counts are rank-monotone ONLY per recount epoch, but multi-char
+    // merges must exist: rounds compound (real BPE, not bigram gluing)
+    assert(merges.exists(m => m._2.length > 1 || m._3.length > 1),
+      "expected at least one merge consuming an earlier merge's output")
+    // every doc's subword count lies in [n_words, n_chars]
+    val sub = q("q_text_bpe").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val chars = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    sub.foreach { case (id, nWords, nSub) =>
+      val nChars = chars(id).count(_ != ' ')
+      assert(nSub >= nWords && nSub <= nChars,
+        s"doc $id: $nSub subwords vs $nWords words / $nChars chars")
+    }
+  }
+
   test("int8 quantization error stays within the half-step bound") {
     val rows = q("q_embed_quantize").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
