@@ -9,8 +9,9 @@ import org.apache.spark.sql.SparkSession
   * around the complete query, /root/reference/main.cc:321-329) at the
   * reference's parallelism default of 32 threads (`Env_jobs`,
   * main.cc:376-385) — here `local[32]` executor threads instead of a
-  * pthread pool. Each query runs twice and the min is reported, so
-  * one-off JIT/GC pauses don't masquerade as plan cost.
+  * pthread pool. Each query runs three times; the min is reported (all
+  * rep times are emitted too), so one-off JIT/GC pauses don't
+  * masquerade as plan cost.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -29,12 +30,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // State-store observability: accumulate per-stream state metrics
-    // (rows held, memory, commit latency) from every streaming query's
-    // progress events, keyed by the memory-sink name each streaming def
-    // uses ("tumbling_<nanos>", "tws_<nanos>", ...). Emitted as a
-    // "state" block in the metrics line so wall time isn't the only
-    // signal the round records for stateful streaming.
+    // State-store observability: per-stream state metrics (rows held,
+    // memory, commit latency) from every streaming query's progress
+    // events, keyed by the FULL memory-sink name ("tumbling_<nanos>",
+    // "tws_<nanos>", ...) — one entry per RUN. The old per-prefix keying
+    // summed commit time across all 3 bench reps, so a rep disturbed by
+    // suite-wide JVM pressure (commit threads compete with the other
+    // 141 queries' GC) inflated the reported number unrecoverably:
+    // r6's q_stream_left_join "commit_ms 30.4k" was ~10k in one loaded
+    // rep vs 4.8k/run measured isolated, at flat wall time. Emitted as
+    // a "state" block so wall time isn't the only stateful-streaming
+    // signal; per sink prefix the run with the smallest summed commit
+    // is reported — the same statistic as min-of-3 wall — plus its
+    // micro-batch count so per-batch cost is derivable.
     val stateAgg =
       new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
     spark.streams.addListener(
@@ -51,10 +59,10 @@ object Bench {
           val p = e.progress
           val ops = p.stateOperators
           if (p.name != null && ops != null && ops.nonEmpty) {
-            val key = p.name.takeWhile(_ != '_')
             // rows/memory: latest snapshot wins; commit time: summed
-            // across micro-batches
-            val cur = stateAgg.computeIfAbsent(key, _ => Array(0L, 0L, 0L, 0L))
+            // across THIS run's micro-batches; batches counted
+            val cur =
+              stateAgg.computeIfAbsent(p.name, _ => Array(0L, 0L, 0L, 0L, 0L))
             cur.synchronized {
               cur(0) = ops.map(_.numRowsTotal).sum
               cur(1) = ops.map(_.memoryUsedBytes).sum
@@ -63,6 +71,7 @@ object Bench {
               // carries one-time costs: store bring-up, and under
               // changelog checkpointing the base-snapshot upload)
               cur(3) = ops.map(_.commitTimeMs).sum
+              cur(4) += 1L
             }
           }
         }
@@ -91,7 +100,10 @@ object Bench {
 
     // min-of-3: this host shows intermittent multi-second stalls
     // unrelated to plan cost (identical queries measured 1.7s and 47s in
-    // different minutes); the min is the statistic that reflects the plan
+    // different minutes); the min is the statistic that reflects the
+    // plan. ALL three rep times are also emitted ("reps") so an in-suite
+    // stall that eats every rep (q_projection_expr, round 6: min 3.86 s
+    // vs 0.78 s isolated) is self-diagnosing post-hoc.
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
@@ -101,9 +113,12 @@ object Bench {
       // reuse across their own reps; drop them so a 70-query session
       // doesn't accumulate executor storage memory
       spark.catalog.clearCache()
-      name -> best
+      (name, best, runs)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val repsJson = results.map { case (k, _, runs) =>
+      "\"" + k + "\":" + runs.map(r => f"$r%.3f").mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // map the memory-sink name prefixes back to library query names
@@ -114,16 +129,21 @@ object Bench {
       "sjoin" -> "q_stream_join", "sljoin" -> "q_stream_left_join",
       "tws" -> "q_stream_transform_state",
       "ssjoin" -> "q_stream_static_join")
-    Thread.sleep(500) // listener bus is async; let the tail drain
+    // listener bus is async; block until the queued tail is dispatched
+    org.apache.spark.sql.graftbridge.Bridge.waitListenerBus(spark, 10000)
     import scala.jdk.CollectionConverters._
     val state = stateAgg.asScala.toSeq
-      .flatMap { case (k, v) => sinkToQuery.get(k).map(q => (q, v)) }
-      .sortBy(_._1)
-      .map { case (q, v) =>
-        s""""$q":{"rows":${v(0)},"mem_bytes":${v(1)},"commit_ms":${v(2)},"commit_last_ms":${v(3)}}""" }
+      .flatMap { case (name, v) =>
+        sinkToQuery.get(name.takeWhile(_ != '_')).map(q => (q, v)) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (q, reps) =>
+        // min-by-summed-commit rep = the run least disturbed by host
+        // stalls, matching the min-of-3 wall-time statistic
+        val v = reps.map(_._2).minBy(_(2))
+        s""""$q":{"rows":${v(0)},"mem_bytes":${v(1)},"commit_ms":${v(2)},"commit_last_ms":${v(3)},"batches":${v(4)}}""" }
       .mkString("{", ",", "}")
     val obsJson = observed.drainJson()
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"state":$state,"observed":$obsJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"state":$state,"observed":$obsJson,"sf":"$sfDir"}"""
     println(line)
     // stdout of a 70-query session gets truncated by log-tail capture;
     // also persist the metrics line where the judge can always read it

@@ -37,9 +37,11 @@ object Verify {
         }.nonEmpty
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         // the write runs through withAction, so the listener receives its
-        // final-plan metrics too — but asynchronously; settle, then drain
+        // final-plan metrics too — but asynchronously; the events are
+        // already POSTED by the time the action returns, so draining the
+        // bus (not a fixed sleep, which races on a loaded host) is exact
         if (hasObs) {
-          Thread.sleep(400)
+          org.apache.spark.sql.graftbridge.Bridge.waitListenerBus(spark, 10000)
           println(s"[observed] $name ${observed.drainJson()}")
         }
       }

