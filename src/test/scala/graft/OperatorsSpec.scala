@@ -458,6 +458,53 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("BPE training stops early when a corpus exhausts adjacent pairs") {
+    import spark.implicits._
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_bpe_tiny"
+    Seq((1L, "a b c"), (2L, "b c a")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val (seqs, merges) = graft.operators.Bpe.train(spark, dir)
+    assert(merges.isEmpty, "single-char words leave no adjacent pairs")
+    // the encode surface still works: every word is its one char
+    val ns = seqs.selectExpr("w",
+      "(length(seq) - length(replace(seq, '~', ''))) div 2 - 1 AS n").collect()
+    assert(ns.nonEmpty && ns.forall(_.getAs[Number]("n").longValue == 1L))
+  }
+
+  test("BPE training is memoized per (session, dataset)") {
+    val (_, m1) = graft.operators.Bpe.train(spark, sf)
+    val (_, m2) = graft.operators.Bpe.train(spark, sf)
+    assert(m1 eq m2, "second train() must hit the memo, not retrain")
+  }
+
+  test("BPE token-id sequences decode back to the original corpus") {
+    // rebuild the vocab exactly as the query defines it: merge products
+    // by first rank, then alphabet chars lexicographically
+    val merges = q("q_text_bpe_merges").collect()
+      .sortBy(_.getInt(0)).map(r => r.getString(1) + r.getString(2))
+    val prods = merges.distinct
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val alphabet = texts.values.flatMap(_.split(" ")).flatMap(_.toCharArray)
+      .toSeq.distinct.sorted.map(_.toString)
+    val idToTok = (prods ++ alphabet).zipWithIndex
+      .map { case (t, i) => ((i + 1).toLong, t) }.toMap
+    val rows = q("q_text_bpe_ids").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.length == texts.size)
+    val nSub = q("q_text_bpe").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    rows.foreach { case (docId, nIds, idsStr) =>
+      val ids = idsStr.split("-").map(_.toLong)
+      assert(ids.length == nIds, s"doc $docId id count vs n_ids")
+      assert(nIds == nSub(docId), s"doc $docId n_ids vs q_text_bpe count")
+      val decoded = ids.map(idToTok).mkString
+      assert(decoded == texts(docId).replace(" ", ""),
+        s"doc $docId decode round-trip failed")
+    }
+  }
+
   test("int8 quantization error stays within the half-step bound") {
     val rows = q("q_embed_quantize").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
