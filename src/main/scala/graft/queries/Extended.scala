@@ -529,6 +529,28 @@ object Extended {
         .orderBy(col("o_orderpriority"), col("o_orderkey"))
     }),
 
+    // The same grouped top-k reached from PLAIN SQL TEXT: the session
+    // carries TopKSqlRewrite (extraOptimizations), which recognizes the
+    // row_number-filter spelling — the only way SQL can express grouped
+    // top-k — and swaps in TopKPerGroupNode, stripping the Sort +
+    // WindowExec (and the WindowGroupLimit Spark itself infers). Same
+    // oracle as q_topk_custom; PlanSpec asserts the physical plan is
+    // the heap exec with no window/sort below it.
+    "q_topk_sql" -> ((s, d) => {
+      graft.plans.TopK.register(s)
+      Tables.orders(s, d).createOrReplaceTempView("orders_topk_sql")
+      s.sql("""
+        SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+          SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice DESC, o_orderkey)
+                   AS rn
+          FROM orders_topk_sql)
+        WHERE rn <= 3
+        ORDER BY o_orderpriority, o_orderkey
+      """)
+    }),
+
     // Linear-counting cardinality estimate (Whang et al. 1990) — the
     // ORACLE-CHECKABLE twin of q_agg_approx's HLL (whose sketch
     // internals are Spark-private, hence that row's rows-only check):
@@ -827,6 +849,13 @@ object Extended {
 
   val oracles: Map[String, String] = Map(
     "q_topk_custom" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice
+        |FROM orders
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice DESC, o_orderkey) <= 3
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+    "q_topk_sql" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice
         |FROM orders
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderpriority

@@ -118,6 +118,31 @@ class ExtendedSpec extends AnyFunSuite {
       .count() == 50000)
   }
 
+  test("TopKPerGroup window fallback completes where the heap mode fails fast") {
+    import spark.implicits._
+    import graft.plans.TopK
+    val wide = (0 until 50000).map { i =>
+      (s"group_$i", i.toDouble, i.toLong)
+    }.toDF("g", "score", "id").repartition(4)
+    spark.conf.set(TopK.BudgetConfKey, "65536")
+    try {
+      // heap mode: documented fail-fast under the tiny budget
+      intercept[org.apache.spark.SparkException] {
+        TopK.topKPerGroup(wide, Seq("g"), "score", "id", 3).count()
+      }
+      // window mode: same over-budget input, same session conf — plans
+      // the sorting (spilling) spelling and completes
+      spark.conf.set(TopK.FallbackConfKey, "window")
+      val viaWindow = TopK.topKPerGroup(wide, Seq("g"), "score", "id", 3)
+      assert(viaWindow.queryExecution.executedPlan.toString.contains("Window"),
+        "fallback must actually plan the window spelling")
+      assert(viaWindow.count() == 50000)
+    } finally {
+      spark.conf.unset(TopK.BudgetConfKey)
+      spark.conf.unset(TopK.FallbackConfKey)
+    }
+  }
+
   test("csv and json round-trips preserve aggregates from parquet") {
     val fromCsv = q("q_source_csv").collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap

@@ -135,6 +135,20 @@ class PlanSpec extends AnyFunSuite {
       "no per-group sort may run under the heap operator:\n" + below.mkString("\n"))
   }
 
+  test("SQL-spelled grouped top-k is rewritten onto the heap operator") {
+    val p = plan("q_topk_sql")
+    assert(p.contains("TopKPerGroup"),
+      "TopKSqlRewrite must swap the row_number spelling for the node")
+    assert(!p.contains("Window"),
+      "the rewrite must remove WindowExec (and WindowGroupLimit)")
+    val below = p.linesIterator.dropWhile(!_.contains("TopKPerGroup")).toSeq
+    assert(below.exists(_.contains("Exchange hashpartitioning")),
+      "groups must hash-cluster")
+    assert(!below.exists(_.contains("Sort ")),
+      "no per-group sort may run under the heap operator:\n" +
+        below.mkString("\n"))
+  }
+
   test("IVF-PQ probes by cell equi-join; codebook/LUT broadcast; no cross product") {
     val p = plan("q_sim_ann_ivfpq")
     assert(!p.contains("CartesianProduct") &&
@@ -213,8 +227,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       "LATERAL LIMIT must decorrelate to a single join:\n" + p.take(800))
-    assert(p.contains("Window") || p.contains("TakeOrdered"),
-      "expected the per-key top-k to become a window rank")
+    // once TopKSqlRewrite is registered on the session (any TopK use),
+    // the decorrelated row_number pattern upgrades further to the heap
+    // operator — accept either shape, never a per-row subquery
+    assert(p.contains("Window") || p.contains("TakeOrdered") ||
+      p.contains("TopKPerGroup"),
+      "expected the per-key top-k to become a window rank or heap pass")
   }
 
   test("hashed-linear classifier scores inside the scan stage, no shuffle") {
