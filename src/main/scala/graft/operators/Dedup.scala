@@ -163,7 +163,10 @@ object Dedup {
         (size(filter(col("toks"), t => t === "a" || t === "the")) > 0)
           .as("has_stop"),
         expr(ShingleExpr).as("sh"))
-      .cache()
+      .cache() // shared by every pipeline stage via CacheManager plan
+               // dedup; feeds the returned lineage, so in-query
+               // unpersist is impossible — harness clearCache is the
+               // documented handoff
     // stage 1: quality funnel (the q_text_filter_funnel gates)
     val funneled0 = base.where(col("n_tok") >= 30 &&
       col("quality").cast("double") / col("n_tok").cast("double") > 0.45 &&
@@ -275,9 +278,15 @@ object Dedup {
     * Convergence is detected by an (count, hash-sum) checksum of the
     * canonicalized edge set — one tiny aggregate per round, no
     * edge-set diff join. Labels fall out of the final star edges:
-    * child → its star center, center → itself. */
+    * child → its star center, center → itself.
+    *
+    * `onRound` observes (round, surviving edge count) after each
+    * alternation — the per-round checksum already carries the count, so
+    * exposing it is free. ScaleProbe uses it to measure the edge-list
+    * shrinkage that is the operator's whole at-scale argument. */
   private[graft] def connectedComponentsStars(docs: DataFrame,
-      edges: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
+      edges: DataFrame, maxRounds: Int = 50,
+      onRound: (Int, Long) => Unit = (_, _) => ()): (DataFrame, Int) = {
     def canon(df: DataFrame): DataFrame =
       df.select(least(col("x"), col("y")).as("a"),
           greatest(col("x"), col("y")).as("b"))
@@ -322,6 +331,7 @@ object Dedup {
       sig = nsig
       e = ss
       rounds += 1
+      onRound(rounds, nsig._1)
     }
     val lbl = e.groupBy(col("b")).agg(min(col("a")).as("lbl"))
       .select(col("b").as("doc_id"), col("lbl"))

@@ -44,7 +44,11 @@ object Similarity {
   // see q_sim_ann_pq's comment for the full design rationale. ----
 
   /** (vec_id, s, 8-dim sub-vector) — the fan-out is ×8 rows but the same
-    * total doubles; at scale this is the one-time index build. */
+    * total doubles; at scale this is the one-time index build. Cached
+    * because codebook training, encoding, and the LUT all read it; it
+    * feeds the returned query's lineage, so in-query unpersist is
+    * impossible — the harness's per-query clearCache is the documented
+    * handoff. */
   private def pqSubs(e: DataFrame): DataFrame =
     e.select(col("vec_id"), posexplode(
         array((0 until 8).map(ss => slice(col("v"), ss * 8 + 1, 8)): _*))

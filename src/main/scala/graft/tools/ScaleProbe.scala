@@ -1,0 +1,285 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Scale-stress probe: measures, instead of arguing, how the flagship
+  * curation pipeline and its hardest operators behave ABOVE fixture
+  * scale — the analogue of the reference's whole reason to exist
+  * (measure the I/O story, /root/reference/main.cc:107-113, 327-335),
+  * pointed at our own 100 TB design claims.
+  *
+  * A deterministic corpus amplifier (pure Spark generation, no RNG, no
+  * new fixtures) expands the sf0.1 documents table ×F with CONTROLLED
+  * duplicate structure, keyed by base doc_id % 10:
+  *   - fam 0: every replica keeps the base text verbatim → exact-dup
+  *     clusters of size F (exercises the exact-dedup window);
+  *   - fam 1: replicas 0-4 append a one-token suffix → near-dup
+  *     CLIQUES of size min(F, 5) (bounded so candidate-pair volume
+  *     stays O(F·docs), not O(F²·docs));
+  *   - fam 2: replaced by synthetic CHAIN docs — replica r's text is a
+  *     41-token sliding window (stride 10) over a per-base token
+  *     stream, so consecutive replicas share 29 of ~40 trigram
+  *     shingles (J ≈ 0.57 > 0.5) and skip-replicas share 19 (J ≈ 0.31
+  *     < 0.5): a near-dup CHAIN of length F per base doc, the
+  *     diameter-F component shape web-scale pair graphs exhibit;
+  *   - fams 3-9: every 3rd token is tagged with the replica id, so
+  *     replicas share no shingle → unique documents (volume filler).
+  * Every document carries a "the" stopword and ≥30 distinct-enough
+  * tokens where its family requires surviving the quality funnel.
+  *
+  * Probe sections (each emits one JSON line; all lines also land in
+  * target/scale.json):
+  *   1. pipeline  — q_pipeline_e2e end-to-end at ×1/×10/×100: wall,
+  *     shuffle read/write bytes, spill, peak task memory, output rows;
+  *   2. cc_corpus — both CC variants over the amplified corpus's real
+  *     candidate-pair graph; label histograms asserted identical;
+  *   3. cc_chain  — both CC variants over synthetic chain graphs
+  *     (100k nodes; chain length 100 vs 10k) — the diameter-dominated
+  *     regime SURVEY §2b predicts large/small-star wins;
+  *   4. topk      — TopKPerGroupExec vs the window fallback over the
+  *     amplified corpus at high group cardinality (budget path live).
+  *
+  * Usage: `sbt "runMain graft.tools.ScaleProbe [maxFactor]"` (default
+  * 100; pass 10 for a quick pass). SPARK_DRIVER_MEM=24g recommended
+  * for ×100.
+  */
+object ScaleProbe {
+
+  /** Aggregates per-stage executor metrics between resets — the
+    * shuffle/spill evidence the wall clock alone doesn't carry. */
+  final class StageAgg extends SparkListener {
+    val shufWrite = new AtomicLong
+    val shufRead = new AtomicLong
+    val spill = new AtomicLong
+    val peakMem = new AtomicLong
+    override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+      val m = e.stageInfo.taskMetrics
+      if (m != null) {
+        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        peakMem.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
+      }
+    }
+    def reset(): Unit = {
+      shufWrite.set(0); shufRead.set(0); spill.set(0); peakMem.set(0)
+    }
+  }
+
+  private val lines = Seq.newBuilder[String]
+
+  private def emit(line: String): Unit = {
+    println(line)
+    lines += line
+  }
+
+  /** Time `body`, then snapshot the stage aggregator (bus drained
+    * first so late stage-completed events are counted). */
+  private def measured[A](s: SparkSession, agg: StageAgg)(body: => A)
+      : (A, Double, Long, Long, Long, Long) = {
+    org.apache.spark.sql.graftbridge.Bridge.waitListenerBus(s, 10000)
+    agg.reset()
+    val t0 = System.nanoTime()
+    val a = body
+    val dt = (System.nanoTime() - t0) / 1e9
+    org.apache.spark.sql.graftbridge.Bridge.waitListenerBus(s, 10000)
+    (a, dt, agg.shufWrite.get, agg.shufRead.get, agg.spill.get,
+      agg.peakMem.get)
+  }
+
+  /** The deterministic ×`factor` amplifier. Returns the corpus dir. */
+  private[graft] def amplify(s: SparkSession, d: String, factor: Int,
+      outBase: String): String = {
+    val out = s"$outBase/x$factor"
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$out/documents.parquet/_SUCCESS")
+    if (marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .exists(marker)) return out
+    val reps = s.range(factor).select(col("id").as("r"))
+    val base = Tables.documents(s, d)
+    val fam = pmod(col("doc_id"), lit(10L))
+    val regular = base.where(fam =!= 2).crossJoin(reps)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("text2",
+        when(fam === 0, col("text"))
+          .when(fam === 1 && col("r") < 5,
+            concat(col("text"), lit(" v"), col("r")))
+          .otherwise(expr(
+            "array_join(transform(toks, (t, i) -> " +
+              "IF(i % 3 = 0, concat('r', CAST(r AS STRING), '_', t), t))," +
+              " ' ')")))
+      .select((col("doc_id") * factor + col("r")).as("doc_id"),
+        col("text2").as("text"), col("lang"), col("source"),
+        length(col("text2")).cast("long").as("n_chars"))
+    val chains = base.where(fam === 2)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .crossJoin(reps)
+      .withColumn("text", expr(
+        "concat('the ', array_join(transform(" +
+          "sequence(r * 10, r * 10 + 40), " +
+          "i -> concat('t', CAST(doc_id AS STRING), 'x'," +
+          " CAST(i AS STRING))), ' '))"))
+      .select((col("doc_id") * factor + col("r")).as("doc_id"),
+        col("text"), col("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars"))
+    regular.unionByName(chains)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    out
+  }
+
+  /** Cluster-size histogram of a label table — the structural
+    * fingerprint both CC variants must agree on. */
+  private def histogram(labels: DataFrame): Seq[(Long, Long)] =
+    labels.groupBy(col("lbl")).count()
+      .groupBy(col("count").as("size")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1).toSeq
+
+  def main(args: Array[String]): Unit = {
+    val maxFactor = args.headOption.map(_.toInt).getOrElse(100)
+    val factors = Seq(1, 10, 100).filter(_ <= maxFactor)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outBase = s"${sys.props("java.io.tmpdir")}/graft_scale"
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val agg = new StageAgg
+    spark.sparkContext.addSparkListener(agg)
+
+    // ---- 1. pipeline at each factor --------------------------------
+    factors.foreach { f =>
+      val dir = if (f == 1) sfDir else amplify(spark, sfDir, f, outBase)
+      val nDocs = Tables.documents(spark, dir).count()
+      val pipe = graft.SparkEntry.queries("q_pipeline_e2e")
+      val (rows, wall, sw, sr, sp, pk) = measured(spark, agg) {
+        pipe(spark, dir).queryExecution.toRdd.count()
+      }
+      emit(s"""{"probe":"pipeline","factor":$f,"docs":$nDocs,""" +
+        s""""wall_s":${f"$wall%.2f"},"rows_out":$rows,""" +
+        s""""shuffle_write_mb":${sw / 1048576},""" +
+        s""""shuffle_read_mb":${sr / 1048576},"spill_mb":${sp / 1048576},""" +
+        s""""peak_task_mem_mb":${pk / 1048576}}""")
+      spark.catalog.clearCache()
+    }
+
+    // ---- 2. both CC variants on the corpus pair graph --------------
+    factors.foreach { f =>
+      val dir = if (f == 1) sfDir else amplify(spark, sfDir, f, outBase)
+      val docs = graft.operators.Dedup.e2eExact(spark, dir)
+        .select(col("doc_id"), col("doc_id").as("lbl"))
+      val pairs = graft.operators.Dedup.e2eCandidates(spark, dir)
+        .select(col("doc_a"), col("doc_b")).cache()
+      val nPairs = pairs.count()
+      val edges = pairs.unionAll(
+          pairs.select(col("doc_b"), col("doc_a")))
+        .toDF("src", "dst")
+      val ((lblJump, rJump), wJump, swJ, srJ, _, _) =
+        measured(spark, agg) {
+          val (l, r) = graft.operators.Dedup.connectedComponents(docs, edges)
+          (l.localCheckpoint(), r)
+        }
+      val hJump = histogram(lblJump)
+      val ((lblStar, rStar), wStar, swS, srS, _, _) =
+        measured(spark, agg) {
+          val (l, r) =
+            graft.operators.Dedup.connectedComponentsStars(docs, edges)
+          (l.localCheckpoint(), r)
+        }
+      val hStar = histogram(lblStar)
+      require(hJump == hStar,
+        s"CC variants disagree at x$f: $hJump vs $hStar")
+      emit(s"""{"probe":"cc_corpus","factor":$f,"pairs":$nPairs,""" +
+        s""""jump":{"rounds":$rJump,"wall_s":${f"$wJump%.2f"},""" +
+        s""""shuffle_mb":${(swJ + srJ) / 1048576}},""" +
+        s""""stars":{"rounds":$rStar,"wall_s":${f"$wStar%.2f"},""" +
+        s""""shuffle_mb":${(swS + srS) / 1048576}},""" +
+        s""""clusters_agree":true}""")
+      pairs.unpersist()
+      spark.catalog.clearCache()
+    }
+
+    // ---- 3. synthetic chain graphs: diameter-dominated CC ----------
+    Seq((100000L, 100L), (100000L, 10000L)).foreach { case (n, len) =>
+      val ids = spark.range(n)
+      val fwd = ids
+        .where(pmod(col("id"), lit(len)) =!= (len - 1) && col("id") + 1 < n)
+        .select(col("id").as("src"), (col("id") + 1).as("dst"))
+      val edges = fwd.unionAll(fwd.select(col("dst"), col("src")))
+        .toDF("src", "dst").localCheckpoint()
+      val docs = ids.select(col("id").as("doc_id"), col("id").as("lbl"))
+      val expected = n / len
+      val ((cJump, rJump), wJump, _, _, _, _) = measured(spark, agg) {
+        val (l, r) = graft.operators.Dedup.connectedComponents(docs, edges)
+        (l.select(col("lbl")).distinct().count(), r)
+      }
+      // record the stars edge-survivor curve: the shrinking shuffle
+      // volume per round is the operator's at-scale argument, whether
+      // or not wall time wins at local job-overhead scale
+      val starEdges = Seq.newBuilder[Long]
+      val ((cStar, rStar), wStar, _, _, _, _) = measured(spark, agg) {
+        val (l, r) = graft.operators.Dedup.connectedComponentsStars(
+          docs, edges, onRound = (_, m) => starEdges += m)
+        (l.select(col("lbl")).distinct().count(), r)
+      }
+      require(cJump == expected && cStar == expected,
+        s"chain CC wrong: $cJump/$cStar vs $expected components")
+      emit(s"""{"probe":"cc_chain","nodes":$n,"chain_len":$len,""" +
+        s""""components":$expected,""" +
+        s""""jump":{"rounds":$rJump,"wall_s":${f"$wJump%.2f"}},""" +
+        s""""stars":{"rounds":$rStar,"wall_s":${f"$wStar%.2f"},""" +
+        s""""edges_per_round":${starEdges.result().mkString("[", ",", "]")}}}""")
+      spark.catalog.clearCache()
+    }
+
+    // ---- 4. grouped top-k: heap exec vs window fallback ------------
+    // groups sized so each holds ~100 rows (the regime the heap targets:
+    // per-group sort depth >> k); min-of-2 per mode so first-run JIT
+    // doesn't masquerade as plan cost
+    factors.filter(_ > 1).foreach { f =>
+      val dir = amplify(spark, sfDir, f, outBase)
+      val nGroups = 50L * f
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("n_chars"))
+        .withColumn("g", pmod(xxhash64(col("doc_id")), lit(nGroups)))
+      def run(): Long = graft.plans.TopK
+        .topKPerGroup(docs, Seq("g"), "n_chars", "doc_id", 3)
+        .queryExecution.toRdd.count()
+      def minOf2(body: => Long): (Long, Double) = {
+        val (r1, w1, _, _, _, _) = measured(spark, agg)(body)
+        val (r2, w2, _, _, _, _) = measured(spark, agg)(body)
+        require(r1 == r2); (r1, math.min(w1, w2))
+      }
+      val (rowsHeap, wHeap) = minOf2(run())
+      spark.conf.set(graft.plans.TopK.FallbackConfKey, "window")
+      val (rowsWin, wWin) =
+        try minOf2(run())
+        finally spark.conf.unset(graft.plans.TopK.FallbackConfKey)
+      require(rowsHeap == rowsWin,
+        s"topk modes disagree: $rowsHeap vs $rowsWin rows")
+      emit(s"""{"probe":"topk","factor":$f,"groups":$nGroups,""" +
+        s""""rows":$rowsHeap,"heap_wall_s":${f"$wHeap%.2f"},""" +
+        s""""window_wall_s":${f"$wWin%.2f"}}""")
+      spark.catalog.clearCache()
+    }
+
+    val out = java.nio.file.Paths.get("target/scale.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out,
+      (lines.result().mkString("\n") + "\n").getBytes("UTF-8"))
+    spark.stop()
+  }
+}
