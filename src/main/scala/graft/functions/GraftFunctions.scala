@@ -49,6 +49,9 @@ object GraftFunctions {
       "decimal_sqdist", args => DecimalSqDist(args(0), args(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "word_ngrams", ngramsBuilder, "built-in")
+    reg.createOrReplaceTempFunction(
+      "remove_tokens_at", args => RemoveTokensAt(args(0), args(1)),
+      "built-in")
   }
 
   private def ngramsBuilder(args: Seq[Expression]): Expression = args match {
@@ -100,5 +103,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "word_ngrams(text, n-literal)")
       }))
+    e.injectFunction((
+      FunctionIdentifier("remove_tokens_at"),
+      new ExpressionInfo(classOf[RemoveTokensAt].getName, "remove_tokens_at"),
+      (args: Seq[Expression]) => RemoveTokensAt(args(0), args(1))))
   }
 }

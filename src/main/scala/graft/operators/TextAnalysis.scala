@@ -370,8 +370,12 @@ object TextAnalysis {
       toks.join(rm, Seq("doc_id"), "left")
         .select(col("doc_id"),
           when(col("ps").isNull, concat_ws(" ", col("w")))
-            .otherwise(expr(
-              "concat_ws(' ', filter(w, (t, i) -> NOT array_contains(ps, i)))"))
+            // ps is sorted and token indices arrive in order, so the
+            // rebuild is one O(n + |ps|) merge scan — not the HOF
+            // filter+array_contains spelling, whose O(|ps|)-per-token
+            // membership test degrades on heavily-despanned docs
+            .otherwise(graft.functions.TextFunctions.remove_tokens_at(
+              col("w"), col("ps")))
             .as("clean_text"),
           coalesce(size(col("ps")), lit(0)).as("n_removed"))
         .orderBy(col("doc_id"))

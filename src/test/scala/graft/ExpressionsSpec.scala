@@ -264,4 +264,34 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(RollingFingerprint.minWindowHash(Array.emptyByteArray, 16,
       1000003L, 0x7FFFFFFFL) == 0L)
   }
+
+  test("remove_tokens_at merge-scan matches the filter+array_contains HOF") {
+    import spark.implicits._
+    val df = Seq(
+      ("a b c d e", Seq(1, 3)),         // interior excisions
+      ("a b c", Seq(0, 1, 2)),          // everything removed → empty string
+      ("a b c", Seq[Int]()),            // nothing removed
+      ("solo", Seq(5, 9)),              // positions past the end are inert
+      ("x y z", Seq(0))                 // leading excision: no stray space
+    ).toDF("text", "ps")
+      .select(split(col("text"), " ").as("w"),
+        sort_array(col("ps")).as("ps"))
+    val both = df.select(
+      graft.functions.TextFunctions.remove_tokens_at(col("w"), col("ps"))
+        .as("merged"),
+      expr("concat_ws(' ', filter(w, (t, i) -> NOT array_contains(ps, i)))")
+        .as("hof")).collect()
+    both.foreach(r => assert(r.getString(0) == r.getString(1)))
+    assert(both(1).getString(0) == "")
+    assert(both(4).getString(0) == "y z")
+  }
+
+  test("remove_tokens_at is registered for SQL and accepts bigint positions") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val got = spark.sql(
+      """SELECT remove_tokens_at(split('p q r s', ' '),
+        |         array(CAST(1 AS BIGINT), CAST(2 AS BIGINT)))""".stripMargin)
+      .head.getString(0)
+    assert(got == "p s")
+  }
 }
