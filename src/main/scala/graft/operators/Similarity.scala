@@ -104,6 +104,59 @@ object Similarity {
         decimal_sqdist(col("sv"), col("cv")).as("dd"))
   }
 
+  /** Deterministic IVF clustering shared by q_sim_ann_ivf and
+    * q_dedup_semantic: seeds = vectors 3..10, two Lloyd rounds with
+    * decimal-exact coordinate sums, cosine assignment (ties → lowest
+    * centroid id). Returns (vec_id, v, nsq, cell), CACHED — every caller
+    * consumes it from multiple branches, and the harness clears the
+    * session cache per query (the documented handoff).
+    *
+    * Decimal norms are computed once per vector / per centroid, not once
+    * per pair: the VALUES are identical to the inline spelling (the
+    * oracle mirrors SQRT(q.nsq * c.nsq)), this just stops recomputing a
+    * per-row constant k times across the broadcast join. */
+  private[graft] def ivfAssigned(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFunctions.decimal_dot
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nsq", decimal_dot(col("v"), col("v")).cast("double"))
+    def nearest(cents: DataFrame): DataFrame =
+      e.join(broadcast(cents.withColumn("cnsq",
+          decimal_dot(col("cv"), col("cv")).cast("double"))))
+        .select(col("vec_id"), col("v"), col("nsq"), col("cent_id"),
+          (decimal_dot(col("v"), col("cv")).cast("double") /
+            sqrt(col("nsq") * col("cnsq"))).as("sim"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(col("sim").desc, col("cent_id"))))
+        .where(col("rn") === 1)
+    var cents = e.where(col("vec_id").between(3, 10))
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    for (_ <- 1 to 2) {
+      val sums = (0 until 64).map(i =>
+        sum(element_at(col("v"), i + 1).cast("decimal(30,12)")).as(s"s$i"))
+      val agg = nearest(cents).groupBy(col("cent_id"))
+        .agg(sums.head, sums.tail: _*)
+        .select(col("cent_id"),
+          array((0 until 64).map(i => col(s"s$i").cast("double")): _*)
+            .as("cv"))
+      // materialize the 8×64-double centroid table to the driver and
+      // restart the next round from a local relation: leaving each
+      // round as a chained plan re-derives the whole k-means history
+      // inside every downstream branch (callers consume `assigned`
+      // twice), which measured ~4× the query's cost. This is the one
+      // driver-side loop in the library, and it is bounded: k × dim
+      // doubles per round, never data-sized.
+      cents = agg.collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .toDF("cent_id", "cv")
+    }
+    nearest(cents)
+      .select(col("vec_id"), col("v"), col("nsq"), col("cent_id").as("cell"))
+      .cache()
+  }
+
   val defs: Map[String, Q] = centroidDefs ++ Map(
 
     // Brute-force k-NN, decimal-exact scores (oracle-checked): queries =
@@ -241,53 +294,47 @@ object Similarity {
     // about assignments while eliminating decimal-division rounding,
     // which differs between engines (same reasoning as q_sim_centroids
     // emitting sums, not means).
-    "q_sim_ann_ivf" -> ((s, d) => {
-      import s.implicits._
+    // SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    // k-means-cluster the embedding space, then deduplicate ONLY within
+    // cells — a vector is removed iff some lower-id cell-mate sits above
+    // the cosine threshold; emitted per vector: its cell, the keep
+    // decision, and the lowest-id duplicate partner. The deliberate
+    // recall trade vs all-pairs (q_dedup_embedding's fenced baseline):
+    // cross-cell duplicates are missed, and in exchange candidate
+    // generation is an EQUI-JOIN on the cell id — k·(n/k)² comparisons
+    // instead of n², and at corpus scale k grows with the corpus so the
+    // per-cell pair volume stays bounded and the cell id doubles as the
+    // partition key. Keep-lowest-id is the deterministic stand-in for the
+    // paper's keep-farthest-from-centroid: greedy by id, NOT transitive
+    // (a removed doc's dup_of may itself be removed), which is exactly
+    // how a greedy id-ordered sweep behaves on a chain of near-dups.
+    // Same codegen'd double prefilter → decimal-exact rescore margin
+    // argument as q_dedup_embedding.
+    "q_dedup_semantic" -> ((s, d) => {
       import graft.functions.VectorFunctions.decimal_dot
-      // decimal norms once per vector / per centroid, not once per pair:
-      // the VALUES are identical to exactCos's inline spelling (the
-      // oracle mirrors SQRT(q.nsq * c.nsq)), this just stops recomputing
-      // a per-row constant k times across the broadcast join
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .withColumn("nsq", decimal_dot(col("v"), col("v")).cast("double"))
-      def nearest(cents: DataFrame): DataFrame =
-        e.join(broadcast(cents.withColumn("cnsq",
-            decimal_dot(col("cv"), col("cv")).cast("double"))))
-          .select(col("vec_id"), col("v"), col("nsq"), col("cent_id"),
-            (decimal_dot(col("v"), col("cv")).cast("double") /
-              sqrt(col("nsq") * col("cnsq"))).as("sim"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("vec_id"))
-              .orderBy(col("sim").desc, col("cent_id"))))
-          .where(col("rn") === 1)
-      var cents = e.where(col("vec_id").between(3, 10))
-        .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-      for (_ <- 1 to 2) {
-        val sums = (0 until 64).map(i =>
-          sum(element_at(col("v"), i + 1).cast("decimal(30,12)")).as(s"s$i"))
-        val agg = nearest(cents).groupBy(col("cent_id"))
-          .agg(sums.head, sums.tail: _*)
-          .select(col("cent_id"),
-            array((0 until 64).map(i => col(s"s$i").cast("double")): _*)
-              .as("cv"))
-        // materialize the 8×64-double centroid table to the driver and
-        // restart the next round from a local relation: leaving each
-        // round as a chained plan re-derives the whole k-means history
-        // inside every downstream branch (the final query consumes
-        // `assigned` twice), which measured ~4× the query's cost. This
-        // is the one driver-side loop in the library, and it is bounded:
-        // k × dim doubles per round, never data-sized.
-        cents = agg.collect().toSeq
-          .map(r => (r.getLong(0), r.getSeq[Double](1)))
-          .toDF("cent_id", "cv")
-      }
-      // both the query side and the candidate side consume `assigned`;
-      // cache it so the final assignment pass evaluates once, not twice
-      // (the harness clears the session cache after each query)
-      val assigned = nearest(cents)
-        .select(col("vec_id"), col("v"), col("nsq"), col("cent_id").as("cell"))
-        .cache()
+      val assigned = ivfAssigned(s, d)
+      val a = assigned.select(col("cell"), col("vec_id").as("va"),
+        col("v").as("xa"), col("nsq").as("na"))
+      val b = assigned.select(col("cell"), col("vec_id").as("vb"),
+        col("v").as("xb"), col("nsq").as("nb"))
+      val rm = a.join(b, Seq("cell")).where(col("va") < col("vb"))
+        .where(cosine_sim(col("xa"), col("xb")) > 0.399)
+        .select(col("vb").as("vec_id"), col("va"),
+          (decimal_dot(col("xa"), col("xb")).cast("double") /
+            sqrt(col("na") * col("nb"))).as("cos"))
+        .where(col("cos") > 0.4)
+        .groupBy(col("vec_id")).agg(min(col("va")).as("dup_of"))
+      assigned.select(col("vec_id"), col("cell"))
+        .join(rm, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          when(col("dup_of").isNull, 1L).otherwise(0L).as("kept"),
+          col("dup_of"))
+        .orderBy(col("vec_id"))
+    }),
+
+    "q_sim_ann_ivf" -> ((s, d) => {
+      import graft.functions.VectorFunctions.decimal_dot
+      val assigned = ivfAssigned(s, d)
       val q = assigned.where(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
           col("nsq").as("qnsq"), col("cell"))
@@ -522,6 +569,73 @@ object Similarity {
     })
   )
 
+  /** DuckDB replay of [[ivfAssigned]] — seeds (vec_id 3..10), two Lloyd
+    * rounds with decimal-exact coordinate sums, final cosine assignment
+    * (ties → lowest centroid id) — ending in `w(vec_id, v, nsq, cell)`.
+    * Shared CTE prefix of the q_sim_ann_ivf and q_dedup_semantic oracles
+    * so the clustering replay exists exactly once. */
+  private val IvfCellsCtes: String =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings),
+      |nv AS (SELECT vec_id, v,
+      |        (SELECT CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE)
+      |         FROM UNNEST(v) AS t(x)) AS nsq
+      |       FROM e),
+      |c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
+      |       WHERE vec_id BETWEEN 3 AND 10),
+      |a0 AS (SELECT q.vec_id, c.cent_id,
+      |        (SELECT CAST(SUM(CAST(q.v[i] * c.cv[i] AS DECIMAL(30,12)))
+      |                AS DOUBLE)
+      |         FROM generate_series(1, 64) AS t(i))
+      |          / SQRT(q.nsq *
+      |            (SELECT CAST(SUM(CAST(x * x AS DECIMAL(30,12)))
+      |                    AS DOUBLE) FROM UNNEST(c.cv) AS u(x))) AS sim
+      |       FROM nv q CROSS JOIN c0 c),
+      |g0 AS (SELECT vec_id, cent_id FROM (
+      |         SELECT vec_id, cent_id, ROW_NUMBER() OVER (
+      |           PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
+      |         FROM a0) WHERE rn = 1),
+      |s1 AS (SELECT g.cent_id, t.i AS i,
+      |        CAST(SUM(CAST(e2.v[t.i] AS DECIMAL(30,12))) AS DOUBLE) AS sv
+      |       FROM g0 g JOIN e e2 USING (vec_id)
+      |       CROSS JOIN generate_series(1, 64) AS t(i)
+      |       GROUP BY g.cent_id, t.i),
+      |c1 AS (SELECT cent_id, LIST(sv ORDER BY i) AS cv FROM s1
+      |       GROUP BY cent_id),
+      |a1 AS (SELECT q.vec_id, c.cent_id,
+      |        (SELECT CAST(SUM(CAST(q.v[i] * c.cv[i] AS DECIMAL(30,12)))
+      |                AS DOUBLE)
+      |         FROM generate_series(1, 64) AS t(i))
+      |          / SQRT(q.nsq *
+      |            (SELECT CAST(SUM(CAST(x * x AS DECIMAL(30,12)))
+      |                    AS DOUBLE) FROM UNNEST(c.cv) AS u(x))) AS sim
+      |       FROM nv q CROSS JOIN c1 c),
+      |g1 AS (SELECT vec_id, cent_id FROM (
+      |         SELECT vec_id, cent_id, ROW_NUMBER() OVER (
+      |           PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
+      |         FROM a1) WHERE rn = 1),
+      |s2 AS (SELECT g.cent_id, t.i AS i,
+      |        CAST(SUM(CAST(e2.v[t.i] AS DECIMAL(30,12))) AS DOUBLE) AS sv
+      |       FROM g1 g JOIN e e2 USING (vec_id)
+      |       CROSS JOIN generate_series(1, 64) AS t(i)
+      |       GROUP BY g.cent_id, t.i),
+      |c2 AS (SELECT cent_id, LIST(sv ORDER BY i) AS cv FROM s2
+      |       GROUP BY cent_id),
+      |a2 AS (SELECT q.vec_id, c.cent_id,
+      |        (SELECT CAST(SUM(CAST(q.v[i] * c.cv[i] AS DECIMAL(30,12)))
+      |                AS DOUBLE)
+      |         FROM generate_series(1, 64) AS t(i))
+      |          / SQRT(q.nsq *
+      |            (SELECT CAST(SUM(CAST(x * x AS DECIMAL(30,12)))
+      |                    AS DOUBLE) FROM UNNEST(c.cv) AS u(x))) AS sim
+      |       FROM nv q CROSS JOIN c2 c),
+      |cells AS (SELECT vec_id, cent_id AS cell FROM (
+      |         SELECT vec_id, cent_id, ROW_NUMBER() OVER (
+      |           PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
+      |         FROM a2) WHERE rn = 1),
+      |w AS (SELECT nv.vec_id, nv.v, nv.nsq, cells.cell
+      |      FROM nv JOIN cells USING (vec_id))""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // Replays the quantization arithmetic step-for-step: same doubles in,
     // same correctly-rounded IEEE ops, decimal (exact, order-free) sum
@@ -685,68 +799,8 @@ object Similarity {
     // similarities and UN-normalized decimal-sum centroids (cosine is
     // scale-invariant — see the query's comment), then the cell-probe
     // top-k. Assignment ties break by cent_id in both engines.
-    "q_sim_ann_ivf" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        |           FROM embeddings),
-        |nv AS (SELECT vec_id, v,
-        |        (SELECT CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE)
-        |         FROM UNNEST(v) AS t(x)) AS nsq
-        |       FROM e),
-        |c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
-        |       WHERE vec_id BETWEEN 3 AND 10),
-        |a0 AS (SELECT q.vec_id, c.cent_id,
-        |        (SELECT CAST(SUM(CAST(q.v[i] * c.cv[i] AS DECIMAL(30,12)))
-        |                AS DOUBLE)
-        |         FROM generate_series(1, 64) AS t(i))
-        |          / SQRT(q.nsq *
-        |            (SELECT CAST(SUM(CAST(x * x AS DECIMAL(30,12)))
-        |                    AS DOUBLE) FROM UNNEST(c.cv) AS u(x))) AS sim
-        |       FROM nv q CROSS JOIN c0 c),
-        |g0 AS (SELECT vec_id, cent_id FROM (
-        |         SELECT vec_id, cent_id, ROW_NUMBER() OVER (
-        |           PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
-        |         FROM a0) WHERE rn = 1),
-        |s1 AS (SELECT g.cent_id, t.i AS i,
-        |        CAST(SUM(CAST(e2.v[t.i] AS DECIMAL(30,12))) AS DOUBLE) AS sv
-        |       FROM g0 g JOIN e e2 USING (vec_id)
-        |       CROSS JOIN generate_series(1, 64) AS t(i)
-        |       GROUP BY g.cent_id, t.i),
-        |c1 AS (SELECT cent_id, LIST(sv ORDER BY i) AS cv FROM s1
-        |       GROUP BY cent_id),
-        |a1 AS (SELECT q.vec_id, c.cent_id,
-        |        (SELECT CAST(SUM(CAST(q.v[i] * c.cv[i] AS DECIMAL(30,12)))
-        |                AS DOUBLE)
-        |         FROM generate_series(1, 64) AS t(i))
-        |          / SQRT(q.nsq *
-        |            (SELECT CAST(SUM(CAST(x * x AS DECIMAL(30,12)))
-        |                    AS DOUBLE) FROM UNNEST(c.cv) AS u(x))) AS sim
-        |       FROM nv q CROSS JOIN c1 c),
-        |g1 AS (SELECT vec_id, cent_id FROM (
-        |         SELECT vec_id, cent_id, ROW_NUMBER() OVER (
-        |           PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
-        |         FROM a1) WHERE rn = 1),
-        |s2 AS (SELECT g.cent_id, t.i AS i,
-        |        CAST(SUM(CAST(e2.v[t.i] AS DECIMAL(30,12))) AS DOUBLE) AS sv
-        |       FROM g1 g JOIN e e2 USING (vec_id)
-        |       CROSS JOIN generate_series(1, 64) AS t(i)
-        |       GROUP BY g.cent_id, t.i),
-        |c2 AS (SELECT cent_id, LIST(sv ORDER BY i) AS cv FROM s2
-        |       GROUP BY cent_id),
-        |a2 AS (SELECT q.vec_id, c.cent_id,
-        |        (SELECT CAST(SUM(CAST(q.v[i] * c.cv[i] AS DECIMAL(30,12)))
-        |                AS DOUBLE)
-        |         FROM generate_series(1, 64) AS t(i))
-        |          / SQRT(q.nsq *
-        |            (SELECT CAST(SUM(CAST(x * x AS DECIMAL(30,12)))
-        |                    AS DOUBLE) FROM UNNEST(c.cv) AS u(x))) AS sim
-        |       FROM nv q CROSS JOIN c2 c),
-        |cells AS (SELECT vec_id, cent_id AS cell FROM (
-        |         SELECT vec_id, cent_id, ROW_NUMBER() OVER (
-        |           PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
-        |         FROM a2) WHERE rn = 1),
-        |w AS (SELECT nv.vec_id, nv.v, nv.nsq, cells.cell
-        |      FROM nv JOIN cells USING (vec_id)),
-        |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    "q_sim_ann_ivf" -> (s"WITH $IvfCellsCtes,\n" +
+      """sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |        (SELECT CAST(SUM(CAST(q.v[i] * c.v[i] AS DECIMAL(30,12)))
         |                AS DOUBLE)
         |         FROM generate_series(1, 64) AS t(i))
@@ -758,7 +812,25 @@ object Similarity {
         |                           ORDER BY cos DESC, neighbor_id) AS rn
         |      FROM sc)
         |SELECT query_id, neighbor_id, cos, rn FROM r
-        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin),
+
+    // Reuses the identical k-means replay, then marks each vector removed
+    // iff some LOWER-id cell-mate sits above the cosine threshold.
+    "q_dedup_semantic" -> (s"WITH $IvfCellsCtes,\n" +
+      """p AS (SELECT a.vec_id AS va, b.vec_id AS vb
+        |      FROM w a JOIN w b
+        |        ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |      WHERE (SELECT CAST(SUM(CAST(a.v[i] * b.v[i]
+        |                     AS DECIMAL(30,12))) AS DOUBLE)
+        |             FROM generate_series(1, 64) AS t(i))
+        |              / SQRT(a.nsq * b.nsq) > 0.4),
+        |rm AS (SELECT vb AS vec_id, MIN(va) AS dup_of FROM p GROUP BY vb)
+        |SELECT w.vec_id, w.cell,
+        |  CAST(CASE WHEN rm.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS kept,
+        |  rm.dup_of
+        |FROM w LEFT JOIN rm ON w.vec_id = rm.vec_id
+        |ORDER BY w.vec_id""".stripMargin),
 
     // Replays the full PQ trajectory: 8×8 sub-vectors, seed codebooks
     // (vec_id 3..6), one Lloyd round with decimal-exact squared-L2

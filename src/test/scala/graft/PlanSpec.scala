@@ -66,6 +66,25 @@ class PlanSpec extends AnyFunSuite {
       "LSH candidates must come from the (band,bucket) equi-join")
   }
 
+  test("semantic dedup candidates come from the cell equi-join, no cross product") {
+    val p = plan("q_dedup_semantic")
+    assert(!p.contains("CartesianProduct"),
+      "SemDeDup pairs must come from the k-means cell equi-join:\n" + p)
+    // the only nested-loop joins allowed are the centroid assignments —
+    // a broadcast of the 8-row driver-materialized centroid table
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    val centroidBroadcasts = p.linesIterator.count(_.contains(
+      "BroadcastExchange IdentityBroadcastMode"))
+    assert(bnlj <= centroidBroadcasts,
+      s"nested-loop joins ($bnlj) beyond the bounded centroid " +
+        s"broadcasts ($centroidBroadcasts):\n" + p)
+    // the data-sized pair stage itself must hash/merge-join on cell
+    assert(p.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")) && l.contains("cell#")),
+      "candidate pairs must equi-join on the cell id:\n" + p)
+  }
+
   test("langid token explode is cached and reused, not recomputed") {
     val p = SparkEntry.queries("q_text_langid")(spark, sfDir)
       .queryExecution.executedPlan.toString
