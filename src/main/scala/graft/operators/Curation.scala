@@ -79,6 +79,43 @@ object Curation {
         .orderBy(col("doc_id"))
     }),
 
+    // Fractional-epoch upsampling — the other half of data mixing:
+    // q_sample_temperature DOWN-samples head domains; a pretraining mix
+    // also UP-samples rare ones by repeating them a fractional number
+    // of epochs. Per language f = min(4, sqrt(n_max / n_l)) ≥ 1: every
+    // doc appears floor(f) times, plus once more iff its hash permille
+    // falls under frac(f)·1000 — the realized epoch count converges to
+    // f per language with zero RNG, docs never repeat adjacently (the
+    // extra copy is a hash-chosen SLICE, not a tail duplicate), and
+    // reruns emit the identical corpus. Scale shape: the factor table
+    // is k rows broadcast back; the fan-out is a map-side
+    // explode(sequence(...)) in the scan stage; the corpus shuffles
+    // only for the presentation sort. sqrt/floor are single
+    // correctly-rounded IEEE ops both engines evaluate identically
+    // (same argument as q_sample_temperature's budget).
+    "q_mix_epochs" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), expr(SampleHashSql).as("hb"))
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+      val nmax = counts.agg(max(col("n_l")).as("nmax"))
+      val fac = counts.crossJoin(broadcast(nmax))
+        .select(col("lang"), least(lit(4.0),
+          sqrt(col("nmax").cast("double") / col("n_l").cast("double")))
+          .as("f"))
+        .select(col("lang"),
+          floor(col("f")).cast("long").as("base"),
+          floor((col("f") - floor(col("f"))) * 1000).cast("long")
+            .as("extra_pm"))
+      docs.join(broadcast(fac), "lang")
+        .select(col("doc_id"), col("lang"),
+          (col("base") +
+            when(col("hb") < col("extra_pm"), 1L).otherwise(0L))
+            .as("n_copies"))
+        .select(col("doc_id"), col("lang"), col("n_copies"),
+          explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+        .orderBy(col("doc_id"), col("copy"))
+    }),
+
     // Greedy shard packing: documents stream in deterministic order
     // (doc_id) within each language and fill fixed-capacity token shards
     // — bin k holds the docs whose PRECEDING cumulative token count lies
@@ -208,6 +245,32 @@ object Curation {
         |FROM r JOIN tg USING (lang)
         |WHERE r.rk <= tg.target
         |ORDER BY r.doc_id""".stripMargin,
+
+    "q_mix_epochs" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    ((doc_id % 1048576) * 2654435761 >> 16) % 1000 AS hb
+        |  FROM documents),
+        |c AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
+        |mx AS (SELECT MAX(n_l) AS nmax FROM c),
+        |f AS (SELECT lang,
+        |        LEAST(CAST(4 AS DOUBLE),
+        |              SQRT(CAST(nmax AS DOUBLE) / CAST(n_l AS DOUBLE)))
+        |          AS fac
+        |      FROM c CROSS JOIN mx),
+        |e AS (SELECT lang, CAST(FLOOR(fac) AS BIGINT) AS base,
+        |        CAST(FLOOR((fac - FLOOR(fac)) * 1000) AS BIGINT)
+        |          AS extra_pm
+        |      FROM f),
+        |n AS (SELECT h.doc_id, h.lang,
+        |        e.base + CASE WHEN h.hb < e.extra_pm THEN 1 ELSE 0 END
+        |          AS n_copies
+        |      FROM h JOIN e USING (lang)),
+        |x AS (SELECT doc_id, lang, n_copies,
+        |        UNNEST(generate_series(1, n_copies)) AS copy
+        |      FROM n)
+        |SELECT doc_id, lang, CAST(n_copies AS BIGINT) AS n_copies, copy
+        |FROM x ORDER BY doc_id, copy""".stripMargin,
 
     "q_pack_tokens" ->
       """WITH t AS (
