@@ -262,6 +262,48 @@ object TextAnalysis {
         .orderBy(col("doc_id"), col("rk"))
     }),
 
+    // Okapi BM25 (k1=1.2, b=0.75) for a fixed query-term set — the
+    // doc-length-normalized retrieval score TF-IDF lacks, and the one a
+    // pipeline reaches for in decontamination-by-retrieval and
+    // quality-ranked candidate pools. Scale shape mirrors q_text_tfidf:
+    // the term filter applies in the explode's own stage (only matching
+    // (doc_id, term) pairs ever shuffle), df and the two corpus scalars
+    // are broadcast back, and the score is a map-side expression.
+    // Determinism: every constant is a literal spelled identically in
+    // both engines (never computed at runtime — 1.2+1 and the literal
+    // 2.2 are DIFFERENT doubles), 1-b=0.25 is written as 0.25 (exact in
+    // binary), avgdl is a ratio of exact integers, and ln rides the
+    // established floor-1e4 quantization (same envelope as
+    // q_text_lm_score).
+    "q_text_bm25" -> ((s, d) => {
+      val qterms = Seq("scan", "filter", "vector")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+          col("w"))
+      val n = docs.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("dlsum"))
+      val tf = docs
+        .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+        .where(col("term").isin(qterms: _*))
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"), col("tf"), col("dl"),
+          floor(
+            log((col("n_docs").cast("double") - col("df").cast("double") +
+                  lit(0.5)) / (col("df").cast("double") + lit(0.5)) +
+                lit(1.0)) *
+            (col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * col("dl").cast("double") /
+                (col("dlsum").cast("double") /
+                  col("n_docs").cast("double")))) *
+            lit(1e4)).cast("long").as("bm25_q"))
+        .orderBy(col("doc_id"), col("term"))
+    }),
+
     // Global heavy hitters: exact top-20 terms by corpus frequency with
     // per-term document frequency. Both aggregates partial-combine
     // map-side; the final top-k is TakeOrdered-sized (k rows to the
@@ -542,6 +584,40 @@ object TextAnalysis {
         |  FROM s)
         |SELECT doc_id, CAST(rk AS INT) AS rk, term, tf, score FROM r
         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    // BM25: arithmetic replayed with every constant a literal and every
+    // operand explicitly DOUBLE (DuckDB parses bare 2.2 as DECIMAL, and
+    // decimal division rounds differently); ln floor-quantized at 1e4.
+    "q_text_bm25" ->
+      """WITH dlt AS (
+        |  SELECT doc_id,
+        |    CAST(LEN(string_split(text, ' ')) AS BIGINT) AS dl
+        |  FROM documents),
+        |n AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS dlsum
+        |      FROM dlt),
+        |tok AS (
+        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        |  WHERE term IN ('scan', 'filter', 'vector')
+        |  GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+        |SELECT tf.doc_id, tf.term, tf.tf, dlt.dl,
+        |  CAST(FLOOR(
+        |    LN((CAST(n.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE)
+        |          + CAST(0.5 AS DOUBLE))
+        |        / (CAST(df.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |       + CAST(1.0 AS DOUBLE)) *
+        |    (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) /
+        |    (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+        |      (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+        |        * CAST(dlt.dl AS DOUBLE)
+        |        / (CAST(n.dlsum AS DOUBLE) / CAST(n.n_docs AS DOUBLE)))) *
+        |    1e4) AS BIGINT) AS bm25_q
+        |FROM tf JOIN dlt USING (doc_id) JOIN df USING (term)
+        |CROSS JOIN n
+        |ORDER BY tf.doc_id, tf.term""".stripMargin,
 
     "q_text_heavy_hitters" ->
       """SELECT term, COUNT(*) AS n,
