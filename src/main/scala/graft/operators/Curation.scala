@@ -116,6 +116,34 @@ object Curation {
         .orderBy(col("doc_id"), col("copy"))
     }),
 
+    // Deterministic training-order shuffle + shard manifest: the last
+    // step before a trainer reads the corpus — an order that is (a)
+    // well-mixed (hash order, so domains/languages interleave), (b)
+    // reproducible bit-for-bit across reruns and engines, (c) computed
+    // WITHOUT a global sort rank (shard = hash mod k and the order key
+    // is the hash VALUE, so assignment is a map-side expression and the
+    // within-shard sort is embarrassingly parallel — no single-partition
+    // row_number over the corpus, which is the spelling that dies at
+    // 100 TB). The manifest emits per shard: size, id sum, and a
+    // positional checksum Σ rank·doc_id that pins the exact permutation
+    // a trainer would replay — if any doc moved, the digest moves.
+    "q_mix_shard_order" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("hs"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("shiftright((doc_id % 1048576) * 2654435761, 16)").as("hs"))
+        .withColumn("shard", pmod(col("hs"), lit(16)).cast("long"))
+        .withColumn("rk", row_number().over(w))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(col("rk").cast("long") * col("doc_id")).as("order_digest"),
+          min(col("hs")).as("hs_min"), max(col("hs")).as("hs_max"))
+        .orderBy(col("shard"))
+    }),
+
     // Greedy shard packing: documents stream in deterministic order
     // (doc_id) within each language and fill fixed-capacity token shards
     // — bin k holds the docs whose PRECEDING cumulative token count lies
@@ -245,6 +273,22 @@ object Curation {
         |FROM r JOIN tg USING (lang)
         |WHERE r.rk <= tg.target
         |ORDER BY r.doc_id""".stripMargin,
+
+    "q_mix_shard_order" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    ((doc_id % 1048576) * 2654435761 >> 16) AS hs
+        |  FROM documents),
+        |sh AS (SELECT doc_id, hs, hs % 16 AS shard FROM h),
+        |r AS (SELECT doc_id, hs, shard,
+        |        ROW_NUMBER() OVER (PARTITION BY shard
+        |                           ORDER BY hs, doc_id) AS rk
+        |      FROM sh)
+        |SELECT shard, COUNT(*) AS n_docs,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(SUM(rk * doc_id) AS BIGINT) AS order_digest,
+        |  CAST(MIN(hs) AS BIGINT) AS hs_min, CAST(MAX(hs) AS BIGINT) AS hs_max
+        |FROM r GROUP BY shard ORDER BY shard""".stripMargin,
 
     "q_mix_epochs" ->
       """WITH h AS (
