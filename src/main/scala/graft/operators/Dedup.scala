@@ -1175,9 +1175,13 @@ object Dedup {
         |proj AS (
         |  SELECT vec_id, p,
         |    (SELECT SUM(v[j + 1] *
-        |        CASE WHEN ((((p * 64 + j) * 2654435761) >> 16) & 1) = 0
+        |        CASE WHEN (xor(h3, h3 >> 12) & 1) = 0
         |             THEN 1.0 ELSE -1.0 END)
-        |     FROM generate_series(0, 63) AS t(j)) AS pr
+        |     FROM (SELECT j,
+        |             (xor(h1, h1 >> 15) * 1540483477) % 2147483648 AS h3
+        |           FROM (SELECT j,
+        |                   ((p * 64 + j) * 2654435761) % 2147483648 AS h1
+        |                 FROM generate_series(0, 63) AS t(j)))) AS pr
         |  FROM e CROSS JOIN generate_series(0, 767) AS pp(p)),
         |bk AS (
         |  SELECT vec_id, p // 12 AS band,

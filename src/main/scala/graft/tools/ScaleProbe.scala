@@ -134,6 +134,50 @@ object ScaleProbe {
     out
   }
 
+  /** Deterministic ×`factor` EMBEDDING amplifier, keyed by vec_id % 10:
+    * fam 0 → every replica keeps the base vector verbatim (exact-dup
+    * clusters of size F, cos = 1); fam 1, r < 5 → one coordinate scaled
+    * 1.05 (near-dup cliques, cos ≈ 0.9988 — above any SRP band's miss
+    * probability at the probed bit widths); everything else → per-replica
+    * deterministic sign flips (xxhash64 of (new_id, dim)), pairwise
+    * ~orthogonal unique vectors. No RNG: reruns produce byte-identical
+    * corpora.
+    *
+    * The flip hash must NOT be the Knuth bit-16 family: that is the SRP
+    * hyperplane family itself (SrpBandKeys.weight is bit16((p·64+j)·c),
+    * and a flip pattern keyed bit16((nid·64+j)·c) IS plane nid's weight
+    * row), so flipped vectors self-interfere with the LSH — measured at
+    * ×100: 5,000-vector band cells, 55k vectors over the bucket cap in
+    * all 64 bands, 70 planted clusters invisible. An independent hash
+    * family restores the isotropy the unique fill is supposed to have —
+    * the same independence requirement any production pipeline has
+    * between its sharding hash and its LSH hash. */
+  private[graft] def amplifyEmbeddings(s: SparkSession, d: String,
+      factor: Int, outBase: String): String = {
+    val out = s"$outBase/emb_x$factor"
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$out/embeddings.parquet/_SUCCESS")
+    if (marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .exists(marker)) return out
+    val reps = s.range(factor).select(col("id").as("r"))
+    val fam = pmod(col("vec_id"), lit(10L))
+    Tables.embeddings(s, d).crossJoin(reps)
+      .withColumn("nid", col("vec_id") * factor + col("r"))
+      .withColumn("v2",
+        when(fam === 0, col("embedding"))
+          .when(fam === 1 && col("r") < 5, expr(
+            "transform(embedding, (x, i) -> " +
+              "IF(i = CAST(r % 64 AS INT), x * CAST(1.05 AS FLOAT), x))"))
+          .otherwise(expr(
+            "transform(embedding, (x, i) -> " +
+              "IF(pmod(xxhash64(nid * 64 + i), 2) = 0, x, -x))")))
+      .select(col("nid").as("vec_id"), col("v2").as("embedding"),
+        col("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    out
+  }
+
   /** Cluster-size histogram of a label table — the structural
     * fingerprint both CC variants must agree on. */
   private def histogram(labels: DataFrame): Seq[(Long, Long)] =
@@ -145,6 +189,12 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val maxFactor = args.headOption.map(_.toInt).getOrElse(100)
     val factors = Seq(1, 10, 100).filter(_ <= maxFactor)
+    // optional 2nd arg: comma-list of sections to run (default all) —
+    // lets a dev re-measure one axis without the full ~30 min sweep
+    val sections = args.drop(1).headOption
+      .map(_.split(",").toSet)
+      .getOrElse(Set("pipeline", "cc_corpus", "cc_chain", "topk",
+        "lsh", "semantic"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outBase = s"${sys.props("java.io.tmpdir")}/graft_scale"
@@ -161,7 +211,7 @@ object ScaleProbe {
     spark.sparkContext.addSparkListener(agg)
 
     // ---- 1. pipeline at each factor --------------------------------
-    factors.foreach { f =>
+    if (sections("pipeline")) factors.foreach { f =>
       val dir = if (f == 1) sfDir else amplify(spark, sfDir, f, outBase)
       val nDocs = Tables.documents(spark, dir).count()
       val pipe = graft.SparkEntry.queries("q_pipeline_e2e")
@@ -177,7 +227,7 @@ object ScaleProbe {
     }
 
     // ---- 2. both CC variants on the corpus pair graph --------------
-    factors.foreach { f =>
+    if (sections("cc_corpus")) factors.foreach { f =>
       val dir = if (f == 1) sfDir else amplify(spark, sfDir, f, outBase)
       val docs = graft.operators.Dedup.e2eExact(spark, dir)
         .select(col("doc_id"), col("doc_id").as("lbl"))
@@ -213,6 +263,7 @@ object ScaleProbe {
     }
 
     // ---- 3. synthetic chain graphs: diameter-dominated CC ----------
+    if (sections("cc_chain"))
     Seq((100000L, 100L), (100000L, 10000L)).foreach { case (n, len) =>
       val ids = spark.range(n)
       val fwd = ids
@@ -249,7 +300,7 @@ object ScaleProbe {
     // groups sized so each holds ~100 rows (the regime the heap targets:
     // per-group sort depth >> k); min-of-2 per mode so first-run JIT
     // doesn't masquerade as plan cost
-    factors.filter(_ > 1).foreach { f =>
+    if (sections("topk")) factors.filter(_ > 1).foreach { f =>
       val dir = amplify(spark, sfDir, f, outBase)
       val nGroups = 50L * f
       val docs = Tables.documents(spark, dir)
@@ -276,10 +327,124 @@ object ScaleProbe {
       spark.catalog.clearCache()
     }
 
+    // ---- 5. embedding family: SRP-LSH near-dup at scaled bit width -
+    // The fixture query pins 64 bands × 12 bits statically (right for
+    // 2k vectors); the at-scale lever is BITS ∝ log2(n) so per-band
+    // cell sizes stay O(1). Planted recall is an exact assertion: at
+    // cos ≥ 0.9988 every planted pair survives every probed width
+    // (miss prob < 1e-40), and the unique fill can't cross the 0.95
+    // rescore bar — so found == planted, by count.
+    {
+      import graft.functions.VectorFunctions.{cosine_sim, srp_band_keys}
+      val baseE = Tables.embeddings(spark, sfDir)
+      val nFam0 = baseE.where(pmod(col("vec_id"), lit(10L)) === 0).count()
+      val nFam1 = baseE.where(pmod(col("vec_id"), lit(10L)) === 1).count()
+      if (sections("lsh")) factors.foreach { f =>
+        val dir =
+          if (f == 1) sfDir else amplifyEmbeddings(spark, sfDir, f, outBase)
+        val e = Tables.embeddings(spark, dir)
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("v"))
+        val nVec = e.count()
+        val bits = if (f >= 100) 16 else if (f >= 10) 14 else 12
+        val ((nCand, nPairs), wall, sw, sr, _, _) = measured(spark, agg) {
+          val bk = e.select(col("vec_id"),
+              posexplode(srp_band_keys(col("v"), 64, bits)))
+            .select(col("vec_id"),
+              struct(col("pos"), col("col")).as("bk"))
+          val hot = bk.groupBy(col("bk")).agg(count(lit(1)).as("c"))
+            .where(col("c") > 512).select(col("bk"))
+          val cold = bk.join(hot, Seq("bk"), "left_anti")
+          val dcand = cold.as("a").join(cold.as("b"),
+              col("a.bk") === col("b.bk") &&
+                col("a.vec_id") < col("b.vec_id"))
+            .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+            .distinct().cache()
+          val c = dcand.count()
+          val p = dcand
+            .join(e.select(col("vec_id").as("va"), col("v").as("xa")), "va")
+            .join(e.select(col("vec_id").as("vb"), col("v").as("xb")), "vb")
+            .where(cosine_sim(col("xa"), col("xb")) > 0.95)
+            .count()
+          dcand.unpersist()
+          (c, p)
+        }
+        def c2(m: Long): Long = m * (m - 1) / 2
+        val planted = nFam0 * c2(f) + nFam1 * c2(math.min(f, 5))
+        // >= not ==: the engineered guarantee is that every PLANTED
+        // pair is found; the unique fill may in principle contribute a
+        // genuine high-cosine tail of its own (it did under the
+        // correlated flip hash — see amplifyEmbeddings), reported as
+        // extra_pairs rather than failed on.
+        require(nPairs >= planted,
+          s"LSH found $nPairs near-dup pairs at x$f, planted $planted")
+        emit(s"""{"probe":"lsh_embed","factor":$f,"vectors":$nVec,""" +
+          s""""bits":$bits,"candidates":$nCand,"found_pairs":$nPairs,""" +
+          s""""planted_pairs":$planted,""" +
+          s""""extra_pairs":${nPairs - planted},""" +
+          s""""wall_s":${f"$wall%.2f"},""" +
+          s""""shuffle_mb":${(sw + sr) / 1048576}}""")
+        spark.catalog.clearCache()
+      }
+
+      // ---- 6. semantic dedup with k ∝ n (constant cell size) -------
+      // SemDeDup's scale contract: cells stay ~constant-sized because
+      // the cluster count grows with the corpus, so the within-cell
+      // pair volume is linear in n. Seeds are stride-chosen (every
+      // nVec/k-th vector) — deterministic, no training loop needed to
+      // measure the shape. Exact-dup clusters (identical vectors score
+      // identically, ties → lowest cent_id) land whole in one cell, so
+      // each must lose F-1 members: a hard lower bound on `removed`.
+      if (sections("semantic")) factors.foreach { f =>
+        val dir =
+          if (f == 1) sfDir else amplifyEmbeddings(spark, sfDir, f, outBase)
+        val e = Tables.embeddings(spark, dir)
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("v"))
+        val nVec = e.count()
+        val k = 8 * f
+        val stride = math.max(1L, nVec / k)
+        val (removed, wall, sw, sr, _, _) = measured(spark, agg) {
+          val cents = e
+            .where(pmod(col("vec_id"), lit(stride)) === 0 &&
+              col("vec_id") < stride * k)
+            .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+          val assigned = e.join(broadcast(cents))
+            .select(col("vec_id"), col("v"), col("cent_id"),
+              cosine_sim(col("v"), col("cv")).as("sim"))
+            .withColumn("rn", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(col("vec_id"))
+                .orderBy(col("sim").desc, col("cent_id"))))
+            .where(col("rn") === 1)
+            .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+          val a = assigned.select(col("cell"), col("vec_id").as("va"),
+            col("v").as("xa"))
+          val b = assigned.select(col("cell"), col("vec_id").as("vb"),
+            col("v").as("xb"))
+          a.join(b, Seq("cell")).where(col("va") < col("vb"))
+            .where(cosine_sim(col("xa"), col("xb")) > 0.95)
+            .select(col("vb")).distinct().count()
+        }
+        val nFam0Clusters = nFam0 * (f - 1)
+        require(removed >= nFam0Clusters,
+          s"semantic dedup removed $removed at x$f; " +
+            s"exact-dup clusters alone require $nFam0Clusters")
+        emit(s"""{"probe":"semantic_dedup","factor":$f,""" +
+          s""""vectors":$nVec,"k":$k,"removed":$removed,""" +
+          s""""exact_dup_floor":$nFam0Clusters,""" +
+          s""""wall_s":${f"$wall%.2f"},""" +
+          s""""shuffle_mb":${(sw + sr) / 1048576}}""")
+        spark.catalog.clearCache()
+      }
+    }
+
     val out = java.nio.file.Paths.get("target/scale.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out,
-      (lines.result().mkString("\n") + "\n").getBytes("UTF-8"))
+      (lines.result().mkString("\n") + "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
     spark.stop()
   }
 }
