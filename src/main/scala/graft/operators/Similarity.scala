@@ -40,6 +40,21 @@ object Similarity {
   private[operators] def planeWeightD(p: Int, j: Int): Double =
     graft.functions.SrpBandKeys.weight(p, j)
 
+  /** Corpus-size-derived SRP bucket width: floor(log2(max(1, n/target)))
+    * clamped to [1, 30], keeping the EXPECTED bucket population ≈
+    * `target` as the corpus grows. The r7 lesson made this mandatory: a
+    * width fixed at 16 bits put every vector of a 500-row fixture alone
+    * in its bucket (an ANN query that finds nothing demonstrates nothing
+    * at any scale), while at 100 TB a width fixed small collapses the
+    * corpus into huge buckets and the per-bucket quadratic explodes.
+    * Integer bit-math, not floor(log2(double)) — exact at power-of-two
+    * boundaries in every engine; the oracle replays it in SQL as
+    * MAX(b) WHERE (1 << b) <= n // target. */
+  private[operators] def lshBits(n: Long, target: Long): Int = {
+    val cells = math.max(1L, n / target)
+    math.min(30, math.max(1, 63 - java.lang.Long.numberOfLeadingZeros(cells)))
+  }
+
   // ---- product-quantization machinery (q_sim_ann_pq + q_sim_ann_ivfpq) —
   // see q_sim_ann_pq's comment for the full design rationale. ----
 
@@ -212,22 +227,28 @@ object Similarity {
         .orderBy(col("query_id"), col("rn"))
     }),
 
-    // SRP-LSH ANN: 16 sign-bits bucket per vector; query scans only its
-    // bucket, then re-ranks decimal-exact. Approximate by construction
-    // (bucket recall < 1), but fully DETERMINISTIC: the hyperplanes come
-    // from the fixed integer hash (engine-independent — same derivation
-    // as the q_dedup_embedding_lsh oracle) and the re-rank is the
+    // SRP-LSH ANN: one sign-bit bucket per vector (width derived from
+    // corpus size by [[lshBits]] — expected ~8 vectors/bucket at every
+    // SF); a query scans only its bucket, then re-ranks decimal-exact.
+    // Approximate by construction (bucket recall < 1), but fully
+    // DETERMINISTIC: the hyperplanes come from the fixed avalanched
+    // integer hash (engine-independent — same derivation as the
+    // q_dedup_embedding_lsh oracle) and the re-rank is the
     // order-independent decimal cosine, so a DuckDB oracle replays the
-    // whole query bit-exactly. The scale path is bucket-partitioned
-    // storage + multi-probe. The bucket is the compiled SrpBandKeys
-    // expression (1 band × 16 bits) — the HOF-lambda spelling of the
-    // same hash ran interpreted per element.
+    // whole query bit-exactly — including the bit-width derivation,
+    // which the oracle computes from COUNT(*). The scale path is
+    // bucket-partitioned storage + multi-probe. The bucket is the
+    // compiled SrpBandKeys expression — the HOF-lambda spelling of the
+    // same hash ran interpreted per element. The count() driving the
+    // width is a parquet metadata read (row-group footers), not a scan.
     "q_sim_ann_lsh" -> ((s, d) => {
       import graft.functions.VectorFunctions.srp_band_keys
-      val e = Tables.embeddings(s, d)
+      val e0 = Tables.embeddings(s, d)
         .select(col("vec_id"),
           col("embedding").cast("array<double>").as("v"))
-        .withColumn("bucket", element_at(srp_band_keys(col("v"), 1, 16), 1))
+      val bits = lshBits(e0.count(), 8)
+      val e = e0
+        .withColumn("bucket", element_at(srp_band_keys(col("v"), 1, bits), 1))
       val q = e.where(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
           col("bucket"))
@@ -242,25 +263,28 @@ object Similarity {
         .orderBy(col("query_id"), col("rn"))
     }),
 
-    // Multi-probe SRP-LSH ANN: same 16-bit bucketing as q_sim_ann_lsh,
-    // but each query probes its home bucket PLUS the 16 single-bit-flip
-    // neighbor buckets — the recall knob for bucketed ANN at scale
-    // (probing 17 of 65536 buckets reads ~17/65536 of a bucket-
-    // partitioned corpus while recovering most of what one probe
-    // misses: a near neighbor that disagrees on exactly one hyperplane
-    // sign). The 17 probe buckets per query are distinct by
-    // construction (flipping different bits of the same word), so the
-    // (bucket) equi-join yields each candidate at most once — no
-    // distinct pass needed. Deterministic hyperplanes → the oracle
-    // replays the identical probe set; OperatorsSpec asserts recall ≥
-    // the single-probe query's recall against the exact top-k.
+    // Multi-probe SRP-LSH ANN: same corpus-size-derived bucketing as
+    // q_sim_ann_lsh, but each query probes its home bucket PLUS the
+    // `bits` single-bit-flip neighbor buckets — the recall knob for
+    // bucketed ANN at scale (probing bits+1 of 2^bits buckets reads
+    // ~(bits+1)/2^bits of a bucket-partitioned corpus while recovering
+    // most of what one probe misses: a near neighbor that disagrees on
+    // exactly one hyperplane sign). The probe buckets per query are
+    // distinct by construction (flipping different bits of the same
+    // word), so the (bucket) equi-join yields each candidate at most
+    // once — no distinct pass needed. Deterministic hyperplanes → the
+    // oracle replays the identical probe set; OperatorsSpec asserts
+    // recall ≥ the single-probe query's recall against the exact top-k,
+    // and that both arms are non-vacuous.
     "q_sim_ann_multiprobe" -> ((s, d) => {
       import graft.functions.VectorFunctions.srp_band_keys
-      val e = Tables.embeddings(s, d)
+      val e0 = Tables.embeddings(s, d)
         .select(col("vec_id"),
           col("embedding").cast("array<double>").as("v"))
-        .withColumn("bucket", element_at(srp_band_keys(col("v"), 1, 16), 1))
-      val probes = col("bucket") +: (0 until 16).map(b =>
+      val bits = lshBits(e0.count(), 8)
+      val e = e0
+        .withColumn("bucket", element_at(srp_band_keys(col("v"), 1, bits), 1))
+      val probes = col("bucket") +: (0 until bits).map(b =>
         expr(s"bucket ^ ${1L << b}"))
       val q = e.where(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
@@ -386,8 +410,9 @@ object Similarity {
 
     // The composed ANN index — coarse partition + PQ compression +
     // exact rescore, the three-stage shape a 100 TB vector index
-    // actually runs: (1) a 4-bit SRP cell prunes the candidate set to
-    // ~1/16 of the corpus (the k-means coarse stage is demonstrated in
+    // actually runs: (1) an SRP cell (width from [[lshBits]], expected
+    // ~32 vectors/cell) prunes the candidate set to its cell (the
+    // k-means coarse stage is demonstrated in
     // q_sim_ann_ivf; SRP cells keep this oracle compact), (2) the PQ
     // codes (same codebooks/LUT as q_sim_ann_pq) rank ONLY the probed
     // cell's candidates by ADC — full vectors never touch this stage,
@@ -399,9 +424,12 @@ object Similarity {
     // ever fetched for the rescore.
     "q_sim_ann_ivfpq" -> ((s, d) => {
       import graft.functions.VectorFunctions.{decimal_sqdist, srp_band_keys}
-      val e = Tables.embeddings(s, d)
+      val e0 = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .withColumn("cell", element_at(srp_band_keys(col("v"), 1, 4), 1))
+      val cellBits = lshBits(e0.count(), 32)
+      val e = e0
+        .withColumn("cell",
+          element_at(srp_band_keys(col("v"), 1, cellBits), 1))
         .cache() // probe + rescore both read it; harness clears per query
       val subs = pqSubs(e.select(col("vec_id"), col("v")))
       val cents1 = pqCodebooks(s, subs)
@@ -503,13 +531,16 @@ object Similarity {
     }),
 
     // k-NN JOIN (every vector × its top-3 neighbors), LSH-bucketed: one
-    // 10-bit SRP bucket per vector, candidates from the bucket equi-join
-    // (vectors meet only bucket-mates — no cross product), decimal-exact
-    // re-rank. THE batch primitive behind embedding-cluster curation and
-    // semantic dedup at scale: the bucket id is the shuffle/partition
-    // key, per-bucket work is quadratic only in bucket size (expected
-    // n/1024 per bucket), and norms are computed once per vector, not
-    // per pair. Deterministic hyperplanes → full DuckDB oracle.
+    // SRP bucket per vector (width from [[lshBits]] — expected ~16
+    // vectors/bucket at every SF, so each vector always has candidates
+    // and the per-bucket quadratic stays bounded), candidates from the
+    // bucket equi-join (vectors meet only bucket-mates — no cross
+    // product), decimal-exact re-rank. THE batch primitive behind
+    // embedding-cluster curation and semantic dedup at scale: the
+    // bucket id is the shuffle/partition key, per-bucket work is
+    // quadratic only in bucket size, and norms are computed once per
+    // vector, not per pair. Deterministic hyperplanes → full DuckDB
+    // oracle, including the COUNT(*)-derived width.
     //
     // The emitted score is floor-quantized at 1e6: this query evaluates
     // the most decimal casts in the library (~25M element-products at
@@ -522,9 +553,11 @@ object Similarity {
     // tolerance reporting. Ranking still uses the full-precision cos.
     "q_sim_knn_join" -> ((s, d) => {
       import graft.functions.VectorFunctions.{decimal_dot, srp_band_keys}
-      val e = Tables.embeddings(s, d)
+      val e0 = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .withColumn("bucket", element_at(srp_band_keys(col("v"), 1, 10), 1))
+      val bits = lshBits(e0.count(), 16)
+      val e = e0
+        .withColumn("bucket", element_at(srp_band_keys(col("v"), 1, bits), 1))
         .withColumn("nsq", decimal_dot(col("v"), col("v")).cast("double"))
       val cand = e.as("a").join(e.as("b"),
           col("a.bucket") === col("b.bucket") &&
@@ -636,6 +669,34 @@ object Similarity {
       |w AS (SELECT nv.vec_id, nv.v, nv.nsq, cells.cell
       |      FROM nv JOIN cells USING (vec_id))""".stripMargin
 
+  /** DuckDB CTE pair `params(bits)` + `proj(vec_id, p, pr)` replaying
+    * (a) [[lshBits]]'s integer-exact width derivation from COUNT(*) and
+    * (b) the avalanched SrpBandKeys.weight hyperplane hash — the SQL
+    * spelling of VectorExpressions.scala's two xor-shift/multiply
+    * rounds, identical to the q_dedup_embedding_lsh oracle's
+    * (Dedup.scala). Expects a prior CTE `e(vec_id, v)`. Kept in ONE
+    * place so a kernel change can never again update some replicas and
+    * miss others (the r7 regression: 4 oracle CTEs replayed a stale
+    * hash). */
+  private def srpCtes(target: Int): String =
+    s"""params AS (
+       |  SELECT GREATEST(1, COALESCE((SELECT MAX(b)
+       |    FROM generate_series(0, 30) AS g(b)
+       |    WHERE (1 << b) <= (SELECT COUNT(*) // $target FROM e)), 0))
+       |    AS bits),
+       |proj AS (
+       |  SELECT vec_id, p,
+       |    (SELECT SUM(v[j + 1] *
+       |        CASE WHEN (xor(h3, h3 >> 12) & 1) = 0
+       |             THEN 1.0 ELSE -1.0 END)
+       |     FROM (SELECT j,
+       |             (xor(h1, h1 >> 15) * 1540483477) % 2147483648 AS h3
+       |           FROM (SELECT j,
+       |                   ((p * 64 + j) * 2654435761) % 2147483648 AS h1
+       |                 FROM generate_series(0, 63) AS t(j)))) AS pr
+       |  FROM e CROSS JOIN generate_series(0, 30) AS pp(p)
+       |  CROSS JOIN params WHERE p < params.bits)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // Replays the quantization arithmetic step-for-step: same doubles in,
     // same correctly-rounded IEEE ops, decimal (exact, order-free) sum
@@ -682,22 +743,19 @@ object Similarity {
          |FROM e ORDER BY vec_id""".stripMargin
     },
 
-    // The knn-join oracle: identical 10-bit SRP bucketing from the shared
-    // integer hash, then the decimal-exact rescore and per-vector top-3.
+    // The knn-join oracle: identical corpus-size-derived SRP bucketing
+    // from the shared avalanched hash (srpCtes), then the decimal-exact
+    // rescore and per-vector top-3.
     "q_sim_knn_join" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        |           FROM embeddings),
-        |proj AS (
-        |  SELECT vec_id, p,
-        |    (SELECT SUM(v[j + 1] *
-        |        CASE WHEN ((((p * 64 + j) * 2654435761) >> 16) & 1) = 0
-        |             THEN 1.0 ELSE -1.0 END)
-        |     FROM generate_series(0, 63) AS t(j)) AS pr
-        |  FROM e CROSS JOIN generate_series(0, 9) AS pp(p)),
-        |bk AS (
+      (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings),
+         |${srpCtes(16)},
+         |""".stripMargin +
+      """bk AS (
         |  SELECT vec_id,
-        |    SUM(CASE WHEN pr > 0 THEN 1 << (9 - p) ELSE 0 END) AS bucket
-        |  FROM proj GROUP BY vec_id),
+        |    SUM(CASE WHEN pr > 0 THEN 1 << (params.bits - 1 - p)
+        |        ELSE 0 END) AS bucket
+        |  FROM proj CROSS JOIN params GROUP BY vec_id),
         |n AS (SELECT e.vec_id, e.v, bk.bucket,
         |        (SELECT CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE)
         |         FROM UNNEST(v) AS t(x)) AS nsq
@@ -715,26 +773,22 @@ object Similarity {
         |      FROM s)
         |SELECT vec_id, nbr_id,
         |  CAST(FLOOR(cos * 1e6) AS BIGINT) AS cos_q, rn FROM r
-        |WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin,
+        |WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin),
 
-    // Replays the SRP bucketing (1 band × 16 bits) from the same fixed
-    // integer hash as the q_dedup_embedding_lsh oracle, then the
-    // decimal-exact re-rank — the whole approximate query is
-    // deterministic, so it oracle-checks like an exact one.
+    // Replays the corpus-size-derived SRP bucketing from the same
+    // avalanched integer hash as the q_dedup_embedding_lsh oracle
+    // (srpCtes), then the decimal-exact re-rank — the whole approximate
+    // query is deterministic, so it oracle-checks like an exact one.
     "q_sim_ann_lsh" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        |           FROM embeddings),
-        |proj AS (
-        |  SELECT vec_id, p,
-        |    (SELECT SUM(v[j + 1] *
-        |        CASE WHEN ((((p * 64 + j) * 2654435761) >> 16) & 1) = 0
-        |             THEN 1.0 ELSE -1.0 END)
-        |     FROM generate_series(0, 63) AS t(j)) AS pr
-        |  FROM e CROSS JOIN generate_series(0, 15) AS pp(p)),
-        |bk AS (
+      (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings),
+         |${srpCtes(8)},
+         |""".stripMargin +
+      """bk AS (
         |  SELECT vec_id,
-        |    SUM(CASE WHEN pr > 0 THEN 1 << (15 - p) ELSE 0 END) AS bucket
-        |  FROM proj GROUP BY vec_id),
+        |    SUM(CASE WHEN pr > 0 THEN 1 << (params.bits - 1 - p)
+        |        ELSE 0 END) AS bucket
+        |  FROM proj CROSS JOIN params GROUP BY vec_id),
         |n AS (SELECT e.vec_id, e.v, bk.bucket,
         |        (SELECT CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE)
         |         FROM UNNEST(v) AS t(x)) AS nsq
@@ -751,30 +805,27 @@ object Similarity {
         |                           ORDER BY cos DESC, neighbor_id) AS rn
         |      FROM s)
         |SELECT query_id, neighbor_id, cos, rn FROM r
-        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin),
 
-    // The multiprobe twin: identical 16-bit bucketing, then each query's
-    // probe set = home bucket + the 16 single-bit xor flips, the same
-    // derivation the Spark side runs.
+    // The multiprobe twin: identical corpus-size-derived bucketing, then
+    // each query's probe set = home bucket + the `bits` single-bit xor
+    // flips, the same derivation the Spark side runs.
     "q_sim_ann_multiprobe" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        |           FROM embeddings),
-        |proj AS (
-        |  SELECT vec_id, p,
-        |    (SELECT SUM(v[j + 1] *
-        |        CASE WHEN ((((p * 64 + j) * 2654435761) >> 16) & 1) = 0
-        |             THEN 1.0 ELSE -1.0 END)
-        |     FROM generate_series(0, 63) AS t(j)) AS pr
-        |  FROM e CROSS JOIN generate_series(0, 15) AS pp(p)),
-        |bk AS (
+      (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings),
+         |${srpCtes(8)},
+         |""".stripMargin +
+      """bk AS (
         |  SELECT vec_id,
-        |    SUM(CASE WHEN pr > 0 THEN 1 << (15 - p) ELSE 0 END) AS bucket
-        |  FROM proj GROUP BY vec_id),
+        |    SUM(CASE WHEN pr > 0 THEN 1 << (params.bits - 1 - p)
+        |        ELSE 0 END) AS bucket
+        |  FROM proj CROSS JOIN params GROUP BY vec_id),
         |pr2 AS (
-        |  SELECT vec_id, CASE WHEN g.g = 16 THEN bucket
+        |  SELECT vec_id, CASE WHEN g.g = params.bits THEN bucket
         |                      ELSE xor(bucket, 1 << g.g) END AS bucket
-        |  FROM bk CROSS JOIN generate_series(0, 16) AS g(g)
-        |  WHERE vec_id < 3),
+        |  FROM bk CROSS JOIN generate_series(0, 30) AS g(g)
+        |  CROSS JOIN params
+        |  WHERE vec_id < 3 AND g.g <= params.bits),
         |n AS (SELECT e.vec_id, e.v, bk.bucket,
         |        (SELECT CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE)
         |         FROM UNNEST(v) AS t(x)) AS nsq
@@ -792,7 +843,7 @@ object Similarity {
         |                           ORDER BY cos DESC, neighbor_id) AS rn
         |      FROM s)
         |SELECT query_id, neighbor_id, cos, rn FROM r
-        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin),
 
     // Replays the full deterministic k-means trajectory: seed centroids
     // (vec_id 3..10), two assign/update rounds with decimal-exact
@@ -885,10 +936,11 @@ object Similarity {
         |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
 
     // Replays all three index stages: the PQ chain (identical to the
-    // q_sim_ann_pq oracle), the 4-bit SRP cell probe, ADC over the
-    // probed candidates, and the decimal-exact rescore of the top-10.
+    // q_sim_ann_pq oracle), the corpus-size-derived SRP cell probe
+    // (srpCtes — avalanched hash), ADC over the probed candidates, and
+    // the decimal-exact rescore of the top-10.
     "q_sim_ann_ivfpq" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      ("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),
         |sub AS (SELECT vec_id, ss.s AS s, v[ss.s*8+1 : ss.s*8+8] AS sv
         |        FROM e CROSS JOIN generate_series(0, 7) AS ss(s)),
@@ -924,17 +976,12 @@ object Similarity {
         |                AS DECIMAL(30,12)))
         |         FROM generate_series(1, 8) AS t(i)) AS dd
         |        FROM sub x JOIN c1 cc ON cc.s = x.s WHERE x.vec_id < 3),
-        |proj AS (
-        |  SELECT vec_id, p,
-        |    (SELECT SUM(v[j + 1] *
-        |        CASE WHEN ((((p * 64 + j) * 2654435761) >> 16) & 1) = 0
-        |             THEN 1.0 ELSE -1.0 END)
-        |     FROM generate_series(0, 63) AS t(j)) AS pr
-        |  FROM e CROSS JOIN generate_series(0, 3) AS pp(p)),
-        |bk AS (
+        |""".stripMargin + srpCtes(32) + ",\n" +
+      """bk AS (
         |  SELECT vec_id,
-        |    SUM(CASE WHEN pr > 0 THEN 1 << (3 - p) ELSE 0 END) AS cell
-        |  FROM proj GROUP BY vec_id),
+        |    SUM(CASE WHEN pr > 0 THEN 1 << (params.bits - 1 - p)
+        |        ELSE 0 END) AS cell
+        |  FROM proj CROSS JOIN params GROUP BY vec_id),
         |cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
         |         FROM bk q JOIN bk c
         |           ON q.cell = c.cell AND q.vec_id < 3 AND c.vec_id >= 3),
@@ -961,7 +1008,7 @@ object Similarity {
         |        PARTITION BY query_id ORDER BY dist ASC, neighbor_id) AS rn
         |      FROM res)
         |SELECT query_id, neighbor_id, dist, rn FROM r
-        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin),
 
     "q_sim_centroids" ->
       """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
