@@ -25,7 +25,6 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.warehouse.dir", "/root/repo/target/warehouse")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -144,12 +143,28 @@ object Bench {
       .mkString("{", ",", "}")
     val obsJson = observed.drainJson()
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"state":$state,"observed":$obsJson,"sf":"$sfDir"}"""
-    println(line)
-    // stdout of a 70-query session gets truncated by log-tail capture;
-    // also persist the metrics line where the judge can always read it
+    // The driver captures only the last ~2,000 chars of stdout; the full
+    // metrics line for a 149-query suite is ~10k (and even a min-only map
+    // is 3.5k — the query NAMES alone are 2.2k), so whatever is printed
+    // last must be a line that parses on its own under that cap. Persist
+    // the complete line (all queries, 3-rep arrays, state, observed) to
+    // target/bench.json, then print a compact tail line: suite total +
+    // the slowest queries that fit the budget + a pointer to the file.
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    val totalStr = f"$total%.1f"
+    val prefix = s"""{"metric":"total","value":$totalStr,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"full":"target/bench.json","queries":{"""
+    val suffix = "}}"
+    val budget = 1900 - prefix.length - suffix.length
+    val topEntries = results.sortBy(-_._2)
+      .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.2f" }
+    val kept = new scala.collection.mutable.ListBuffer[String]
+    var used = 0
+    topEntries.foreach { e =>
+      if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
+    }
+    println(prefix + kept.mkString(",") + suffix)
     spark.stop()
   }
 }

@@ -80,7 +80,12 @@ object Multimodal {
             dir.toPath.resolve(s"blob_${r.getLong(0)}.bin"),
             r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
         }
-      s.read.format("binaryFile").load(s"$dir/*.bin")
+      // directory load + pathGlobFilter, not a glob IN the path: glob
+      // paths take Spark's globPath resolution, which logs a spurious
+      // FileNotFoundException stack through the lazy-analysis machinery
+      // on every run (the query still succeeds — pure stderr noise)
+      s.read.format("binaryFile").option("pathGlobFilter", "*.bin")
+        .load(dir.toString)
         .select(
           regexp_extract(col("path"), "blob_(\\d+)\\.bin", 1)
             .cast("long").as("doc_id"),

@@ -50,9 +50,25 @@ object Similarity {
     * Integer bit-math, not floor(log2(double)) — exact at power-of-two
     * boundaries in every engine; the oracle replays it in SQL as
     * MAX(b) WHERE (1 << b) <= n // target. */
-  private[operators] def lshBits(n: Long, target: Long): Int = {
+  private[graft] def lshBits(n: Long, target: Long): Int = {
     val cells = math.max(1L, n / target)
     math.min(30, math.max(1, 63 - java.lang.Long.numberOfLeadingZeros(cells)))
+  }
+
+  /** Corpus-size-derived IVF/SemDeDup cell count: max(2, ⌊√n⌋). With
+    * k ∝ √n both the per-cell population (n/k ≈ √n) and the centroid
+    * table (k rows) grow as the square root of the corpus, so the
+    * within-cell quadratic candidate join does k·(n/k)² = n^1.5 work
+    * total — bounded, vs n² for any FIXED k as n grows (the r7 flag:
+    * k hard-wired to 8 means 100 TB cells of ~10⁹ vectors each).
+    * Exact integer sqrt (no floor(sqrt(double)) drift at perfect
+    * squares); the oracle replays it as MAX(b) WHERE b*b <= COUNT(*).
+    * Production override: `spark.graft.semantic.cells` (set it to
+    * n/targetCellSize when a specific cell population is wanted). */
+  private[graft] def ivfCells(n: Long): Int = {
+    var b = math.max(0L, math.sqrt(n.toDouble).toLong - 2)
+    while ((b + 1) * (b + 1) <= n) b += 1
+    math.max(2L, b).toInt
   }
 
   // ---- product-quantization machinery (q_sim_ann_pq + q_sim_ann_ivfpq) —
@@ -120,11 +136,14 @@ object Similarity {
   }
 
   /** Deterministic IVF clustering shared by q_sim_ann_ivf and
-    * q_dedup_semantic: seeds = vectors 3..10, two Lloyd rounds with
-    * decimal-exact coordinate sums, cosine assignment (ties → lowest
-    * centroid id). Returns (vec_id, v, nsq, cell), CACHED — every caller
-    * consumes it from multiple branches, and the harness clears the
-    * session cache per query (the documented handoff).
+    * q_dedup_semantic: k = [[ivfCells]](n) seed vectors (ids 3..2+k, or
+    * the `spark.graft.semantic.cells` conf override), two Lloyd rounds
+    * with decimal-exact coordinate sums, cosine assignment (ties →
+    * lowest centroid id). Returns (vec_id, v, nsq, cell), CACHED —
+    * every caller consumes it from multiple branches, and the harness
+    * clears the session cache per query (the documented handoff).
+    * The count() driving k is a parquet-footer metadata read, not a
+    * scan; the oracle recomputes the identical k from COUNT(*).
     *
     * Decimal norms are computed once per vector / per centroid, not once
     * per pair: the VALUES are identical to the inline spelling (the
@@ -136,6 +155,8 @@ object Similarity {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nsq", decimal_dot(col("v"), col("v")).cast("double"))
+    val k = s.conf.getOption("spark.graft.semantic.cells")
+      .map(_.toInt).getOrElse(ivfCells(e.count()))
     def nearest(cents: DataFrame): DataFrame =
       e.join(broadcast(cents.withColumn("cnsq",
           decimal_dot(col("cv"), col("cv")).cast("double"))))
@@ -146,7 +167,7 @@ object Similarity {
           Window.partitionBy(col("vec_id"))
             .orderBy(col("sim").desc, col("cent_id"))))
         .where(col("rn") === 1)
-    var cents = e.where(col("vec_id").between(3, 10))
+    var cents = e.where(col("vec_id").between(3, 2 + k))
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
     for (_ <- 1 to 2) {
       val sums = (0 until 64).map(i =>
@@ -156,13 +177,14 @@ object Similarity {
         .select(col("cent_id"),
           array((0 until 64).map(i => col(s"s$i").cast("double")): _*)
             .as("cv"))
-      // materialize the 8×64-double centroid table to the driver and
+      // materialize the k×64-double centroid table to the driver and
       // restart the next round from a local relation: leaving each
       // round as a chained plan re-derives the whole k-means history
       // inside every downstream branch (callers consume `assigned`
       // twice), which measured ~4× the query's cost. This is the one
       // driver-side loop in the library, and it is bounded: k × dim
-      // doubles per round, never data-sized.
+      // doubles per round — k = ⌊√n⌋, so ~16 MB even at 10⁹ vectors —
+      // never data-sized.
       cents = agg.collect().toSeq
         .map(r => (r.getLong(0), r.getSeq[Double](1)))
         .toDF("cent_id", "cv")
@@ -602,20 +624,25 @@ object Similarity {
     })
   )
 
-  /** DuckDB replay of [[ivfAssigned]] — seeds (vec_id 3..10), two Lloyd
-    * rounds with decimal-exact coordinate sums, final cosine assignment
-    * (ties → lowest centroid id) — ending in `w(vec_id, v, nsq, cell)`.
+  /** DuckDB replay of [[ivfAssigned]] — k = max(2, ⌊√COUNT(*)⌋) seed
+    * vectors (ids 3..2+k — the SQL spelling of [[ivfCells]], exact
+    * integer sqrt via MAX(b) WHERE b*b <= n), two Lloyd rounds with
+    * decimal-exact coordinate sums, final cosine assignment (ties →
+    * lowest centroid id) — ending in `w(vec_id, v, nsq, cell)`.
     * Shared CTE prefix of the q_sim_ann_ivf and q_dedup_semantic oracles
     * so the clustering replay exists exactly once. */
   private val IvfCellsCtes: String =
     """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
       |           FROM embeddings),
+      |kp AS (SELECT GREATEST(2, (SELECT MAX(b)
+      |         FROM generate_series(1, 46341) AS g(b)
+      |         WHERE b * b <= (SELECT COUNT(*) FROM e))) AS k),
       |nv AS (SELECT vec_id, v,
       |        (SELECT CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE)
       |         FROM UNNEST(v) AS t(x)) AS nsq
       |       FROM e),
       |c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
-      |       WHERE vec_id BETWEEN 3 AND 10),
+      |       WHERE vec_id BETWEEN 3 AND 2 + (SELECT k FROM kp)),
       |a0 AS (SELECT q.vec_id, c.cent_id,
       |        (SELECT CAST(SUM(CAST(q.v[i] * c.cv[i] AS DECIMAL(30,12)))
       |                AS DOUBLE)

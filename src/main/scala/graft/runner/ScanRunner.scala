@@ -170,7 +170,6 @@ object ScanRunner {
       .master(s"local[$jobs]")
       .appName("graft-scan-runner")
       .config("spark.sql.shuffle.partitions", jobs)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -33,17 +33,17 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    * outright ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos via the
-    * legacy conf and rebuild a proper TimestampType column with exact
-    * integer math (`div 1000` — a double division would lose precision
-    * above 2^53 ns). DuckDB truncates ns→µs the same way, so oracle
-    * comparisons on `ts` agree. */
+  /** `events.ts` is parquet TIMESTAMP(MICROS, isAdjustedToUTC=false),
+    * which Spark 4 infers as TIMESTAMP_NTZ. Normalize to session-local
+    * TimestampType (sessions here pin UTC, so the wall values are the
+    * epoch micros unchanged): event-time streaming (watermarks, window())
+    * and the batch window frames all operate on TimestampType, and DuckDB
+    * reads the same column as its naive TIMESTAMP — identical values on
+    * both sides of the oracle compare. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
     import org.apache.spark.sql.functions._
-    raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    raw.withColumn("ts", col("ts").cast("timestamp"))
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

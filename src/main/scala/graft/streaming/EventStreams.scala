@@ -18,9 +18,10 @@ import graft.queries.QueryDefs.Q
   * unchanged against a live source (Kafka/files); the memory sink and
   * AvailableNow are the test harness, not the design.
   *
-  * The raw `ts` column is parquet TIMESTAMP(NANOS) (read as long nanos —
-  * see graft.sources.Tables.events); the stream schema mirrors that and
-  * rebuilds a TimestampType event-time column before watermarking.
+  * The raw `ts` column is parquet TIMESTAMP(MICROS, isAdjustedToUTC=false)
+  * (TIMESTAMP_NTZ to Spark — see graft.sources.Tables.events); the stream
+  * schema mirrors that and casts to a session-local (UTC) TimestampType
+  * event-time column before watermarking.
   */
 object EventStreams {
 
@@ -56,21 +57,19 @@ object EventStreams {
 
   private val rawSchema = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos (legacy nanosAsLong read)
+    StructField("ts", TimestampNTZType), // micros, no timezone (as stored)
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
   /** Streaming source over the fixture file with a proper event-time col.
-    * The explicit schema means nothing is read at definition time; the
-    * `nanosAsLong` conf the scan needs is set (and restored) around
-    * execution in [[runToMemory]]. */
+    * The explicit schema means nothing is read at definition time. */
   private def eventStream(s: SparkSession, d: String): DataFrame = {
     // glob form: the file-stream source requires a directory or glob (a
     // bare file path fails basePath validation)
     s.readStream.schema(rawSchema).parquet(s"$d/events*.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", col("ts").cast("timestamp"))
   }
 
   /** Run `df` (a streaming DataFrame) to completion into a memory sink,
@@ -83,16 +82,14 @@ object EventStreams {
     * session default of 32 was pure overhead (several seconds across the
     * suite), while results are partition-count-independent. A real
     * deployment sizes this to key cardinality × throughput, not to the
-    * batch default. `nanosAsLong` (needed by the eventStream parquet scan,
-    * whose `ts` is TIMESTAMP(NANOS)) gets the same save/restore treatment
-    * so no session conf stays mutated after a streaming query returns.
-    * Execution happens inside this method (AvailableNow +
-    * awaitTermination), so the restores cannot race the stream. */
+    * batch default. The knob is saved and restored so no session conf
+    * stays mutated after a streaming query returns. Execution happens
+    * inside this method (AvailableNow + awaitTermination), so the
+    * restore cannot race the stream. */
   private def runToMemory(s: SparkSession, df: DataFrame, mode: String,
       name: String): DataFrame = {
     val knobs = Seq(
-      "spark.sql.shuffle.partitions" -> "8",
-      "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+      "spark.sql.shuffle.partitions" -> "8")
     val prev = knobs.map { case (k, _) => k -> s.conf.getOption(k) }
     knobs.foreach { case (k, v) => s.conf.set(k, v) }
     try {

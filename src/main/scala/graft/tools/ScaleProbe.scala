@@ -194,7 +194,7 @@ object ScaleProbe {
     val sections = args.drop(1).headOption
       .map(_.split(",").toSet)
       .getOrElse(Set("pipeline", "cc_corpus", "cc_chain", "topk",
-        "lsh", "semantic"))
+        "lsh", "semantic", "recall"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outBase = s"${sys.props("java.io.tmpdir")}/graft_scale"
@@ -203,7 +203,6 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -436,6 +435,39 @@ object ScaleProbe {
           s""""wall_s":${f"$wall%.2f"},""" +
           s""""shuffle_mb":${(sw + sr) / 1048576}}""")
         spark.catalog.clearCache()
+      }
+
+      // ---- 7. ANN recall@5 vs exact, at fixture and ×10 ------------
+      // Closes the loop on the corpus-derived bucket widths (lshBits /
+      // ivfCells): non-emptiness alone doesn't prove the recalibrated
+      // bits BUY anything — this measures recall of each approximate
+      // variant against q_sim_cosine_topk's exact top-5 on the same
+      // corpus dir, exactly as the library queries run (each derives
+      // its own width from COUNT(*)). ×100 is excluded: brute-force
+      // exact ground truth is the quadratic the ANN variants exist to
+      // avoid, and ×1/×10 already spans a 10× corpus-size decade.
+      if (sections("recall")) factors.filter(_ <= 10).foreach { f =>
+        val dir =
+          if (f == 1) sfDir else amplifyEmbeddings(spark, sfDir, f, outBase)
+        def pairs(name: String): (Set[(Long, Long)], Double) = {
+          val t0 = System.nanoTime()
+          val got = graft.SparkEntry.queries(name)(spark, dir).collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+          spark.catalog.clearCache()
+          (got, (System.nanoTime() - t0) / 1e9)
+        }
+        val (exact, wallExact) = pairs("q_sim_cosine_topk")
+        require(exact.nonEmpty, s"exact top-k empty at x$f")
+        for (name <- Seq("q_sim_ann_lsh", "q_sim_ann_multiprobe",
+            "q_sim_ann_ivf", "q_sim_ann_ivfpq")) {
+          val (got, wall) = pairs(name)
+          val recall = (got & exact).size.toDouble / exact.size
+          emit(s"""{"probe":"ann_recall","factor":$f,"query":"$name",""" +
+            s""""exact_pairs":${exact.size},"ann_pairs":${got.size},""" +
+            s""""recall_at_5":${f"$recall%.3f"},""" +
+            s""""wall_s":${f"$wall%.2f"},""" +
+            s""""exact_wall_s":${f"$wallExact%.2f"}}""")
+        }
       }
     }
 

@@ -158,6 +158,7 @@ class OperatorsSpec extends AnyFunSuite {
     for (name <- Seq("q_sim_ann_lsh", "q_sim_ann_ivf", "q_sim_ann_multiprobe",
         "q_sim_ann_ivfpq")) {
       val rows = q(name).collect()
+      assert(rows.nonEmpty, s"$name returned no neighbors — vacuous buckets")
       assert(rows.forall(_.getLong(1) >= 3), s"$name returned a query as neighbor")
       assert(rows.groupBy(_.getLong(0)).values.forall(_.length <= 5))
     }
@@ -182,17 +183,63 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("lshBits keeps expected bucket population near target at every scale") {
+    import graft.operators.Similarity.lshBits
+    // 500 vectors / target 8 → 62 cells → 5 bits (2^5=32 ≤ 62 < 2^6)
+    assert(lshBits(500, 8) == 5)
+    // sf0.1's 2000 vectors adapt upward: 250 cells → 7 bits
+    assert(lshBits(2000, 8) == 7)
+    // degenerate corpora never produce a 0-bit (single-bucket-only) key…
+    assert(lshBits(1, 8) == 1)
+    assert(lshBits(0, 8) == 1)
+    // …and planet-scale corpora clamp at 30 bits (the int bucket domain)
+    assert(lshBits(1000000000000L, 8) == 30)
+    // expected population = n / 2^bits stays within [target, 2*target)
+    for (n <- Seq(100L, 1000L, 50000L, 2000000L); t <- Seq(8L, 16L, 32L)) {
+      val pop = n.toDouble / (1L << lshBits(n, t))
+      assert(pop >= t / 2.0 && pop < 2.0 * t,
+        s"n=$n target=$t bits=${lshBits(n, t)} pop=$pop drifted")
+    }
+  }
+
+  test("ivfCells is the exact integer sqrt, clamped below at 2") {
+    import graft.operators.Similarity.ivfCells
+    // exact at perfect squares and their neighbors (the FP-drift trap)
+    assert(ivfCells(500) == 22)   // sf0.01's 500 vectors → 22 cells
+    assert(ivfCells(484) == 22)
+    assert(ivfCells(483) == 21)
+    assert(ivfCells(2000) == 44)  // sf0.1 adapts upward
+    assert(ivfCells(0) == 2 && ivfCells(1) == 2 && ivfCells(4) == 2)
+    assert(ivfCells(1000000000000L) == 1000000)
+    // k ∝ √n ⇒ per-cell population n/k ≈ √n: total within-cell pair
+    // work k·(n/k)² = n^1.5, not n² — the SemDeDup scale contract
+    for (n <- Seq(100L, 10000L, 1000000L)) {
+      val k = ivfCells(n)
+      assert(math.abs(n.toDouble / k - math.sqrt(n.toDouble)) <
+        math.sqrt(n.toDouble) * 0.1)
+    }
+  }
+
   test("multiprobe ANN recall is at least single-probe recall vs exact top-k") {
     def hits(name: String) = q(name).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = hits("q_sim_cosine_topk")   // brute-force ground truth
     val single = hits("q_sim_ann_lsh")
     val multi = hits("q_sim_ann_multiprobe")
+    // Non-vacuity first: the r7 regression slipped through because this
+    // comparison held trivially at 0 >= 0 when 16-bit buckets over 500
+    // vectors isolated every vector (spark_rows = 0). With corpus-derived
+    // widths (lshBits), every arm must produce candidates AND recall the
+    // exact answer at better than zero — never again compare two empties.
+    assert(exact.nonEmpty, "exact top-k ground truth is empty")
+    assert(single.nonEmpty, "single-probe ANN returned no candidates")
+    assert(multi.nonEmpty, "multiprobe ANN returned no candidates")
     val rs = (single & exact).size.toDouble / exact.size
     val rm = (multi & exact).size.toDouble / exact.size
+    assert(rm > 0.0, s"multiprobe recall is zero against ${exact.size} exact")
     assert(rm >= rs, s"multiprobe recall $rm < single-probe recall $rs")
-    // the 17-bucket probe set strictly contains the single probe, so per
-    // query the kept top-5's WORST cosine can only improve
+    // the bits+1-bucket probe set strictly contains the single probe, so
+    // per query the kept top-5's WORST cosine can only improve
     def worst(name: String) = q(name).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getDouble(2)).min).toMap
     val ws = worst("q_sim_ann_lsh")
@@ -521,7 +568,7 @@ class OperatorsSpec extends AnyFunSuite {
   test("knn join returns ≤3 ranked neighbors per vector, never itself") {
     val rows = q("q_sim_knn_join").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
-    assert(rows.nonEmpty, "10-bit buckets should pair up some vectors")
+    assert(rows.nonEmpty, "corpus-derived buckets should pair up some vectors")
     assert(rows.forall { case (a, b, _, _) => a != b })
     rows.groupBy(_._1).values.foreach { ns =>
       assert(ns.length <= 3)
