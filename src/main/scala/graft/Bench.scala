@@ -106,12 +106,26 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
-      val runs = Seq.fill(3)(once(fn))
+      // Per-rep cleanup OUTSIDE the timed region, so every rep starts
+      // from rep 1's environment: (a) cached intermediates (shingles,
+      // token explodes) a query reuses across its own branches; (b) the
+      // memory-sink temp view each streaming rep leaves behind
+      // ("tumbling_<nanos>", …) whose rows pin driver memory and grow
+      // the catalog monotonically — with the terminated-query registry,
+      // the prime suspects for r7's monotone per-rep growth on
+      // q_stream_tumbling (reps 1.32/2.25/3.96 s); (c) that registry
+      // itself. Fixture views some SQL queries register (registerAll)
+      // are re-registered by any query that needs them, so dropping all
+      // temp views is safe.
+      def cleanup(): Unit = {
+        spark.catalog.clearCache()
+        spark.catalog.listTables().collect()
+          .filter(_.isTemporary)
+          .foreach(t => spark.catalog.dropTempView(t.name))
+        spark.streams.resetTerminated()
+      }
+      val runs = Seq.fill(3) { val t = once(fn); cleanup(); t }
       val best = if (runs.exists(_ < 0)) -1.0 else runs.min
-      // queries may cache intermediates (shingles, token explodes) for
-      // reuse across their own reps; drop them so a 70-query session
-      // doesn't accumulate executor storage memory
-      spark.catalog.clearCache()
       (name, best, runs)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
