@@ -98,14 +98,21 @@ object Similarity {
       .where(col("rn") === 1)
   }
 
-  /** 4-centroid codebook per subspace: seed sub-vectors (vec_id 3..6) +
-    * one Lloyd round with double-mean centroids. Bounded driver
-    * materialization (≤ 8×4 cells × 8 doubles), same rationale as
-    * q_sim_ann_ivf's centroid loop. */
-  private def pqCodebooks(s: SparkSession, subs: DataFrame): DataFrame = {
+  /** 4-centroid codebook per subspace: stride-spread seed sub-vectors
+    * (ids 0, ⌊n/4⌋, 2⌊n/4⌋, 3⌊n/4⌋ — same rationale as ivfAssigned's
+    * stride seeding: consecutive ids sample one id-local slice and
+    * collapse the codebook on any corpus with id locality) + one Lloyd
+    * round with double-mean centroids. Bounded driver materialization
+    * (≤ 8×4 cells × 8 doubles), same rationale as q_sim_ann_ivf's
+    * centroid loop. */
+  private def pqCodebooks(s: SparkSession, subs: DataFrame,
+      n: Long): DataFrame = {
     import s.implicits._
-    val seeds = subs.where(col("vec_id").between(3, 6))
-      .select((col("vec_id") - 3).as("c"), col("s"), col("sv").as("cv"))
+    val st = math.max(1L, n / 4)
+    val seeds = subs.where(col("vec_id") % st === 0 &&
+        col("vec_id") < st * 4)
+      .select((col("vec_id") / st).cast("long").as("c"),
+        col("s"), col("sv").as("cv"))
     val sums = (0 until 8).map(i =>
       sum(element_at(col("sv"), i + 1).cast("decimal(30,12)")).as(s"m$i"))
     pqAssign(subs, seeds)
@@ -155,8 +162,17 @@ object Similarity {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nsq", decimal_dot(col("v"), col("v")).cast("double"))
+    val n = e.count()
     val k = s.conf.getOption("spark.graft.semantic.cells")
-      .map(_.toInt).getOrElse(ivfCells(e.count()))
+      .map(_.toInt).getOrElse(ivfCells(n))
+    // Seeds are STRIDE-SPREAD (every ⌊n/k⌋-th id), not consecutive:
+    // consecutive ids sample one narrow slice of the corpus — on any
+    // corpus with locality in its id order (duplicates land adjacent,
+    // crawls cluster by site, an amplified test corpus interleaves
+    // replicas) that collapses the effective centroid count and with it
+    // the clustering. Stride seeding is the deterministic, RNG-free,
+    // SQL-replayable analogue of uniform seed sampling.
+    val stride = math.max(1L, n / k)
     def nearest(cents: DataFrame): DataFrame =
       e.join(broadcast(cents.withColumn("cnsq",
           decimal_dot(col("cv"), col("cv")).cast("double"))))
@@ -167,7 +183,8 @@ object Similarity {
           Window.partitionBy(col("vec_id"))
             .orderBy(col("sim").desc, col("cent_id"))))
         .where(col("rn") === 1)
-    var cents = e.where(col("vec_id").between(3, 2 + k))
+    var cents = e.where(col("vec_id") % stride === 0 &&
+        col("vec_id") < stride * k)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
     for (_ <- 1 to 2) {
       val sums = (0 until 64).map(i =>
@@ -322,10 +339,10 @@ object Similarity {
         .orderBy(col("query_id"), col("rn"))
     }),
 
-    // IVF-style ANN: coarse-quantize to the nearest of 8 centroids from a
-    // real (if short) Lloyd's k-means — deterministic seeds (vec_id 3..10)
-    // refined by 2 assign/recompute rounds — then probe only the query's
-    // cell. The k-means is the scale shape: assignment is a broadcast
+    // IVF-style ANN: coarse-quantize to the nearest of k = ⌊√n⌋ centroids
+    // from a real (if short) Lloyd's k-means — deterministic stride-spread
+    // seeds refined by 2 assign/recompute rounds (ivfAssigned) — then
+    // probe only the query's cell. The k-means is the scale shape: assignment is a broadcast
     // join over one corpus scan, and the centroid update reuses the
     // no-explode 64-sums-in-one-groupBy trick of q_sim_centroids (only
     // 8×64 doubles ever return to the driver-side plan as the next
@@ -398,7 +415,7 @@ object Similarity {
 
     // Product-quantization ANN (IVF-PQ's compression half): split the
     // 64-dim vector into 8 subspaces of 8 dims, learn a 4-centroid
-    // codebook per subspace (seeds = sub-vectors of vec_id 3..6, one
+    // codebook per subspace (stride-spread seed sub-vectors, one
     // deterministic Lloyd round — the full-k-means story is
     // q_sim_ann_ivf; PQ's own content is the subspace decomposition),
     // encode every vector as 8 codes (64 doubles → 8 × 2 bits — the
@@ -417,7 +434,7 @@ object Similarity {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val subs = pqSubs(e)
-      val cents1 = pqCodebooks(s, subs)
+      val cents1 = pqCodebooks(s, subs, e.count())
       val codes = pqCodes(subs, cents1)
       val lut = pqLut(subs, cents1)
       val ad = codes.join(broadcast(lut), Seq("s", "c"))
@@ -454,7 +471,7 @@ object Similarity {
           element_at(srp_band_keys(col("v"), 1, cellBits), 1))
         .cache() // probe + rescore both read it; harness clears per query
       val subs = pqSubs(e.select(col("vec_id"), col("v")))
-      val cents1 = pqCodebooks(s, subs)
+      val cents1 = pqCodebooks(s, subs, e0.count())
       val codes = pqCodes(subs, cents1)
         .withColumnRenamed("vec_id", "neighbor_id")
       val lut = pqLut(subs, cents1)
@@ -625,24 +642,28 @@ object Similarity {
   )
 
   /** DuckDB replay of [[ivfAssigned]] — k = max(2, ⌊√COUNT(*)⌋) seed
-    * vectors (ids 3..2+k — the SQL spelling of [[ivfCells]], exact
-    * integer sqrt via MAX(b) WHERE b*b <= n), two Lloyd rounds with
-    * decimal-exact coordinate sums, final cosine assignment (ties →
-    * lowest centroid id) — ending in `w(vec_id, v, nsq, cell)`.
+    * vectors, stride-spread (every ⌊n/k⌋-th id — the SQL spelling of
+    * [[ivfCells]] + the stride seeding; exact integer sqrt via MAX(b)
+    * WHERE b*b <= n), two Lloyd rounds with decimal-exact coordinate
+    * sums, final cosine assignment (ties → lowest centroid id) —
+    * ending in `w(vec_id, v, nsq, cell)`.
     * Shared CTE prefix of the q_sim_ann_ivf and q_dedup_semantic oracles
     * so the clustering replay exists exactly once. */
   private val IvfCellsCtes: String =
     """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
       |           FROM embeddings),
-      |kp AS (SELECT GREATEST(2, (SELECT MAX(b)
+      |kp AS (SELECT k, GREATEST(1, (SELECT COUNT(*) FROM e) // k)
+      |         AS stride
+      |       FROM (SELECT GREATEST(2, (SELECT MAX(b)
       |         FROM generate_series(1, 46341) AS g(b)
-      |         WHERE b * b <= (SELECT COUNT(*) FROM e))) AS k),
+      |         WHERE b * b <= (SELECT COUNT(*) FROM e))) AS k)),
       |nv AS (SELECT vec_id, v,
       |        (SELECT CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE)
       |         FROM UNNEST(v) AS t(x)) AS nsq
       |       FROM e),
-      |c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
-      |       WHERE vec_id BETWEEN 3 AND 2 + (SELECT k FROM kp)),
+      |c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e CROSS JOIN kp
+      |       WHERE vec_id % kp.stride = 0
+      |         AND vec_id < kp.stride * kp.k),
       |a0 AS (SELECT q.vec_id, c.cent_id,
       |        (SELECT CAST(SUM(CAST(q.v[i] * c.cv[i] AS DECIMAL(30,12)))
       |                AS DOUBLE)
@@ -872,8 +893,9 @@ object Similarity {
         |SELECT query_id, neighbor_id, cos, rn FROM r
         |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin),
 
-    // Replays the full deterministic k-means trajectory: seed centroids
-    // (vec_id 3..10), two assign/update rounds with decimal-exact
+    // Replays the full deterministic k-means trajectory: k = ⌊√n⌋
+    // stride-spread seed centroids, two assign/update rounds with
+    // decimal-exact
     // similarities and UN-normalized decimal-sum centroids (cosine is
     // scale-invariant — see the query's comment), then the cell-probe
     // top-k. Assignment ties break by cent_id in both engines.
@@ -910,8 +932,8 @@ object Similarity {
         |FROM w LEFT JOIN rm ON w.vec_id = rm.vec_id
         |ORDER BY w.vec_id""".stripMargin),
 
-    // Replays the full PQ trajectory: 8×8 sub-vectors, seed codebooks
-    // (vec_id 3..6), one Lloyd round with decimal-exact squared-L2
+    // Replays the full PQ trajectory: 8×8 sub-vectors, stride-spread
+    // seed codebooks, one Lloyd round with decimal-exact squared-L2
     // assignment and double-mean centroids, corpus encoding, then the
     // ADC lookup-table sum. The subspace/centroid loops are
     // generate_series, so the SQL is generic over (s, c).
@@ -920,8 +942,10 @@ object Similarity {
         |           FROM embeddings),
         |sub AS (SELECT vec_id, ss.s AS s, v[ss.s*8+1 : ss.s*8+8] AS sv
         |        FROM e CROSS JOIN generate_series(0, 7) AS ss(s)),
-        |seed AS (SELECT vec_id - 3 AS c, s, sv AS cv FROM sub
-        |         WHERE vec_id BETWEEN 3 AND 6),
+        |seed AS (SELECT vec_id // sp.st AS c, s, sv AS cv FROM sub
+        |         CROSS JOIN (SELECT GREATEST(1,
+        |             (SELECT COUNT(*) FROM e) // 4) AS st) sp
+        |         WHERE vec_id % sp.st = 0 AND vec_id < sp.st * 4),
         |d0 AS (SELECT x.vec_id, x.s, sd.c, x.sv,
         |        (SELECT SUM(CAST((x.sv[i] - sd.cv[i]) * (x.sv[i] - sd.cv[i])
         |                AS DECIMAL(30,12)))
@@ -971,8 +995,10 @@ object Similarity {
         |           FROM embeddings),
         |sub AS (SELECT vec_id, ss.s AS s, v[ss.s*8+1 : ss.s*8+8] AS sv
         |        FROM e CROSS JOIN generate_series(0, 7) AS ss(s)),
-        |seed AS (SELECT vec_id - 3 AS c, s, sv AS cv FROM sub
-        |         WHERE vec_id BETWEEN 3 AND 6),
+        |seed AS (SELECT vec_id // sp.st AS c, s, sv AS cv FROM sub
+        |         CROSS JOIN (SELECT GREATEST(1,
+        |             (SELECT COUNT(*) FROM e) // 4) AS st) sp
+        |         WHERE vec_id % sp.st = 0 AND vec_id < sp.st * 4),
         |d0 AS (SELECT x.vec_id, x.s, sd.c, x.sv,
         |        (SELECT SUM(CAST((x.sv[i] - sd.cv[i]) * (x.sv[i] - sd.cv[i])
         |                AS DECIMAL(30,12)))

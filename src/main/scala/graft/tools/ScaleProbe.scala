@@ -435,6 +435,25 @@ object ScaleProbe {
           s""""wall_s":${f"$wall%.2f"},""" +
           s""""shuffle_mb":${(sw + sr) / 1048576}}""")
         spark.catalog.clearCache()
+
+        // The REAL operator (ivfAssigned: k = ⌊√n⌋ from ivfCells, two
+        // decimal-exact Lloyd rounds) driven at ×1/×10. Not at ×100:
+        // the operator's per-pair decimal arithmetic exists for
+        // bit-exact oracle replay — a production deployment swaps
+        // decimal_dot for the double cosine measured by the stride
+        // probe above, which IS the ×100 shape evidence.
+        if (f <= 10) {
+          val (outRows, wallQ, swQ, srQ, _, _) = measured(spark, agg) {
+            graft.SparkEntry.queries("q_dedup_semantic")(spark, dir)
+              .queryExecution.toRdd.count()
+          }
+          emit(s"""{"probe":"semantic_dedup_operator","factor":$f,""" +
+            s""""vectors":$nVec,"k":${
+              graft.operators.Similarity.ivfCells(nVec)},""" +
+            s""""rows_out":$outRows,"wall_s":${f"$wallQ%.2f"},""" +
+            s""""shuffle_mb":${(swQ + srQ) / 1048576}}""")
+          spark.catalog.clearCache()
+        }
       }
 
       // ---- 7. ANN recall@5 vs exact, at fixture and ×10 ------------
