@@ -552,6 +552,26 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("BPE fertility covers every language and cross-foots with bpe_stats") {
+    val rows = q("q_text_bpe_fertility").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val langs = graft.sources.Tables.documents(spark, sf)
+      .select(col("lang")).distinct().collect().map(_.getString(0)).toSet
+    assert(rows.map(_._1).toSet == langs, "one row per corpus language")
+    // per-doc stats summed over the corpus must equal the per-lang sums
+    val stats = q("q_text_bpe_stats").collect()
+    assert(rows.map(_._3).sum == stats.map(_.getLong(1)).sum, "word total")
+    assert(rows.map(_._4).sum == stats.map(_.getLong(5)).sum, "subword total")
+    rows.foreach { case (lang, nDocs, nWords, nSub, nChars, fertQ, tpmQ) =>
+      assert(nDocs > 0 && nWords >= nDocs, s"$lang doc/word counts")
+      // a word is >= 1 subword; a subword is >= 1 char
+      assert(fertQ >= 10000L, s"$lang fertility < 1 subword/word")
+      assert(nSub <= nChars, s"$lang more subwords than characters")
+      assert(tpmQ >= 0 && tpmQ <= 1000000L, s"$lang tokens/char out of range")
+    }
+  }
+
   test("int8 quantization error stays within the half-step bound") {
     val rows = q("q_embed_quantize").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
