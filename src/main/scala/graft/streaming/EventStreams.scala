@@ -430,6 +430,59 @@ object EventStreams {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // Streaming near-dup ADMISSION GATE over embeddings — the online
+    // shape of embedding dedup: newly-arriving vectors (the top fifth
+    // of the id space, streamed from the parquet drop zone) are checked
+    // against a static SRP-banded index of the existing corpus before
+    // being admitted. The stream side computes the same 64-band × 12-bit
+    // keys as the batch near-dup (q_dedup_embedding_lsh — same compiled
+    // SrpBandKeys planes, so batch index and stream arrivals agree on
+    // every bucket), candidates come from a stream-static LEFT band
+    // equi-join (static side re-read per micro-batch; at scale this is
+    // the index picking up compactions between batches), and each
+    // arrival is flagged with the lowest-id existing near-neighbor above
+    // the 0.4 rescore bar — approximate by the banding, deterministic by
+    // construction, so the full trajectory replays as a batch oracle.
+    // One stateful agg (per-arrival min/max) keeps it inside the
+    // single-aggregation streaming limit; band multiplicity never skews
+    // the result because min/max are duplicate-idempotent.
+    "q_stream_embed_dedup" -> ((s, d) => {
+      import graft.functions.VectorFunctions.{decimal_dot, srp_band_keys}
+      val embSchema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType)))
+      val all = graft.sources.Tables.embeddings(s, d)
+      val cut = all.count() * 4 / 5 // footer-read count, SQL-replayable
+      val statBk = all
+        .where(col("vec_id") < cut)
+        .select(col("vec_id").as("idx_id"),
+          col("embedding").cast("array<double>").as("iv"))
+        .withColumn("insq", decimal_dot(col("iv"), col("iv")).cast("double"))
+        .select(col("idx_id"), col("iv"), col("insq"),
+          posexplode(srp_band_keys(col("iv"), 64, 12))
+            .as(Seq("band", "bucket")))
+      val arrivals = s.readStream.schema(embSchema)
+        .parquet(s"$d/embeddings*.parquet")
+        .where(col("vec_id") >= cut)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nsq", decimal_dot(col("v"), col("v")).cast("double"))
+        .select(col("vec_id"), col("v"), col("nsq"),
+          posexplode(srp_band_keys(col("v"), 64, 12))
+            .as(Seq("band", "bucket")))
+      val scored = arrivals.join(statBk, Seq("band", "bucket"), "left")
+        .withColumn("cos_q",
+          floor(decimal_dot(col("v"), col("iv")).cast("double") /
+            sqrt(col("nsq") * col("insq")) * lit(1e6)).cast("long"))
+      val gated = scored.groupBy(col("vec_id"))
+        .agg(min(when(col("cos_q") > 400000L, col("idx_id"))).as("dup_of"),
+          max(when(col("cos_q") > 400000L, col("cos_q"))).as("best_cos_q"))
+      val out = gated.select(col("vec_id"), col("dup_of"), col("best_cos_q"),
+        when(col("dup_of").isNull, 0L).otherwise(1L).as("is_dup"))
+      runToMemory(s, out, "complete", s"sedup_${System.nanoTime()}")
+        .orderBy(col("vec_id"))
+    }),
+
     // Streaming end-to-end curation — the streaming twin of
     // q_pipeline_e2e, over a DOCUMENTS file stream (ingest-time shape: a
     // crawler drops parquet batches into a directory and curation runs
@@ -525,6 +578,59 @@ object EventStreams {
       """SELECT user_id, COUNT(*) AS n_types FROM (
         |  SELECT DISTINCT user_id, event_type FROM events)
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Batch replay of the streaming admission gate: identical SRP bands
+    // (the avalanched-hash plane spelling shared with the
+    // q_dedup_embedding_lsh oracle), identical cutoff from COUNT(*),
+    // decimal-exact rescore, per-arrival min/max over DISTINCT
+    // candidate pairs (the stream's band multiplicity is
+    // min/max-idempotent, so DISTINCT here is equivalent).
+    "q_stream_embed_dedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |cp AS (SELECT (SELECT COUNT(*) FROM e) * 4 // 5 AS c),
+        |proj AS (
+        |  SELECT vec_id, p,
+        |    (SELECT SUM(v[j + 1] *
+        |        CASE WHEN (xor(h3, h3 >> 12) & 1) = 0
+        |             THEN 1.0 ELSE -1.0 END)
+        |     FROM (SELECT j,
+        |             (xor(h1, h1 >> 15) * 1540483477) % 2147483648 AS h3
+        |           FROM (SELECT j,
+        |                   ((p * 64 + j) * 2654435761) % 2147483648 AS h1
+        |                 FROM generate_series(0, 63) AS t(j)))) AS pr
+        |  FROM e CROSS JOIN generate_series(0, 767) AS pp(p)),
+        |bk AS (
+        |  SELECT vec_id, p // 12 AS band,
+        |    SUM(CASE WHEN pr > 0 THEN 1 << (11 - (p % 12)) ELSE 0 END)
+        |      AS bucket
+        |  FROM proj GROUP BY vec_id, p // 12),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS arr, b.vec_id AS idx
+        |  FROM bk a JOIN bk b
+        |    ON a.band = b.band AND a.bucket = b.bucket
+        |  CROSS JOIN cp
+        |  WHERE a.vec_id >= cp.c AND b.vec_id < cp.c),
+        |n AS (SELECT vec_id, v,
+        |        (SELECT CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE)
+        |         FROM UNNEST(v) AS t(x)) AS nsq
+        |      FROM e),
+        |sc AS (SELECT c2.arr, c2.idx,
+        |        CAST(FLOOR((SELECT CAST(SUM(CAST(a.v[i] * b.v[i]
+        |                       AS DECIMAL(30,12))) AS DOUBLE)
+        |                    FROM generate_series(1, 64) AS s(i))
+        |                   / SQRT(a.nsq * b.nsq) * 1e6) AS BIGINT) AS cos_q
+        |       FROM cand c2
+        |       JOIN n a ON a.vec_id = c2.arr
+        |       JOIN n b ON b.vec_id = c2.idx)
+        |SELECT n.vec_id,
+        |  MIN(CASE WHEN sc.cos_q > 400000 THEN sc.idx END) AS dup_of,
+        |  MAX(CASE WHEN sc.cos_q > 400000 THEN sc.cos_q END) AS best_cos_q,
+        |  CAST(CASE WHEN MIN(CASE WHEN sc.cos_q > 400000 THEN sc.idx END)
+        |            IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+        |FROM n CROSS JOIN cp LEFT JOIN sc ON sc.arr = n.vec_id
+        |WHERE n.vec_id >= cp.c
+        |GROUP BY n.vec_id ORDER BY n.vec_id""".stripMargin,
 
     "q_stream_join" ->
       """SELECT c.event_id AS click_id, c.user_id,

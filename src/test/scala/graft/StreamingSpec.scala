@@ -92,6 +92,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("streaming embed admission gate equals the batch LSH near-dup check") {
+    val rows = SparkEntry.queries("q_stream_embed_dedup")(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf).count()
+    val cut = n * 4 / 5
+    assert(rows.length == n - cut, "one verdict row per arriving vector")
+    assert(rows.forall(_.getLong(0) >= cut), "verdicts only for arrivals")
+    val flagged = rows.filter(_.getLong(3) == 1L)
+    assert(flagged.nonEmpty, "fixture plants cross-split near-dups")
+    flagged.foreach { r =>
+      assert(!r.isNullAt(1) && r.getLong(1) < cut,
+        "dup_of must point into the static index")
+      assert(r.getLong(2) > 400000L, "best cosine must clear the bar")
+    }
+    // batch replay with the same compiled band keys must agree exactly
+    import graft.functions.VectorFunctions.{decimal_dot, srp_band_keys}
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nsq", decimal_dot(col("v"), col("v")).cast("double"))
+      .select(col("vec_id"), col("v"), col("nsq"),
+        posexplode(srp_band_keys(col("v"), 64, 12)).as(Seq("band", "bucket")))
+    val batch = e.where(col("vec_id") >= cut)
+      .join(e.where(col("vec_id") < cut)
+          .select(col("vec_id").as("idx_id"), col("v").as("iv"),
+            col("nsq").as("insq"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .withColumn("cos_q",
+        floor(decimal_dot(col("v"), col("iv")).cast("double") /
+          sqrt(col("nsq") * col("insq")) * lit(1e6)).cast("long"))
+      .where(col("cos_q") > 400000L)
+      .groupBy(col("vec_id"))
+      .agg(min(col("idx_id")).as("dup_of"), max(col("cos_q")).as("best"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val streamed = flagged
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(streamed == batch)
+  }
+
   test("a restarted stream resumes from its checkpoint exactly once") {
     // the recovery contract a 100 TB ingest relies on: the file source
     // records processed files in the checkpoint's offset log and the
