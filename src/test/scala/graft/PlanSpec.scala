@@ -85,6 +85,18 @@ class PlanSpec extends AnyFunSuite {
       "candidate pairs must equi-join on the cell id:\n" + p)
   }
 
+  test("bpe fertility word-stats join is an equi-join with hash aggregation") {
+    val p = plan("q_text_bpe_fertility")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "word→stats must be an equi-join on the word key:\n" + p)
+    // per-lang rollup must partial-aggregate (map-side combine) — a
+    // low-cardinality key over an exploded word stream would otherwise
+    // shuffle every word row
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      "lang aggregate must be partial+final hash aggregation:\n" + p)
+  }
+
   test("langid token explode is cached and reused, not recomputed") {
     val p = SparkEntry.queries("q_text_langid")(spark, sfDir)
       .queryExecution.executedPlan.toString
