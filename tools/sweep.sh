@@ -1,0 +1,26 @@
+#!/usr/bin/env bash
+# Cross-scale parity sweep — step (3) of SURVEY.md's shared-kernel
+# discipline: run the full Verify + DuckDB paritycheck at every fixture
+# scale, AFTER the last kernel-touching commit.
+#
+#   tools/sweep.sh                 # full sweep, all three SFs
+#   tools/sweep.sh q_a q_b         # targeted: only the named queries
+#
+# sf0.001/sf0.01 finish in minutes. The FULL sf0.1 leg takes hours in
+# DuckDB (recursive-CC and all-pairs oracles) but only occupies 2-3
+# cores — background it and keep working, or pass the changed queries
+# explicitly for a minutes-long targeted check.
+set -u
+cd "$(dirname "$0")/.."
+queries="$*"
+fail=0
+for sf in sf0.001 sf0.01 sf0.1; do
+  out="/tmp/graft_sweep_${sf}"
+  echo "== $sf =="
+  sbt -batch "runMain graft.Verify /root/testdata/$sf $out $queries" \
+    > "/tmp/graft_sweep_${sf}.log" 2>&1 \
+    || { echo "VERIFY FAILED at $sf (see /tmp/graft_sweep_${sf}.log)"; fail=1; continue; }
+  python3 tools/paritycheck.py "/root/testdata/$sf" "$out" $queries \
+    | tail -3 || fail=1
+done
+exit $fail
