@@ -422,6 +422,48 @@ object Dedup {
     // Exact n-gram Jaccard near-dup (ground truth for the LSH variant).
     "q_dedup_ngram_jaccard" -> ((s, d) => ngramJaccardPairs(s, d)),
 
+    // Asymmetric n-gram CONTAINMENT (|A∩B| / |A|): catches quotation /
+    // subset duplication that symmetric Jaccard structurally misses — a
+    // short doc fully quoted inside a long one has Jaccard ≈ |A|/|B|
+    // (tiny) but containment 1.0, and containment-based pruning is a
+    // standard second pass after exact/near dedup in training-data
+    // pipelines. Same inverted-index candidate machinery as
+    // q_dedup_ngram_jaccard (stop-shingle df cap, join-row counting, no
+    // arrays through the join); both directions derive from ONE a<b
+    // pair table and union, each emitted as (contained, container) with
+    // the family's 1e6-floor-quantized score.
+    "q_dedup_containment" -> ((s, d) => {
+      val g = withShingles(s, d)
+      val ex = g.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      val rare = ex.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("df"))
+        .where(col("df") <= ShingleDfCap)
+        .select(col("shingle"))
+      val exRare = ex.join(rare, Seq("shingle"))
+      val sizes = exRare.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = exRare.as("a").join(exRare.as("b"),
+          col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      val scored = inter
+        .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          col("sa.n").as("na"), col("sb.n").as("nb"))
+      val aInB = scored.select(col("doc_a").as("contained"),
+        col("doc_b").as("container"),
+        floor(col("inter").cast("double") / col("na").cast("double")
+          * lit(1e6)).cast("long").as("containment_q"))
+      val bInA = scored.select(col("doc_b").as("contained"),
+        col("doc_a").as("container"),
+        floor(col("inter").cast("double") / col("nb").cast("double")
+          * lit(1e6)).cast("long").as("containment_q"))
+      aInB.unionAll(bInA)
+        .where(col("containment_q") > 800000L)
+        .orderBy(col("contained"), col("container"))
+    }),
+
     // MinHash + LSH near-dup: 32 minhashes (hash family h_k(s) =
     // xxhash64(s, k)), 16 bands × 2 rows, bucket-join for candidates,
     // exact-Jaccard verify. With the fixture's near-dups at J ≥ 0.88 the
@@ -910,6 +952,33 @@ object Dedup {
         |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_ngram_jaccard" -> ngramOracle,
+
+    // Full-set containment replay (no df cap — provably lossless at
+    // fixture scale, same argument as the Jaccard oracle), both
+    // directions from one a<b pair table.
+    "q_dedup_containment" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                       for i in generate_series(1, len(w) - 2)])
+        |      ELSE [array_to_string(w, ' ')] END AS sh
+        |      FROM t),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        len(list_intersect(a.sh, b.sh)) AS inter,
+        |        len(a.sh) AS na, len(b.sh) AS nb
+        |      FROM g a JOIN g b ON a.doc_id < b.doc_id),
+        |u AS (
+        |  SELECT doc_a AS contained, doc_b AS container,
+        |    CAST(FLOOR(inter / na * 1e6) AS BIGINT) AS containment_q
+        |  FROM p
+        |  UNION ALL
+        |  SELECT doc_b, doc_a,
+        |    CAST(FLOOR(inter / nb * 1e6) AS BIGINT)
+        |  FROM p)
+        |SELECT contained, container, containment_q FROM u
+        |WHERE containment_q > 800000
+        |ORDER BY contained, container""".stripMargin,
     "q_dedup_minhash_lsh" -> ngramOracle,
 
     // Full replay of the SimHash pipeline: shingles → neutral 40-bit

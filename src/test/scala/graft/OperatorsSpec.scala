@@ -17,6 +17,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("containment flags subset duplication both ways, bounded by 1") {
+    val rows = q("q_dedup_containment").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty, "fixture plants exact dups ⇒ containment 1.0")
+    assert(rows.forall { case (a, b, cq) =>
+      a != b && cq > 800000L && cq <= 1000000L })
+    // identical-shingle pairs (Jaccard exactly 1 — exact doubles, n/n)
+    // must contain each other perfectly, in both directions; sf0.001
+    // plants none, so the check is data-driven rather than assumed
+    val full = rows.filter(_._3 == 1000000L).map(t => (t._1, t._2)).toSet
+    val j1 = q("q_dedup_ngram_jaccard").collect()
+      .filter(_.getDouble(2) == 1.0).map(r => (r.getLong(0), r.getLong(1)))
+    j1.foreach { case (a, b) =>
+      assert(full.contains((a, b)) && full.contains((b, a)),
+        s"identical-shingle pair ($a,$b) must contain both ways")
+    }
+    // containment ≥ Jaccard for every symmetric near-dup pair (algebra:
+    // inter/min(na,nb) ≥ inter/(na+nb-inter)) — the asymmetric score
+    // can only widen the net, never narrow it
+    val cmap = rows.map(t => ((t._1, t._2), t._3)).toMap
+    q("q_dedup_ngram_jaccard").collect()
+      .filter(_.getDouble(2) > 0.81)
+      .foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        assert(cmap.contains((a, b)) || cmap.contains((b, a)),
+          s"jaccard>0.81 pair ($a,$b) missing from containment")
+      }
+  }
+
   test("SRP bucket-size cap is provably inactive at fixture scale") {
     import graft.functions.VectorFunctions.srp_band_keys
     // the q_dedup_embedding_lsh skew bound drops (band,bucket) cells
