@@ -209,6 +209,52 @@ object Curation {
         .orderBy(col("source"))
     }),
 
+    // DSIR-style importance resampling (Data Selection via Importance
+    // Resampling, Xie et al. 2023): score every raw document by how
+    // target-like its hashed-n-gram profile is — log p_target/p_raw
+    // summed over the doc's hashed unigram buckets — then keep the
+    // top-k. Target distribution = the `lang = 'en'` slice; features =
+    // the same 64 hashed token buckets as q_text_classifier. The two
+    // bag-of-buckets models are Laplace-smoothed bucket frequencies;
+    // per-bucket log-ratios are quantized to integers (1e6 grid, the
+    // q_text_lm_score pattern) so the per-doc score is an exact integer
+    // sum both engines reproduce bit-for-bit. Scale shape: the bucket
+    // stats are ONE token-level map-side-combined aggregate onto 64
+    // rows; those 64 (bucket, weight) longs come back to the driver
+    // (bounded, 512 bytes — the centroid-table pattern) and re-enter
+    // the plan as an array literal, so the scoring pass is a pure scan
+    // stage: one aggregate() fold per doc, no corpus shuffle, and the
+    // global top-200 is TakeOrderedAndProject (per-partition heaps, no
+    // full sort).
+    "q_curation_dsir" -> ((s, d) => {
+      val bucket = "pmod(ascii(t) * 31 + length(t), 64)"
+      val stats = Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("t"))
+        .select(col("lang"), expr(bucket).as("b"))
+        .groupBy(col("b"))
+        .agg(count(lit(1)).as("n_r"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_t"))
+        .collect().map(r => r.getInt(0) ->
+          (r.getLong(1), r.getLong(2))).toMap
+      val totR = stats.valuesIterator.map(_._1).sum
+      val totT = stats.valuesIterator.map(_._2).sum
+      val lw = (0 until 64).map { b =>
+        val (nR, nT) = stats.getOrElse(b, (0L, 0L))
+        math.floor(math.log(
+          ((nT + 1).toDouble * (totR + 64).toDouble) /
+            ((nR + 1).toDouble * (totT + 64).toDouble)) * 1e6).toLong
+      }
+      val lwLit = array(lw.map(lit(_)): _*)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          aggregate(split(col("text"), " "), lit(0L), (acc, t) =>
+            acc + element_at(lwLit,
+              (pmod(ascii(t) * lit(31) + length(t), lit(64)) + lit(1))
+                .cast("int"))).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(200)
+        .orderBy(col("doc_id"))
+    }),
+
     // PII scrubbing: regex redaction of emails and phone-shaped strings,
     // with per-doc redaction counts and a digest of the scrubbed text.
     // The fixture corpus contains no PII, so the query first INJECTS
@@ -357,6 +403,39 @@ object Curation {
         |  CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum
         |FROM r WHERE rk <= 15
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_curation_dsir" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |bk AS (SELECT doc_id, lang,
+        |         (ascii(t) * 31 + length(t)) % 64 AS b FROM tok),
+        |st AS (SELECT b, COUNT(*) AS n_r,
+        |         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_t
+        |       FROM bk GROUP BY b),
+        |spine AS (SELECT UNNEST(generate_series(0, 63)) AS b),
+        |f AS (SELECT spine.b, COALESCE(st.n_r, 0) AS n_r,
+        |        COALESCE(st.n_t, 0) AS n_t
+        |      FROM spine LEFT JOIN st USING (b)),
+        |tot AS (SELECT CAST(SUM(n_r) AS BIGINT) AS nr,
+        |          CAST(SUM(n_t) AS BIGINT) AS nt FROM f),
+        |w AS (SELECT b,
+        |        CAST(FLOOR(LN(
+        |          (CAST(n_t + 1 AS DOUBLE) * CAST(nr + 64 AS DOUBLE)) /
+        |          (CAST(n_r + 1 AS DOUBLE) * CAST(nt + 64 AS DOUBLE)))
+        |          * 1e6) AS BIGINT) AS lw
+        |      FROM f CROSS JOIN tot),
+        |lwl AS (SELECT LIST(lw ORDER BY b) AS lws FROM w),
+        |sc AS (SELECT doc_id, lang,
+        |         CAST(COALESCE(list_sum(list_transform(
+        |           string_split(text, ' '),
+        |           t -> lws[((ascii(t) * 31 + length(t)) % 64) + 1])), 0)
+        |           AS BIGINT) AS score
+        |       FROM documents CROSS JOIN lwl),
+        |sel AS (SELECT doc_id, lang, score FROM sc
+        |        ORDER BY score DESC, doc_id LIMIT 200)
+        |SELECT doc_id, lang, score FROM sel ORDER BY doc_id""".stripMargin,
 
     "q_pii_scrub" ->
       """WITH a AS (

@@ -49,6 +49,37 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // Character-distribution quality signals: Shannon entropy (nats) and
+    // the Simpson concentration numerator over the 26 lowercase-letter
+    // frequencies. Low entropy / high concentration flags degenerate
+    // text (aaaa..., single-char spam) that length- and stopword-based
+    // gates miss. Per-letter counts come from the length-minus-replace
+    // trick over a 26-element transform — no explode, no shuffle: the
+    // whole signal computes inside the scan stage. Entropy terms are
+    // per-term 1e9-floor-quantized (the q_text_lm_score pattern) so the
+    // per-doc sum is an exact integer both engines agree on bit-for-bit;
+    // the Simpson numerator Σc·(c−1) is exact integer arithmetic
+    // outright (denominator n·(n−1) is derivable from n_letters, so
+    // only integers ship).
+    "q_text_entropy" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), expr(
+          """transform(sequence(97, 122), c ->
+            |  CAST(length(text) - length(replace(text, chr(c), ''))
+            |       AS BIGINT))""".stripMargin).as("cnt"))
+        .select(col("doc_id"), col("cnt"),
+          expr("aggregate(cnt, 0L, (acc, c) -> acc + c)").as("n_letters"))
+        .select(col("doc_id"), col("n_letters"),
+          expr("aggregate(cnt, 0L, (acc, c) -> acc + c * (c - 1))")
+            .as("simpson_num"),
+          expr(
+            """aggregate(cnt, 0L, (acc, c) -> acc + IF(c > 0,
+              |  CAST(FLOOR(-((CAST(c AS DOUBLE) / CAST(n_letters AS DOUBLE))
+              |    * LN(CAST(c AS DOUBLE) / CAST(n_letters AS DOUBLE)))
+              |    * 1e9) AS BIGINT), 0L))""".stripMargin).as("entropy_nn"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Tokenization: whitespace count vs a BPE-ish regex ([a-z]+ runs,
     // digit runs, single other glyphs) — the regex subset chosen to
     // behave identically under Java regex and RE2.
@@ -562,6 +593,27 @@ object TextAnalysis {
         |  array_to_string(w[s : s + 31], ' ') AS chunk,
         |  CAST(LEAST(32, len(w) - s + 1) AS INT) AS chunk_tokens
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_text_entropy" ->
+      """WITH c0 AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(97, 122), c ->
+        |      CAST(length(text)
+        |           - length(replace(text, chr(CAST(c AS INTEGER)), ''))
+        |           AS BIGINT)) AS cnt
+        |  FROM documents),
+        |n AS (SELECT doc_id, cnt,
+        |        CAST(list_sum(cnt) AS BIGINT) AS n_letters FROM c0)
+        |SELECT doc_id, n_letters,
+        |  CAST(COALESCE(list_sum(list_transform(cnt,
+        |    c -> c * (c - 1))), 0) AS BIGINT) AS simpson_num,
+        |  CAST(COALESCE(list_sum(list_transform(cnt, c ->
+        |    CASE WHEN c > 0 THEN
+        |      CAST(FLOOR(-((CAST(c AS DOUBLE) / CAST(n_letters AS DOUBLE))
+        |        * LN(CAST(c AS DOUBLE) / CAST(n_letters AS DOUBLE)))
+        |        * 1e9) AS BIGINT)
+        |    ELSE 0 END)), 0) AS BIGINT) AS entropy_nn
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     "q_text_tfidf" ->
       """WITH tok AS (

@@ -305,6 +305,64 @@ class OperatorsSpec extends AnyFunSuite {
     })
   }
 
+  test("char entropy matches an independent in-memory reimplementation") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = q("q_text_entropy").collect()
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val (id, n, simpson, ent) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val cnts = ('a' to 'z').map(c => docs(id).count(_ == c).toLong)
+      assert(n == cnts.sum)
+      assert(simpson == cnts.map(c => c * (c - 1)).sum)
+      // identical quantization arithmetic, so equality is exact
+      val expected = cnts.filter(_ > 0).map { c =>
+        math.floor(-((c.toDouble / n.toDouble) *
+          math.log(c.toDouble / n.toDouble)) * 1e9).toLong
+      }.sum
+      assert(ent == expected, s"doc $id entropy $ent != $expected")
+      // Shannon bound: 0 ≤ H ≤ ln 26
+      assert(ent >= 0 && ent <= math.ceil(math.log(26.0) * 1e9).toLong)
+    }
+  }
+
+  test("DSIR selection is enriched toward the en target distribution") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val corpusEnFrac = docs.where(col("lang") === "en").count().toDouble /
+      docs.count()
+    val sel = q("q_curation_dsir").collect()
+    assert(sel.length == 200)
+    assert(sel.map(_.getLong(0)).distinct.length == 200)
+    val selEnFrac = sel.count(_.getString(1) == "en").toDouble / sel.length
+    // importance resampling toward p_target must over-represent en
+    assert(selEnFrac > corpusEnFrac,
+      s"selected en frac $selEnFrac should exceed corpus $corpusEnFrac")
+    // independent in-memory reimplementation: same hashed buckets,
+    // Laplace smoothing, and 1e6-floor log-ratio weights ⇒ the selected
+    // id set and every score must match exactly
+    val all = docs.select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def bucket(t: String): Int = (t.head.toInt * 31 + t.length) % 64
+    val nR = Array.fill(64)(0L); val nT = Array.fill(64)(0L)
+    all.foreach { case (_, lang, text) =>
+      text.split(' ').foreach { t =>
+        val b = bucket(t); nR(b) += 1; if (lang == "en") nT(b) += 1
+      }
+    }
+    val (totR, totT) = (nR.sum, nT.sum)
+    val lw = Array.tabulate(64) { b =>
+      math.floor(math.log(((nT(b) + 1).toDouble * (totR + 64).toDouble) /
+        ((nR(b) + 1).toDouble * (totT + 64).toDouble)) * 1e6).toLong
+    }
+    val expected = all.map { case (id, _, text) =>
+      id -> text.split(' ').map(t => lw(bucket(t))).sum
+    }.sortBy { case (id, sc) => (-sc, id) }.take(200).toMap
+    assert(sel.map(_.getLong(0)).toSet == expected.keySet)
+    sel.foreach(r => assert(r.getLong(2) == expected(r.getLong(0))))
+  }
+
   test("language-id predicts a known language for every document") {
     val langs = graft.sources.Tables.documents(spark, sf)
       .select("lang").distinct().collect().map(_.getString(0)).toSet
