@@ -209,6 +209,33 @@ object Curation {
         .orderBy(col("source"))
     }),
 
+    // CCNet-style perplexity bucketing: per language, rank documents by
+    // their statistical-LM score (the shared add-1 bigram scorer behind
+    // q_text_lm_score) and split into head/middle/tail terciles — the
+    // classic quality-stratified mix a pretraining corpus is assembled
+    // from (head kept, middle sampled, tail dropped). The sort key is
+    // the per-doc mean log-prob (one double division of two exact
+    // integers — identical on both engines; ties broken by doc_id), but
+    // the published columns are pure integers: per (lang, tercile)
+    // counts plus an id-sum digest proving WHICH docs landed in each
+    // bucket. Docs too short to carry a bigram have no LM score and are
+    // excluded by the join, same as the oracle. Scale shape: the LM is
+    // corpus-trained (bigram/unigram aggregates), the tercile window is
+    // per-language, and only (doc_id, lang, two ints) rows shuffle.
+    "q_mix_ccnet" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("avg_lp").desc, col("doc_id"))
+      Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .join(TextAnalysis.lmDocScores(s, d), "doc_id")
+        .withColumn("avg_lp",
+          col("score_q").cast("double") / col("n_bigrams").cast("double"))
+        .withColumn("bucket", ntile(3).over(w).cast("long"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("lang"), col("bucket"))
+    }),
+
     // DSIR-style importance resampling (Data Selection via Importance
     // Resampling, Xie et al. 2023): score every raw document by how
     // target-like its hashed-n-gram profile is — log p_target/p_raw
@@ -403,6 +430,23 @@ object Curation {
         |  CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum
         |FROM r WHERE rk <= 15
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // Rides TextAnalysis.LmScoreCtes so the LM derivation has exactly
+    // one SQL replica (shared-kernel discipline).
+    "q_mix_ccnet" ->
+      (s"WITH ${TextAnalysis.LmScoreCtes},\n" +
+        """dl AS (SELECT d.doc_id, d.lang,
+          |         CAST(lm.score_q AS DOUBLE)
+          |           / CAST(lm.n_bigrams AS DOUBLE) AS avg_lp
+          |       FROM documents d JOIN lm ON lm.doc_id = d.doc_id),
+          |b AS (SELECT lang, doc_id,
+          |        NTILE(3) OVER (PARTITION BY lang
+          |                       ORDER BY avg_lp DESC, doc_id) AS bucket
+          |      FROM dl)
+          |SELECT lang, bucket, COUNT(*) AS n_docs,
+          |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+          |FROM b GROUP BY lang, bucket
+          |ORDER BY lang, bucket""".stripMargin),
 
     "q_curation_dsir" ->
       """WITH tok AS (

@@ -560,6 +560,49 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // Graph centrality over the near-dup graph: 5 rounds of integer
+    // PageRank (teleport 0.15). Centrality ranks which copy of a
+    // duplicated document is the "hub" — an influence signal for
+    // canonical selection beyond q_dedup_canonical's per-doc quality
+    // argmax. All arithmetic is INTEGER nano-rank (per-neighbor
+    // contribution r div deg, damping (85·m) div 100), so the fixpoint
+    // iteration is bit-exact on both engines — no float accumulation
+    // order to disagree on. Scale shape: each round is one edge⋈rank
+    // join + one groupBy(dst) over the near-dup edge list (tiny —
+    // survivors only) and the per-round label table is localCheckpointed
+    // so the plan doesn't double per round (the CC-loop discipline);
+    // the only driver traffic is the node count.
+    "q_graph_pagerank" -> ((s, d) => {
+      val pairs = ngramJaccardPairsRaw(s, d)
+        .select(col("doc_a"), col("doc_b")).cache()
+      val edges = pairs.unionAll(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .toDF("src", "dst")
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val nodes = Tables.documents(s, d).select(col("doc_id"))
+      val n = nodes.count() // bounded driver scalar (node count)
+      val base = 1000000000L / n
+      val tele = 15L * base / 100L
+      var ranks = nodes.select(col("doc_id"), lit(base).as("r"))
+        .localCheckpoint()
+      for (_ <- 1 to 5) {
+        val mass = edges.join(deg, "src")
+          .join(ranks.withColumnRenamed("doc_id", "src"), "src")
+          .select(col("dst"), expr("r div deg").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("m"))
+        ranks = nodes.join(mass, nodes("doc_id") === mass("dst"), "left")
+          .select(col("doc_id"),
+            expr(s"$tele + (85 * coalesce(m, 0L)) div 100").as("r"))
+          .localCheckpoint()
+      }
+      pairs.unpersist()
+      ranks
+        .join(deg, ranks("doc_id") === deg("src"), "left")
+        .select(col("doc_id"), col("r").as("rank_nn"),
+          coalesce(col("deg"), lit(0L)).as("deg"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Cluster resolution on the large-star/small-star path — the
     // diameter-independent web-scale swap for the pointer-jumping loop
     // above (Kiveris et al., "Connected Components in MapReduce and
@@ -1113,6 +1156,49 @@ object Dedup {
         |  ) SELECT id, MIN(lbl) AS keep_id FROM reach GROUP BY id)
         |SELECT id AS doc_id, keep_id, (id = keep_id) AS is_keeper
         |FROM rec ORDER BY doc_id""".stripMargin,
+
+    // Same pair/edge CTEs as clusters; the 5 PageRank rounds unroll into
+    // r1..r5, each replaying the integer update (tele + (85·m) div 100)
+    // exactly.
+    "q_graph_pagerank" -> {
+      val rounds = (1 to 5).map { k =>
+        s"""r$k AS (SELECT nd.doc_id,
+           |  (SELECT tele FROM params)
+           |    + (85 * COALESCE(s.m, 0)) // 100 AS r
+           |  FROM nodes nd LEFT JOIN (
+           |    SELECT e.dst, CAST(SUM(r${k - 1}.r // dg.deg) AS BIGINT) AS m
+           |    FROM edges e JOIN dg USING (src)
+           |    JOIN r${k - 1} ON r${k - 1}.doc_id = e.src
+           |    GROUP BY e.dst) s ON s.dst = nd.doc_id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+         |           FROM documents),
+         |g AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+         |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                       for i in generate_series(1, len(w) - 2)])
+         |      ELSE [array_to_string(w, ' ')] END AS sh
+         |      FROM t),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |        len(list_intersect(a.sh, b.sh)) AS inter,
+         |        len(a.sh) AS na, len(b.sh) AS nb
+         |      FROM g a JOIN g b ON a.doc_id < b.doc_id),
+         |pairs AS (SELECT doc_a, doc_b FROM p
+         |          WHERE inter / (na + nb - inter) > 0.5),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT doc_id FROM documents),
+         |params AS (SELECT 1000000000 // COUNT(*) AS base,
+         |             (15 * (1000000000 // COUNT(*))) // 100 AS tele
+         |           FROM nodes),
+         |dg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+         |r0 AS (SELECT doc_id, (SELECT base FROM params) AS r FROM nodes),
+         |$rounds
+         |SELECT nd.doc_id, r5.r AS rank_nn,
+         |  COALESCE(dg.deg, 0) AS deg
+         |FROM nodes nd JOIN r5 ON r5.doc_id = nd.doc_id
+         |LEFT JOIN dg ON dg.src = nd.doc_id
+         |ORDER BY nd.doc_id""".stripMargin
+    },
 
     // Clusters twin + integer-quality argmax per cluster.
     "q_dedup_canonical" ->

@@ -16,6 +16,62 @@ import graft.functions.VectorFunctions.rolling_fingerprint
   */
 object TextAnalysis {
 
+  /** Shared CCNet-style statistical LM scorer: an add-1-smoothed bigram
+    * LM trained on the corpus itself, Σ log p(wᵢ|wᵢ₋₁) per document,
+    * floor-quantized at 1e4 per distinct bigram so the per-doc score is
+    * an exact integer sum (see q_text_lm_score's oracle). Factored out
+    * because q_text_lm_score publishes it directly and q_mix_ccnet
+    * (Curation) buckets corpora by it — ONE derivation, two consumers
+    * (the shared-kernel discipline, SURVEY.md). Returns
+    * (doc_id, n_bigrams, score_q), unsorted. */
+  private[operators] def lmDocScores(s: SparkSession, d: String): DataFrame = {
+    val toksD = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val big = toksD.select(col("doc_id"), explode(expr(
+        """CASE WHEN size(toks) >= 2 THEN
+          |  transform(sequence(1, size(toks) - 1),
+          |    i -> named_struct('a', element_at(toks, i),
+          |                      'b', element_at(toks, i + 1)))
+          |ELSE array() END""".stripMargin)).as("bg"))
+      .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+    val c2 = big.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+    val c1 = big.groupBy(col("a")).agg(count(lit(1)).as("n_a"))
+    val vocab = toksD.select(explode(col("toks")).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    big.join(c2, Seq("a", "b")).join(c1, Seq("a"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        floor(log((col("n_ab") + 1).cast("double") /
+          (col("n_a") + col("v")).cast("double")) * lit(1e4))
+          .cast("long").as("lp_q"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_q")).as("score_q"))
+  }
+
+  /** DuckDB CTE block replaying [[lmDocScores]] — shared verbatim by the
+    * q_text_lm_score and q_mix_ccnet oracles so the replica can't drift.
+    * Ends with `lm(doc_id, n_bigrams, score_q)`. */
+  private[operators] val LmScoreCtes: String =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents),
+      |p0 AS (SELECT doc_id,
+      |         UNNEST([struct_pack(a := toks[i], b := toks[i + 1])
+      |                 for i in generate_series(1, len(toks) - 1)]) AS bg
+      |       FROM t WHERE len(toks) >= 2),
+      |p AS (SELECT doc_id, bg.a AS a, bg.b AS b FROM p0),
+      |c2 AS (SELECT a, b, COUNT(*) AS n_ab FROM p GROUP BY a, b),
+      |c1 AS (SELECT a, COUNT(*) AS n_a FROM p GROUP BY a),
+      |v AS (SELECT COUNT(DISTINCT tk) AS v
+      |      FROM (SELECT UNNEST(toks) AS tk FROM t)),
+      |sc AS (SELECT p.doc_id,
+      |         CAST(FLOOR(LN(CAST(c2.n_ab + 1 AS DOUBLE)
+      |                       / CAST(c1.n_a + v.v AS DOUBLE)) * 1e4)
+      |              AS BIGINT) AS lp_q
+      |       FROM p JOIN c2 USING (a, b) JOIN c1 USING (a) CROSS JOIN v),
+      |lm AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+      |         CAST(SUM(lp_q) AS BIGINT) AS score_q
+      |       FROM sc GROUP BY doc_id)""".stripMargin
+
   val defs: Map[String, Q] = Map(
 
     // Per-document surface statistics. avg_word_len derives from the
@@ -179,30 +235,7 @@ object TextAnalysis {
     // one groupBy of (a, b) pairs; doc scoring joins (doc_id, a, b)
     // triples — never text — against the count tables; the vocab size
     // is a scalar broadcast.
-    "q_text_lm_score" -> ((s, d) => {
-      val toksD = Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      val big = toksD.select(col("doc_id"), explode(expr(
-          """CASE WHEN size(toks) >= 2 THEN
-            |  transform(sequence(1, size(toks) - 1),
-            |    i -> named_struct('a', element_at(toks, i),
-            |                      'b', element_at(toks, i + 1)))
-            |ELSE array() END""".stripMargin)).as("bg"))
-        .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
-      val c2 = big.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
-      val c1 = big.groupBy(col("a")).agg(count(lit(1)).as("n_a"))
-      val vocab = toksD.select(explode(col("toks")).as("t"))
-        .agg(countDistinct(col("t")).as("v"))
-      big.join(c2, Seq("a", "b")).join(c1, Seq("a"))
-        .crossJoin(broadcast(vocab))
-        .select(col("doc_id"),
-          floor(log((col("n_ab") + 1).cast("double") /
-            (col("n_a") + col("v")).cast("double")) * lit(1e4))
-            .cast("long").as("lp_q"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_q")).as("score_q"))
-        .orderBy(col("doc_id"))
-    }),
+    "q_text_lm_score" -> ((s, d) => lmDocScores(s, d).orderBy(col("doc_id"))),
 
     // Repetition quality signal (Gopher/C4-style): the fraction of a
     // document's word trigrams that are duplicates — high values flag
@@ -495,25 +528,9 @@ object TextAnalysis {
         |ORDER BY r.doc_id""".stripMargin,
 
     "q_text_lm_score" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-        |           FROM documents),
-        |p0 AS (SELECT doc_id,
-        |         UNNEST([struct_pack(a := toks[i], b := toks[i + 1])
-        |                 for i in generate_series(1, len(toks) - 1)]) AS bg
-        |       FROM t WHERE len(toks) >= 2),
-        |p AS (SELECT doc_id, bg.a AS a, bg.b AS b FROM p0),
-        |c2 AS (SELECT a, b, COUNT(*) AS n_ab FROM p GROUP BY a, b),
-        |c1 AS (SELECT a, COUNT(*) AS n_a FROM p GROUP BY a),
-        |v AS (SELECT COUNT(DISTINCT tk) AS v
-        |      FROM (SELECT UNNEST(toks) AS tk FROM t)),
-        |sc AS (SELECT p.doc_id,
-        |         CAST(FLOOR(LN(CAST(c2.n_ab + 1 AS DOUBLE)
-        |                       / CAST(c1.n_a + v.v AS DOUBLE)) * 1e4)
-        |              AS BIGINT) AS lp_q
-        |       FROM p JOIN c2 USING (a, b) JOIN c1 USING (a) CROSS JOIN v)
-        |SELECT doc_id, COUNT(*) AS n_bigrams,
-        |  CAST(SUM(lp_q) AS BIGINT) AS score_q
-        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      (s"WITH $LmScoreCtes\n" +
+        """SELECT doc_id, n_bigrams, score_q
+          |FROM lm ORDER BY doc_id""".stripMargin),
 
     "q_text_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w

@@ -756,6 +756,36 @@ object Extended {
     // from sequence() over the global bounds (one tiny aggregate, spine
     // broadcast), NOT from a per-key loop; the heavy side stays one
     // groupBy of the raw events.
+    // Batch sessionization: split each user's event stream wherever the
+    // inter-event gap exceeds 12 h, then aggregate per session — the
+    // batch twin of q_stream_session's session windows (same semantics,
+    // no watermark). Two stacked windows over the SAME
+    // (user_id ORDER BY m, event_id) partitioning — Spark plans one
+    // shuffle and one sort for both — then the session aggregate reuses
+    // that partitioning (user_id is a prefix of the grouping key), so
+    // the corpus shuffles once total. All session math is in epoch
+    // MICROS (exact integers on both engines); the value sum goes
+    // through the decimal-exact dsum.
+    "q_event_sessionize" -> ((s, d) => {
+      val gapUs = 43200000000L // 12 h
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("m"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"),
+          unix_micros(col("ts")).as("m"))
+        .withColumn("pm", lag(col("m"), 1).over(byUser))
+        .withColumn("brk",
+          when(col("pm").isNull || col("m") - col("pm") > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx", sum(col("brk")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("m")).as("start_us"), max(col("m")).as("end_us"),
+          QueryDefs.dsum(col("value")).as("value_sum"))
+        .orderBy(col("user_id"), col("session_idx"))
+    }),
+
     "q_timeseries_gapfill" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
@@ -1068,6 +1098,23 @@ object Extended {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS total
         |FROM orders WHERE o_orderstatus = 'F'
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_event_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, value,
+        |             CAST(epoch_us(ts) AS BIGINT) AS m FROM events),
+        |l AS (SELECT *, lag(m) OVER (PARTITION BY user_id
+        |                             ORDER BY m, event_id) AS pm FROM e),
+        |b AS (SELECT *, CASE WHEN pm IS NULL OR m - pm > 43200000000
+        |                     THEN 1 ELSE 0 END AS brk FROM l),
+        |sx AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id
+        |         ORDER BY m, event_id ROWS UNBOUNDED PRECEDING)
+        |         AS session_idx FROM b)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  COUNT(*) AS n_events,
+        |  MIN(m) AS start_us, MAX(m) AS end_us,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS value_sum
+        |FROM sx GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
 
     "q_timeseries_gapfill" ->
       """WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS h

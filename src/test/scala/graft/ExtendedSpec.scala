@@ -30,6 +30,35 @@ class ExtendedSpec extends AnyFunSuite {
     assert(rows.forall { r => val s = r.getDouble(1); s >= 0 && s <= 1 })
   }
 
+  test("sessionize matches an independent in-memory reimplementation") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gapUs = 43200000000L
+    // expected: per user, sorted by (ts, event_id), break on gap > 12 h
+    val expected = ev.groupBy(_._2).toSeq.flatMap { case (uid, es) =>
+      val sorted = es.sortBy(e => (e._3, e._1))
+      var idx = 0L; var prev = Long.MinValue
+      sorted.map { e =>
+        if (prev == Long.MinValue || e._3 - prev > gapUs) idx += 1
+        prev = e._3
+        ((uid, idx), e._3)
+      }.toSeq
+    }.groupBy(_._1).map { case (k, ms) =>
+      val ts = ms.map(_._2)
+      k -> ((ts.size.toLong, ts.min, ts.max))
+    }
+    val rows = q("q_event_sessionize").collect()
+    assert(rows.length == expected.size)
+    assert(rows.map(_.getLong(2)).sum == ev.length, "events conserved")
+    rows.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      val (n, mn, mx) = expected(k)
+      assert(r.getLong(2) == n && r.getLong(3) == mn && r.getLong(4) == mx,
+        s"session $k mismatch")
+    }
+  }
+
   test("approx_count_distinct is within rsd bounds of exact") {
     val exact = graft.sources.Tables.lineitem(spark, sf)
       .groupBy(col("l_returnflag"))

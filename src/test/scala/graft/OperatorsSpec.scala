@@ -363,6 +363,46 @@ class OperatorsSpec extends AnyFunSuite {
     sel.foreach(r => assert(r.getLong(2) == expected(r.getLong(0))))
   }
 
+  test("integer pagerank matches an independent in-memory reimplementation") {
+    val pairs = q("q_dedup_ngram_jaccard").select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pairs ++ pairs.map(p => (p._2, p._1)) // symmetrize
+    val nodes = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val base = 1000000000L / nodes.length
+    val tele = 15L * base / 100L
+    var r = nodes.map(_ -> base).toMap
+    for (_ <- 1 to 5) {
+      val mass = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => r(src) / deg(src) }.sum
+      }
+      r = nodes.map(v => v -> (tele + 85L * mass.getOrElse(v, 0L) / 100L)).toMap
+    }
+    val rows = q("q_graph_pagerank").collect()
+    assert(rows.length == nodes.length)
+    rows.foreach { row =>
+      val (id, rank, dg) = (row.getLong(0), row.getLong(1), row.getLong(2))
+      assert(rank == r(id), s"doc $id rank $rank != ${r(id)}")
+      assert(dg == deg.getOrElse(id, 0L))
+    }
+    // connected docs accumulate mass above the teleport floor
+    assert(rows.exists(row => row.getLong(2) > 0 && row.getLong(1) > tele))
+  }
+
+  test("ccnet terciles are balanced per language and conserve scored docs") {
+    val rows = q("q_mix_ccnet").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val scored = q("q_text_lm_score").count()
+    assert(rows.map(_._3).sum == scored, "every scored doc lands in a bucket")
+    rows.groupBy(_._1).foreach { case (lang, bs) =>
+      assert(bs.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L),
+        s"$lang must have exactly terciles 1..3")
+      val sizes = bs.map(_._3)
+      assert(sizes.max - sizes.min <= 1, s"$lang terciles unbalanced: $sizes")
+    }
+  }
+
   test("language-id predicts a known language for every document") {
     val langs = graft.sources.Tables.documents(spark, sf)
       .select("lang").distinct().collect().map(_.getString(0)).toSet
