@@ -756,6 +756,43 @@ object Extended {
     // from sequence() over the global bounds (one tiny aggregate, spine
     // broadcast), NOT from a per-key loop; the heavy side stays one
     // groupBy of the raw events.
+    // Distribution-drift monitoring: Population Stability Index of the
+    // event `value` distribution, first half-month (reference window) vs
+    // second (current), per event type — the standard gate a production
+    // pipeline runs before trusting new data. Fixed-width value buckets
+    // (10 × 50.0, last open-ended) with Laplace smoothing so empty cells
+    // stay defined; each bucket's (p₂−p₁)·ln(p₂/p₁) term is
+    // 1e9-floor-quantized (the q_text_lm_score pattern) and the per-type
+    // PSI is the exact integer sum. Scale shape: ONE scan with map-side
+    // conditional counts onto |types|×10 rows; everything after is
+    // broadcast-size.
+    "q_drift_psi" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        least(lit(9), floor(col("value") / lit(50.0)).cast("int")).as("bkt"),
+        expr("ts < TIMESTAMP '2024-01-16 00:00:00'").as("is_ref"))
+      val cnt = ev.groupBy(col("event_type"), col("bkt"))
+        .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("c1"),
+          sum(when(!col("is_ref"), 1L).otherwise(0L)).as("c2"))
+      val spine = ev.select(col("event_type")).distinct()
+        .select(col("event_type"), explode(sequence(lit(0), lit(9))).as("bkt"))
+      val tot = cnt.groupBy(col("event_type"))
+        .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      spine.join(cnt, Seq("event_type", "bkt"), "left")
+        .select(col("event_type"),
+          coalesce(col("c1"), lit(0L)).as("c1"),
+          coalesce(col("c2"), lit(0L)).as("c2"))
+        .join(broadcast(tot), "event_type")
+        .withColumn("p1",
+          (col("c1") + 1).cast("double") / (col("n1") + 10).cast("double"))
+        .withColumn("p2",
+          (col("c2") + 1).cast("double") / (col("n2") + 10).cast("double"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n1")).as("n_ref"), max(col("n2")).as("n_cur"),
+          sum(floor(((col("p2") - col("p1")) * log(col("p2") / col("p1")))
+            * lit(1e9)).cast("long")).as("psi_nn"))
+        .orderBy(col("event_type"))
+    }),
+
     // Batch sessionization: split each user's event stream wherever the
     // inter-event gap exceeds 12 h, then aggregate per session — the
     // batch twin of q_stream_session's session windows (same semantics,
@@ -1098,6 +1135,35 @@ object Extended {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS total
         |FROM orders WHERE o_orderstatus = 'F'
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_drift_psi" ->
+      """WITH ev AS (SELECT event_type,
+        |    LEAST(9, CAST(FLOOR(value / 50.0) AS INTEGER)) AS bkt,
+        |    ts < TIMESTAMP '2024-01-16 00:00:00' AS is_ref
+        |  FROM events),
+        |cnt AS (SELECT event_type, bkt,
+        |    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c2
+        |  FROM ev GROUP BY event_type, bkt),
+        |spine AS (SELECT event_type, bkt
+        |          FROM (SELECT DISTINCT event_type FROM events)
+        |          CROSS JOIN (SELECT UNNEST(generate_series(0, 9)) AS bkt)),
+        |tot AS (SELECT event_type, CAST(SUM(c1) AS BIGINT) AS n1,
+        |          CAST(SUM(c2) AS BIGINT) AS n2
+        |        FROM cnt GROUP BY event_type),
+        |f AS (SELECT s.event_type, COALESCE(cnt.c1, 0) AS c1,
+        |        COALESCE(cnt.c2, 0) AS c2, tot.n1, tot.n2
+        |      FROM spine s LEFT JOIN cnt USING (event_type, bkt)
+        |      JOIN tot USING (event_type)),
+        |p AS (SELECT event_type, n1, n2,
+        |        CAST(c1 + 1 AS DOUBLE) / CAST(n1 + 10 AS DOUBLE) AS p1,
+        |        CAST(c2 + 1 AS DOUBLE) / CAST(n2 + 10 AS DOUBLE) AS p2
+        |      FROM f)
+        |SELECT event_type, MAX(n1) AS n_ref, MAX(n2) AS n_cur,
+        |  CAST(SUM(CAST(FLOOR(((p2 - p1) * LN(p2 / p1)) * 1e9) AS BIGINT))
+        |       AS BIGINT) AS psi_nn
+        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_event_sessionize" ->
       """WITH e AS (SELECT event_id, user_id, value,

@@ -59,6 +59,40 @@ class ExtendedSpec extends AnyFunSuite {
     }
   }
 
+  test("PSI drift matches an independent in-memory reimplementation") {
+    val split = java.time.LocalDateTime.parse("2024-01-16T00:00:00")
+      .toInstant(java.time.ZoneOffset.UTC)
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), col("value"), unix_micros(col("ts")))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1),
+        r.getLong(2) < split.getEpochSecond * 1000000L))
+    val rows = q("q_drift_psi").collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq ==
+      ev.map(_._1).distinct.sorted.toSeq)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val es = ev.filter(_._1 == t)
+      def cnts(ref: Boolean) = {
+        val a = Array.fill(10)(0L)
+        es.filter(_._3 == ref).foreach { e =>
+          a(math.min(9, math.floor(e._2 / 50.0).toInt)) += 1
+        }
+        a
+      }
+      val (c1, c2) = (cnts(true), cnts(false))
+      val (n1, n2) = (c1.sum, c2.sum)
+      assert(r.getLong(1) == n1 && r.getLong(2) == n2)
+      val psi = (0 until 10).map { b =>
+        val p1 = (c1(b) + 1).toDouble / (n1 + 10).toDouble
+        val p2 = (c2(b) + 1).toDouble / (n2 + 10).toDouble
+        math.floor(((p2 - p1) * math.log(p2 / p1)) * 1e9).toLong
+      }.sum
+      assert(r.getLong(3) == psi, s"$t psi ${r.getLong(3)} != $psi")
+      assert(r.getLong(3) >= -10L) // each term ≥ 0 pre-floor
+    }
+  }
+
   test("approx_count_distinct is within rsd bounds of exact") {
     val exact = graft.sources.Tables.lineitem(spark, sf)
       .groupBy(col("l_returnflag"))

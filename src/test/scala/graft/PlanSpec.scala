@@ -315,6 +315,28 @@ class PlanSpec extends AnyFunSuite {
       "the pair stage must not shuffle the corpus against itself")
   }
 
+  test("sessionize plans one shuffle: windows and session agg share the sort") {
+    val p = plan("q_event_sessionize")
+    // exactly one data Exchange (hashpartitioning on user_id) below the
+    // presentation sort: lag + running-sum + groupBy(user, session) all
+    // reuse it. A second data shuffle = the stacked-window layout broke.
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toList
+    val dataEx = exchanges.filterNot(_.contains("rangepartitioning"))
+    assert(dataEx.size == 1, s"expected 1 data shuffle, got:\n$exchanges")
+    assert(dataEx.head.contains("user_id"), dataEx.head)
+  }
+
+  test("DSIR scoring is a pure scan stage feeding a global top-k") {
+    val p = plan("q_curation_dsir")
+    // top-200 must be TakeOrderedAndProject (per-partition heaps), and
+    // the scoring pass must not shuffle the corpus: no Exchange other
+    // than inside TakeOrdered's singlePartition collect.
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+    val dataEx = p.linesIterator.filter(_.contains("Exchange"))
+      .filterNot(_.contains("rangepartitioning")).toList
+    assert(dataEx.isEmpty, s"DSIR scoring pass should not shuffle: $dataEx")
+  }
+
   test("LM scoring joins count tables by bigram key, no cartesian on data") {
     val p = plan("q_text_lm_score")
     assert(!p.contains("CartesianProduct"),
