@@ -565,6 +565,56 @@ object Similarity {
         .orderBy(col("vec_id"))
     }),
 
+    // Per-dimension standardization (whitening) — the feature-store
+    // normalization step before clustering or metric learning: every
+    // component is re-expressed as (x − μ_j)/σ_j against CORPUS dim
+    // statistics. Inputs are first quantized to integer micros
+    // (floor(x·1e6)) so the corpus sums are exact integer arithmetic;
+    // μ/σ derive from them in doubles whose every op (two divisions, a
+    // multiply-subtract, IEEE sqrt) is correctly rounded — NO
+    // transcendental anywhere, so cross-engine parity is by
+    // construction, not by quantization-grid luck. Scale shape: dim
+    // stats are one posexplode + 64-row aggregate; the 64 (μ, σ) pairs
+    // return to the driver (bounded — the DSIR/centroid pattern) and
+    // re-enter as array literals, so the whitening pass is a pure map
+    // stage over the corpus with no second shuffle.
+    "q_embed_whiten" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), expr(
+          """transform(cast(embedding as array<double>),
+            |  x -> CAST(floor(x * 1e6) AS LONG))""".stripMargin).as("xq"))
+      val st = e.select(posexplode(col("xq")).as(Seq("j", "x")))
+        .groupBy(col("j"))
+        .agg(sum(col("x")).as("s1"), sum(col("x") * col("x")).as("s2"),
+          count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val mArr = Array.tabulate(64) { j =>
+        val (s1, _, n) = st(j); s1.toDouble / n.toDouble
+      }
+      val sdArr = Array.tabulate(64) { j =>
+        val (_, s2, n) = st(j)
+        val v = s2.toDouble / n.toDouble - mArr(j) * mArr(j)
+        if (v > 0) math.sqrt(v) else 0.0
+      }
+      val mLit = array(mArr.map(lit(_)): _*)
+      val sdLit = array(sdArr.map(lit(_)): _*)
+      val terms = transform(sequence(lit(0), lit(63)), j => {
+        val i = (j + 1).cast("int")
+        val x = element_at(col("xq"), i).cast("double")
+        val mj = element_at(mLit, i)
+        val sj = element_at(sdLit, i)
+        when(sj > 0.0,
+          floor(((x - mj) / sj) * lit(1e6)).cast("long"))
+          .otherwise(lit(0L))
+      })
+      e.select(col("vec_id"), terms.as("t"))
+        .select(col("vec_id"),
+          aggregate(col("t"), lit(0L), (a, c) => a + c).as("white_sum"),
+          aggregate(col("t"), lit(0L), (a, c) => a + c * c).as("white_sqsum"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Johnson-Lindenstrauss random projection 64 → 16 dims with a
     // deterministic ±1 sign matrix (same public Knuth-hash family as the
     // SRP-LSH planes, so both engines derive the identical matrix). THE
@@ -799,6 +849,38 @@ object Similarity {
         |         FROM generate_series(1, 64) AS t(i)) AS DOUBLE) * 1e9)
         |       AS BIGINT) AS err_q
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    // Micro-quantized inputs ⇒ integer corpus sums; μ/σ/terms replay the
+    // exact double shape (div, div, mul-sub, IEEE sqrt — no libm).
+    "q_embed_whiten" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(FLOOR(x * 1e6) AS BIGINT)) AS xq
+        |  FROM embeddings),
+        |ex AS (SELECT vec_id, j, xq[j + 1] AS xi
+        |       FROM e CROSS JOIN generate_series(0, 63) AS t(j)),
+        |st AS (SELECT j, CAST(SUM(xi) AS BIGINT) AS s1,
+        |         CAST(SUM(xi * xi) AS BIGINT) AS s2,
+        |         COUNT(*) AS n
+        |       FROM ex GROUP BY j),
+        |ms AS (SELECT j,
+        |         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+        |         CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |           - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |             * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS v
+        |       FROM st),
+        |sd AS (SELECT j, m,
+        |         CASE WHEN v > 0 THEN SQRT(v) ELSE 0 END AS sd
+        |       FROM ms),
+        |tm AS (SELECT ex.vec_id,
+        |         CASE WHEN sd.sd > 0
+        |           THEN CAST(FLOOR(((CAST(ex.xi AS DOUBLE) - sd.m) / sd.sd)
+        |                           * 1e6) AS BIGINT)
+        |           ELSE 0 END AS t
+        |       FROM ex JOIN sd USING (j))
+        |SELECT vec_id, CAST(SUM(t) AS BIGINT) AS white_sum,
+        |  CAST(SUM(t * t) AS BIGINT) AS white_sqsum
+        |FROM tm GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     // Identical ±1 matrix from the shared integer hash; decimal sums are
     // associative (order-free) and the 1e-6 quantization absorbs the

@@ -363,6 +363,37 @@ class OperatorsSpec extends AnyFunSuite {
     sel.foreach(r => assert(r.getLong(2) == expected(r.getLong(0))))
   }
 
+  test("whitening matches an independent in-memory reimplementation") {
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val xq = vecs.map { case (id, v) =>
+      id -> v.map(x => math.floor(x * 1e6).toLong)
+    }
+    val n = xq.size.toLong
+    val m = Array.tabulate(64)(j => xq.values.map(_(j)).sum.toDouble / n)
+    val sd = Array.tabulate(64) { j =>
+      val s2 = xq.values.map(v => v(j) * v(j)).sum
+      val va = s2.toDouble / n - m(j) * m(j)
+      if (va > 0) math.sqrt(va) else 0.0
+    }
+    val rows = q("q_embed_whiten").collect()
+    assert(rows.length == n)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val t = Array.tabulate(64) { j =>
+        if (sd(j) > 0)
+          math.floor(((xq(id)(j).toDouble - m(j)) / sd(j)) * 1e6).toLong
+        else 0L
+      }
+      assert(r.getLong(1) == t.sum, s"vec $id digest")
+      assert(r.getLong(2) == t.map(c => c * c).sum, s"vec $id sqsum")
+    }
+    // standardized components should straddle zero corpus-wide
+    assert(rows.exists(_.getLong(1) < 0) && rows.exists(_.getLong(1) > 0))
+  }
+
   test("integer pagerank matches an independent in-memory reimplementation") {
     val pairs = q("q_dedup_ngram_jaccard").select("doc_a", "doc_b")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
