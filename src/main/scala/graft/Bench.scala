@@ -142,7 +142,8 @@ object Bench {
       "sjoin" -> "q_stream_join", "sljoin" -> "q_stream_left_join",
       "tws" -> "q_stream_transform_state",
       "ssjoin" -> "q_stream_static_join",
-      "sedup" -> "q_stream_embed_dedup")
+      "sedup" -> "q_stream_embed_dedup",
+      "sdrift" -> "q_stream_drift")
     // listener bus is async; block until the queued tail is dispatched
     org.apache.spark.sql.graftbridge.Bridge.waitListenerBus(spark, 10000)
     import scala.jdk.CollectionConverters._

@@ -14,6 +14,16 @@ import QueryDefs._
   */
 object Extended {
 
+  /** PSI value-bucketing kernel shared by q_drift_psi and the streaming
+    * q_stream_drift (ONE spelling per engine, per the shared-kernel
+    * discipline): 10 fixed-width 50.0 buckets, last open-ended. */
+  private[graft] def psiBucket: org.apache.spark.sql.Column =
+    least(lit(9), floor(col("value") / lit(50.0)).cast("int"))
+  private[graft] val PsiBucketSql =
+    "LEAST(9, CAST(FLOOR(value / 50.0) AS INTEGER))"
+  /** Reference/current boundary for both drift queries. */
+  private[graft] val PsiSplitSql = "TIMESTAMP '2024-01-16 00:00:00'"
+
   /** Typed row for the Dataset[T] surface. */
   case class Line(l_returnflag: String, l_quantity: Double,
       l_extendedprice: Double)
@@ -756,7 +766,9 @@ object Extended {
     // from sequence() over the global bounds (one tiny aggregate, spine
     // broadcast), NOT from a per-key loop; the heavy side stays one
     // groupBy of the raw events.
-    // Distribution-drift monitoring: Population Stability Index of the
+    // Distribution-drift monitoring (shared kernel with the streaming
+    // twin q_stream_drift — graft.streaming.EventStreams):
+    // Population Stability Index of the
     // event `value` distribution, first half-month (reference window) vs
     // second (current), per event type — the standard gate a production
     // pipeline runs before trusting new data. Fixed-width value buckets
@@ -768,8 +780,8 @@ object Extended {
     // broadcast-size.
     "q_drift_psi" -> ((s, d) => {
       val ev = Tables.events(s, d).select(col("event_type"),
-        least(lit(9), floor(col("value") / lit(50.0)).cast("int")).as("bkt"),
-        expr("ts < TIMESTAMP '2024-01-16 00:00:00'").as("is_ref"))
+        psiBucket.as("bkt"),
+        expr(s"ts < $PsiSplitSql").as("is_ref"))
       val cnt = ev.groupBy(col("event_type"), col("bkt"))
         .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("c1"),
           sum(when(!col("is_ref"), 1L).otherwise(0L)).as("c2"))
@@ -1137,11 +1149,11 @@ object Extended {
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_drift_psi" ->
-      """WITH ev AS (SELECT event_type,
-        |    LEAST(9, CAST(FLOOR(value / 50.0) AS INTEGER)) AS bkt,
-        |    ts < TIMESTAMP '2024-01-16 00:00:00' AS is_ref
-        |  FROM events),
-        |cnt AS (SELECT event_type, bkt,
+      (s"""WITH ev AS (SELECT event_type,
+         |    $PsiBucketSql AS bkt,
+         |    ts < $PsiSplitSql AS is_ref
+         |  FROM events),""".stripMargin + "\n" +
+      """cnt AS (SELECT event_type, bkt,
         |    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS c1,
         |    CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT)
         |      AS c2
@@ -1163,7 +1175,7 @@ object Extended {
         |SELECT event_type, MAX(n1) AS n_ref, MAX(n2) AS n_cur,
         |  CAST(SUM(CAST(FLOOR(((p2 - p1) * LN(p2 / p1)) * 1e9) AS BIGINT))
         |       AS BIGINT) AS psi_nn
-        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin),
 
     "q_event_sessionize" ->
       """WITH e AS (SELECT event_id, user_id, value,

@@ -430,6 +430,64 @@ object EventStreams {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // Streaming drift monitor — the online twin of q_drift_psi (same
+    // compiled bucket kernel, graft.queries.Extended.psiBucket): the
+    // current half-month arrives as a stream and is histogrammed per
+    // day × event type × value bucket by a watermarked tumbling-window
+    // aggregate; the half-month reference histogram is batch-computed
+    // once. The per-day PSI against the reference is then broadcast-size
+    // post-sink math (the sink holds ≤ days×types×10 rows), emitting a
+    // drift TRAJECTORY — the shape a production monitor alerts on. At
+    // scale only the streaming histogram touches the event volume; state
+    // is bounded by days×types×buckets regardless of throughput.
+    "q_stream_drift" -> ((s, d) => {
+      import graft.queries.Extended.{psiBucket, PsiSplitSql}
+      val ref = graft.sources.Tables.events(s, d)
+        .where(expr(s"ts < $PsiSplitSql"))
+        .select(col("event_type"), psiBucket.as("bkt"))
+        .groupBy(col("event_type"), col("bkt"))
+        .agg(count(lit(1)).as("c1"))
+      val refTot = ref.groupBy(col("event_type"))
+        .agg(sum(col("c1")).as("n1"))
+      val cur = eventStream(s, d)
+        .where(expr(s"ts >= $PsiSplitSql"))
+        .withWatermark("ts", "1 day")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"),
+          psiBucket.as("bkt"))
+        .agg(count(lit(1)).as("c2"))
+      // localCheckpoint: spine/curTot/the PSI join all re-derive from
+      // this tiny (≤ days×types×10 rows) table — a fresh leaf avoids the
+      // memory-view self-join attribute conflict and re-reads
+      val sink = runToMemory(s, cur, "complete",
+          s"sdrift_${System.nanoTime()}")
+        .select(unix_timestamp(col("window.start")).as("day_s"),
+          col("event_type"), col("bkt"), col("c2"))
+        .localCheckpoint()
+      val spine = sink.select(col("day_s"), col("event_type")).distinct()
+        .select(col("day_s"), col("event_type"),
+          explode(sequence(lit(0), lit(9))).as("bkt"))
+      val curTot = sink.groupBy(col("day_s"), col("event_type"))
+        .agg(sum(col("c2")).as("n2"))
+      spine
+        .join(sink, Seq("day_s", "event_type", "bkt"), "left")
+        .select(col("day_s"), col("event_type"), col("bkt"),
+          coalesce(col("c2"), lit(0L)).as("c2"))
+        .join(broadcast(curTot), Seq("day_s", "event_type"))
+        .join(broadcast(ref), Seq("event_type", "bkt"), "left")
+        .select(col("day_s"), col("event_type"), col("c2"), col("n2"),
+          coalesce(col("c1"), lit(0L)).as("c1"))
+        .join(broadcast(refTot), Seq("event_type"))
+        .withColumn("p1",
+          (col("c1") + 1).cast("double") / (col("n1") + 10).cast("double"))
+        .withColumn("p2",
+          (col("c2") + 1).cast("double") / (col("n2") + 10).cast("double"))
+        .groupBy(col("day_s"), col("event_type"))
+        .agg(max(col("n2")).as("n_cur"),
+          sum(floor(((col("p2") - col("p1")) * log(col("p2") / col("p1")))
+            * lit(1e9)).cast("long")).as("psi_nn"))
+        .orderBy(col("day_s"), col("event_type"))
+    }),
+
     // Streaming near-dup ADMISSION GATE over embeddings — the online
     // shape of embedding dedup: newly-arriving vectors (the top fifth
     // of the id space, streamed from the parquet drop zone) are checked
@@ -578,6 +636,49 @@ object EventStreams {
       """SELECT user_id, COUNT(*) AS n_types FROM (
         |  SELECT DISTINCT user_id, event_type FROM events)
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Batch replay of the streaming drift monitor: same bucket kernel
+    // (Extended.PsiBucketSql — ONE SQL spelling), day histograms via
+    // date_trunc (≡ the 1-day tumbling window), same Laplace/quantized
+    // PSI arithmetic as the q_drift_psi oracle.
+    "q_stream_drift" ->
+      (s"""WITH ref AS (SELECT event_type,
+         |    ${graft.queries.Extended.PsiBucketSql} AS bkt
+         |  FROM events
+         |  WHERE ts < ${graft.queries.Extended.PsiSplitSql}),
+         |cur AS (SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT)
+         |          AS day_s, event_type,
+         |        ${graft.queries.Extended.PsiBucketSql} AS bkt
+         |  FROM events
+         |  WHERE ts >= ${graft.queries.Extended.PsiSplitSql}),""".stripMargin
+        + "\n" +
+      """rc AS (SELECT event_type, bkt, COUNT(*) AS c1
+        |       FROM ref GROUP BY event_type, bkt),
+        |rt AS (SELECT event_type, CAST(SUM(c1) AS BIGINT) AS n1
+        |       FROM rc GROUP BY event_type),
+        |cc AS (SELECT day_s, event_type, bkt, COUNT(*) AS c2
+        |       FROM cur GROUP BY day_s, event_type, bkt),
+        |ct AS (SELECT day_s, event_type, CAST(SUM(c2) AS BIGINT) AS n2
+        |       FROM cc GROUP BY day_s, event_type),
+        |spine AS (SELECT day_s, event_type, bkt
+        |          FROM (SELECT DISTINCT day_s, event_type FROM cur)
+        |          CROSS JOIN (SELECT UNNEST(generate_series(0, 9)) AS bkt)),
+        |f AS (SELECT s.day_s, s.event_type, COALESCE(cc.c2, 0) AS c2,
+        |        COALESCE(rc.c1, 0) AS c1, ct.n2, rt.n1
+        |      FROM spine s
+        |      LEFT JOIN cc USING (day_s, event_type, bkt)
+        |      LEFT JOIN rc USING (event_type, bkt)
+        |      JOIN ct USING (day_s, event_type)
+        |      JOIN rt USING (event_type)),
+        |p AS (SELECT day_s, event_type, n2,
+        |        CAST(c1 + 1 AS DOUBLE) / CAST(n1 + 10 AS DOUBLE) AS p1,
+        |        CAST(c2 + 1 AS DOUBLE) / CAST(n2 + 10 AS DOUBLE) AS p2
+        |      FROM f)
+        |SELECT day_s, event_type, MAX(n2) AS n_cur,
+        |  CAST(SUM(CAST(FLOOR(((p2 - p1) * LN(p2 / p1)) * 1e9) AS BIGINT))
+        |       AS BIGINT) AS psi_nn
+        |FROM p GROUP BY day_s, event_type
+        |ORDER BY day_s, event_type""".stripMargin),
 
     // Batch replay of the streaming admission gate: identical SRP bands
     // (the avalanched-hash plane spelling shared with the

@@ -50,6 +50,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == batch)
   }
 
+  test("streaming drift monitor equals the batch PSI per day") {
+    val stream = SparkEntry.queries("q_stream_drift")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // batch twin of the whole trajectory via the shared bucket kernel
+    val split = 1705363200L * 1000000L // 2024-01-16T00:00:00Z in micros
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("value"), unix_micros(col("ts")))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    def bkt(v: Double) = math.min(9, math.floor(v / 50.0).toInt)
+    val ref = ev.filter(_._3 < split)
+    val cur = ev.filter(_._3 >= split)
+    assert(stream.nonEmpty && cur.nonEmpty)
+    val dayUs = 86400L * 1000000L
+    stream.keys.map(_._1).foreach(d => assert(d % 86400 == 0,
+      "windows must align to UTC midnight"))
+    stream.foreach { case ((day, t), (nCur, psi)) =>
+      val c1 = Array.fill(10)(0L); val c2 = Array.fill(10)(0L)
+      ref.filter(_._1 == t).foreach(e => c1(bkt(e._2)) += 1)
+      cur.filter(e => e._1 == t && e._3 >= day * 1000000L &&
+        e._3 < day * 1000000L + dayUs).foreach(e => c2(bkt(e._2)) += 1)
+      val (n1, n2) = (c1.sum, c2.sum)
+      assert(nCur == n2, s"($day,$t) n_cur")
+      val expected = (0 until 10).map { b =>
+        val p1 = (c1(b) + 1).toDouble / (n1 + 10).toDouble
+        val p2 = (c2(b) + 1).toDouble / (n2 + 10).toDouble
+        math.floor(((p2 - p1) * math.log(p2 / p1)) * 1e9).toLong
+      }.sum
+      assert(psi == expected, s"($day,$t) psi $psi != $expected")
+    }
+  }
+
   test("stateful flatMapGroupsWithState equals batch per-user aggregates") {
     val stream = SparkEntry.queries("q_stream_stateful")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
