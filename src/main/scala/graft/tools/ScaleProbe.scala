@@ -194,7 +194,7 @@ object ScaleProbe {
     val sections = args.drop(1).headOption
       .map(_.split(",").toSet)
       .getOrElse(Set("pipeline", "cc_corpus", "cc_chain", "topk",
-        "lsh", "semantic", "recall"))
+        "lsh", "semantic", "recall", "graph"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outBase = s"${sys.props("java.io.tmpdir")}/graft_scale"
@@ -488,6 +488,26 @@ object ScaleProbe {
             s""""exact_wall_s":${f"$wallExact%.2f"}}""")
         }
       }
+    }
+
+    // ---- 8. integer PageRank over the amplified near-dup graph -----
+    // The 5-round join loop's cost model: pair-pipeline once, then per
+    // round one (edges ⋈ ranks) shuffle — wall should track the pair
+    // graph's size, not the round count × corpus. ×100 excluded for the
+    // same reason as cc_corpus: the fam-1/fam-2 clique/chain structure
+    // already peaks at ×10 pair volume per base doc.
+    if (sections("graph")) factors.filter(_ <= 10).foreach { f =>
+      val dir = if (f == 1) sfDir else amplify(spark, sfDir, f, outBase)
+      val nDocs = Tables.documents(spark, dir).count()
+      val q = graft.SparkEntry.queries("q_graph_pagerank")
+      val (rows, wall, sw, sr, sp, _) = measured(spark, agg) {
+        q(spark, dir).queryExecution.toRdd.count()
+      }
+      emit(s"""{"probe":"graph_pagerank","factor":$f,"docs":$nDocs,""" +
+        s""""wall_s":${f"$wall%.2f"},"rows_out":$rows,""" +
+        s""""shuffle_write_mb":${sw / 1048576},""" +
+        s""""shuffle_read_mb":${sr / 1048576},"spill_mb":${sp / 1048576}}""")
+      spark.catalog.clearCache()
     }
 
     val out = java.nio.file.Paths.get("target/scale.json")

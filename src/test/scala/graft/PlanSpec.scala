@@ -337,6 +337,23 @@ class PlanSpec extends AnyFunSuite {
     assert(dataEx.isEmpty, s"DSIR scoring pass should not shuffle: $dataEx")
   }
 
+  test("whitening pass is a shuffle-free map stage over the corpus") {
+    val p = plan("q_embed_whiten")
+    // stats enter as literals; the published plan must be scan → project
+    // → presentation sort, with no data shuffle
+    val dataEx = p.linesIterator.filter(_.contains("Exchange"))
+      .filterNot(_.contains("rangepartitioning")).toList
+    assert(dataEx.isEmpty, s"whitening must not shuffle: $dataEx")
+  }
+
+  test("PSI reduces to histogram aggregates; joins stay broadcast-size") {
+    val p = plan("q_drift_psi")
+    // the |types|×10-row tail must never shuffle-join: every join after
+    // the histogram aggregate is a BroadcastHashJoin
+    assert(!p.contains("SortMergeJoin"), p.take(600))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
   test("LM scoring joins count tables by bigram key, no cartesian on data") {
     val p = plan("q_text_lm_score")
     assert(!p.contains("CartesianProduct"),
