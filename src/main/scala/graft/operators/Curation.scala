@@ -209,6 +209,25 @@ object Curation {
         .orderBy(col("source"))
     }),
 
+    // Deterministic train/valid/test assignment — the split every
+    // corpus ships with, done the reproducible way: 980/10/10 permille
+    // by the shared content-key hash (not RNG), stratified per language
+    // so low-resource languages keep eval coverage. Emits per-stratum
+    // counts plus id-sum digests proving WHICH docs landed where. Same
+    // scale shape as q_sample_hash: the assignment is a map-side
+    // expression in the scan stage; only (lang, split) aggregates
+    // shuffle.
+    "q_split_assign" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), expr(SampleHashSql).as("hb"))
+        .withColumn("split",
+          when(col("hb") < 980, "train")
+            .when(col("hb") < 990, "valid").otherwise("test"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("lang"), col("split"))
+    }),
+
     // CCNet-style perplexity bucketing: per language, rank documents by
     // their statistical-LM score (the shared add-1 bigram scorer behind
     // q_text_lm_score) and split into head/middle/tail terciles — the
@@ -430,6 +449,20 @@ object Curation {
         |  CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum
         |FROM r WHERE rk <= 15
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_split_assign" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    ((doc_id % 1048576) * 2654435761 >> 16) % 1000 AS hb
+        |  FROM documents),
+        |a AS (SELECT doc_id, lang,
+        |        CASE WHEN hb < 980 THEN 'train'
+        |             WHEN hb < 990 THEN 'valid'
+        |             ELSE 'test' END AS split
+        |      FROM h)
+        |SELECT lang, split, COUNT(*) AS n_docs,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM a GROUP BY lang, split ORDER BY lang, split""".stripMargin,
 
     // Rides TextAnalysis.LmScoreCtes so the LM derivation has exactly
     // one SQL replica (shared-kernel discipline).

@@ -136,6 +136,29 @@ object Dedup {
   private[graft] def ngramJaccardPairsRaw(s: SparkSession, d: String): DataFrame =
     jaccardPairsFrom(withShingles(s, d))
 
+  /** Shared near-dup cluster resolution (q_dedup_clusters,
+    * q_dedup_report): pointer-jumping CC over the pair graph, labelled
+    * by cluster-minimum doc_id. Raw (unsorted) pairs: the edge list
+    * feeds groupBy/join shuffles, so the pair query's published ORDER BY
+    * would be pure waste. The PAIRS are cached (tiny — near-dup
+    * survivors only) because union-ing the raw pair plan with its own
+    * swap would re-derive the whole inverted-index pipeline once per
+    * branch (measured ~2× the query's cost); the cache is dropped as
+    * soon as the checkpointed labels no longer reference it. */
+  private def clusterLabels(s: SparkSession, d: String): DataFrame = {
+    val pairs = ngramJaccardPairsRaw(s, d)
+      .select(col("doc_a"), col("doc_b")).cache()
+    val edges = pairs.unionAll(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("doc_id").as("lbl"))
+    val (labels, _) = connectedComponents(docs, edges)
+    pairs.unpersist()
+    labels.select(col("doc_id"), col("lbl").as("keep_id"),
+      (col("doc_id") === col("lbl")).as("is_keeper"))
+  }
+
   /** Stages 1-2 of q_pipeline_e2e: the shared single-scan projection
     * (cached — Spark's CacheManager dedupes by logical plan, so every
     * caller shares one in-memory relation), the quality funnel, and
@@ -537,27 +560,22 @@ object Dedup {
     // graph, keeping the min-doc_id as each cluster's canonical doc —
     // the step that turns pair detection into corpus dedup. Oracle:
     // recursive-CTE reachability in DuckDB.
-    "q_dedup_clusters" -> ((s, d) => {
-      // raw (unsorted) pairs: the edge list feeds groupBy/join shuffles,
-      // so the pair query's published ORDER BY would be pure waste here.
-      // Cache the PAIRS (tiny — near-dup survivors only), then build the
-      // undirected edge list from the cache: union-ing the raw pair plan
-      // with its own swap would re-derive the whole inverted-index
-      // pipeline once per branch (measured ~2× the query's cost).
-      val pairs = ngramJaccardPairsRaw(s, d)
-        .select(col("doc_a"), col("doc_b")).cache()
-      val edges = pairs.unionAll(
-        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .toDF("src", "dst")
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("doc_id").as("lbl"))
-      val (labels, _) = connectedComponents(docs, edges)
-      // labels is checkpointed — the returned plan no longer references
-      // the pair list, so its cache can be dropped eagerly.
-      pairs.unpersist()
-      labels.select(col("doc_id"), col("lbl").as("keep_id"),
-          (col("doc_id") === col("lbl")).as("is_keeper"))
-        .orderBy(col("doc_id"))
+    "q_dedup_clusters" -> ((s, d) =>
+      clusterLabels(s, d).orderBy(col("doc_id"))),
+
+    // Dedup REPORT — the number people actually quote: the cluster-size
+    // histogram of the near-dup graph (1-clusters = unique docs; the
+    // tail is the duplication mass) from the same label pipeline as
+    // q_dedup_clusters. Two tiny aggregates over the checkpointed label
+    // table; n_docs cross-foots to the corpus size (spec-asserted).
+    "q_dedup_report" -> ((s, d) => {
+      val sizes = clusterLabels(s, d)
+        .groupBy(col("keep_id")).agg(count(lit(1)).as("cluster_size"))
+      sizes.groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"))
+        .orderBy(col("cluster_size"))
     }),
 
     // Graph centrality over the near-dup graph: 5 rounds of integer
@@ -1164,6 +1182,36 @@ object Dedup {
         |  ) SELECT id, MIN(lbl) AS keep_id FROM reach GROUP BY id)
         |SELECT id AS doc_id, keep_id, (id = keep_id) AS is_keeper
         |FROM rec ORDER BY doc_id""".stripMargin,
+
+    // Clusters twin, aggregated twice into the size histogram.
+    "q_dedup_report" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                       for i in generate_series(1, len(w) - 2)])
+        |      ELSE [array_to_string(w, ' ')] END AS sh
+        |      FROM t),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        len(list_intersect(a.sh, b.sh)) AS inter,
+        |        len(a.sh) AS na, len(b.sh) AS nb
+        |      FROM g a JOIN g b ON a.doc_id < b.doc_id),
+        |pairs AS (SELECT doc_a, doc_b FROM p
+        |          WHERE inter / (na + nb - inter) > 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |rec AS (
+        |  WITH RECURSIVE reach(id, lbl) AS (
+        |    SELECT doc_id, doc_id FROM documents
+        |    UNION
+        |    SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+        |    WHERE r.lbl < e.dst
+        |  ) SELECT id, MIN(lbl) AS keep_id FROM reach GROUP BY id),
+        |cs AS (SELECT keep_id, COUNT(*) AS cluster_size
+        |       FROM rec GROUP BY keep_id)
+        |SELECT cluster_size, COUNT(*) AS n_clusters,
+        |  CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+        |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
 
     // Same pair/edge CTEs as clusters; the 5 PageRank rounds unroll into
     // r1..r5, each replaying the integer update (tele + (85·m) div 100)

@@ -421,6 +421,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.exists(row => row.getLong(2) > 0 && row.getLong(1) > tele))
   }
 
+  test("dedup report cross-foots with the cluster labels and the corpus") {
+    val n = graft.sources.Tables.documents(spark, sf).count()
+    val rows = q("q_dedup_report").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.forall { case (sz, k, d) => d == sz * k })
+    assert(rows.map(_._3).sum == n, "every doc lands in exactly one cluster")
+    // independent derivation from the clusters query
+    val sizes = q("q_dedup_clusters").collect()
+      .groupBy(_.getLong(1)).map(_._2.length.toLong)
+    val expected = sizes.groupBy(identity).map { case (sz, g) =>
+      sz -> g.size.toLong }
+    assert(rows.map(t => t._1 -> t._2).toMap == expected)
+    assert(rows.exists(_._1 > 1), "fixture plants near-dups ⇒ a >1 cluster")
+  }
+
+  test("split assignment covers each language exactly and is hash-stable") {
+    val rows = q("q_split_assign").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val perLang = graft.sources.Tables.documents(spark, sf)
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (lang, ss) =>
+      assert(ss.map(_._3).sum == perLang(lang), s"$lang split must cover")
+      assert(ss.map(_._2).toSet.subsetOf(Set("train", "valid", "test")))
+    }
+    val train = rows.filter(_._2 == "train").map(_._3).sum.toDouble
+    val total = rows.map(_._3).sum.toDouble
+    assert(train / total > 0.9, "train must dominate at 980 permille")
+  }
+
   test("ccnet terciles are balanced per language and conserve scored docs") {
     val rows = q("q_mix_ccnet").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
