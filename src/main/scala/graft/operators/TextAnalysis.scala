@@ -22,9 +22,19 @@ object TextAnalysis {
     * an exact integer sum (see q_text_lm_score's oracle). Factored out
     * because q_text_lm_score publishes it directly and q_mix_ccnet
     * (Curation) buckets corpora by it — ONE derivation, two consumers
-    * (the shared-kernel discipline, SURVEY.md). Returns
-    * (doc_id, n_bigrams, score_q), unsorted. */
-  private[operators] def lmDocScores(s: SparkSession, d: String): DataFrame = {
+    * (the shared-kernel discipline, SURVEY.md). Memoized per
+    * (session, dataset) as a localCheckpointed table (per-doc rows —
+    * corpus-scale-bounded output, not the bigram blowup) so the two
+    * consumers train the LM once per Verify/Bench pass, the BPE/IVF
+    * memo pattern. Returns (doc_id, n_bigrams, score_q), unsorted. */
+  private val lmMemo = new scala.collection.concurrent.TrieMap[
+    (Int, String), DataFrame]
+
+  private[operators] def lmDocScores(s: SparkSession, d: String): DataFrame =
+    lmMemo.getOrElseUpdate((System.identityHashCode(s), d),
+      lmDocScoresImpl(s, d).localCheckpoint())
+
+  private def lmDocScoresImpl(s: SparkSession, d: String): DataFrame = {
     val toksD = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
     val big = toksD.select(col("doc_id"), explode(expr(
