@@ -565,6 +565,68 @@ object Similarity {
         .orderBy(col("vec_id"))
     }),
 
+    // Maximal Marginal Relevance (Carbonell & Goldstein 1998) — the
+    // diversity-aware selection a retrieval/context-assembly pipeline
+    // runs after ANN: greedily pick k=10 vectors maximizing
+    // 7·rel − 3·redundancy (λ=0.7 scaled to integers), where rel is
+    // cosine to the query (the min-id vector) and redundancy is the max
+    // cosine to anything already selected. All cosines are the
+    // decimal-dot exact kind, 1e6-floor-quantized, so every score is an
+    // exact integer and the greedy argmax is bit-deterministic. Scale
+    // shape: relevance is ONE scan (query broadcast as a literal);
+    // each of the k rounds is a map stage over the checkpointed
+    // candidates (selected vectors re-enter as literals — k·64 doubles
+    // of bounded driver traffic, the centroid pattern) plus a
+    // TakeOrdered(1); the k-round driver loop is the algorithm's
+    // inherent sequential dependency, not a scale bug.
+    "q_sim_mmr" -> ((s, d) => {
+      import graft.functions.VectorFunctions.decimal_dot
+      val k = 10
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nsq", decimal_dot(col("v"), col("v")).cast("double"))
+      val qRow = e.orderBy(col("vec_id")).limit(1).collect()(0)
+      val (qid, qv, qn) =
+        (qRow.getLong(0), qRow.getSeq[Double](1), qRow.getDouble(2))
+      val qvLit = array(qv.map(lit(_)): _*)
+      val cand = e.where(col("vec_id") > qid)
+        .withColumn("rel_q",
+          floor((decimal_dot(col("v"), qvLit).cast("double") /
+            sqrt(col("nsq") * lit(qn))) * lit(1e6)).cast("long"))
+        .localCheckpoint() // k rounds re-scan this
+      var selected = Vector.empty[(Long, Seq[Double], Double, Long, Long, Long)]
+      for (_ <- 1 to k) {
+        val simCols = selected.map { case (_, sv, snsq, _, _, _) =>
+          floor((decimal_dot(col("v"), array(sv.map(lit(_)): _*))
+              .cast("double") / sqrt(col("nsq") * lit(snsq))) * lit(1e6))
+            .cast("long")
+        }
+        val msim = simCols.size match {
+          case 0 => lit(0L)
+          case 1 => simCols.head
+          case _ => greatest(simCols: _*)
+        }
+        val pick = cand
+          .where(!col("vec_id").isInCollection(
+            if (selected.isEmpty) Seq(-1L) else selected.map(_._1)))
+          .withColumn("msim_q", msim)
+          .withColumn("score_q",
+            lit(7L) * col("rel_q") - lit(3L) * col("msim_q"))
+          .orderBy(col("score_q").desc, col("vec_id")).limit(1)
+          .select(col("vec_id"), col("v"), col("nsq"), col("rel_q"),
+            col("msim_q"), col("score_q"))
+          .collect()(0)
+        selected :+= ((pick.getLong(0), pick.getSeq[Double](1),
+          pick.getDouble(2), pick.getLong(3), pick.getLong(4),
+          pick.getLong(5)))
+      }
+      import s.implicits._
+      selected.zipWithIndex
+        .map { case ((id, _, _, rel, ms, sc), i) => (i + 1L, id, rel, ms, sc) }
+        .toDF("sel_rank", "vec_id", "rel_q", "msim_q", "score_q")
+        .orderBy(col("sel_rank"))
+    }),
+
     // Per-dimension standardization (whitening) — the feature-store
     // normalization step before clustering or metric learning: every
     // component is re-expressed as (x − μ_j)/σ_j against CORPUS dim
@@ -849,6 +911,56 @@ object Similarity {
         |         FROM generate_series(1, 64) AS t(i)) AS DOUBLE) * 1e9)
         |       AS BIGINT) AS err_q
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    // Greedy MMR unrolled: pk1..pk10 each argmax 7·rel − 3·maxsim over
+    // the not-yet-selected candidates, every cosine the decimal-exact
+    // 1e6-floor kind (the q_sim_cosine_topk spelling).
+    "q_sim_mmr" -> {
+      def sim(p: String): String =
+        s"""CAST(FLOOR(((SELECT CAST(SUM(CAST(c.v[i] * $p.v[i]
+           |      AS DECIMAL(30,12))) AS DOUBLE)
+           |    FROM generate_series(1, 64) AS t(i))
+           |   / SQRT(c.nsq * $p.nsq)) * 1e6) AS BIGINT)""".stripMargin
+      val rounds = (1 to 10).map {
+        case 1 =>
+          """pk1 AS MATERIALIZED (SELECT c.vec_id, c.v, c.nsq, c.rel_q,
+            |  CAST(0 AS BIGINT) AS msim_q,
+            |  7 * c.rel_q - 3 * CAST(0 AS BIGINT) AS score_q
+            |  FROM c ORDER BY score_q DESC, c.vec_id LIMIT 1)""".stripMargin
+        case t =>
+          val prior = 1 until t
+          val joins = prior.map(j => s"CROSS JOIN pk$j p$j").mkString(" ")
+          val sims = prior.map(j => sim(s"p$j")).mkString(",\n")
+          val gr = if (prior.size == 1) sims else s"GREATEST(\n$sims)"
+          val notIn = prior.map(j => s"SELECT vec_id FROM pk$j")
+            .mkString(" UNION ALL ")
+          s"""pk$t AS MATERIALIZED (SELECT c.vec_id, c.v, c.nsq, c.rel_q,
+             |  $gr AS msim_q,
+             |  7 * c.rel_q - 3 * $gr AS score_q
+             |  FROM c $joins
+             |  WHERE c.vec_id NOT IN ($notIn)
+             |  ORDER BY score_q DESC, c.vec_id LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to 10).map(t =>
+        s"SELECT CAST($t AS BIGINT) AS sel_rank, vec_id, rel_q, " +
+          s"msim_q, score_q FROM pk$t").mkString("\nUNION ALL\n")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings),
+         |n AS (SELECT vec_id, v,
+         |        (SELECT CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE)
+         |         FROM UNNEST(v) AS t(x)) AS nsq
+         |      FROM e),
+         |q AS (SELECT vec_id, v, nsq FROM n ORDER BY vec_id LIMIT 1),
+         |c AS MATERIALIZED (SELECT n.vec_id, n.v, n.nsq,
+         |        CAST(FLOOR(((SELECT CAST(SUM(CAST(n.v[i] * q.v[i]
+         |            AS DECIMAL(30,12))) AS DOUBLE)
+         |          FROM generate_series(1, 64) AS t(i))
+         |         / SQRT(n.nsq * q.nsq)) * 1e6) AS BIGINT) AS rel_q
+         |      FROM n CROSS JOIN q WHERE n.vec_id > q.vec_id),
+         |$rounds
+         |$out
+         |ORDER BY sel_rank""".stripMargin
+    },
 
     // Micro-quantized inputs ⇒ integer corpus sums; μ/σ/terms replay the
     // exact double shape (div, div, mul-sub, IEEE sqrt — no libm).

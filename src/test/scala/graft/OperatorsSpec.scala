@@ -363,6 +363,48 @@ class OperatorsSpec extends AnyFunSuite {
     sel.foreach(r => assert(r.getLong(2) == expected(r.getLong(0))))
   }
 
+  test("MMR selection matches an independent in-memory greedy") {
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      // decimal-exact dot, mirroring DecimalDotProduct
+      var acc = java.math.BigDecimal.ZERO
+      for (i <- a.indices)
+        acc = acc.add(java.math.BigDecimal.valueOf(a(i) * b(i))
+          .setScale(12, java.math.RoundingMode.HALF_UP))
+      acc.doubleValue()
+    }
+    val (qid, qv) = vecs.head
+    val cand = vecs.tail.map { case (id, v) =>
+      (id, v, dot(v, v),
+        math.floor(dot(v, qv) / math.sqrt(dot(v, v) * dot(qv, qv)) * 1e6)
+          .toLong)
+    }
+    var sel = Vector.empty[(Long, Array[Double], Double, Long)]
+    for (_ <- 1 to 10) {
+      val pick = cand.filter(c => !sel.exists(_._1 == c._1)).map {
+        case (id, v, nsq, rel) =>
+          val ms = if (sel.isEmpty) 0L
+            else sel.map(s0 => math.floor(
+              dot(v, s0._2) / math.sqrt(nsq * s0._3) * 1e6).toLong).max
+          (id, v, nsq, rel, ms, 7L * rel - 3L * ms)
+      }.minBy(c => (-c._6, c._1))
+      sel :+= ((pick._1, pick._2, pick._3, pick._6))
+    }
+    val rows = q("q_sim_mmr").collect()
+    assert(rows.length == 10)
+    rows.zip(sel).foreach { case (r, s0) =>
+      assert(r.getLong(1) == s0._1, s"rank ${r.getLong(0)} pick")
+      assert(r.getLong(4) == s0._4, s"rank ${r.getLong(0)} score")
+    }
+    // diversity must bite: some rank's pick differs from pure top-rel
+    val topRel = cand.sortBy(c => (-c._4, c._1)).take(10).map(_._1).toSet
+    assert(sel.map(_._1).toSet != topRel,
+      "MMR must diverge from relevance-only top-k on the fixture")
+  }
+
   test("whitening matches an independent in-memory reimplementation") {
     val vecs = graft.sources.Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
