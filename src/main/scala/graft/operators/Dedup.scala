@@ -1218,7 +1218,7 @@ object Dedup {
     // exactly.
     "q_graph_pagerank" -> {
       val rounds = (1 to 5).map { k =>
-        s"""r$k AS (SELECT nd.doc_id,
+        s"""r$k AS MATERIALIZED (SELECT nd.doc_id,
            |  (SELECT tele FROM params)
            |    + (85 * COALESCE(s.m, 0)) // 100 AS r
            |  FROM nodes nd LEFT JOIN (
@@ -1240,13 +1240,15 @@ object Dedup {
          |      FROM g a JOIN g b ON a.doc_id < b.doc_id),
          |pairs AS (SELECT doc_a, doc_b FROM p
          |          WHERE inter / (na + nb - inter) > 0.5),
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |edges AS MATERIALIZED (
+         |          SELECT doc_a AS src, doc_b AS dst FROM pairs
          |          UNION ALL SELECT doc_b, doc_a FROM pairs),
          |nodes AS (SELECT doc_id FROM documents),
          |params AS (SELECT 1000000000 // COUNT(*) AS base,
          |             (15 * (1000000000 // COUNT(*))) // 100 AS tele
          |           FROM nodes),
-         |dg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+         |dg AS MATERIALIZED (
+         |         SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
          |r0 AS (SELECT doc_id, (SELECT base FROM params) AS r FROM nodes),
          |$rounds
          |SELECT nd.doc_id, r5.r AS rank_nn,
