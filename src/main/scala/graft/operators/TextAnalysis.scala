@@ -34,7 +34,10 @@ object TextAnalysis {
     lmMemo.getOrElseUpdate((System.identityHashCode(s), d),
       lmDocScoresImpl(s, d).localCheckpoint())
 
-  private def lmDocScoresImpl(s: SparkSession, d: String): DataFrame = {
+  // private[graft]: PlanSpec asserts the aggregation shape on THIS plan —
+  // the memoized handle above is a checkpoint scan once warm, so its
+  // published plan no longer contains the bigram HashAggregates.
+  private[graft] def lmDocScoresImpl(s: SparkSession, d: String): DataFrame = {
     val toksD = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
     val big = toksD.select(col("doc_id"), explode(expr(

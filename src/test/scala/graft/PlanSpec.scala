@@ -355,7 +355,11 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("LM scoring joins count tables by bigram key, no cartesian on data") {
-    val p = plan("q_text_lm_score")
+    // the memoized q_text_lm_score handle is a checkpoint scan once any
+    // LM consumer has run in this session; assert on the underlying
+    // training/scoring plan, which is what executes the one real pass
+    val p = graft.operators.TextAnalysis.lmDocScoresImpl(spark, sfDir)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"),
       "only the 1-row vocab scalar may cross join (as broadcast)")
     assert(p.contains("HashAggregate"), "bigram counts must hash-aggregate")
