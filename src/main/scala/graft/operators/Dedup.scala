@@ -629,6 +629,67 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // Triangle count + local clustering coefficient over the near-dup
+    // graph — the density diagnostic that separates tight duplicate
+    // cliques (template farms, boilerplate families: lcc → 1) from
+    // chain-shaped borderline matches (lcc → 0), deciding between
+    // keep-one-per-cluster and manual review. Edges are oriented
+    // low-degree → high-degree endpoint (ties by id) before the wedge
+    // self-join — the standard O(m^1.5) enumeration bound: every wedge
+    // is generated at its lowest-degree vertex, so a degree-10⁶ hub on
+    // a 100 TB near-dup graph contributes wedges only through its
+    // (bounded-degree) neighbors, never deg² rows of its own. The
+    // oriented edge list is localCheckpointed once (near-dup survivor
+    // pairs only — tiny relative to the corpus) and the three
+    // triangle-join probes read that one materialization. Counts and
+    // the coefficient are pure integer arithmetic (lcc quantized as
+    // (2e6·tri) div (deg·(deg−1))), so the oracle replays exactly.
+    "q_graph_triangles" -> ((s, d) => {
+      val pairs = ngramJaccardPairsRaw(s, d)
+        .select(col("doc_a"), col("doc_b")).cache()
+      val edges = pairs.unionAll(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .toDF("src", "dst")
+      val dg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+      // oriented edge (src → dst) iff (deg, id) of src < (deg, id) of
+      // dst; carries the dst-side degree so the wedge join can compare
+      // endpoint orders without re-joining degrees
+      val o = edges
+        .join(dg.withColumnRenamed("deg", "sd"), "src")
+        .join(dg.select(col("src").as("dst"), col("deg").as("dd")), "dst")
+        .where(col("sd") < col("dd") ||
+          (col("sd") === col("dd") && col("src") < col("dst")))
+        .select(col("src"), col("dst"), col("dd"))
+        .localCheckpoint()
+      pairs.unpersist()
+      // wedges at the lowest-order vertex, closed by a third probe of o:
+      // orientation is a strict total order, so each triangle matches
+      // exactly once
+      val tri = o.as("e1")
+        .join(o.as("e2"), col("e1.src") === col("e2.src") &&
+          (col("e1.dd") < col("e2.dd") ||
+            (col("e1.dd") === col("e2.dd") && col("e1.dst") < col("e2.dst"))))
+        .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+          col("e2.dst").as("c"))
+        .join(o.select(col("src").as("b"), col("dst").as("c")),
+          Seq("b", "c"))
+      val perNode = tri
+        .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      docs
+        .join(dg, docs("doc_id") === dg("src"), "left")
+        .join(perNode, col("doc_id") === perNode("node"), "left")
+        .select(col("doc_id"),
+          coalesce(col("deg"), lit(0L)).as("deg"),
+          coalesce(col("tri"), lit(0L)).as("tri"),
+          when(coalesce(col("deg"), lit(0L)) >= 2,
+            expr("(2000000 * coalesce(tri, 0L)) div (deg * (deg - 1))"))
+            .otherwise(lit(0L)).as("lcc_q"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Cluster resolution on the large-star/small-star path — the
     // diameter-independent web-scale swap for the pointer-jumping loop
     // above (Kiveris et al., "Connected Components in MapReduce and
@@ -1257,6 +1318,54 @@ object Dedup {
          |LEFT JOIN dg ON dg.src = nd.doc_id
          |ORDER BY nd.doc_id""".stripMargin
     },
+
+    // Same all-pairs pair CTE, then the identical degree-ordered
+    // orientation and wedge-close joins; counts and the quantized
+    // coefficient are pure integer arithmetic on both engines.
+    "q_graph_triangles" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                       for i in generate_series(1, len(w) - 2)])
+        |      ELSE [array_to_string(w, ' ')] END AS sh
+        |      FROM t),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        len(list_intersect(a.sh, b.sh)) AS inter,
+        |        len(a.sh) AS na, len(b.sh) AS nb
+        |      FROM g a JOIN g b ON a.doc_id < b.doc_id),
+        |pairs AS (SELECT doc_a, doc_b FROM p
+        |          WHERE inter / (na + nb - inter) > 0.5),
+        |edges AS MATERIALIZED (
+        |          SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |dg AS MATERIALIZED (
+        |         SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        |o AS MATERIALIZED (
+        |     SELECT e.src, e.dst, dd.deg AS dd
+        |     FROM edges e
+        |     JOIN dg ds ON ds.src = e.src
+        |     JOIN dg dd ON dd.src = e.dst
+        |     WHERE ds.deg < dd.deg
+        |        OR (ds.deg = dd.deg AND e.src < e.dst)),
+        |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |        FROM o e1 JOIN o e2 ON e1.src = e2.src
+        |          AND (e1.dd < e2.dd OR (e1.dd = e2.dd AND e1.dst < e2.dst))
+        |        JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+        |pn AS (SELECT node, COUNT(*) AS tri FROM (
+        |         SELECT a AS node FROM tri
+        |         UNION ALL SELECT b FROM tri
+        |         UNION ALL SELECT c FROM tri) GROUP BY node)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(dg.deg, 0) AS BIGINT) AS deg,
+        |  CAST(COALESCE(pn.tri, 0) AS BIGINT) AS tri,
+        |  CAST(CASE WHEN COALESCE(dg.deg, 0) >= 2
+        |    THEN (2000000 * COALESCE(pn.tri, 0)) // (dg.deg * (dg.deg - 1))
+        |    ELSE 0 END AS BIGINT) AS lcc_q
+        |FROM documents d
+        |LEFT JOIN dg ON dg.src = d.doc_id
+        |LEFT JOIN pn ON pn.node = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // Clusters twin + integer-quality argmax per cluster.
     "q_dedup_canonical" ->

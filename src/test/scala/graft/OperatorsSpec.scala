@@ -463,6 +463,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.exists(row => row.getLong(2) > 0 && row.getLong(1) > tele))
   }
 
+  test("triangle counts match a brute-force in-memory enumeration") {
+    val pairs = q("q_dedup_ngram_jaccard").select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val triPerNode = scala.collection.mutable.Map.empty[Long, Long]
+    for ((a, b) <- pairs; c <- adj(a) intersect adj(b); if b < c) {
+      // (a,b) canonical a<b; c > b > a ⇒ each triangle enumerated once
+      Seq(a, b, c).foreach(v =>
+        triPerNode(v) = triPerNode.getOrElse(v, 0L) + 1L)
+    }
+    val rows = q("q_graph_triangles").collect()
+    assert(rows.length ==
+      graft.sources.Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val (id, deg, tri, lcc) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(deg == adj.get(id).map(_.size.toLong).getOrElse(0L))
+      assert(tri == triPerNode.getOrElse(id, 0L), s"doc $id tri")
+      val want = if (deg >= 2) 2000000L * tri / (deg * (deg - 1)) else 0L
+      assert(lcc == want, s"doc $id lcc")
+    }
+    // non-vacuous: the planted near-dup families close real triangles
+    assert(rows.exists(_.getLong(2) > 0), "fixture must contain triangles")
+  }
+
   test("dedup report cross-foots with the cluster labels and the corpus") {
     val n = graft.sources.Tables.documents(spark, sf).count()
     val rows = q("q_dedup_report").collect()

@@ -346,6 +346,15 @@ class PlanSpec extends AnyFunSuite {
     assert(dataEx.isEmpty, s"whitening must not shuffle: $dataEx")
   }
 
+  test("triangle wedges close via equi-joins, never a nested-loop product") {
+    // the orientation inequality must ride the src equi-key as a filter;
+    // a fallback to a nested-loop/cartesian wedge join is the O(n²)
+    // failure mode at scale
+    val p = plan("q_graph_triangles")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
+  }
+
   test("PSI reduces to histogram aggregates; joins stay broadcast-size") {
     val p = plan("q_drift_psi")
     // the |types|×10-row tail must never shuffle-join: every join after
