@@ -677,6 +677,67 @@ object Similarity {
         .orderBy(col("vec_id"))
     }),
 
+    // Top principal direction by distributed Gramian + driver power
+    // iteration — the tall-skinny PCA decomposition every
+    // embedding-space diagnostic (anisotropy checks, dominant-direction
+    // removal, spectral outlier axes) starts from. The corpus-sized
+    // work is ONE aggregation: each row emits its 64×64 outer-product
+    // cells (pure integer products of the 1e6-quantized components) and
+    // map-side partial aggregation collapses them to 4,096 running sums
+    // per partition, so the shuffle is 4,096 cells × partitions no
+    // matter the corpus — the MLlib computeGramianMatrix shape. The
+    // 64×64 result and the 3 power-iteration rounds live on the driver
+    // (bounded: 4,096 longs in, 64 doubles out; exact-long cells are
+    // overflow-safe to ~10⁶ rows at these magnitudes — beyond that the
+    // cell sum moves to double, same shape). Round arithmetic follows
+    // the library's decimal discipline (per-term double product →
+    // HALF_UP scale-12 decimal → exact sum) so DuckDB replays the whole
+    // trajectory; the per-vector projection is floor-quantized in
+    // 1e6-component units.
+    "q_embed_pca_power" -> ((s, d) => {
+      import graft.functions.VectorFunctions.decimal_dot
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), expr(
+          """transform(cast(embedding as array<double>),
+            |  x -> CAST(floor(x * 1e6) AS LONG))""".stripMargin).as("xq"))
+      val gram = e.select(explode(expr(
+          """flatten(transform(sequence(0, 63), j ->
+            |  transform(sequence(0, 63), k ->
+            |    struct(j AS j, k AS k,
+            |      element_at(xq, j + 1) * element_at(xq, k + 1) AS p))))"""
+            .stripMargin)).as("c"))
+        .select(col("c.j"), col("c.k"), col("c.p"))
+        .groupBy(col("j"), col("k")).agg(sum(col("p")).as("gv"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2))
+        .toMap
+      def dec(x: Double): java.math.BigDecimal =
+        java.math.BigDecimal.valueOf(x)
+          .setScale(12, java.math.RoundingMode.HALF_UP)
+      var v = Array.fill(64)(0.125) // exact binary start, unit norm
+      for (_ <- 1 to 3) {
+        // cells leave the 1e12 (µ-unit²) scale here: raw G·v terms are
+        // ~1e17 and their squares overflow DECIMAL(30,12) in the norm —
+        // the ÷1e12 double is deterministic IEEE on both engines (cells
+        // stay under 2^53 so the long→double conversion is exact)
+        val w = Array.tabulate(64) { j =>
+          var acc = java.math.BigDecimal.ZERO
+          var k = 0
+          while (k < 64) {
+            acc = acc.add(dec(gram((j, k)).toDouble / 1e12 * v(k))); k += 1
+          }
+          acc.doubleValue()
+        }
+        val nrm = math.sqrt(
+          w.map(x => dec(x * x)).reduce(_.add(_)).doubleValue())
+        v = w.map(_ / nrm)
+      }
+      val vLit = typedLit(v.toSeq)
+      e.select(col("vec_id"),
+          floor(decimal_dot(expr("transform(xq, x -> CAST(x AS DOUBLE))"),
+            vLit).cast("double")).cast("long").as("pc1_q"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Johnson-Lindenstrauss random projection 64 → 16 dims with a
     // deterministic ±1 sign matrix (same public Knuth-hash family as the
     // SRP-LSH planes, so both engines derive the identical matrix). THE
@@ -993,6 +1054,43 @@ object Similarity {
         |SELECT vec_id, CAST(SUM(t) AS BIGINT) AS white_sum,
         |  CAST(SUM(t * t) AS BIGINT) AS white_sqsum
         |FROM tm GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    // Replays the whole trajectory: integer Gram cells (exact, order-
+    // free), then each power round as one CTE — per-term double product
+    // cast to scale-12 decimal and summed (the DecimalDotProduct
+    // discipline), norm in double, division in double — so every v
+    // component is bit-identical to the driver's BigDecimal loop.
+    "q_embed_pca_power" -> {
+      val rounds = (1 to 3).map { r =>
+        s"""w$r AS (SELECT gm.j,
+           |    SUM(CAST(CAST(gm.gv AS DOUBLE) / 1e12 * v${r - 1}.v
+           |        AS DECIMAL(30,12))) AS w
+           |  FROM gm JOIN v${r - 1} ON v${r - 1}.j = gm.k GROUP BY gm.j),
+           |n$r AS (SELECT SQRT(CAST(SUM(CAST(
+           |    CAST(w AS DOUBLE) * CAST(w AS DOUBLE)
+           |    AS DECIMAL(30,12))) AS DOUBLE)) AS nrm FROM w$r),
+           |v$r AS (SELECT j, CAST(w AS DOUBLE) / (SELECT nrm FROM n$r) AS v
+           |  FROM w$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> CAST(FLOOR(x * 1e6) AS BIGINT)) AS xq
+         |  FROM embeddings),
+         |ex AS MATERIALIZED (SELECT vec_id, j, xq[j + 1] AS xi
+         |      FROM e CROSS JOIN generate_series(0, 63) AS t(j)),
+         |gm AS MATERIALIZED (
+         |  SELECT a.j AS j, b.j AS k,
+         |    CAST(SUM(a.xi * b.xi) AS BIGINT) AS gv
+         |  FROM ex a JOIN ex b USING (vec_id) GROUP BY a.j, b.j),
+         |v0 AS (SELECT j, 0.125::DOUBLE AS v
+         |       FROM generate_series(0, 63) AS t(j)),
+         |$rounds
+         |SELECT ex.vec_id,
+         |  CAST(FLOOR(CAST(SUM(CAST(CAST(ex.xi AS DOUBLE) * v3.v
+         |    AS DECIMAL(30,12))) AS DOUBLE)) AS BIGINT) AS pc1_q
+         |FROM ex JOIN v3 USING (j)
+         |GROUP BY ex.vec_id ORDER BY ex.vec_id""".stripMargin
+    },
 
     // Identical ±1 matrix from the shared integer hash; decimal sums are
     // associative (order-free) and the 1e-6 quantization absorbs the

@@ -436,6 +436,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.exists(_.getLong(1) < 0) && rows.exists(_.getLong(1) > 0))
   }
 
+  test("power-iteration PC1 matches an independent in-memory reimplementation") {
+    val xq = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Double](1).toArray.map(x => math.floor(x * 1e6).toLong))
+      .toMap
+    val g = Array.ofDim[Long](64, 64)
+    for (v <- xq.values; j <- 0 until 64; k <- 0 until 64)
+      g(j)(k) += v(j) * v(k)
+    def dec(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+    var vv = Array.fill(64)(0.125)
+    var lastRq = Double.MinValue
+    for (_ <- 1 to 3) {
+      val w = Array.tabulate(64) { j =>
+        (0 until 64).map(k => dec(g(j)(k).toDouble / 1e12 * vv(k)))
+          .reduce(_.add(_)).doubleValue()
+      }
+      // Rayleigh quotient v·Gv = v·w must be non-decreasing: each power
+      // round moves v toward the dominant eigenvector, never away
+      val rq = (0 until 64).map(j => vv(j) * w(j)).sum
+      assert(rq >= lastRq - 1e-9, s"power iteration regressed: $rq < $lastRq")
+      lastRq = rq
+      val nrm = math.sqrt(w.map(x => dec(x * x)).reduce(_.add(_)).doubleValue())
+      vv = w.map(_ / nrm)
+    }
+    val rows = q("q_embed_pca_power").collect()
+    assert(rows.length == xq.size)
+    rows.foreach { r =>
+      val want = math.floor(
+        xq(r.getLong(0)).map(_.toDouble).zip(vv)
+          .map { case (x, c) => dec(x * c) }
+          .reduce(_.add(_)).doubleValue()).toLong
+      assert(r.getLong(1) == want, s"vec ${r.getLong(0)} pc1")
+    }
+    // the principal direction must carry real variance: projections differ
+    assert(rows.map(_.getLong(1)).distinct.length > 1)
+  }
+
   test("integer pagerank matches an independent in-memory reimplementation") {
     val pairs = q("q_dedup_ngram_jaccard").select("doc_a", "doc_b")
       .collect().map(r => (r.getLong(0), r.getLong(1)))

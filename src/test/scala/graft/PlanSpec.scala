@@ -355,6 +355,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
   }
 
+  test("PC1 projection publishes as a shuffle-free map stage") {
+    // the Gramian collapses to 4,096 driver-held cells at build time;
+    // the published per-vector projection must be scan → project →
+    // presentation sort with no data shuffle (the whitening shape)
+    val p = plan("q_embed_pca_power")
+    val dataEx = p.linesIterator.filter(_.contains("Exchange"))
+      .filterNot(_.contains("rangepartitioning")).toList
+    assert(dataEx.isEmpty, s"PC1 projection must not shuffle: $dataEx")
+  }
+
   test("PSI reduces to histogram aggregates; joins stay broadcast-size") {
     val p = plan("q_drift_psi")
     // the |types|×10-row tail must never shuffle-join: every join after
