@@ -738,6 +738,57 @@ object Similarity {
         .orderBy(col("vec_id"))
     }),
 
+    // Embedding outlier gate: squared distance to the corpus centroid,
+    // flagged beyond mean + 2σ of the distance distribution — the
+    // cheap curation pass that catches corrupt/degenerate vectors
+    // (failed encodes, zero rows, wrong-modality strays) before they
+    // poison ANN buckets and k-means cells. Two bounded driver
+    // round-trips (64 per-dim integer sums, then 3 distance scalars);
+    // both corpus passes are shuffle-free map stages against literal
+    // stats — at 100 TB this is two scans and two 64-cell/3-cell
+    // aggregates, nothing else. Distances leave the µ-unit² scale
+    // (÷1e12, deterministic IEEE) so their squares fit the scale-12
+    // decimal sums; the threshold compare runs on bit-identical
+    // doubles on both engines.
+    "q_embed_outliers" -> ((s, d) => {
+      import graft.functions.VectorFunctions.decimal_dot
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), expr(
+          """transform(cast(embedding as array<double>),
+            |  x -> CAST(floor(x * 1e6) AS LONG))""".stripMargin).as("xq"))
+      val st = e.select(posexplode(col("xq")).as(Seq("j", "x")))
+        .groupBy(col("j"))
+        .agg(sum(col("x")).as("s1"), count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      val mLit = array(Array.tabulate(64) { j =>
+        lit(st(j)._1.toDouble / st(j)._2.toDouble)
+      }: _*)
+      val tArr = transform(sequence(lit(0), lit(63)), j => {
+        val i = (j + 1).cast("int")
+        element_at(col("xq"), i).cast("double") - element_at(mLit, i)
+      })
+      // materialized once: the stats aggregate and the published gate
+      // both read this tiny (vec_id, dist_s) table
+      val dist = e.select(col("vec_id"),
+          (decimal_dot(tArr, tArr).cast("double") / lit(1e12)).as("dist_s"))
+        .localCheckpoint()
+      val dec12 = org.apache.spark.sql.types.DecimalType(30, 12)
+      val r0 = dist.agg(
+        sum(col("dist_s").cast(dec12)).cast("double").as("s1"),
+        sum((col("dist_s") * col("dist_s")).cast(dec12)).cast("double")
+          .as("s2"),
+        count(lit(1)).as("n")).collect()(0)
+      val n = r0.getLong(2)
+      val mu = r0.getDouble(0) / n
+      val thr = mu + 2.0 * math.sqrt(
+        math.max(r0.getDouble(1) / n - mu * mu, 0.0))
+      dist.select(col("vec_id"),
+          floor(col("dist_s") * lit(1e6)).cast("long").as("dist_q"),
+          (col("dist_s") > lit(thr)).as("is_outlier"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Johnson-Lindenstrauss random projection 64 → 16 dims with a
     // deterministic ±1 sign matrix (same public Knuth-hash family as the
     // SRP-LSH planes, so both engines derive the identical matrix). THE
@@ -1054,6 +1105,37 @@ object Similarity {
         |SELECT vec_id, CAST(SUM(t) AS BIGINT) AS white_sum,
         |  CAST(SUM(t * t) AS BIGINT) AS white_sqsum
         |FROM tm GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    // Replays both passes: integer per-dim sums → double means, decimal
+    // per-term distance sums (÷1e12 to double), decimal distance stats,
+    // then the identical mean + 2σ threshold compare on bit-identical
+    // doubles.
+    "q_embed_outliers" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(FLOOR(x * 1e6) AS BIGINT)) AS xq
+        |  FROM embeddings),
+        |ex AS (SELECT vec_id, j, xq[j + 1] AS xi
+        |       FROM e CROSS JOIN generate_series(0, 63) AS t(j)),
+        |st AS (SELECT j, CAST(SUM(xi) AS BIGINT) AS s1, COUNT(*) AS n
+        |       FROM ex GROUP BY j),
+        |m AS (SELECT j, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m
+        |      FROM st),
+        |ds AS MATERIALIZED (SELECT ex.vec_id,
+        |    CAST(SUM(CAST(
+        |      (CAST(ex.xi AS DOUBLE) - m.m) * (CAST(ex.xi AS DOUBLE) - m.m)
+        |      AS DECIMAL(30,12))) AS DOUBLE) / 1e12 AS dist_s
+        |  FROM ex JOIN m USING (j) GROUP BY ex.vec_id),
+        |sts AS (SELECT
+        |    CAST(SUM(CAST(dist_s AS DECIMAL(30,12))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(dist_s * dist_s AS DECIMAL(30,12))) AS DOUBLE)
+        |      AS s2,
+        |    COUNT(*) AS n FROM ds),
+        |thr AS (SELECT s1 / n + 2.0 * SQRT(GREATEST(
+        |          s2 / n - (s1 / n) * (s1 / n), 0)) AS t FROM sts)
+        |SELECT vec_id, CAST(FLOOR(dist_s * 1e6) AS BIGINT) AS dist_q,
+        |  dist_s > (SELECT t FROM thr) AS is_outlier
+        |FROM ds ORDER BY vec_id""".stripMargin,
 
     // Replays the whole trajectory: integer Gram cells (exact, order-
     // free), then each power round as one CTE — per-term double product

@@ -476,6 +476,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).distinct.length > 1)
   }
 
+  test("centroid-distance outlier gate matches an in-memory reimplementation") {
+    val xq = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Double](1).toArray.map(x => math.floor(x * 1e6).toLong))
+      .toMap
+    def dec(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+    val n = xq.size
+    val m = Array.tabulate(64)(j =>
+      xq.values.map(_(j)).sum.toDouble / n.toDouble)
+    val dist = xq.map { case (id, v) =>
+      id -> ((0 until 64).map { j =>
+        val t = v(j).toDouble - m(j); dec(t * t)
+      }.reduce(_.add(_)).doubleValue() / 1e12)
+    }
+    val mu = dist.values.map(dec).reduce(_.add(_)).doubleValue() / n
+    val s2 = dist.values.map(x => dec(x * x)).reduce(_.add(_))
+      .doubleValue() / n
+    val thr = mu + 2.0 * math.sqrt(math.max(s2 - mu * mu, 0.0))
+    val rows = q("q_embed_outliers").collect()
+    assert(rows.length == n)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == math.floor(dist(id) * 1e6).toLong, s"vec $id")
+      assert(r.getBoolean(2) == (dist(id) > thr), s"vec $id flag")
+    }
+    // the gate must bite, and only on the tail
+    val flagged = rows.filter(_.getBoolean(2))
+    assert(flagged.nonEmpty, "fixture tail must contain outliers")
+    assert(flagged.length * 10 < n, "2σ gate must not flag the bulk")
+    val minFlagged = flagged.map(_.getLong(1)).min
+    assert(rows.filterNot(_.getBoolean(2)).forall(_.getLong(1) <= minFlagged))
+  }
+
   test("integer pagerank matches an independent in-memory reimplementation") {
     val pairs = q("q_dedup_ngram_jaccard").select("doc_a", "doc_b")
       .collect().map(r => (r.getLong(0), r.getLong(1)))

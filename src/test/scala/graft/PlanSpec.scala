@@ -365,6 +365,13 @@ class PlanSpec extends AnyFunSuite {
     assert(dataEx.isEmpty, s"PC1 projection must not shuffle: $dataEx")
   }
 
+  test("outlier gate publishes as a shuffle-free compare on the dist table") {
+    val p = plan("q_embed_outliers")
+    val dataEx = p.linesIterator.filter(_.contains("Exchange"))
+      .filterNot(_.contains("rangepartitioning")).toList
+    assert(dataEx.isEmpty, s"outlier gate must not shuffle: $dataEx")
+  }
+
   test("PSI reduces to histogram aggregates; joins stay broadcast-size") {
     val p = plan("q_drift_psi")
     // the |types|×10-row tail must never shuffle-join: every join after
