@@ -488,6 +488,55 @@ object EventStreams {
         .orderBy(col("day_s"), col("event_type"))
     }),
 
+    // Streaming point-anomaly monitor: per-event z-score against FROZEN
+    // reference stats (the pre-split corpus — mean/σ per event type,
+    // decimal-exact, collected once at plan build), rolled up per
+    // (day window, type) with a watermark. The alerting companion to
+    // q_stream_drift: PSI says "the distribution moved", this says
+    // "these N events are individually implausible" — the cheap
+    // guardrail in front of a training-data ingest. The reference table
+    // is 5 rows × 3 doubles broadcast into a stream-static join; the
+    // per-event z is a map stage; the single stateful agg keeps counts
+    // and max |z| (order-free longs), so the whole trajectory replays
+    // as a batch oracle. At scale: state is one row per open
+    // (day, type) window, the broadcast never shuffles the stream, and
+    // the z compare runs on bit-identical doubles on both engines.
+    "q_stream_anomaly" -> ((s, d) => {
+      import graft.queries.Extended.PsiSplitSql
+      import s.implicits._
+      val dec6 = org.apache.spark.sql.types.DecimalType(30, 6)
+      val stats = graft.sources.Tables.events(s, d)
+        .where(expr(s"ts < $PsiSplitSql"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("value").cast(dec6)).cast("double").as("s1"),
+          sum((col("value") * col("value")).cast(dec6)).cast("double")
+            .as("s2"),
+          count(lit(1)).as("n"))
+        .collect().map { r =>
+          val n = r.getLong(3)
+          val mu = r.getDouble(1) / n
+          val sd = math.sqrt(math.max(r.getDouble(2) / n - mu * mu, 0.0))
+          (r.getString(0), mu, sd)
+        }.toSeq.toDF("event_type", "mu", "sd")
+      val scored = eventStream(s, d)
+        .where(expr(s"ts >= $PsiSplitSql"))
+        .withWatermark("ts", "1 day")
+        .join(broadcast(stats), "event_type")
+        .withColumn("z_q", when(col("sd") > 0.0,
+          floor(abs((col("value") - col("mu")) / col("sd")) * lit(1e6))
+            .cast("long")).otherwise(lit(0L)))
+      val agg = scored
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum((col("z_q") > 3000000L).cast("long")).as("n_anom"),
+          max(col("z_q")).as("max_z_q"))
+      runToMemory(s, agg, "complete", s"sanom_${System.nanoTime()}")
+        .select(unix_timestamp(col("window.start")).as("day_s"),
+          col("event_type"), col("n_events"), col("n_anom"),
+          col("max_z_q"))
+        .orderBy(col("day_s"), col("event_type"))
+    }),
+
     // Streaming near-dup ADMISSION GATE over embeddings — the online
     // shape of embedding dedup: newly-arriving vectors (the top fifth
     // of the id space, streamed from the parquet drop zone) are checked
@@ -678,6 +727,37 @@ object EventStreams {
         |  CAST(SUM(CAST(FLOOR(((p2 - p1) * LN(p2 / p1)) * 1e9) AS BIGINT))
         |       AS BIGINT) AS psi_nn
         |FROM p GROUP BY day_s, event_type
+        |ORDER BY day_s, event_type""".stripMargin),
+
+    // Batch replay of the anomaly monitor: identical decimal reference
+    // stats, identical per-event z on bit-identical doubles, identical
+    // day rollup.
+    "q_stream_anomaly" ->
+      (s"""WITH refst AS (SELECT event_type,
+         |    CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS s1,
+         |    CAST(SUM(CAST(value * value AS DECIMAL(30,6))) AS DOUBLE)
+         |      AS s2,
+         |    COUNT(*) AS n
+         |  FROM events WHERE ts < ${graft.queries.Extended.PsiSplitSql}
+         |  GROUP BY event_type),
+         |ms AS (SELECT event_type, s1 / n AS mu,
+         |        SQRT(GREATEST(s2 / n - (s1 / n) * (s1 / n), 0)) AS sd
+         |       FROM refst),
+         |cur AS (SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT)
+         |          AS day_s, e.event_type, value, mu, sd
+         |  FROM events e JOIN ms USING (event_type)
+         |  WHERE ts >= ${graft.queries.Extended.PsiSplitSql}),""".stripMargin
+        + "\n" +
+      """z AS (SELECT day_s, event_type,
+        |        CASE WHEN sd > 0
+        |          THEN CAST(FLOOR(ABS((value - mu) / sd) * 1e6) AS BIGINT)
+        |          ELSE 0 END AS z_q
+        |      FROM cur)
+        |SELECT day_s, event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN z_q > 3000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_anom,
+        |  MAX(z_q) AS max_z_q
+        |FROM z GROUP BY day_s, event_type
         |ORDER BY day_s, event_type""".stripMargin),
 
     // Batch replay of the streaming admission gate: identical SRP bands

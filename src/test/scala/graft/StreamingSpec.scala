@@ -82,6 +82,39 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming anomaly monitor equals a batch z-score replay") {
+    val stream = SparkEntry.queries("q_stream_anomaly")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val split = 1705363200L * 1000000L // 2024-01-16T00:00:00Z in micros
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("value"), unix_micros(col("ts")))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val ref = ev.filter(_._3 < split)
+    val cur = ev.filter(_._3 >= split)
+    assert(stream.nonEmpty && ref.nonEmpty && cur.nonEmpty)
+    def dec(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+    val stats = ref.groupBy(_._1).map { case (t, es) =>
+      val n = es.length
+      val mu = es.map(e => dec(e._2)).reduce(_.add(_)).doubleValue() / n
+      val s2 = es.map(e => dec(e._2 * e._2)).reduce(_.add(_))
+        .doubleValue() / n
+      t -> ((mu, math.sqrt(math.max(s2 - mu * mu, 0.0))))
+    }
+    val dayUs = 86400L * 1000000L
+    val expected = cur.groupBy(e =>
+      ((e._3 / dayUs) * 86400L, e._1)).map { case (k, es) =>
+      val (mu, sd) = stats(k._2)
+      val zs = es.map(e => if (sd > 0)
+        math.floor(math.abs((e._2 - mu) / sd) * 1e6).toLong else 0L)
+      k -> ((es.length.toLong, zs.count(_ > 3000000L).toLong, zs.max))
+    }
+    assert(stream == expected)
+    // the monitor must fire somewhere in the fixture tail
+    assert(stream.values.exists(_._2 > 0), "no anomalies flagged")
+  }
+
   test("stateful flatMapGroupsWithState equals batch per-user aggregates") {
     val stream = SparkEntry.queries("q_stream_stateful")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
