@@ -835,6 +835,56 @@ object Extended {
         .orderBy(col("user_id"), col("session_idx"))
     }),
 
+    // Interval-overlap join, binned: user sessions (the q_event_
+    // sessionize intervals) × 1-hour incident windows opened by each
+    // error event. The naive spelling is a pure-inequality theta join —
+    // Spark can only nested-loop that, O(sessions × incidents) at
+    // scale. Instead both sides explode to the hour buckets they span
+    // and meet in a bucket EQUI-join (shuffle-partitionable, skew-
+    // bounded by bucket population), the exact overlap predicate
+    // filters the candidates, and a distinct collapses pairs that meet
+    // in several buckets. Bucket width is the knob: finer buckets mean
+    // fewer false candidates but more duplication for long intervals —
+    // at 100 TB pick ~the median interval length; overlap math is all
+    // epoch-micros integers, so the oracle (which can afford the theta
+    // join at fixture scale) agrees exactly.
+    "q_join_interval" -> ((s, d) => {
+      val hrUs = 3600000000L
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("m"), col("event_id"))
+      val sess = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("m"))
+        .withColumn("pm", lag(col("m"), 1).over(byUser))
+        .withColumn("brk",
+          when(col("pm").isNull || col("m") - col("pm") > 43200000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx", sum(col("brk")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(min(col("m")).as("start_us"), max(col("m")).as("end_us"))
+      val inc = Tables.events(s, d)
+        .where(col("event_type") === "error")
+        .select(col("event_id").as("inc_id"),
+          unix_micros(col("ts")).as("its"))
+      val sb = sess.withColumn("bkt", explode(sequence(
+        expr(s"start_us div $hrUs"), expr(s"end_us div $hrUs"))))
+      val ib = inc.withColumn("bkt", explode(sequence(
+        expr(s"its div $hrUs"), expr(s"(its + $hrUs - 1) div $hrUs"))))
+      val hits = sb.join(ib, Seq("bkt"))
+        .where(col("start_us") < col("its") + hrUs &&
+          col("its") <= col("end_us"))
+        .select(col("user_id"), col("session_idx"), col("inc_id"))
+        .distinct()
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_inc"))
+      sess.join(hits, Seq("user_id", "session_idx"), "left")
+        .select(col("user_id"), col("session_idx"),
+          col("start_us"), col("end_us"),
+          coalesce(col("n_inc"), lit(0L)).as("n_inc"))
+        .orderBy(col("user_id"), col("session_idx"))
+    }),
+
     "q_timeseries_gapfill" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
@@ -1193,6 +1243,35 @@ object Extended {
         |  CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS value_sum
         |FROM sx GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+
+    // The oracle affords the direct theta join at fixture scale — the
+    // binning is a plan strategy, not a semantics change, so both must
+    // produce identical rows.
+    "q_join_interval" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |             CAST(epoch_us(ts) AS BIGINT) AS m FROM events),
+        |l AS (SELECT *, lag(m) OVER (PARTITION BY user_id
+        |                             ORDER BY m, event_id) AS pm FROM e),
+        |b AS (SELECT *, CASE WHEN pm IS NULL OR m - pm > 43200000000
+        |                     THEN 1 ELSE 0 END AS brk FROM l),
+        |sx AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id
+        |         ORDER BY m, event_id ROWS UNBOUNDED PRECEDING)
+        |         AS session_idx FROM b),
+        |sess AS (SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |           MIN(m) AS start_us, MAX(m) AS end_us
+        |         FROM sx GROUP BY user_id, session_idx),
+        |inc AS (SELECT event_id AS inc_id, m AS its FROM e
+        |        WHERE event_type = 'error'),
+        |hits AS (SELECT s.user_id, s.session_idx, COUNT(*) AS n_inc
+        |         FROM sess s JOIN inc i
+        |           ON s.start_us < i.its + 3600000000
+        |          AND i.its <= s.end_us
+        |         GROUP BY s.user_id, s.session_idx)
+        |SELECT s.user_id, s.session_idx, s.start_us, s.end_us,
+        |  CAST(COALESCE(h.n_inc, 0) AS BIGINT) AS n_inc
+        |FROM sess s LEFT JOIN hits h
+        |  ON h.user_id = s.user_id AND h.session_idx = s.session_idx
+        |ORDER BY s.user_id, s.session_idx""".stripMargin,
 
     "q_timeseries_gapfill" ->
       """WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS h

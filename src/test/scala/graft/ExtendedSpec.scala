@@ -93,6 +93,40 @@ class ExtendedSpec extends AnyFunSuite {
     }
   }
 
+  test("binned interval join equals a brute-force overlap scan") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("m"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // rebuild the 12h-gap sessions per user
+    val sessions = ev.groupBy(_._2).toSeq.flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e._4, e._1))
+      var idx = 0L
+      var prev = Long.MinValue
+      sorted.map { e =>
+        if (prev == Long.MinValue || e._4 - prev > 43200000000L) idx += 1
+        prev = e._4
+        (u, idx, e._4)
+      }.groupBy(t => (t._1, t._2)).map { case (k, ts) =>
+        (k._1, k._2, ts.map(_._3).min, ts.map(_._3).max)
+      }
+    }
+    val incidents = ev.filter(_._3 == "error").map(_._4)
+    val expected = sessions.map { case (u, i, st, en) =>
+      (u, i) -> incidents.count(its => st < its + 3600000000L && its <= en)
+        .toLong
+    }.toMap
+    val rows = q("q_join_interval").collect()
+    assert(rows.length == sessions.size)
+    rows.foreach { r =>
+      assert(r.getLong(4) == expected((r.getLong(0), r.getLong(1))),
+        s"session (${r.getLong(0)},${r.getLong(1)})")
+    }
+    // both sides of the gate must occur: hit sessions and clean sessions
+    assert(rows.exists(_.getLong(4) > 0) && rows.exists(_.getLong(4) == 0))
+  }
+
   test("approx_count_distinct is within rsd bounds of exact") {
     val exact = graft.sources.Tables.lineitem(spark, sf)
       .groupBy(col("l_returnflag"))

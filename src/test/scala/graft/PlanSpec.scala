@@ -346,6 +346,12 @@ class PlanSpec extends AnyFunSuite {
     assert(dataEx.isEmpty, s"whitening must not shuffle: $dataEx")
   }
 
+  test("interval join meets in hour buckets, never a nested-loop theta join") {
+    val p = plan("q_join_interval")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
+  }
+
   test("triangle wedges close via equi-joins, never a nested-loop product") {
     // the orientation inequality must ride the src equi-key as a filter;
     // a fallback to a nested-loop/cartesian wedge join is the O(n²)
