@@ -143,7 +143,8 @@ object Bench {
       "tws" -> "q_stream_transform_state",
       "ssjoin" -> "q_stream_static_join",
       "sedup" -> "q_stream_embed_dedup",
-      "sdrift" -> "q_stream_drift")
+      "sdrift" -> "q_stream_drift",
+      "sanom" -> "q_stream_anomaly")
     // listener bus is async; block until the queued tail is dispatched
     org.apache.spark.sql.graftbridge.Bridge.waitListenerBus(spark, 10000)
     import scala.jdk.CollectionConverters._

@@ -194,7 +194,7 @@ object ScaleProbe {
     val sections = args.drop(1).headOption
       .map(_.split(",").toSet)
       .getOrElse(Set("pipeline", "cc_corpus", "cc_chain", "topk",
-        "lsh", "semantic", "recall", "graph"))
+        "lsh", "semantic", "recall", "graph", "triangles"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outBase = s"${sys.props("java.io.tmpdir")}/graft_scale"
@@ -504,6 +504,25 @@ object ScaleProbe {
         q(spark, dir).queryExecution.toRdd.count()
       }
       emit(s"""{"probe":"graph_pagerank","factor":$f,"docs":$nDocs,""" +
+        s""""wall_s":${f"$wall%.2f"},"rows_out":$rows,""" +
+        s""""shuffle_write_mb":${sw / 1048576},""" +
+        s""""shuffle_read_mb":${sr / 1048576},"spill_mb":${sp / 1048576}}""")
+      spark.catalog.clearCache()
+    }
+
+    // ---- 9. triangle counting over the amplified near-dup graph ----
+    // The wedge self-join is the quadratic risk; degree orientation
+    // bounds it by the LOW endpoint's degree, so wall should track the
+    // pair graph like pagerank does — not the square of the densest
+    // clique's degree. Same ×10 cap as the other pair-graph probes.
+    if (sections("triangles")) factors.filter(_ <= 10).foreach { f =>
+      val dir = if (f == 1) sfDir else amplify(spark, sfDir, f, outBase)
+      val nDocs = Tables.documents(spark, dir).count()
+      val q = graft.SparkEntry.queries("q_graph_triangles")
+      val (rows, wall, sw, sr, sp, _) = measured(spark, agg) {
+        q(spark, dir).queryExecution.toRdd.count()
+      }
+      emit(s"""{"probe":"graph_triangles","factor":$f,"docs":$nDocs,""" +
         s""""wall_s":${f"$wall%.2f"},"rows_out":$rows,""" +
         s""""shuffle_write_mb":${sw / 1048576},""" +
         s""""shuffle_read_mb":${sr / 1048576},"spill_mb":${sp / 1048576}}""")

@@ -14,13 +14,17 @@ set -u
 cd "$(dirname "$0")/.."
 queries="$*"
 fail=0
+mkdir -p target
 for sf in sf0.001 sf0.01 sf0.1; do
   out="/tmp/graft_sweep_${sf}"
   echo "== $sf =="
   sbt -batch "runMain graft.Verify /root/testdata/$sf $out $queries" \
     > "/tmp/graft_sweep_${sf}.log" 2>&1 \
     || { echo "VERIFY FAILED at $sf (see /tmp/graft_sweep_${sf}.log)"; fail=1; continue; }
+  # durable, timestamped evidence the sweep ran AFTER the last
+  # kernel-touching commit (the shared-kernel discipline's step 3)
   python3 tools/paritycheck.py "/root/testdata/$sf" "$out" $queries \
-    | tail -3 || fail=1
+    > "target/sweep_${sf}.txt" || fail=1
+  tail -3 "target/sweep_${sf}.txt"
 done
 exit $fail
