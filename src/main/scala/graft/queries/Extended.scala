@@ -628,6 +628,44 @@ object Extended {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Histogram-sketch quantiles — the one-pass scale alternative to
+    // q_agg_median's exact percentile, which needs a per-group sort (at
+    // 100 TB, a full shuffle of the column). Here the corpus work is
+    // two cheap scans: a 3-scalar stats aggregate, then a 100-cell
+    // equi-width histogram with map-side partials; rank selection and
+    // within-bucket linear interpolation run on the 100-row tail. The
+    // estimate is within one bucket width of the true quantile by
+    // construction (spec-asserted against exact percentiles); bucket
+    // count is the accuracy knob. All arithmetic is deterministic
+    // IEEE doubles spelled identically in the oracle, est floor-
+    // quantized at 1e-3 like the exact-percentile query.
+    "q_agg_quantile_hist" -> ((s, d) => {
+      val v = Tables.lineitem(s, d).select(col("l_extendedprice").as("x"))
+      val r0 = v.agg(count(lit(1)).as("n"), min(col("x")).as("mn"),
+        max(col("x")).as("mx")).collect()(0)
+      val (n, mn, mx) = (r0.getLong(0), r0.getDouble(1), r0.getDouble(2))
+      val hist = v.select(least(lit(99L),
+          floor((col("x") - lit(mn)) / (lit(mx) - lit(mn)) * 100))
+          .as("bkt"))
+        .groupBy(col("bkt")).agg(count(lit(1)).as("c"))
+      val cum = hist.withColumn("cum", sum(col("c")).over(
+        Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      import s.implicits._
+      val tr = Seq(0.5, 0.9, 0.99).toDF("p")
+        .withColumn("tr", ceil(col("p") * lit(n)))
+      val pick = tr.join(cum, col("cum") >= col("tr"))
+        .groupBy(col("p"), col("tr")).agg(min(col("bkt")).as("bkt"))
+      pick.join(cum, "bkt")
+        .select(col("p"), col("bkt"),
+          floor((lit(mn) + (col("bkt").cast("double") +
+            (col("tr") - (col("cum") - col("c"))).cast("double") /
+              col("c").cast("double")) *
+            (lit(mx) - lit(mn)) / lit(100.0)) * 1000).cast("long")
+            .as("est_m"))
+        .orderBy(col("p"))
+    }),
+
     // Deterministic collect: collect_set is unordered, so sort_array
     // canonicalizes and array_join flattens to one scalar string —
     // result columns must never be array-typed (the driver comparator
@@ -1155,6 +1193,37 @@ object Extended {
         |    AS p90_price_m,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // Same two passes, 100-row tail, and double op order; DECIMAL p
+    // literals are cast to DOUBLE up front so p·n is double arithmetic
+    // on both engines.
+    "q_agg_quantile_hist" ->
+      """WITH v AS (SELECT l_extendedprice AS x FROM lineitem),
+        |st AS (SELECT COUNT(*) AS n, MIN(x) AS mn, MAX(x) AS mx FROM v),
+        |h AS (SELECT LEAST(99, CAST(FLOOR(
+        |         (x - (SELECT mn FROM st))
+        |           / ((SELECT mx FROM st) - (SELECT mn FROM st)) * 100)
+        |         AS BIGINT)) AS bkt,
+        |        COUNT(*) AS c
+        |      FROM v GROUP BY 1),
+        |cu AS (SELECT bkt, c,
+        |         SUM(c) OVER (ORDER BY bkt ROWS UNBOUNDED PRECEDING) AS cum
+        |       FROM h),
+        |ps AS (SELECT UNNEST([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+        |                      CAST(0.99 AS DOUBLE)]) AS p),
+        |tr AS (SELECT p, CAST(CEIL(p * (SELECT n FROM st)) AS BIGINT) AS tr
+        |       FROM ps),
+        |pick AS (SELECT t.p, t.tr, MIN(cu.bkt) AS bkt
+        |         FROM tr t JOIN cu ON cu.cum >= t.tr GROUP BY t.p, t.tr)
+        |SELECT p.p, p.bkt,
+        |  CAST(FLOOR(((SELECT mn FROM st)
+        |    + (CAST(p.bkt AS DOUBLE)
+        |       + CAST(p.tr - (cu.cum - cu.c) AS DOUBLE)
+        |         / CAST(cu.c AS DOUBLE))
+        |      * ((SELECT mx FROM st) - (SELECT mn FROM st)) / 100.0)
+        |    * 1000) AS BIGINT) AS est_m
+        |FROM pick p JOIN cu ON cu.bkt = p.bkt
+        |ORDER BY p.p""".stripMargin,
 
     "q_agg_collect" ->
       """SELECT n_name,

@@ -127,6 +127,22 @@ class ExtendedSpec extends AnyFunSuite {
     assert(rows.exists(_.getLong(4) > 0) && rows.exists(_.getLong(4) == 0))
   }
 
+  test("histogram-sketch quantiles land within one bucket of exact") {
+    val xs = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_extendedprice")).collect().map(_.getDouble(0)).sorted
+    val span = (xs.last - xs.head) / 100.0
+    val rows = SparkEntry.queries("q_agg_quantile_hist")(spark, sf).collect()
+    assert(rows.map(_.getDouble(0)).toSeq == Seq(0.5, 0.9, 0.99))
+    rows.foreach { r =>
+      val p = r.getDouble(0)
+      val est = r.getLong(2) / 1000.0
+      // exact lower quantile at rank ceil(p·n)
+      val exact = xs(math.ceil(p * xs.length).toInt - 1)
+      assert(math.abs(est - exact) <= span + 1e-3,
+        s"p=$p est=$est exact=$exact span=$span")
+    }
+  }
+
   test("approx_count_distinct is within rsd bounds of exact") {
     val exact = graft.sources.Tables.lineitem(spark, sf)
       .groupBy(col("l_returnflag"))
