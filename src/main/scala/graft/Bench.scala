@@ -144,7 +144,8 @@ object Bench {
       "ssjoin" -> "q_stream_static_join",
       "sedup" -> "q_stream_embed_dedup",
       "sdrift" -> "q_stream_drift",
-      "sanom" -> "q_stream_anomaly")
+      "sanom" -> "q_stream_anomaly",
+      "shh" -> "q_stream_heavy_hitters")
     // listener bus is async; block until the queued tail is dispatched
     org.apache.spark.sql.graftbridge.Bridge.waitListenerBus(spark, 10000)
     import scala.jdk.CollectionConverters._

@@ -631,6 +631,50 @@ object EventStreams {
           .as("fp"), col("n_tok"))
       runToMemory(s, curated, "append", s"spipe_${System.nanoTime()}")
         .orderBy(col("fp"))
+    }),
+
+    // Streaming heavy hitters: the mergeable Count-Min sketch as
+    // STREAMING STATE — term counts over a documents ingest stream
+    // accumulate in the 4×256-counter CMS (graft.functions.CountMinAgg)
+    // through a complete-mode aggregation, each micro-batch merging its
+    // partial sketch into the store. This is how a term/URL/domain
+    // frequency monitor runs over a 100 TB ingest: state is the SKETCH
+    // (4×256 longs, constant), never the term dictionary — the
+    // unbounded-cardinality companion to q_stream_dedup's exact keyed
+    // state. Counter merges are order-free sums, so the drained sketch
+    // is bit-identical to the batch build and the whole query
+    // oracle-checks; estimates are probed post-sink for the exact
+    // top-20 (derived from the static table — the probe set, not the
+    // monitor), with the over-estimate-only CMS guarantee spec-asserted.
+    "q_stream_heavy_hitters" -> ((s, d) => {
+      import graft.functions.CountMinAgg.{cms_base, count_min_agg}
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType),
+        StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val sketch = s.readStream.schema(docSchema)
+        .parquet(s"$d/documents*.parquet")
+        .select(explode(split(col("text"), " ")).as("term"))
+        .agg(count_min_agg(col("term")).as("cms"))
+      val sink = runToMemory(s, sketch, "complete",
+        s"shh_${System.nanoTime()}")
+      val top = graft.sources.Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("term"))
+        .limit(20)
+      val est = (0 until 4).map { r =>
+        s"element_at(cms, CAST(shiftright(base * ${2654435761L + r}, 16) " +
+          s"% 256 + ${r * 256} + 1 AS INT))"
+      }.mkString("least(", ", ", ")")
+      top.crossJoin(broadcast(sink))
+        .withColumn("base", cms_base(col("term")))
+        .withColumn("cms_est", expr(est))
+        .select(col("term"), col("n_exact"), col("cms_est"))
+        .orderBy(col("n_exact").desc, col("term"))
     })
   )
 
@@ -863,6 +907,33 @@ object EventStreams {
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |WHERE e.event_type = 'purchase'
         |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
+
+    // The drained streaming sketch is bit-identical to a batch build
+    // (counter sums are order-free), so the oracle is the same SQL CMS
+    // rebuild as the batch q_text_heavy_hitters_approx.
+    "q_stream_heavy_hitters" ->
+      """WITH toks AS (SELECT UNNEST(string_split(text, ' ')) AS term
+        |              FROM documents),
+        |counts AS (SELECT term, COUNT(*) AS n FROM toks GROUP BY term),
+        |b AS (SELECT term, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(term, ''),
+        |          c -> CAST(ascii(c) AS BIGINT))),
+        |        (h, c) -> (h * 31 + c) % 1048576) AS base
+        |      FROM counts),
+        |r AS (SELECT UNNEST([0, 1, 2, 3]) AS r),
+        |cell AS (SELECT r.r,
+        |           ((b.base * (2654435761 + r.r)) >> 16) % 256 AS idx,
+        |           CAST(SUM(c.n) AS BIGINT) AS cnt
+        |         FROM counts c JOIN b USING (term) CROSS JOIN r
+        |         GROUP BY r.r, idx),
+        |top AS (SELECT term, n FROM counts ORDER BY n DESC, term LIMIT 20)
+        |SELECT t.term, t.n AS n_exact, CAST(MIN(cl.cnt) AS BIGINT) AS cms_est
+        |FROM top t JOIN b USING (term)
+        |CROSS JOIN r
+        |JOIN cell cl ON cl.r = r.r
+        |  AND cl.idx = ((b.base * (2654435761 + r.r)) >> 16) % 256
+        |GROUP BY t.term, t.n
+        |ORDER BY n_exact DESC, term""".stripMargin,
 
     // Batch spelling of the streaming curation pipeline: funnel gates,
     // blocklist anti-join, DISTINCT on text, then the same neutral

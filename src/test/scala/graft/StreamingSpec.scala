@@ -195,6 +195,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming CMS sketch equals the batch sketch, over-estimates only") {
+    val stream = SparkEntry.queries("q_stream_heavy_hitters")(spark, sf)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+    assert(stream.length == 20)
+    // CMS never under-counts
+    stream.foreach { case (t, (exact, est)) =>
+      assert(est >= exact, s"term $t under-counted: $est < $exact")
+    }
+    // counter merges are order-free, so the state-store-accumulated
+    // sketch must be bit-identical to the batch-built one
+    val batch = SparkEntry.queries("q_text_heavy_hitters_approx")(spark, sf)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+    assert(stream.toMap == batch.toMap)
+  }
+
   test("a restarted stream resumes from its checkpoint exactly once") {
     // the recovery contract a 100 TB ingest relies on: the file source
     // records processed files in the checkpoint's offset log and the
