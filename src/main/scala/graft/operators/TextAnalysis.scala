@@ -287,6 +287,57 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // Winnowing fingerprint SETS (Schleimer/Wilkerson/Aiken, the MOSS
+    // selection): token-trigram hashes, window w=4, keep the RIGHTMOST
+    // minimum per window — the robust selection whose guarantee is
+    // that any shared token run of ≥ w+k−1 = 6 tokens between two
+    // documents shares at least one selected fingerprint, at an
+    // expected density of 2/(w+1) instead of one-hash-per-position.
+    // The whole selection is per-row array math (no shuffle before the
+    // presentation sort): at 100 TB this is a map stage emitting ~n/2.5
+    // (pos, fp) pairs per n-token doc, and the fingerprint inverted
+    // index — not the text — is what a plagiarism/overlap service
+    // shuffles. Hashes ride the engine-neutral 40-bit fold, so the
+    // oracle replays selection byte-for-byte.
+    "q_text_winnow" -> ((s, d) => {
+      import graft.functions.VectorFunctions.neutral_hash40
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val shingles = when(size(col("w")) >= 3,
+          transform(sequence(lit(1), size(col("w")) - 2),
+            i => concat_ws(" ", element_at(col("w"), i),
+              element_at(col("w"), i + 1), element_at(col("w"), i + 2))))
+        .otherwise(array(array_join(col("w"), " ")))
+      val hashed = toks.select(col("doc_id"),
+        transform(shingles, s0 => neutral_hash40(s0)).as("h"))
+      // rightmost argmin of window j..j+3 via first position in the
+      // reversed slice: pos = j + 5 − position_from_right. The
+      // (pos, fp) pair dedups as ONE encoded long (pos·2⁴⁰ + fp — fp
+      // is 40 bits by construction; safe while positions < 2²³, i.e.
+      // docs under ~8M tokens — chunk first beyond that) because
+      // DuckDB's list_distinct can't take struct lists, and the
+      // encoding must be the same on both engines for the set to
+      // match.
+      val enc = lit(1099511627776L)
+      val fps = when(size(col("h")) >= 4,
+          array_distinct(transform(sequence(lit(0), size(col("h")) - 4),
+            j => {
+              val win = slice(col("h"), j + 1, lit(4))
+              val m = array_min(win)
+              (j + lit(5) - array_position(reverse(win), m))
+                .cast("long") * enc + m
+            })))
+        .otherwise(array(
+          (size(col("h")) + lit(1) -
+            array_position(reverse(col("h")), array_min(col("h"))))
+            .cast("long") * enc + array_min(col("h"))))
+      hashed.select(col("doc_id"), explode(fps).as("code"))
+        .select(col("doc_id"),
+          expr("code div 1099511627776").as("pos"),
+          expr("code % 1099511627776").as("fp"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // Context-window chunking: split each document into fixed-width
     // token windows (32 tokens, stride 16 → 50% overlap) — the step that
     // turns a variable-length corpus into training-context-sized pieces.
@@ -509,6 +560,39 @@ object TextAnalysis {
     // precomputed — DuckDB folds INT32 literals before widening).
     // Fixture text is ASCII, so ORD(SUBSTRING) = UTF-8 byte, the same
     // equivalence every multimodal oracle uses.
+    // Identical trigram construction, 40-bit fold, and rightmost-min
+    // selection via first-position-in-reversed-slice; struct list
+    // dedup matches array_distinct on (pos, fp).
+    "q_text_winnow" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |        [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |         for i in generate_series(1, len(w) - 2)]
+        |      ELSE [array_to_string(w, ' ')] END AS sh
+        |      FROM t),
+        |hh AS (SELECT doc_id, list_transform(sh, s ->
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split(s, ''),
+        |             c -> CAST(ascii(c) AS BIGINT))),
+        |           (h, c) -> (h * 1000003 + c) % 1099511627776)) AS h
+        |       FROM g),
+        |win AS (SELECT doc_id,
+        |    CASE WHEN len(h) >= 4 THEN
+        |      list_distinct([
+        |        CAST(j + 5 - list_position(list_reverse(h[j+1:j+4]),
+        |                                   list_min(h[j+1:j+4]))
+        |             AS BIGINT) * 1099511627776 + list_min(h[j+1:j+4])
+        |        for j in generate_series(0, len(h) - 4)])
+        |    ELSE [CAST(len(h) + 1 -
+        |            list_position(list_reverse(h), list_min(h))
+        |          AS BIGINT) * 1099511627776 + list_min(h)] END AS fps
+        |  FROM hh),
+        |u AS (SELECT doc_id, UNNEST(fps) AS code FROM win)
+        |SELECT doc_id, CAST(code // 1099511627776 AS BIGINT) AS pos,
+        |  CAST(code % 1099511627776 AS BIGINT) AS fp
+        |FROM u ORDER BY doc_id, pos""".stripMargin,
+
     "q_text_fingerprint" ->
       """WITH m AS (SELECT doc_id, text,
         |             OCTET_LENGTH(ENCODE(text)) AS n FROM documents),

@@ -539,6 +539,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.exists(row => row.getLong(2) > 0 && row.getLong(1) > tele))
   }
 
+  test("winnowing selection matches an in-memory reimplementation") {
+    def fold(s: String): Long = {
+      var h = 0L
+      s.getBytes("UTF-8").foreach(b => h = (h * 1000003L + (b & 0xFF)) & 0xFFFFFFFFFFL)
+      h
+    }
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expected = docs.map { case (id, text) =>
+      val w = text.split(" ")
+      val sh = if (w.length >= 3)
+        (0 until w.length - 2).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}")
+      else Seq(w.mkString(" "))
+      val h = sh.map(fold)
+      val fps = if (h.length >= 4)
+        (0 to h.length - 4).map { j =>
+          val win = h.slice(j, j + 4)
+          val m = win.min
+          (j + win.lastIndexOf(m) + 1L, m) // 1-based rightmost argmin
+        }.distinct
+      else Seq((h.lastIndexOf(h.min) + 1L, h.min))
+      id -> fps.sortBy(_._1)
+    }.toMap
+    val rows = q("q_text_winnow").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (k, v) =>
+        k -> v.map(t => (t._2, t._3)).toSeq.sortBy(_._1) }
+    assert(rows.keySet == expected.keySet)
+    rows.foreach { case (id, fps) => assert(fps == expected(id), s"doc $id") }
+    // the winnowing coverage guarantee: selected positions are never
+    // more than w apart, so no w-window lacks a fingerprint
+    rows.foreach { case (id, fps) =>
+      fps.map(_._1).sliding(2).foreach {
+        case Seq(a, b) => assert(b - a <= 4, s"doc $id gap $a->$b")
+        case _ =>
+      }
+    }
+  }
+
   test("triangle counts match a brute-force in-memory enumeration") {
     val pairs = q("q_dedup_ngram_jaccard").select("doc_a", "doc_b")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
