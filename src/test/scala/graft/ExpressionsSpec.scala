@@ -140,6 +140,22 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(viaSql == 4.0)
   }
 
+  test("gram_matrix_agg equals the brute-force outer-product sum") {
+    import spark.implicits._
+    // 3 deterministic 64-dim integer rows, partitioned so partial
+    // buffers actually merge
+    val rows = (0 until 3).map(r =>
+      Array.tabulate(64)(j => ((r + 1) * (j % 7) - 3).toLong))
+    val got = rows.map(_.toSeq).toDF("xq").repartition(3)
+      .agg(VectorFunctions.gram_matrix_agg(col("xq")))
+      .collect()(0).getSeq[Long](0)
+    val want = Array.ofDim[Long](64, 64)
+    for (v <- rows; j <- 0 until 64; k <- 0 until 64)
+      want(j)(k) += v(j) * v(k)
+    for (j <- 0 until 64; k <- 0 until 64)
+      assert(got(j * 64 + k) == want(j)(k), s"cell ($j,$k)")
+  }
+
   test("count-min sketch estimates are upper bounds on exact counts") {
     import spark.implicits._
     import graft.functions.CountMinAgg
