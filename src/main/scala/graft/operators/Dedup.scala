@@ -92,6 +92,17 @@ object Dedup {
     * Jaccard there (which is what the full-set oracle checks). */
   private val ShingleDfCap = 64
 
+  /** Unrolled degree-peeling rounds for q_graph_kcore. Peeling a 2-core
+    * removes every degree<2 vertex per round, so a dangling chain of
+    * length L clears in ⌈L/2⌉ rounds (it erodes from both ends); the
+    * fixture near-dup components are duplicate clusters with diameter
+    * ≤ ~4 (the CC probe's pointer-jump converges in 2 rounds), so 6
+    * rounds leaves a ≥2× margin. The count is FIXED — not a
+    * data-dependent early stop — so the DuckDB oracle unrolls the
+    * identical rounds; OperatorsSpec asserts round-6 = round-5 edge
+    * count (fixpoint), making the published result the true 2-core. */
+  private[graft] val PeelRounds = 6
+
   /** Exact Jaccard for candidate pairs, verified against the FULL shingle
     * sets. Arrays travel only for the candidate pairs (few — near-dup
     * survivors of banding), never through an index self-join. */
@@ -687,6 +698,99 @@ object Dedup {
           when(coalesce(col("deg"), lit(0L)) >= 2,
             expr("(2000000 * coalesce(tri, 0L)) div (deg * (deg - 1))"))
             .otherwise(lit(0L)).as("lcc_q"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // 2-core of the near-dup graph via iterated degree peeling
+    // (Matula/Beck's k-core algorithm, the k=2 instance): repeatedly
+    // drop every vertex of degree < 2 until fixpoint. The 2-core
+    // separates CYCLE-BEARING duplicate families (template farms,
+    // mutually-copying mirror sets — redundant evidence, safe to
+    // machine-dedup) from tree/chain-shaped components (each pair edge
+    // is the only evidence for its link — the review queue), the
+    // structural complement of q_graph_triangles' local density score.
+    // Exactly PeelRounds peeling rounds are unrolled in BOTH engines
+    // (no data-dependent early stop, so the oracle replays round for
+    // round); OperatorsSpec asserts the fixpoint is reached by then, so
+    // the result IS the true 2-core. Scale shape: each round is one
+    // groupBy(src) degree count plus two semi-join filters over the
+    // SURVIVING near-dup edge list (tiny relative to the corpus, and
+    // monotonically shrinking — peeling only removes), localCheckpointed
+    // per round so the plan doesn't nest; rounds are bounded by the peel
+    // depth (max chain overhang), not the component diameter, and each
+    // is a fixed number of shuffles of a shrinking table — the classic
+    // bounded-round MapReduce k-core shape.
+    "q_graph_kcore" -> ((s, d) => {
+      val pairs = ngramJaccardPairsRaw(s, d)
+        .select(col("doc_a"), col("doc_b")).cache()
+      val edges = pairs.unionAll(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .toDF("src", "dst")
+      var alive = edges.localCheckpoint()
+      for (_ <- 1 to PeelRounds) {
+        val keep = alive.groupBy(col("src"))
+          .agg(count(lit(1)).as("deg"))
+          .where(col("deg") >= 2)
+          .select(col("src"))
+        alive = alive
+          .join(keep, Seq("src"), "semi")
+          .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "semi")
+          .select(col("src"), col("dst"))
+          .localCheckpoint()
+      }
+      pairs.unpersist()
+      val coreDeg = alive.groupBy(col("src"))
+        .agg(count(lit(1)).as("core_deg"))
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      docs.join(coreDeg, docs("doc_id") === coreDeg("src"), "left")
+        .select(col("doc_id"),
+          when(col("core_deg").isNull, 0L).otherwise(1L).as("in_2core"),
+          coalesce(col("core_deg"), lit(0L)).as("core_deg"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Content-defined-chunking dedup (the LBFS/rsync/CDC idea at token
+    // granularity): chunk boundaries are cut where the rolling content
+    // hash — here the trigram shingle hash ending at the boundary —
+    // is ≡ 0 (mod 8), so boundaries are a function of CONTENT, not
+    // offset. An insertion near the head of a copied document shifts
+    // every fixed-width window but leaves all downstream CDC chunks
+    // identical — exactly the duplication mode fixed-stride chunking
+    // (q_text_chunk) and whole-text hashing (q_dedup_exact) both miss.
+    // Emitted per doc: chunk count, cross-document duplicate chunks
+    // (hash seen in ≥2 DISTINCT docs — internal repetition doesn't
+    // count), and the token-weighted duplicated fraction. Scale shape:
+    // chunking is a pure map stage (array HOFs over the scan — expected
+    // chunk length 8 trigrams ≈ 10 tokens, so output rows ≈ n_tokens/10);
+    // the only shuffles are the (chunk_hash → distinct-doc count)
+    // aggregate and the hash-join back — both on hashes, never text.
+    // Hashes ride the engine-neutral 40-bit fold, so the oracle replays
+    // chunking byte-for-byte; 40-bit collisions are the documented
+    // content-hash envelope (~1e-12 for fixture chunk volumes — same
+    // argument as q_dedup_exact's xxhash64, and a production run widens
+    // the fold, it doesn't change the plan). Chunking is the compiled
+    // CdcChunkCodes expression — the array-HOF spelling ran interpreted
+    // and CollapseProject inlined the split/hash arrays into every
+    // per-element lambda (560 s CPU at sf0.1 vs sub-second compiled;
+    // see the expression's doc comment).
+    "q_dedup_cdc" -> ((s, d) => {
+      import graft.functions.TextFunctions.cdc_chunk_codes
+      val rows = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(cdc_chunk_codes(col("text"))).as("code"))
+        .select(col("doc_id"),
+          expr("code % 1099511627776").as("chunk_hash"),
+          expr("code div 1099511627776").as("n_tok"))
+      val occ = rows.groupBy(col("chunk_hash"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      rows.join(occ, Seq("chunk_hash"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"),
+          sum(col("n_tok")).as("tt"),
+          sum(when(col("nd") >= 2, col("n_tok")).otherwise(0L)).as("dt"))
+        .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+          expr("(1000000 * dt) div tt").as("dup_ratio_q"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1366,6 +1470,97 @@ object Dedup {
         |LEFT JOIN dg ON dg.src = d.doc_id
         |LEFT JOIN pn ON pn.node = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Identical trigram construction and 40-bit fold as the winnow
+    // oracle, then the same cut-selection / list-slice chunking and
+    // distinct-doc occurrence count. DuckDB list slices are 1-based
+    // inclusive — the same tokens slice(w, a, b−a+1) takes in Spark.
+    "q_dedup_cdc" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, text, w, CASE WHEN len(w) >= 3 THEN
+        |        [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |         for i in generate_series(1, len(w) - 2)]
+        |      ELSE [text] END AS sh
+        |      FROM t),
+        |hh AS (SELECT doc_id, text, w, list_transform(sh, s ->
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split(s, ''),
+        |             c -> CAST(ascii(c) AS BIGINT))),
+        |           (h, c) -> (h * 1000003 + c) % 1099511627776)) AS h
+        |       FROM g),
+        |cu AS (SELECT doc_id, text, w,
+        |         list_filter(generate_series(1, len(w) - 3),
+        |                     i -> h[i] % 8 = 0) AS cuts
+        |       FROM hh),
+        |se AS (SELECT doc_id, text, w,
+        |         list_prepend(1, list_transform(cuts, i -> i + 3)) AS ss,
+        |         list_append(list_transform(cuts, i -> i + 2), len(w)) AS ee
+        |       FROM cu),
+        |ch AS (SELECT doc_id, CASE WHEN len(w) >= 4 THEN
+        |         [array_to_string(w[ss[j]:ee[j]], ' ')
+        |          for j in generate_series(1, len(ss))]
+        |       ELSE [text] END AS cs
+        |       FROM se),
+        |r AS (SELECT doc_id, UNNEST(cs) AS c FROM ch),
+        |rw AS (SELECT doc_id,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split(c, ''),
+        |             b -> CAST(ascii(b) AS BIGINT))),
+        |           (h, b) -> (h * 1000003 + b) % 1099511627776)
+        |           AS chunk_hash,
+        |         CAST(len(string_split(c, ' ')) AS BIGINT) AS n_tok
+        |       FROM r),
+        |occ AS (SELECT chunk_hash, COUNT(DISTINCT doc_id) AS nd
+        |        FROM rw GROUP BY 1)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_chunks,
+        |  CAST((1000000 * SUM(CASE WHEN nd >= 2 THEN n_tok ELSE 0 END))
+        |       // SUM(n_tok) AS BIGINT) AS dup_ratio_q
+        |FROM rw JOIN occ USING (chunk_hash)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // Same pair/edge CTEs, then PeelRounds unrolled degree-peel rounds
+    // (each: degree count + both-endpoint semi filter) — round for
+    // round the Spark loop's twin.
+    "q_graph_kcore" -> {
+      val rounds = (1 to PeelRounds).map { k =>
+        s"""k$k AS (SELECT src FROM e${k - 1}
+           |        GROUP BY src HAVING COUNT(*) >= 2),
+           |e$k AS MATERIALIZED (
+           |     SELECT e.src, e.dst FROM e${k - 1} e
+           |     JOIN k$k a ON a.src = e.src
+           |     JOIN k$k b ON b.src = e.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+         |           FROM documents),
+         |g AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+         |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                       for i in generate_series(1, len(w) - 2)])
+         |      ELSE [array_to_string(w, ' ')] END AS sh
+         |      FROM t),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |        len(list_intersect(a.sh, b.sh)) AS inter,
+         |        len(a.sh) AS na, len(b.sh) AS nb
+         |      FROM g a JOIN g b ON a.doc_id < b.doc_id),
+         |pairs AS (SELECT doc_a, doc_b FROM p
+         |          WHERE inter / (na + nb - inter) > 0.5),
+         |e0 AS MATERIALIZED (
+         |          SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |$rounds,
+         |cd AS (SELECT src, COUNT(*) AS core_deg
+         |       FROM e$PeelRounds GROUP BY src)
+         |SELECT d.doc_id,
+         |  CAST(CASE WHEN cd.src IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         |    AS in_2core,
+         |  CAST(COALESCE(cd.core_deg, 0) AS BIGINT) AS core_deg
+         |FROM documents d LEFT JOIN cd ON cd.src = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     // Clusters twin + integer-quality argmax per cluster.
     "q_dedup_canonical" ->

@@ -293,6 +293,53 @@ object Similarity {
         .orderBy(col("query_id"), col("rn"))
     }),
 
+    // Hybrid retrieval via Reciprocal Rank Fusion (Cormack, Clarke &
+    // Buettcher 2009): fuse a LEXICAL ranking (document-level BM25 — the
+    // per-term scores of q_text_bm25 summed per doc) with a DENSE
+    // ranking (exact cosine against query vector 0) by
+    //   rrf(d) = Σ_arms 1e6 div (60 + rank_arm(d))
+    // over each arm's top-20 list — the standard decontamination-by-
+    // retrieval / curation-search shape, where neither signal alone
+    // finds everything (BM25 misses paraphrase, dense misses rare
+    // surface terms) and RRF needs no score calibration because it
+    // consumes only RANKS. Determinism: both arms' orderings are total
+    // ((score desc, id)), and the fused score is pure integer division.
+    // Scale shape: each arm's top-20 is a distributed TakeOrdered (never
+    // a global sort); rank assignment windows over exactly k rows; the
+    // fusion is a k-row full-outer join. At 100 TB the dense arm's
+    // candidate source becomes the ANN index (q_sim_ann_ivfpq) instead
+    // of the brute-force scan — the fusion stage is unchanged. Docs
+    // absent from an arm contribute only the other arm's term (rank
+    // reported as 0 = "not retrieved").
+    "q_sim_hybrid_rrf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val qv = e.where(col("vec_id") === 0).select(col("v").as("qv"))
+      val dtop = e.where(col("vec_id") >= 1).crossJoin(broadcast(qv))
+        .select(col("vec_id").as("id"),
+          exactCos(col("qv"), col("v")).as("cos"))
+        .orderBy(col("cos").desc, col("id")).limit(20)
+      val dr = dtop.withColumn("dense_rank",
+          row_number().over(Window.orderBy(col("cos").desc, col("id"))))
+        .select(col("id"), col("dense_rank"))
+      val ltop = TextAnalysis.bm25TermScores(s, d)
+        .groupBy(col("doc_id")).agg(sum(col("bm25_q")).as("lex"))
+        .orderBy(col("lex").desc, col("doc_id")).limit(20)
+      val lr = ltop.withColumn("lex_rank",
+          row_number().over(Window.orderBy(col("lex").desc, col("doc_id"))))
+        .select(col("doc_id").as("id"), col("lex_rank"))
+      lr.join(dr, Seq("id"), "full")
+        .select(col("id").as("doc_id"),
+          coalesce(col("lex_rank"), lit(0)).cast("long").as("lex_rank"),
+          coalesce(col("dense_rank"), lit(0)).cast("long").as("dense_rank"),
+          (when(col("lex_rank").isNotNull,
+              expr("1000000 div (60 + lex_rank)")).otherwise(lit(0L)) +
+           when(col("dense_rank").isNotNull,
+              expr("1000000 div (60 + dense_rank)")).otherwise(lit(0L)))
+            .as("rrf_q"))
+        .orderBy(col("rrf_q").desc, col("doc_id"))
+    }),
+
     // SRP-LSH ANN: one sign-bit bucket per vector (width derived from
     // corpus size by [[lshBits]] — expected ~8 vectors/bucket at every
     // SF); a query scans only its bucket, then re-ranks decimal-exact.
@@ -1522,6 +1569,69 @@ object Similarity {
         |                           ORDER BY cos DESC, neighbor_id) AS rn
         |      FROM s)
         |SELECT query_id, neighbor_id, cos, rn FROM r
-        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+
+    // Dense arm = the q_sim_cosine_topk decimal-cosine spelling against
+    // query vector 0; lexical arm = the q_text_bm25 oracle summed per
+    // doc; fusion is pure integer division over the two rank columns.
+    "q_sim_hybrid_rrf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        (SELECT CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE)
+        |         FROM UNNEST(v) AS t(x)) AS nsq
+        |      FROM e),
+        |q AS (SELECT v AS qv, nsq AS qnsq FROM n WHERE vec_id = 0),
+        |dsc AS (SELECT c.vec_id AS id,
+        |        (SELECT CAST(SUM(CAST(q.qv[i] * c.v[i] AS DECIMAL(30,12)))
+        |                AS DOUBLE)
+        |         FROM generate_series(1, 64) AS t(i))
+        |          / SQRT(q.qnsq * c.nsq) AS cos
+        |      FROM n c, q WHERE c.vec_id >= 1),
+        |drk AS (SELECT id, ROW_NUMBER() OVER (ORDER BY cos DESC, id)
+        |          AS dense_rank FROM dsc),
+        |dtop AS (SELECT id, dense_rank FROM drk WHERE dense_rank <= 20),
+        |dlt AS (SELECT doc_id,
+        |          CAST(LEN(string_split(text, ' ')) AS BIGINT) AS dl
+        |        FROM documents),
+        |nn AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS dlsum
+        |       FROM dlt),
+        |tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+        |        FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        |       WHERE term IN ('scan', 'filter', 'vector')
+        |       GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |bs AS (SELECT tf.doc_id,
+        |         CAST(FLOOR(
+        |           LN((CAST(nn.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE)
+        |                 + CAST(0.5 AS DOUBLE))
+        |               / (CAST(df.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |              + CAST(1.0 AS DOUBLE)) *
+        |           (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) /
+        |           (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+        |             (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+        |               * CAST(dlt.dl AS DOUBLE)
+        |               / (CAST(nn.dlsum AS DOUBLE)
+        |                  / CAST(nn.n_docs AS DOUBLE)))) *
+        |           1e4) AS BIGINT) AS bm25_q
+        |       FROM tf JOIN dlt USING (doc_id) JOIN df USING (term)
+        |       CROSS JOIN nn),
+        |lex AS (SELECT doc_id, CAST(SUM(bm25_q) AS BIGINT) AS lex
+        |        FROM bs GROUP BY doc_id),
+        |lrk AS (SELECT doc_id AS id,
+        |          ROW_NUMBER() OVER (ORDER BY lex DESC, doc_id)
+        |            AS lex_rank FROM lex),
+        |ltop AS (SELECT id, lex_rank FROM lrk WHERE lex_rank <= 20)
+        |SELECT COALESCE(l.id, d.id) AS doc_id,
+        |  CAST(COALESCE(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+        |  CAST(COALESCE(d.dense_rank, 0) AS BIGINT) AS dense_rank,
+        |  CAST(CASE WHEN l.id IS NULL THEN 0
+        |            ELSE 1000000 // (60 + l.lex_rank) END
+        |     + CASE WHEN d.id IS NULL THEN 0
+        |            ELSE 1000000 // (60 + d.dense_rank) END
+        |    AS BIGINT) AS rrf_q
+        |FROM ltop l FULL OUTER JOIN dtop d ON l.id = d.id
+        |ORDER BY rrf_q DESC, doc_id""".stripMargin
   )
 }

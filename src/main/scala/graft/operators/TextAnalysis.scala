@@ -85,6 +85,38 @@ object TextAnalysis {
       |         CAST(SUM(lp_q) AS BIGINT) AS score_q
       |       FROM sc GROUP BY doc_id)""".stripMargin
 
+  /** q_text_bm25's per-(doc, term) scores, unsorted — shared with the
+    * hybrid-retrieval fusion (q_sim_hybrid_rrf), whose lexical arm sums
+    * these to one BM25 score per document. Query terms are the fixed
+    * public set the BM25 oracle spells literally. */
+  private[graft] def bm25TermScores(s: SparkSession, d: String): DataFrame = {
+    val qterms = Seq("scan", "filter", "vector")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+        col("w"))
+    val n = docs.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("dlsum"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .where(col("term").isin(qterms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"),
+        floor(
+          log((col("n_docs").cast("double") - col("df").cast("double") +
+                lit(0.5)) / (col("df").cast("double") + lit(0.5)) +
+              lit(1.0)) *
+          (col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl").cast("double") /
+              (col("dlsum").cast("double") /
+                col("n_docs").cast("double")))) *
+          lit(1e4)).cast("long").as("bm25_q"))
+  }
+
   val defs: Map[String, Q] = Map(
 
     // Per-document surface statistics. avg_word_len derives from the
@@ -403,33 +435,89 @@ object TextAnalysis {
     // binary), avgdl is a ratio of exact integers, and ln rides the
     // established floor-1e4 quantization (same envelope as
     // q_text_lm_score).
-    "q_text_bm25" -> ((s, d) => {
-      val qterms = Seq("scan", "filter", "vector")
-      val docs = Tables.documents(s, d)
+    "q_text_bm25" -> ((s, d) =>
+      bm25TermScores(s, d).orderBy(col("doc_id"), col("term"))),
+
+    // Per-source distinct-trigram cardinality two ways: exact
+    // countDistinct (the baseline) and the K-Minimum-Values sketch
+    // (native KmvAgg aggregate, K=64) — the mergeable distinct-count
+    // sketch whose estimate is REPLAYABLE in plain SQL, unlike HLL++'s
+    // engine-private registers (which is why q_agg_approx is rows-only
+    // checked but this one oracle-checks exactly). Distinct trigrams
+    // per source is the content-diversity signal a mixing pipeline
+    // reads (a source whose trigram cardinality plateaus while its doc
+    // count grows is template spam). Scale shape: the sketch is ONE
+    // (source → 64 longs) aggregate with map-side partial combine —
+    // no distinct-shuffle of the trigram universe, which is exactly
+    // what countDistinct must do and the sketch exists to avoid; the
+    // exact twin rides along here as the fixture-scale error witness.
+    "q_agg_distinct_kmv" -> ((s, d) => {
+      import graft.functions.VectorFunctions.neutral_hash40
+      import graft.functions.KmvAgg.{kmv_agg, K}
+      val tri = Tables.documents(s, d)
+        .select(col("source"), split(col("text"), " ").as("w"))
+        .select(col("source"), explode(
+          when(size(col("w")) >= 3,
+            transform(sequence(lit(1), size(col("w")) - 2),
+              i => concat_ws(" ", element_at(col("w"), i),
+                element_at(col("w"), i + 1), element_at(col("w"), i + 2))))
+          .otherwise(array(array_join(col("w"), " ")))).as("sh"))
+      tri.groupBy(col("source"))
+        .agg(countDistinct(col("sh")).as("exact_distinct"),
+          kmv_agg(neutral_hash40(col("sh"))).as("kmv"))
+        .select(col("source"), col("exact_distinct"),
+          when(size(col("kmv")) < K, size(col("kmv")).cast("long"))
+            .otherwise(expr(
+              s"(${K - 1} * 1099511627776) div element_at(kmv, $K)"))
+            .as("kmv_est"))
+        .orderBy(col("source"))
+    }),
+
+    // Interpolated Kneser-Ney bigram smoothing (Kneser & Ney 1995; Chen
+    // & Goodman 1998's interpolated form) — the LM-data step beyond
+    // q_text_lm_score's +1-smoothed bigram model: absolute discount
+    // D = 0.75 off every observed bigram count, with the freed mass
+    // backed off to the CONTINUATION unigram (how many distinct left
+    // contexts a word follows — the "San Francisco" fix: 'Francisco' is
+    // frequent but predictable, so its continuation count stays low).
+    //   P(w2|w1) = max(c12 − D, 0)/c1 + (D·N1+(w1·)/c1) · N1+(·w2)/NB
+    // Everything is integer-exact: with D = 3/4, multiply through by 4
+    // and quantize ⌊1e6 · P⌋ as
+    //   (1e6 · (max(4·c12 − 3, 0)·NB + 3·nf(w1)·np(w2))) div (4·c1·NB)
+    // — one integer division, no float path, bit-identical across
+    // engines (magnitudes stay < 2^47 at sf0.1, far inside BIGINT).
+    // Scale shape: ONE (w1,w2) shuffle with map-side combine builds the
+    // bigram table; nf/c1 and np are vocabulary-sized aggregates OF that
+    // table (not corpus re-scans) broadcast back; NB is a scalar
+    // cross-join. The emitted table is what a KN-smoothed n-gram scorer
+    // consumes; unseen bigrams take the pure backoff term by
+    // construction (not emitted — the table is the model, the formula
+    // is total).
+    "q_text_lm_kn" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
-          col("w"))
-      val n = docs.agg(count(lit(1)).as("n_docs"),
-        sum(col("dl")).as("dlsum"))
-      val tf = docs
-        .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
-        .where(col("term").isin(qterms: _*))
-        .groupBy(col("doc_id"), col("dl"), col("term"))
-        .agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      tf.join(broadcast(df), "term").crossJoin(broadcast(n))
-        .select(col("doc_id"), col("term"), col("tf"), col("dl"),
-          floor(
-            log((col("n_docs").cast("double") - col("df").cast("double") +
-                  lit(0.5)) / (col("df").cast("double") + lit(0.5)) +
-                lit(1.0)) *
-            (col("tf").cast("double") * lit(2.2)) /
-            (col("tf").cast("double") + lit(1.2) *
-              (lit(0.25) + lit(0.75) * col("dl").cast("double") /
-                (col("dlsum").cast("double") /
-                  col("n_docs").cast("double")))) *
-            lit(1e4)).cast("long").as("bm25_q"))
-        .orderBy(col("doc_id"), col("term"))
+      val bi = toks.where(size(col("w")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(w) - 1),
+            |  i -> struct(element_at(w, i) AS w1,
+            |              element_at(w, i + 1) AS w2))""".stripMargin))
+          .as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c12 = bi.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c12"))
+      val left = c12.groupBy(col("w1"))
+        .agg(count(lit(1)).as("nf"), sum(col("c12")).as("c1"))
+      val right = c12.groupBy(col("w2"))
+        .agg(count(lit(1)).as("np"))
+      val nb = c12.agg(count(lit(1)).as("nb"))
+      c12.join(broadcast(left), "w1")
+        .join(broadcast(right), "w2")
+        .crossJoin(broadcast(nb))
+        .select(col("w1"), col("w2"), col("c12"),
+          expr("""(1000000 * (greatest(4 * c12 - 3, 0L) * nb
+                 |           + 3 * nf * np)) div (4 * c1 * nb)"""
+            .stripMargin).as("p_kn_q"))
+        .orderBy(col("w1"), col("w2"))
     }),
 
     // Global heavy hitters: exact top-20 terms by corpus frequency with
@@ -784,6 +872,61 @@ object TextAnalysis {
         |FROM tf JOIN dlt USING (doc_id) JOIN df USING (term)
         |CROSS JOIN n
         |ORDER BY tf.doc_id, tf.term""".stripMargin,
+
+    // Same trigram CTE as the dedup family and the identical 40-bit
+    // fold; the K-th smallest distinct hash + the integer estimate
+    // replay the sketch's evaluation exactly (union-truncate of K-min
+    // sets is order-insensitive, so partial/final merge can't diverge
+    // from the global order statistic).
+    "q_agg_distinct_kmv" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS w
+        |           FROM documents),
+        |g AS (SELECT source, UNNEST(CASE WHEN len(w) >= 3 THEN
+        |        [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |         for i in generate_series(1, len(w) - 2)]
+        |      ELSE [array_to_string(w, ' ')] END) AS sh
+        |      FROM t),
+        |h AS (SELECT DISTINCT source,
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(string_split(sh, ''),
+        |            c -> CAST(ascii(c) AS BIGINT))),
+        |          (a, c) -> (a * 1000003 + c) % 1099511627776) AS hv
+        |      FROM g),
+        |r AS (SELECT source, hv,
+        |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv) AS rn
+        |      FROM h),
+        |cnt AS (SELECT source, COUNT(*) AS nd FROM h GROUP BY source),
+        |kth AS (SELECT source, hv AS kth FROM r WHERE rn = 64)
+        |SELECT c.source, CAST(c.nd AS BIGINT) AS exact_distinct,
+        |  CAST(CASE WHEN c.nd < 64 THEN c.nd
+        |            ELSE (63 * 1099511627776) // k.kth END AS BIGINT)
+        |    AS kmv_est
+        |FROM cnt c LEFT JOIN kth k USING (source)
+        |ORDER BY c.source""".stripMargin,
+
+    // Same bigram construction as LmScoreCtes; the whole KN formula is
+    // one integer expression (D = 3/4 multiplied through by 4), so the
+    // replay is exact — DuckDB's hugeint SUM intermediates cast back
+    // down well inside BIGINT.
+    "q_text_lm_kn" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |p0 AS (SELECT doc_id,
+        |         UNNEST([struct_pack(a := toks[i], b := toks[i + 1])
+        |                 for i in generate_series(1, len(toks) - 1)]) AS bg
+        |       FROM t WHERE len(toks) >= 2),
+        |p AS (SELECT bg.a AS w1, bg.b AS w2 FROM p0),
+        |c AS (SELECT w1, w2, COUNT(*) AS c12 FROM p GROUP BY w1, w2),
+        |f AS (SELECT w1, COUNT(*) AS nf, CAST(SUM(c12) AS BIGINT) AS c1
+        |      FROM c GROUP BY w1),
+        |pr AS (SELECT w2, COUNT(*) AS np FROM c GROUP BY w2),
+        |nbt AS (SELECT COUNT(*) AS nb FROM c)
+        |SELECT c.w1, c.w2, c.c12,
+        |  CAST((1000000 * (GREATEST(4 * c.c12 - 3, 0) * nbt.nb
+        |                   + 3 * f.nf * pr.np))
+        |       // (4 * f.c1 * nbt.nb) AS BIGINT) AS p_kn_q
+        |FROM c JOIN f USING (w1) JOIN pr USING (w2) CROSS JOIN nbt
+        |ORDER BY c.w1, c.w2""".stripMargin,
 
     "q_text_heavy_hitters" ->
       """SELECT term, COUNT(*) AS n,

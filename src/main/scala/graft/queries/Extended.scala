@@ -873,6 +873,48 @@ object Extended {
         .orderBy(col("user_id"), col("session_idx"))
     }),
 
+    // Ordered conversion funnel view → click → purchase: per user, the
+    // earliest view, the earliest click STRICTLY AFTER that view, and
+    // the earliest purchase strictly after that click — sequential
+    // event-pattern matching, the analytics shape sessionization
+    // doesn't cover (sessions group by gaps; funnels require order
+    // across types). Times ride epoch micros (exact integers, the
+    // established events parity convention); missing steps emit 0 with
+    // the reached-step count alongside. Scale shape: every aggregate
+    // and join keys on user_id — one hash partitioning reused down the
+    // chain — and each step's table can only SHRINK (funnel
+    // monotonicity), so the step-2/step-3 joins run against
+    // successively smaller per-user aggregates, never the raw event
+    // stream twice; the full events table is scanned once per step
+    // filter but only (user_id, m) pairs for one event type survive
+    // the scan's predicate into the shuffle.
+    "q_event_funnel" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("m"))
+      val users = e.select(col("user_id")).distinct()
+      val v = e.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("m")).as("t1"))
+      val c = e.where(col("event_type") === "click")
+        .join(v, "user_id").where(col("m") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("m")).as("t2"))
+      val p = e.where(col("event_type") === "purchase")
+        .join(c, "user_id").where(col("m") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("m")).as("t3"))
+      users.join(v, Seq("user_id"), "left")
+        .join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"),
+          coalesce(col("t1"), lit(0L)).as("t1_us"),
+          coalesce(col("t2"), lit(0L)).as("t2_us"),
+          coalesce(col("t3"), lit(0L)).as("t3_us"),
+          when(col("t3").isNotNull, 3L)
+            .when(col("t2").isNotNull, 2L)
+            .when(col("t1").isNotNull, 1L)
+            .otherwise(0L).as("steps"))
+        .orderBy(col("user_id"))
+    }),
+
     // Interval-overlap join, binned with interior-bucket aggregation:
     // user sessions (the q_event_sessionize intervals) × 1-hour
     // incident windows opened by each error event. The naive spelling
@@ -1330,6 +1372,33 @@ object Extended {
         |  CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS value_sum
         |FROM sx GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+
+    // Step-wise min aggregates with the same strict-after conditions;
+    // epoch micros end to end.
+    "q_event_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |             CAST(epoch_us(ts) AS BIGINT) AS m FROM events),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |v AS (SELECT user_id, MIN(m) AS t1 FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.m) AS t2 FROM e
+        |      JOIN v ON v.user_id = e.user_id AND e.m > v.t1
+        |      WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.m) AS t3 FROM e
+        |      JOIN c ON c.user_id = e.user_id AND e.m > c.t2
+        |      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT u.user_id,
+        |  COALESCE(v.t1, 0) AS t1_us,
+        |  COALESCE(c.t2, 0) AS t2_us,
+        |  COALESCE(p.t3, 0) AS t3_us,
+        |  CAST(CASE WHEN p.t3 IS NOT NULL THEN 3
+        |            WHEN c.t2 IS NOT NULL THEN 2
+        |            WHEN v.t1 IS NOT NULL THEN 1
+        |            ELSE 0 END AS BIGINT) AS steps
+        |FROM u LEFT JOIN v USING (user_id)
+        |LEFT JOIN c USING (user_id)
+        |LEFT JOIN p USING (user_id)
+        |ORDER BY u.user_id""".stripMargin,
 
     // The oracle affords the direct theta join at fixture scale — the
     // binning is a plan strategy, not a semantics change, so both must

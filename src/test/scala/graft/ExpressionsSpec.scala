@@ -310,4 +310,26 @@ class ExpressionsSpec extends AnyFunSuite {
       .head.getString(0)
     assert(got == "p s")
   }
+
+  test("kmv_agg keeps the K smallest DISTINCT hashes, partition-invariant") {
+    import spark.implicits._
+    import graft.functions.KmvAgg
+    val k = KmvAgg.K
+    // 500 values with every value duplicated 3× — dedup is load-bearing
+    val vals = (0 until 500).map(i => (i * 2654435761L) % 1099511627776L)
+    val df = (vals ++ vals ++ vals).toDF("h")
+    val expected = vals.distinct.sorted.take(k)
+    val one = df.coalesce(1)
+      .agg(KmvAgg.kmv_agg(col("h"))).head.getSeq[Long](0)
+    assert(one.toSeq == expected, "single-partition sketch")
+    // partial/final merge across 7 partitions must give the identical
+    // order statistic (union-truncate associativity)
+    val many = df.repartition(7)
+      .agg(KmvAgg.kmv_agg(col("h"))).head.getSeq[Long](0)
+    assert(many.toSeq == expected, "merged sketch diverged")
+    // below-K group stays exact (ascending, no truncation)
+    val small = (1L to 10L).toDF("h")
+      .agg(KmvAgg.kmv_agg(col("h"))).head.getSeq[Long](0)
+    assert(small.toSeq == (1L to 10L))
+  }
 }

@@ -1069,4 +1069,212 @@ class OperatorsSpec extends AnyFunSuite {
   test("flagship entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("2-core equals in-memory peel-to-fixpoint over the exact pair graph") {
+    val pairs = q("q_dedup_ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var edges = (pairs ++ pairs.map(p => (p._2, p._1))).toSet
+    var rounds = 0
+    var changed = true
+    while (changed) {
+      val deg = edges.groupBy(_._1).map { case (k, v) => (k, v.size) }
+      val keep = deg.filter(_._2 >= 2).keySet
+      val next = edges.filter(e => keep(e._1) && keep(e._2))
+      changed = next != edges
+      if (changed) rounds += 1
+      edges = next
+    }
+    // the published result is the TRUE 2-core only if the fixed unroll
+    // budget reaches the fixpoint — this is the guard the VERDICT-r7
+    // vacuity lesson demands
+    assert(rounds <= graft.operators.Dedup.PeelRounds,
+      s"peel needs $rounds rounds, budget ${graft.operators.Dedup.PeelRounds}")
+    val expDeg = edges.groupBy(_._1).map { case (k, v) => (k, v.size.toLong) }
+    val got = q("q_graph_kcore").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (id, in2, cd) =>
+      assert(cd == expDeg.getOrElse(id, 0L), s"doc $id core_deg")
+      assert(in2 == (if (expDeg.contains(id)) 1L else 0L), s"doc $id in_2core")
+    }
+    assert(got.exists(_._2 == 1L), "fixture 2-core must be non-empty")
+    assert(got.exists(_._2 == 0L), "peel must remove something")
+  }
+
+  test("CDC chunking equals in-memory reimplementation; exact dups cover 100%") {
+    def h40(s0: String): Long =
+      s0.getBytes("UTF-8").foldLeft(0L)((h, b) =>
+        (h * 1000003L + (b & 0xFF)) & 0xFFFFFFFFFFL)
+    def chunks(text: String): Seq[String] = {
+      val w = text.split(" ")
+      val n = w.length
+      if (n < 4) Seq(text)
+      else {
+        val h = (0 until n - 2).map(i => h40(s"${w(i)} ${w(i + 1)} ${w(i + 2)}"))
+        val cuts = (1 to n - 3).filter(i => h(i - 1) % 8 == 0)
+        val starts = 1 +: cuts.map(_ + 3)
+        val ends = cuts.map(_ + 2) :+ n
+        starts.zip(ends).map { case (a, b) => w.slice(a - 1, b).mkString(" ") }
+      }
+    }
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val perDoc = docs.map { case (id, t) => (id, chunks(t).map(h40)) }
+    val nd = perDoc.flatMap { case (id, cs) => cs.distinct.map(c => (c, id)) }
+      .groupBy(_._1).map { case (c, xs) => (c, xs.map(_._2).distinct.size) }
+    val exp = perDoc.map { case (id, cs) =>
+      val toks = docs.find(_._1 == id).get._2.split(" ").length
+      // chunk token counts re-derived from the chunk strings, like the query
+      val sizes = chunks(docs.find(_._1 == id).get._2).map(_.split(" ").length)
+      val dupTok = chunks(docs.find(_._1 == id).get._2).zip(sizes)
+        .filter { case (c, _) => nd(h40(c)) >= 2 }.map(_._2).sum
+      (id, cs.size.toLong, cs.count(c => nd(c) >= 2).toLong,
+        1000000L * dupTok / sizes.sum)
+    }.sortBy(_._1)
+    val got = q("q_dedup_cdc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == exp.toSeq)
+    // non-vacuity: the planted near-dups share enough runs that some doc
+    // is FULLY covered by cross-doc duplicate chunks
+    assert(got.exists(_._4 == 1000000L), "no fully-duplicated doc found")
+    assert(got.exists(_._4 == 0L), "every doc duplicated — fixture broken")
+    // identical texts chunk identically ⇒ any exact-dup doc must be 100%
+    // covered (sf0.001 plants none; the check is data-driven)
+    val dupTexts = docs.groupBy(_._2).filter(_._2.length >= 2)
+      .values.flatten.map(_._1).toSet
+    got.filter(r => dupTexts(r._1)).foreach { r =>
+      assert(r._4 == 1000000L, s"exact-dup doc ${r._1} ratio ${r._4}")
+    }
+  }
+
+  test("Kneser-Ney table equals in-memory reimplementation, mass bounded") {
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .select(col("text")).collect().map(_.getString(0))
+    val bigrams = texts.flatMap { t =>
+      val w = t.split(" "); if (w.length < 2) Nil
+      else (0 until w.length - 1).map(i => (w(i), w(i + 1)))
+    }
+    val c12 = bigrams.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val nf = c12.keys.groupBy(_._1).map { case (k, v) => (k, v.size.toLong) }
+    val c1 = c12.groupBy(_._1._1).map { case (k, v) => (k, v.values.sum) }
+    val np = c12.keys.groupBy(_._2).map { case (k, v) => (k, v.size.toLong) }
+    val nb = c12.size.toLong
+    val exp = c12.map { case ((w1, w2), c) =>
+      val num = math.max(4 * c - 3, 0L) * nb + 3 * nf(w1) * np(w2)
+      ((w1, w2), (c, 1000000L * num / (4 * c1(w1) * nb)))
+    }
+    val got = q("q_text_lm_kn").collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.size == exp.size)
+    exp.foreach { case (k, v) => assert(got(k) == v, s"bigram $k") }
+    // discount accounting: for every context, the direct (discounted)
+    // mass over observed continuations is exactly (4·c1 − 3·nf)/(4·c1)
+    // — i.e. Σ max(4c−3,0) = 4·c1 − 3·nf (every observed c ≥ 1)
+    c1.keys.foreach { w1 =>
+      val direct = c12.collect { case ((a, _), c) if a == w1 =>
+        math.max(4 * c - 3, 0L) }.sum
+      assert(direct == 4 * c1(w1) - 3 * nf(w1), s"context $w1")
+    }
+  }
+
+  test("RRF fuses two full top-20 permutations and recomputes exactly") {
+    val rows = q("q_sim_hybrid_rrf").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._2).filter(_ > 0).sorted.toSeq == (1L to 20L),
+      "lexical arm must contribute a full rank permutation")
+    assert(rows.map(_._3).filter(_ > 0).sorted.toSeq == (1L to 20L),
+      "dense arm must contribute a full rank permutation")
+    rows.foreach { case (id, lr, dr, s0) =>
+      val e0 = (if (lr > 0) 1000000L / (60 + lr) else 0L) +
+        (if (dr > 0) 1000000L / (60 + dr) else 0L)
+      assert(s0 == e0, s"doc $id fused score")
+    }
+    assert(rows.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+      "published order must be fused-score descending")
+    // dense arm against an independent decimal-exact cosine recompute
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def decdot(a: Array[Double], b: Array[Double]): BigDecimal =
+      a.zip(b).map { case (x, y) =>
+        BigDecimal(x * y).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+    val qv = emb.find(_._1 == 0L).get._2
+    val ranked = emb.filter(_._1 >= 1L)
+      .map { case (id, v) =>
+        // mirror exactCos's op order: decimal dots cast to double, THEN
+        // double multiply / sqrt / divide
+        (id, decdot(qv, v).toDouble /
+          math.sqrt(decdot(qv, qv).toDouble * decdot(v, v).toDouble))
+      }
+      .sortBy { case (id, c) => (-c, id) }.take(20).map(_._1)
+    val gotDense = rows.filter(_._3 > 0).sortBy(_._3).map(_._1)
+    assert(gotDense.toSeq == ranked.toSeq, "dense top-20 disagrees")
+  }
+
+  test("KMV estimate equals in-memory order statistic and lands near exact") {
+    def h40(s0: String): Long =
+      s0.getBytes("UTF-8").foldLeft(0L)((h, b) =>
+        (h * 1000003L + (b & 0xFF)) & 0xFFFFFFFFFFL)
+    val k = graft.functions.KmvAgg.K
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySource = docs.groupBy(_._1).map { case (src, ds) =>
+      val hs = ds.flatMap { case (_, t) =>
+        val w = t.split(" ")
+        if (w.length >= 3) (0 until w.length - 2)
+          .map(i => h40(s"${w(i)} ${w(i + 1)} ${w(i + 2)}"))
+        else Seq(h40(t))
+      }.distinct.sorted
+      val est = if (hs.length < k) hs.length.toLong
+        else (k - 1).toLong * 1099511627776L / hs(k - 1)
+      (src, (hs.length.toLong, est))
+    }
+    val got = q("q_agg_distinct_kmv").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got.size == bySource.size)
+    bySource.foreach { case (src, v) => assert(got(src) == v, s"source $src") }
+    // the sketch must actually be estimating (buffer full), and the
+    // estimate must land within the K=64 error envelope (≈±12% stddev;
+    // 50% is a generous 4σ fixture bound)
+    assert(bySource.values.exists(_._1 >= k), "no source filled the sketch")
+    bySource.values.filter(_._1 >= k).foreach { case (exact, est) =>
+      assert(math.abs(est - exact).toDouble / exact < 0.5,
+        s"estimate $est vs exact $exact out of envelope")
+    }
+  }
+
+  test("funnel steps equal in-memory sequential scan; all stages populated") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("m")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val exp = ev.map(_._1).distinct.sorted.map { u =>
+      val mine = ev.filter(_._1 == u)
+      def firstAfter(tpe: String, after: Long): Option[Long] = {
+        val c = mine.filter(e => e._2 == tpe && e._3 > after).map(_._3)
+        if (c.isEmpty) None else Some(c.min)
+      }
+      val t1 = firstAfter("view", Long.MinValue)
+      val t2 = t1.flatMap(firstAfter("click", _))
+      val t3 = t2.flatMap(firstAfter("purchase", _))
+      (u, t1.getOrElse(0L), t2.getOrElse(0L), t3.getOrElse(0L),
+        if (t3.isDefined) 3L else if (t2.isDefined) 2L
+        else if (t1.isDefined) 1L else 0L)
+    }
+    val got = q("q_event_funnel").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == exp.toSeq)
+    assert(got.exists(_._5 == 3L), "fixture should convert some user fully")
+    // sf0.001's 15 users all convert (66 events each); the step ordering
+    // invariant is the meaningful guard: times strictly increase along
+    // the funnel wherever the next step was reached
+    got.foreach { case (u, t1, t2, t3, _) =>
+      if (t2 > 0) assert(t2 > t1, s"user $u: click not after view")
+      if (t3 > 0) assert(t3 > t2, s"user $u: purchase not after click")
+    }
+  }
 }

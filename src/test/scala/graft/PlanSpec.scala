@@ -397,6 +397,41 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), "bigram counts must hash-aggregate")
   }
 
+  test("CDC dedup joins chunks by hash — never a product, never raw text keys") {
+    val p = plan("q_dedup_cdc")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
+    assert(p.contains("HashAggregate"), "occurrence count must hash-aggregate")
+  }
+
+  test("KN table joins context/continuation stats broadcast, counts hash-agg") {
+    val p = plan("q_text_lm_kn")
+    assert(p.contains("BroadcastHashJoin"),
+      "vocab-sized nf/np tables must broadcast back onto the bigram table")
+    assert(!p.contains("SortMergeJoin"), p.take(600))
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("RRF arms publish as distributed top-k (TakeOrdered), not global sorts") {
+    val p = plan("q_sim_hybrid_rrf")
+    assert(p.contains("TakeOrderedAndProject"),
+      "each arm's top-20 must be a TakeOrdered, not a full sort+limit")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
+  test("KMV sketch aggregates object-hash partial/final (map-side combine)") {
+    val p = plan("q_agg_distinct_kmv")
+    assert(p.contains("kmv_agg"), "native aggregate missing from plan")
+    assert(p.contains("ObjectHashAggregate"),
+      "TypedImperativeAggregate must run object-hash, partial then final")
+  }
+
+  test("funnel steps join per-user aggregates — no products, no raw re-joins") {
+    val p = plan("q_event_funnel")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
+  }
+
   test("compaction rewrites 64 small files into 4 large ones") {
     SparkEntry.queries("q_layout_compaction")(spark, sfDir).collect()
     val base = s"${sys.props("java.io.tmpdir")}/graft_cmp_${sfDir.replaceAll("[^0-9a-zA-Z]", "_")}"
