@@ -45,6 +45,42 @@ object Curation {
         .orderBy(col("lang"))
     }),
 
+    // Weighted sampling WITHOUT replacement in one distributed pass
+    // (Efraimidis & Spirakis 2006, algorithm A-ES): each doc draws a
+    // deterministic hash-uniform u ∈ (0,1] and competes with key
+    // u^(1/weight); the k largest keys ARE a weighted sample without
+    // replacement. Ranking by ln(u)/weight is order-equivalent (ln is
+    // monotone, weights positive) and avoids pow; keys are quantized
+    // floor-1e4 with doc_id tiebreak so the selection is total-ordered
+    // and the ln rides the established cross-engine envelope. Weight =
+    // distinct-word count — the integer quality signal the canonical
+    // picker already uses, so high-quality docs are proportionally
+    // favored but every doc keeps a nonzero chance: the
+    // quality-weighted subcorpus draw a curation pipeline wants where
+    // a hard top-k-by-quality would collapse diversity. Scale shape:
+    // u and the key are scan-stage expressions (no RNG, no shuffle);
+    // the k winners come out of a distributed TakeOrdered, and the
+    // k-row rank window runs on k rows only.
+    "q_sample_weighted" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.VectorFunctions.neutral_hash40
+      val keyed = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(array_distinct(split(col("text"), " "))).cast("long")
+            .as("quality"),
+          neutral_hash40(col("doc_id").cast("string")).as("h"))
+        .select(col("doc_id"), col("quality"),
+          floor(log((col("h").cast("double") + lit(1.0)) /
+              lit(1099511627776.0)) * lit(1e4) /
+            col("quality").cast("double")).cast("long").as("key_q"))
+      val top = keyed
+        .orderBy(col("key_q").desc, col("doc_id")).limit(200)
+      top.withColumn("rk", row_number().over(
+          Window.orderBy(col("key_q").desc, col("doc_id"))))
+        .select(col("rk"), col("doc_id"), col("quality"), col("key_q"))
+        .orderBy(col("rk"))
+    }),
+
     // Temperature-based mixture sampling (α = 0.5): the multilingual
     // data-mixing step — per-language budgets ∝ n_lang^α flatten the
     // language distribution (rare languages up-weighted, head languages
@@ -343,6 +379,27 @@ object Curation {
         |  CAST(SUM(CASE WHEN hb < permille THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_sampled
         |FROM h GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Same 40-bit fold over the doc_id's decimal string, same
+    // LN/quantize/divide spelling, same top-200 total order.
+    "q_sample_weighted" ->
+      """WITH ks AS (SELECT doc_id,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |      AS quality,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, c) -> (a * 1000003 + c) % 1099511627776) AS h
+        |  FROM documents),
+        |kq AS (SELECT doc_id, quality,
+        |    CAST(FLOOR(LN((CAST(h AS DOUBLE) + 1.0) / 1099511627776.0)
+        |               * 1e4 / CAST(quality AS DOUBLE)) AS BIGINT)
+        |      AS key_q
+        |  FROM ks),
+        |top AS (SELECT * FROM kq ORDER BY key_q DESC, doc_id LIMIT 200)
+        |SELECT ROW_NUMBER() OVER (ORDER BY key_q DESC, doc_id) AS rk,
+        |  doc_id, quality, key_q
+        |FROM top ORDER BY rk""".stripMargin,
 
     "q_sample_temperature" ->
       """WITH h AS (

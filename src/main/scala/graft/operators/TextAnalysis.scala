@@ -520,6 +520,54 @@ object TextAnalysis {
         .orderBy(col("w1"), col("w2"))
     }),
 
+    // PMI collocation mining (Church & Hanks 1990): rank adjacent word
+    // pairs by pointwise mutual information
+    //   pmi(w1,w2) = ln( P(w1,w2) / (P(w1)·P(w2)) )
+    //              = ln( c12·N·N / (c1·c2·N12) )
+    // — the phrase-mining signal that separates true collocations
+    // (bigram far above chance) from frequent-but-independent
+    // neighbors, which raw bigram counts (q_text_heavy_hitters) and
+    // conditional probabilities (q_text_lm_kn) both conflate. The
+    // c12 ≥ 5 support floor is the standard guard against PMI's
+    // low-count explosion. Determinism: all counts are exact integers
+    // whose products stay under 2^53 (exact in doubles), the single
+    // division is one correctly-rounded IEEE op, and ln rides the
+    // established floor-1e4 quantization envelope (same as BM25 /
+    // LM-score). Scale shape: one (w1,w2) shuffle with map-side
+    // combine for bigrams, a vocabulary-sized unigram aggregate
+    // broadcast back, two scalar totals via broadcast cross-join —
+    // the corpus is scanned once per granularity, never joined.
+    "q_text_collocations" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val uni = toks.select(explode(col("w")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      val nTok = uni.agg(sum(col("c")).as("n_tok"))
+      val bi = toks.where(size(col("w")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(w) - 1),
+            |  i -> struct(element_at(w, i) AS w1,
+            |              element_at(w, i + 1) AS w2))""".stripMargin))
+          .as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val nBi = bi.agg(sum(col("c12")).as("n_bi"))
+      bi.where(col("c12") >= 5)
+        .join(broadcast(uni.select(col("t").as("w1"), col("c").as("c1"))),
+          "w1")
+        .join(broadcast(uni.select(col("t").as("w2"), col("c").as("c2"))),
+          "w2")
+        .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBi))
+        .select(col("w1"), col("w2"), col("c12"),
+          floor(log(
+            (col("c12").cast("double") * col("n_tok").cast("double") *
+              col("n_tok").cast("double")) /
+            (col("c1").cast("double") * col("c2").cast("double") *
+              col("n_bi").cast("double"))) * lit(1e4))
+            .cast("long").as("pmi_q"))
+        .orderBy(col("pmi_q").desc, col("w1"), col("w2"))
+    }),
+
     // Global heavy hitters: exact top-20 terms by corpus frequency with
     // per-term document frequency. Both aggregates partial-combine
     // map-side; the final top-k is TakeOrdered-sized (k rows to the
@@ -927,6 +975,34 @@ object TextAnalysis {
         |       // (4 * f.c1 * nbt.nb) AS BIGINT) AS p_kn_q
         |FROM c JOIN f USING (w1) JOIN pr USING (w2) CROSS JOIN nbt
         |ORDER BY c.w1, c.w2""".stripMargin,
+
+    // Same bigram/unigram counting; the PMI argument is spelled with the
+    // identical product/division order so the double is bit-equal, and
+    // LN rides the floor-1e4 envelope.
+    "q_text_collocations" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |uni AS (SELECT tk AS t, COUNT(*) AS c FROM
+        |          (SELECT UNNEST(toks) AS tk FROM t) GROUP BY tk),
+        |ntok AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok FROM uni),
+        |p0 AS (SELECT UNNEST([struct_pack(a := toks[i], b := toks[i + 1])
+        |                 for i in generate_series(1, len(toks) - 1)]) AS bg
+        |       FROM t WHERE len(toks) >= 2),
+        |bi AS (SELECT bg.a AS w1, bg.b AS w2, COUNT(*) AS c12
+        |       FROM p0 GROUP BY 1, 2),
+        |nbi AS (SELECT CAST(SUM(c12) AS BIGINT) AS n_bi FROM bi)
+        |SELECT bi.w1, bi.w2, bi.c12,
+        |  CAST(FLOOR(LN(
+        |    (CAST(bi.c12 AS DOUBLE) * CAST(ntok.n_tok AS DOUBLE)
+        |       * CAST(ntok.n_tok AS DOUBLE)) /
+        |    (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)
+        |       * CAST(nbi.n_bi AS DOUBLE))) * 1e4) AS BIGINT) AS pmi_q
+        |FROM bi
+        |JOIN uni u1 ON u1.t = bi.w1
+        |JOIN uni u2 ON u2.t = bi.w2
+        |CROSS JOIN ntok CROSS JOIN nbi
+        |WHERE bi.c12 >= 5
+        |ORDER BY pmi_q DESC, bi.w1, bi.w2""".stripMargin,
 
     "q_text_heavy_hitters" ->
       """SELECT term, COUNT(*) AS n,

@@ -28,6 +28,9 @@ object EventStreams {
   /** Custom state for q_stream_stateful. */
   case class UserState(n: Long, maxV: Double)
 
+  /** Funnel progress for q_stream_funnel (0 = step not reached). */
+  case class FunnelState(t1: Long, t2: Long, t3: Long)
+
   /** StatefulProcessor for q_stream_transform_state: per-event-type
     * running (count, Σ value-micros) in a ValueState. Sums are LONG
     * micro-units (floor(value·1e6) per row) so state merges are
@@ -202,6 +205,51 @@ object EventStreams {
         }
         .toDF("user_id", "n_events", "max_value")
       runToMemory(s, updated, "update", s"stateful_${System.nanoTime()}")
+        .orderBy(col("user_id"))
+    }),
+
+    // Streaming conversion funnel — the stateful sequential-pattern twin
+    // of the batch q_event_funnel: per user, earliest view, first click
+    // strictly after it, first purchase strictly after that, carried as
+    // a 3-slot FunnelState that only ever moves FORWARD (each slot is
+    // written once, so per-user state is 3 longs regardless of event
+    // volume — the bounded-state property that makes CEP-style matching
+    // viable on an unbounded stream). Events are folded in (ts,
+    // event_id) order within each batch's group iterator; AvailableNow
+    // replays the fixture as ONE batch, so the fold order is total and
+    // the batch funnel SQL is an exact oracle. A live deployment feeds
+    // this from a watermark-ordered upstream, or accepts
+    // monotone-progress semantics under cross-batch disorder — the
+    // state transition itself is unchanged.
+    "q_stream_funnel" -> ((s, d) => {
+      import s.implicits._
+      val typed = eventStream(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("m"), col("event_id"))
+        .as[(Long, String, Long, Long)]
+      val out = typed.groupByKey(_._1)
+        .flatMapGroupsWithState[FunnelState, (Long, Long, Long, Long, Long)](
+          OutputMode.Update, GroupStateTimeout.NoTimeout) {
+          (uid: Long, it: Iterator[(Long, String, Long, Long)],
+              st: GroupState[FunnelState]) =>
+            val prev = st.getOption.getOrElse(FunnelState(0L, 0L, 0L))
+            var t1 = prev.t1
+            var t2 = prev.t2
+            var t3 = prev.t3
+            it.toSeq.sortBy(e => (e._3, e._4)).foreach { case (_, tpe, m, _) =>
+              if (t1 == 0L && tpe == "view") t1 = m
+              else if (t1 > 0L && t2 == 0L && tpe == "click" && m > t1) t2 = m
+              else if (t2 > 0L && t3 == 0L && tpe == "purchase" && m > t2)
+                t3 = m
+            }
+            st.update(FunnelState(t1, t2, t3))
+            val steps =
+              if (t3 > 0L) 3L else if (t2 > 0L) 2L
+              else if (t1 > 0L) 1L else 0L
+            Iterator((uid, t1, t2, t3, steps))
+        }
+        .toDF("user_id", "t1_us", "t2_us", "t3_us", "steps")
+      runToMemory(s, out, "update", s"funnel_${System.nanoTime()}")
         .orderBy(col("user_id"))
     }),
 
@@ -712,6 +760,34 @@ object EventStreams {
     "q_stream_stateful" ->
       """SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Batch twin of the streaming funnel: identical step-wise min
+    // aggregates as the q_event_funnel oracle (the stream's one-batch
+    // time-ordered fold computes exactly these minima).
+    "q_stream_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |             CAST(epoch_us(ts) AS BIGINT) AS m FROM events),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |v AS (SELECT user_id, MIN(m) AS t1 FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.m) AS t2 FROM e
+        |      JOIN v ON v.user_id = e.user_id AND e.m > v.t1
+        |      WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.m) AS t3 FROM e
+        |      JOIN c ON c.user_id = e.user_id AND e.m > c.t2
+        |      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT u.user_id,
+        |  COALESCE(v.t1, 0) AS t1_us,
+        |  COALESCE(c.t2, 0) AS t2_us,
+        |  COALESCE(p.t3, 0) AS t3_us,
+        |  CAST(CASE WHEN p.t3 IS NOT NULL THEN 3
+        |            WHEN c.t2 IS NOT NULL THEN 2
+        |            WHEN v.t1 IS NOT NULL THEN 1
+        |            ELSE 0 END AS BIGINT) AS steps
+        |FROM u LEFT JOIN v USING (user_id)
+        |LEFT JOIN c USING (user_id)
+        |LEFT JOIN p USING (user_id)
+        |ORDER BY u.user_id""".stripMargin,
 
     "q_stream_sliding" ->
       """WITH x AS (

@@ -194,7 +194,7 @@ object ScaleProbe {
     val sections = args.drop(1).headOption
       .map(_.split(",").toSet)
       .getOrElse(Set("pipeline", "cc_corpus", "cc_chain", "topk",
-        "lsh", "semantic", "recall", "graph", "triangles"))
+        "lsh", "semantic", "recall", "graph", "triangles", "cdc", "kcore"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outBase = s"${sys.props("java.io.tmpdir")}/graft_scale"
@@ -526,6 +526,71 @@ object ScaleProbe {
         s""""wall_s":${f"$wall%.2f"},"rows_out":$rows,""" +
         s""""shuffle_write_mb":${sw / 1048576},""" +
         s""""shuffle_read_mb":${sr / 1048576},"spill_mb":${sp / 1048576}}""")
+      spark.catalog.clearCache()
+    }
+
+    // ---- 10. CDC chunk dedup over the amplified corpus -------------
+    // Chunking is a compiled map stage, so wall should scale with the
+    // corpus like the e2e pipeline; the amplifier's fam-0 exact
+    // replicas must come out 100% duplicate-covered (identical text ⇒
+    // identical chunks ⇒ dup_ratio 1e6) — the semantic check at scale.
+    if (sections("cdc")) factors.filter(_ <= 10).foreach { f =>
+      val dir = if (f == 1) sfDir else amplify(spark, sfDir, f, outBase)
+      val nDocs = Tables.documents(spark, dir).count()
+      val q = graft.SparkEntry.queries("q_dedup_cdc")
+      val (rows, wall, sw, sr, sp, _) = measured(spark, agg) {
+        q(spark, dir).queryExecution.toRdd.count()
+      }
+      val fullCov = q(spark, dir)
+        .where(col("dup_ratio_q") === 1000000L).count()
+      emit(s"""{"probe":"cdc","factor":$f,"docs":$nDocs,""" +
+        s""""wall_s":${f"$wall%.2f"},"rows_out":$rows,""" +
+        s""""fully_covered":$fullCov,""" +
+        s""""shuffle_write_mb":${sw / 1048576},""" +
+        s""""shuffle_read_mb":${sr / 1048576},"spill_mb":${sp / 1048576}}""")
+      spark.catalog.clearCache()
+    }
+
+    // ---- 11. 2-core peel depth over the amplified pair graph -------
+    // The published q_graph_kcore unrolls a FIXED 6 rounds (oracle
+    // replayability); this probe peels to FIXPOINT and reports the
+    // rounds actually needed — the scale knob check. The amplifier's
+    // fam-2 chains have length F, and a 2-core peel erodes a chain
+    // from both ends (⌈F/2⌉ rounds), so rounds_to_fixpoint ≈ F/2 at
+    // ×10 documents exactly how PeelRounds must scale with the
+    // longest chain overhang, while per-round work SHRINKS with the
+    // surviving edge list.
+    if (sections("kcore")) factors.filter(_ <= 10).foreach { f =>
+      val dir = if (f == 1) sfDir else amplify(spark, sfDir, f, outBase)
+      val pairs = graft.operators.Dedup.ngramJaccardPairsRaw(spark, dir)
+        .select(col("doc_a"), col("doc_b")).cache()
+      val nPairs = pairs.count()
+      val edges0 = pairs.unionAll(
+        pairs.select(col("doc_b"), col("doc_a"))).toDF("src", "dst")
+      val (stats, wall, sw, sr, _, _) = measured(spark, agg) {
+        var alive = edges0.localCheckpoint()
+        var n = alive.count()
+        var rounds = 0
+        var done = false
+        while (!done) {
+          val keep = alive.groupBy(col("src"))
+            .agg(count(lit(1)).as("deg")).where(col("deg") >= 2)
+            .select(col("src"))
+          val next = alive
+            .join(keep, Seq("src"), "semi")
+            .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "semi")
+            .select(col("src"), col("dst"))
+            .localCheckpoint()
+          val m = next.count()
+          if (m == n) done = true else { rounds += 1; n = m; alive = next }
+        }
+        (rounds, n)
+      }
+      pairs.unpersist()
+      emit(s"""{"probe":"kcore","factor":$f,"pairs":$nPairs,""" +
+        s""""rounds_to_fixpoint":${stats._1},""" +
+        s""""core_edges":${stats._2},"wall_s":${f"$wall%.2f"},""" +
+        s""""shuffle_mb":${(sw + sr) / 1048576}}""")
       spark.catalog.clearCache()
     }
 

@@ -1277,4 +1277,64 @@ class OperatorsSpec extends AnyFunSuite {
       if (t3 > 0) assert(t3 > t2, s"user $u: purchase not after click")
     }
   }
+
+  test("PMI collocations equal in-memory reimplementation, both signs present") {
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .select(col("text")).collect().map(_.getString(0))
+    val toks = texts.flatMap(_.split(" "))
+    val uni = toks.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val nTok = toks.length.toLong
+    val bigrams = texts.flatMap { t =>
+      val w = t.split(" "); if (w.length < 2) Nil
+      else (0 until w.length - 1).map(i => (w(i), w(i + 1)))
+    }
+    val c12 = bigrams.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val nBi = bigrams.length.toLong
+    val exp = c12.filter(_._2 >= 5).map { case ((w1, w2), c) =>
+      val pmi = math.floor(math.log(
+        (c.toDouble * nTok.toDouble * nTok.toDouble) /
+          (uni(w1).toDouble * uni(w2).toDouble * nBi.toDouble)) * 1e4).toLong
+      ((w1, w2), (c, pmi))
+    }
+    val got = q("q_text_collocations").collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+    assert(got.length == exp.size)
+    got.foreach { case (k, v) => assert(exp(k) == v, s"bigram $k") }
+    // fixture must exercise both tails: attracted pairs (pmi > 0) and
+    // repelled pairs (pmi < 0) — all-one-sign means the signal is dead
+    assert(got.exists(_._2._2 > 0L), "no positive-PMI collocation")
+    assert(got.exists(_._2._2 < 0L), "no negative-PMI pair")
+    // published order is pmi desc with (w1, w2) tiebreak
+    val keys = got.map { case ((w1, w2), (_, p)) => (-p, w1, w2) }
+    assert(keys.sameElements(keys.sorted), "ordering violated")
+  }
+
+  test("weighted sample equals in-memory A-ES keys; both factors matter") {
+    def h40(s0: String): Long =
+      s0.getBytes("UTF-8").foldLeft(0L)((h, b) =>
+        (h * 1000003L + (b & 0xFF)) & 0xFFFFFFFFFFL)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val keyed = docs.map { case (id, t) =>
+      val quality = t.split(" ").distinct.length.toLong
+      val key = math.floor(math.log(
+        (h40(id.toString).toDouble + 1.0) / 1099511627776.0) * 1e4 /
+        quality.toDouble).toLong
+      (id, quality, key)
+    }
+    val exp = keyed.sortBy { case (id, _, k) => (-k, id) }.take(200)
+      .zipWithIndex.map { case ((id, qual, k), i) => (i + 1L, id, qual, k) }
+    val got = q("q_sample_weighted").collect()
+      .map(r => (r.getInt(0).toLong, r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == exp.toSeq)
+    // the draw must reflect BOTH weight and hash: it differs from a pure
+    // quality top-200 and from a pure hash top-200
+    val byQuality = keyed.sortBy(d => (-d._2, d._1)).take(200).map(_._1).toSet
+    val byHash = keyed.sortBy(d => (-h40(d._1.toString), d._1)).take(200)
+      .map(_._1).toSet
+    val sel = got.map(_._2).toSet
+    assert(sel != byQuality, "sample degenerated to top-k by weight")
+    assert(sel != byHash, "sample degenerated to unweighted hash sample")
+  }
 }

@@ -432,6 +432,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
   }
 
+  test("PMI joins vocab-sized tables broadcast; weighted sample is TakeOrdered") {
+    val p = plan("q_text_collocations")
+    assert(p.contains("BroadcastHashJoin"),
+      "unigram tables must broadcast back onto the bigram table")
+    assert(!p.contains("SortMergeJoin"), p.take(600))
+    val w = plan("q_sample_weighted")
+    assert(w.contains("TakeOrderedAndProject"),
+      "the 200 winners must come from a distributed top-k, not a full sort")
+  }
+
   test("compaction rewrites 64 small files into 4 large ones") {
     SparkEntry.queries("q_layout_compaction")(spark, sfDir).collect()
     val base = s"${sys.props("java.io.tmpdir")}/graft_cmp_${sfDir.replaceAll("[^0-9a-zA-Z]", "_")}"

@@ -256,4 +256,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(joined.nonEmpty)
     assert(joined.forall(r => r.getLong(1) <= r.getLong(2)))
   }
+
+  test("streaming funnel equals the batch funnel row for row") {
+    val stream = SparkEntry.queries("q_stream_funnel")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val batch = SparkEntry.queries("q_event_funnel")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(stream.nonEmpty)
+    assert(stream.toSeq == batch.toSeq,
+      "stateful fold must equal the batch step-wise minima")
+  }
 }
