@@ -473,6 +473,60 @@ object TextAnalysis {
         .orderBy(col("source"))
     }),
 
+    // Sketch ALGEBRA on the same KMV signatures: pairwise cross-source
+    // content overlap estimated from the 64-hash sketches alone
+    // (bottom-k Jaccard: J ≈ |B_k(A∪B) ∩ A ∩ B| / k_eff, the classic
+    // min-wise estimator over the k smallest union hashes), with the
+    // exact trigram-set Jaccard alongside as the error witness. This is
+    // the operation sketches EXIST for at 100 TB: all C(n_sources, 2)
+    // overlaps from n_sources × 64 longs — the corpus is touched once
+    // to build signatures, never per pair; the pair stage is a k²-row
+    // comparison of 64-element arrays. The exact arm rides the
+    // inverted shingle index (≤ C(20,2) pair rows per shingle), itself
+    // the fixture-scale witness, not the scale path. All-integer
+    // estimate ((1e6·est_inter) div k_eff) → exact oracle replay.
+    "q_agg_kmv_jaccard" -> ((s, d) => {
+      import graft.functions.VectorFunctions.neutral_hash40
+      import graft.functions.KmvAgg.{kmv_agg, K}
+      val tri = Tables.documents(s, d)
+        .select(col("source"), split(col("text"), " ").as("w"))
+        .select(col("source"), explode(
+          when(size(col("w")) >= 3,
+            transform(sequence(lit(1), size(col("w")) - 2),
+              i => concat_ws(" ", element_at(col("w"), i),
+                element_at(col("w"), i + 1), element_at(col("w"), i + 2))))
+          .otherwise(array(array_join(col("w"), " ")))).as("sh"))
+      val ds = tri.distinct()
+      val sizes = ds.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val inter = ds.as("a").join(ds.as("b"),
+          col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+        .agg(count(lit(1)).as("inter"))
+      val sk = tri.groupBy(col("source"))
+        .agg(kmv_agg(neutral_hash40(col("sh"))).as("kmv"))
+      // deliberate k²-row sketch-pair product: the sketch table is
+      // n_sources rows BY DESIGN (that's the whole point of sketching)
+      val est = sk.as("x")
+        .join(sk.as("y"), col("x.source") < col("y.source"))
+        .select(col("x.source").as("sa"), col("y.source").as("sb"),
+          col("x.kmv").as("ka"), col("y.kmv").as("kb"))
+        .select(col("sa"), col("sb"), col("ka"), col("kb"),
+          expr(s"slice(array_sort(array_union(ka, kb)), 1, $K)").as("bk"))
+        .select(col("sa"), col("sb"),
+          size(col("bk")).as("keff"),
+          expr("size(filter(bk, v -> array_contains(ka, v)" +
+            " AND array_contains(kb, v)))").as("ei"))
+      est
+        .join(inter, Seq("sa", "sb"), "left")
+        .join(sizes.select(col("source").as("sa"), col("n").as("na")), "sa")
+        .join(sizes.select(col("source").as("sb"), col("n").as("nb")), "sb")
+        .select(col("sa"), col("sb"),
+          expr("(1000000 * coalesce(inter, 0L))" +
+            " div (na + nb - coalesce(inter, 0L))").as("exact_j_q"),
+          expr("(1000000 * ei) div keff").as("kmv_j_q"))
+        .orderBy(col("sa"), col("sb"))
+    }),
+
     // Interpolated Kneser-Ney bigram smoothing (Kneser & Ney 1995; Chen
     // & Goodman 1998's interpolated form) — the LM-data step beyond
     // q_text_lm_score's +1-smoothed bigram model: absolute discount
@@ -920,6 +974,58 @@ object TextAnalysis {
         |FROM tf JOIN dlt USING (doc_id) JOIN df USING (term)
         |CROSS JOIN n
         |ORDER BY tf.doc_id, tf.term""".stripMargin,
+
+    // Sketch rows = the 64 smallest distinct hashes per source; the
+    // bottom-k union, membership flags, and both quantized Jaccards
+    // replay the Spark arrays row-for-row.
+    "q_agg_kmv_jaccard" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS w
+        |           FROM documents),
+        |g AS (SELECT source, UNNEST(CASE WHEN len(w) >= 3 THEN
+        |        [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |         for i in generate_series(1, len(w) - 2)]
+        |      ELSE [array_to_string(w, ' ')] END) AS sh
+        |      FROM t),
+        |dsh AS (SELECT DISTINCT source, sh FROM g),
+        |sizes AS (SELECT source, COUNT(*) AS n FROM dsh GROUP BY source),
+        |iex AS (SELECT a.source AS sa, b.source AS sb, COUNT(*) AS inter
+        |        FROM dsh a JOIN dsh b
+        |          ON a.sh = b.sh AND a.source < b.source
+        |        GROUP BY 1, 2),
+        |h AS (SELECT DISTINCT source,
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(string_split(sh, ''),
+        |            c -> CAST(ascii(c) AS BIGINT))),
+        |          (a, c) -> (a * 1000003 + c) % 1099511627776) AS hv
+        |      FROM g),
+        |r AS (SELECT source, hv,
+        |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv) AS rn
+        |      FROM h),
+        |sk AS (SELECT source, hv FROM r WHERE rn <= 64),
+        |prs AS (SELECT a.source AS sa, b.source AS sb
+        |        FROM sizes a JOIN sizes b ON a.source < b.source),
+        |uni AS (SELECT p.sa, p.sb, s.hv,
+        |          MAX(CASE WHEN s.source = p.sa THEN 1 ELSE 0 END) AS in_a,
+        |          MAX(CASE WHEN s.source = p.sb THEN 1 ELSE 0 END) AS in_b
+        |        FROM prs p JOIN sk s ON s.source = p.sa OR s.source = p.sb
+        |        GROUP BY 1, 2, 3),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY sa, sb
+        |                                    ORDER BY hv) AS urn FROM uni),
+        |eb AS (SELECT sa, sb,
+        |         CAST(SUM(CASE WHEN urn <= 64 THEN in_a * in_b ELSE 0 END)
+        |              AS BIGINT) AS ei,
+        |         LEAST(64, COUNT(*)) AS keff
+        |       FROM rk GROUP BY sa, sb)
+        |SELECT e.sa, e.sb,
+        |  CAST((1000000 * COALESCE(i.inter, 0)) //
+        |       (za.n + zb.n - COALESCE(i.inter, 0)) AS BIGINT)
+        |    AS exact_j_q,
+        |  CAST((1000000 * e.ei) // e.keff AS BIGINT) AS kmv_j_q
+        |FROM eb e
+        |LEFT JOIN iex i ON i.sa = e.sa AND i.sb = e.sb
+        |JOIN sizes za ON za.source = e.sa
+        |JOIN sizes zb ON zb.source = e.sb
+        |ORDER BY e.sa, e.sb""".stripMargin,
 
     // Same trigram CTE as the dedup family and the identical 40-bit
     // fold; the K-th smallest distinct hash + the integer estimate

@@ -915,6 +915,39 @@ object Extended {
         .orderBy(col("user_id"))
     }),
 
+    // Cohort retention — the third leg of the event-analytics triad
+    // (sessionize = within-visit, funnel = conversion order, retention
+    // = return-over-time): users are cohorted by the DAY of their first
+    // signup; for each (cohort_day, days_since) the count of cohort
+    // members active that day, with per-mille retention against the
+    // cohort size. Day-0 retention is 1000‰ by construction (the
+    // signup day itself is active — spec-asserted). Dates ride
+    // 'yyyy-MM-dd' strings (session-UTC cast both engines, naive date
+    // math). Scale shape: first-signup is one user_id aggregate;
+    // activity is a (user_id, day) distinct; the join keys on user_id
+    // (co-partitioned with both aggregates); the output is
+    // |cohorts|×|days| — analytics-sized, never event-sized.
+    "q_event_retention" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          to_date(col("ts")).as("day"))
+      val cohort = e.where(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("day")).as("c_day"))
+      val csize = cohort.groupBy(col("c_day"))
+        .agg(countDistinct(col("user_id")).as("cohort_n"))
+      val act = e.select(col("user_id"), col("day")).distinct()
+      act.join(cohort, "user_id")
+        .where(col("day") >= col("c_day"))
+        .groupBy(col("c_day"), datediff(col("day"), col("c_day"))
+          .cast("long").as("days_since"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .join(broadcast(csize), "c_day")
+        .select(date_format(col("c_day"), "yyyy-MM-dd").as("cohort_day"),
+          col("days_since"), col("n_active"), col("cohort_n"),
+          expr("(1000 * n_active) div cohort_n").as("retention_pm"))
+        .orderBy(col("cohort_day"), col("days_since"))
+    }),
+
     // Interval-overlap join, binned with interior-bucket aggregation:
     // user sessions (the q_event_sessionize intervals) × 1-hour
     // incident windows opened by each error event. The naive spelling
@@ -1372,6 +1405,31 @@ object Extended {
         |  CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS value_sum
         |FROM sx GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+
+    // Same day-truncation, first-signup aggregate, distinct activity
+    // days, and integer per-mille.
+    "q_event_retention" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |             CAST(ts AS DATE) AS day FROM events),
+        |co AS (SELECT user_id, MIN(day) AS c_day FROM e
+        |       WHERE event_type = 'signup' GROUP BY user_id),
+        |cs AS (SELECT c_day, COUNT(DISTINCT user_id) AS cohort_n
+        |       FROM co GROUP BY c_day),
+        |act AS (SELECT DISTINCT user_id, day FROM e),
+        |ret AS (SELECT co.c_day,
+        |          CAST(date_diff('day', co.c_day, act.day) AS BIGINT)
+        |            AS days_since,
+        |          COUNT(DISTINCT act.user_id) AS n_active
+        |        FROM act JOIN co ON co.user_id = act.user_id
+        |        WHERE act.day >= co.c_day
+        |        GROUP BY 1, 2)
+        |SELECT strftime(r.c_day, '%Y-%m-%d') AS cohort_day,
+        |  r.days_since, CAST(r.n_active AS BIGINT) AS n_active,
+        |  CAST(cs.cohort_n AS BIGINT) AS cohort_n,
+        |  CAST((1000 * r.n_active) // cs.cohort_n AS BIGINT)
+        |    AS retention_pm
+        |FROM ret r JOIN cs ON cs.c_day = r.c_day
+        |ORDER BY cohort_day, r.days_since""".stripMargin,
 
     // Step-wise min aggregates with the same strict-after conditions;
     // epoch micros end to end.

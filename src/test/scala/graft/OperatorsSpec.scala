@@ -1337,4 +1337,80 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sel != byQuality, "sample degenerated to top-k by weight")
     assert(sel != byHash, "sample degenerated to unweighted hash sample")
   }
+
+  test("KMV Jaccard equals in-memory bottom-k estimator, lands near exact") {
+    def h40(s0: String): Long =
+      s0.getBytes("UTF-8").foldLeft(0L)((h, b) =>
+        (h * 1000003L + (b & 0xFF)) & 0xFFFFFFFFFFL)
+    val k = graft.functions.KmvAgg.K
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def shingles(t: String): Seq[String] = {
+      val w = t.split(" ")
+      if (w.length >= 3) (0 until w.length - 2)
+        .map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}")
+      else Seq(t)
+    }
+    val sets = docs.groupBy(_._1).map { case (src, ds) =>
+      (src, ds.flatMap(d => shingles(d._2)).toSet)
+    }
+    val sketches = sets.map { case (src, sh) =>
+      (src, sh.map(h40).toSeq.distinct.sorted.take(k))
+    }
+    val exp = (for {
+      (sa, setA) <- sets; (sb, setB) <- sets if sa < sb
+    } yield {
+      val inter = (setA & setB).size.toLong
+      val exact = 1000000L * inter / (setA.size + setB.size - inter)
+      val (ka, kb) = (sketches(sa), sketches(sb))
+      val union = (ka ++ kb).distinct.sorted
+      val bk = union.take(k)
+      val ei = bk.count(v => ka.contains(v) && kb.contains(v)).toLong
+      val est = 1000000L * ei / math.min(k, union.size)
+      ((sa, sb), (exact, est))
+    }).toMap
+    val got = q("q_agg_kmv_jaccard").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3))))
+    assert(got.length == exp.size)
+    got.foreach { case (kk, v) => assert(exp(kk) == v, s"pair $kk") }
+    // estimator quality: within a generous 4σ-ish envelope of exact for
+    // every pair (K=64 → stderr ≾ 0.06 at these J levels), and not
+    // degenerate (some nonzero estimates)
+    got.foreach { case (kk, (exact, est)) =>
+      assert(math.abs(exact - est) < 150000L, s"pair $kk: $exact vs $est")
+    }
+    assert(got.exists(_._2._2 > 0L), "all estimates zero — sketch dead")
+  }
+
+  test("retention equals in-memory cohort replay; day-0 is always 1000 pm") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), to_date(col("ts")).as("day"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDate(2).toLocalDate))
+    val cohort = ev.filter(_._2 == "signup").groupBy(_._1)
+      .map { case (u, xs) => (u, xs.map(_._3).min(Ordering.by((d:
+        java.time.LocalDate) => d.toEpochDay))) }
+    val act = ev.map(e => (e._1, e._3)).distinct
+    val csize = cohort.values.groupBy(identity).map { case (d, v) =>
+      (d, v.size.toLong) }
+    val exp = act.flatMap { case (u, day) =>
+      cohort.get(u).filter(c => !day.isBefore(c))
+        .map(c => ((c, day.toEpochDay - c.toEpochDay), u))
+    }.groupBy(_._1).map { case ((c, ds), v) =>
+      val n = v.map(_._2).distinct.size.toLong
+      ((c.toString, ds), (n, csize(c), 1000L * n / csize(c)))
+    }
+    val got = q("q_event_retention").collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4))))
+    assert(got.length == exp.size)
+    got.foreach { case (kk, v) => assert(exp(kk) == v, s"cell $kk") }
+    // day-0 is definitionally full retention: the signup day is active
+    got.filter(_._1._2 == 0L).foreach { case (kk, (_, _, pm)) =>
+      assert(pm == 1000L, s"cohort ${kk._1} day-0 at $pm‰")
+    }
+    assert(got.map(_._1._1).distinct.length > 1, "need multiple cohorts")
+  }
 }

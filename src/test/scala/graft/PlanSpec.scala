@@ -442,6 +442,18 @@ class PlanSpec extends AnyFunSuite {
       "the 200 winners must come from a distributed top-k, not a full sort")
   }
 
+  test("retention never products; sketch-Jaccard builds sketches in one agg") {
+    val p = plan("q_event_retention")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
+    // the k²-row sketch-pair product in q_agg_kmv_jaccard is the DESIGN
+    // (n_sources rows by construction); what must hold is that the
+    // corpus-sized work is ONE object-hash sketch aggregate
+    val j = plan("q_agg_kmv_jaccard")
+    assert(j.contains("ObjectHashAggregate"),
+      "KMV sketches must build via the native aggregate")
+  }
+
   test("compaction rewrites 64 small files into 4 large ones") {
     SparkEntry.queries("q_layout_compaction")(spark, sfDir).collect()
     val base = s"${sys.props("java.io.tmpdir")}/graft_cmp_${sfDir.replaceAll("[^0-9a-zA-Z]", "_")}"
