@@ -846,16 +846,19 @@ object Dedup {
     // the corpus text exactly once (it was the suite's slowest query
     // when quality came from a second scan).
     "q_dedup_canonical" -> ((s, d) => {
-      val g = withShingles(s, d, withQuality = true)
-      val pairs = jaccardPairsFrom(g.select(col("doc_id"), col("sh")))
-        .select(col("doc_a"), col("doc_b")).cache()
+      // pairs from the session memo (one mining pass shared with every
+      // graph consumer); quality is ONE extra projection scan — the
+      // original fused-scan spelling saved that scan but re-mined the
+      // whole pair pipeline per call (4.9 s vs ~1.4 s at sf0.1)
+      val pairs = ngramJaccardPairsMemo(s, d)
       val edges = pairs.unionAll(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
         .toDF("src", "dst")
-      val docs = g.select(col("doc_id"), col("quality"),
-        col("doc_id").as("lbl"))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(array_distinct(split(col("text"), " "))).as("quality"),
+          col("doc_id").as("lbl"))
       val (labels, _) = connectedComponents(docs, edges)
-      pairs.unpersist()
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("cluster_id"))
         .orderBy(col("quality").desc, col("doc_id"))
