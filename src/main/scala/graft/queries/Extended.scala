@@ -915,6 +915,69 @@ object Extended {
         .orderBy(col("user_id"))
     }),
 
+    // Data-quality constraint suite (the Deequ/great-expectations
+    // shape): declarative checks validated in ONE pass per table plus
+    // one anti-join per foreign key, emitted as a (check, violations,
+    // checked, ok) report — the admission gate a pipeline runs before
+    // letting a new batch into the lake. Checks: PK uniqueness,
+    // FK containment (orders→customer, lineitem→orders), null rate,
+    // numeric range, and a date-window rule that the fixture GENUINELY
+    // violates (orders dated past 2000-12-31 exist), so the report
+    // exercises both verdicts. Scale shape: per-table checks fold into
+    // one conditional aggregate over one scan (no per-check passes);
+    // FK checks are LEFT ANTI joins that shuffle only the key columns;
+    // the report is |checks| rows.
+    "q_dq_constraints" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val ords = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      val liAgg = li.agg(count(lit(1)).as("n"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+          .otherwise(0L)).as("qty_bad"),
+        sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L))
+          .as("price_bad"))
+      val ordAgg = ords.agg(count(lit(1)).as("n"),
+        countDistinct(col("o_orderkey")).as("nk"),
+        sum(when(col("o_orderdate") < to_timestamp(lit("1995-01-01")) ||
+            col("o_orderdate") > to_timestamp(lit("2000-12-31")), 1L)
+          .otherwise(0L)).as("date_bad"))
+      val custAgg = cust.agg(count(lit(1)).as("n"),
+        sum(when(col("c_name").isNull, 1L).otherwise(0L)).as("name_null"))
+      val fkOrd = ords.join(cust,
+          ords("o_custkey") === cust("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("v"))
+      val fkLi = li.select(col("l_orderkey"))
+        .join(ords, li("l_orderkey") === ords("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("v"))
+      def row(name: String, viol: org.apache.spark.sql.Column,
+          n: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val v = viol.cast("long")
+        org.apache.spark.sql.functions.struct(
+          lit(name).as("check"), v.as("n_violations"),
+          n.cast("long").as("n_checked"), (v === 0L).as("ok"))
+      }
+      val rows = Seq(
+        liAgg.select(row("lineitem_qty_range", col("qty_bad"), col("n"))
+          .as("r")),
+        liAgg.select(row("lineitem_price_positive", col("price_bad"),
+          col("n")).as("r")),
+        ordAgg.select(row("orders_pk_unique", col("n") - col("nk"),
+          col("n")).as("r")),
+        ordAgg.select(row("orders_date_window", col("date_bad"), col("n"))
+          .as("r")),
+        custAgg.select(row("customer_name_notnull", col("name_null"),
+          col("n")).as("r")),
+        fkOrd.crossJoin(ordAgg.select(col("n")))
+          .select(row("orders_custkey_fk", col("v"), col("n")).as("r")),
+        fkLi.crossJoin(liAgg.select(col("n")))
+          .select(row("lineitem_orderkey_fk", col("v"), col("n")).as("r")))
+      rows.reduce(_ unionAll _)
+        .select(col("r.check").as("check"),
+          col("r.n_violations").as("n_violations"),
+          col("r.n_checked").as("n_checked"), col("r.ok").as("ok"))
+        .orderBy(col("check"))
+    }),
+
     // Cohort retention — the third leg of the event-analytics triad
     // (sessionize = within-visit, funnel = conversion order, retention
     // = return-over-time): users are cohorted by the DAY of their first
@@ -1405,6 +1468,49 @@ object Extended {
         |  CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS value_sum
         |FROM sx GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+
+    // Same conditional aggregates and anti-join counts, one row per
+    // check.
+    "q_dq_constraints" ->
+      """WITH li AS (SELECT COUNT(*) AS n,
+        |    SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+        |             THEN 1 ELSE 0 END) AS qty_bad,
+        |    SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+        |      AS price_bad
+        |  FROM lineitem),
+        |od AS (SELECT COUNT(*) AS n,
+        |    COUNT(DISTINCT o_orderkey) AS nk,
+        |    SUM(CASE WHEN o_orderdate < TIMESTAMP '1995-01-01'
+        |              OR o_orderdate > TIMESTAMP '2000-12-31'
+        |             THEN 1 ELSE 0 END) AS date_bad
+        |  FROM orders),
+        |cu AS (SELECT COUNT(*) AS n,
+        |    SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS name_null
+        |  FROM customer),
+        |f1 AS (SELECT COUNT(*) AS v FROM orders o
+        |       WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                         WHERE c.c_custkey = o.o_custkey)),
+        |f2 AS (SELECT COUNT(*) AS v FROM lineitem l
+        |       WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                         WHERE o.o_orderkey = l.l_orderkey)),
+        |r AS (
+        |  SELECT 'lineitem_qty_range' AS check_name,
+        |    CAST(qty_bad AS BIGINT) AS v, CAST(n AS BIGINT) AS n FROM li
+        |  UNION ALL SELECT 'lineitem_price_positive',
+        |    CAST(price_bad AS BIGINT), CAST(n AS BIGINT) FROM li
+        |  UNION ALL SELECT 'orders_pk_unique',
+        |    CAST(n - nk AS BIGINT), CAST(n AS BIGINT) FROM od
+        |  UNION ALL SELECT 'orders_date_window',
+        |    CAST(date_bad AS BIGINT), CAST(n AS BIGINT) FROM od
+        |  UNION ALL SELECT 'customer_name_notnull',
+        |    CAST(name_null AS BIGINT), CAST(n AS BIGINT) FROM cu
+        |  UNION ALL SELECT 'orders_custkey_fk',
+        |    CAST(f1.v AS BIGINT), CAST(od.n AS BIGINT) FROM f1, od
+        |  UNION ALL SELECT 'lineitem_orderkey_fk',
+        |    CAST(f2.v AS BIGINT), CAST(li.n AS BIGINT) FROM f2, li)
+        |SELECT check_name AS "check", v AS n_violations, n AS n_checked,
+        |  (v = 0) AS ok
+        |FROM r ORDER BY check_name""".stripMargin,
 
     // Same day-truncation, first-signup aggregate, distinct activity
     // days, and integer per-mille.

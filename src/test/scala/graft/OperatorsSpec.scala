@@ -1413,4 +1413,34 @@ class OperatorsSpec extends AnyFunSuite {
     }
     assert(got.map(_._1._1).distinct.length > 1, "need multiple cohorts")
   }
+
+  test("DQ report equals hand-recomputed checks; verdicts are mixed") {
+    val got = q("q_dq_constraints").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+    assert(got.size == 7)
+    val ords = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.time.LocalDateTime](2)))
+    val custKeys = graft.sources.Tables.customer(spark, sf)
+      .select(col("c_custkey")).collect().map(_.getLong(0)).toSet
+    val fkBad = ords.count(o => !custKeys(o._2)).toLong
+    assert(got("orders_custkey_fk") == ((fkBad, ords.length.toLong, fkBad == 0)))
+    val pkDup = (ords.length - ords.map(_._1).distinct.length).toLong
+    assert(got("orders_pk_unique") ==
+      ((pkDup, ords.length.toLong, pkDup == 0)))
+    val lo = java.time.LocalDateTime.parse("1995-01-01T00:00:00")
+    val hi = java.time.LocalDateTime.parse("2000-12-31T00:00:00")
+    val dateBad = ords.count(o =>
+      o._3.isBefore(lo) || o._3.isAfter(hi)).toLong
+    assert(got("orders_date_window") ==
+      ((dateBad, ords.length.toLong, dateBad == 0)))
+    // the fixture genuinely violates the date window and passes the
+    // rest — the report must exercise BOTH verdicts
+    assert(!got("orders_date_window")._3, "expected a failing check")
+    assert(got.values.count(_._3) == 6, "expected six passing checks")
+    // every violation count is bounded by its checked count
+    got.values.foreach { case (v, n, _) => assert(v >= 0 && v <= n) }
+  }
 }

@@ -454,6 +454,12 @@ class PlanSpec extends AnyFunSuite {
       "KMV sketches must build via the native aggregate")
   }
 
+  test("DQ checks fold into per-table aggregates; FK checks stay anti-joins") {
+    val p = plan("q_dq_constraints")
+    assert(p.contains("LeftAnti"), "FK containment must plan as anti-join")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
   test("compaction rewrites 64 small files into 4 large ones") {
     SparkEntry.queries("q_layout_compaction")(spark, sfDir).collect()
     val base = s"${sys.props("java.io.tmpdir")}/graft_cmp_${sfDir.replaceAll("[^0-9a-zA-Z]", "_")}"
