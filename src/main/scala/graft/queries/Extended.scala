@@ -873,6 +873,41 @@ object Extended {
         .orderBy(col("user_id"), col("session_idx"))
     }),
 
+    // Per-key EWMA smoothing (α = 1/4) — the time-series baseline a
+    // monitoring pipeline keeps per entity, here as ALL-INTEGER
+    // arithmetic: values quantize to micros, and each step is
+    // y ← (3·y + v) div 4, so the recurrence is bit-exact on any
+    // engine (no float accumulation drift; values are non-negative so
+    // truncating and flooring division agree). An ordered per-key FOLD
+    // is the one shape windowed aggregates can't express (each output
+    // depends on the previous output, not a frame of inputs) — this is
+    // the honest use of the typed KeyValueGroupedDataset path: one
+    // shuffle on user_id, per-group time-ordered fold, group size
+    // bounded by per-entity event volume (the same documented caveat
+    // as q_typed_mapgroups; a group too large for memory would chunk
+    // by time and carry y across chunks). DuckDB replays the fold as a
+    // per-rank recursive CTE.
+    "q_timeseries_ewma" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("m"),
+          floor(col("value") * lit(1e6)).cast("long").as("v"))
+        .as[(Long, Long, Long, Long)]
+      e.groupByKey(_._1)
+        .flatMapGroups { (uid: Long, it: Iterator[(Long, Long, Long, Long)]) =>
+          val sorted = it.toSeq.sortBy(x => (x._3, x._2))
+          var y = 0L
+          var first = true
+          sorted.iterator.map { case (_, eid, m, v) =>
+            y = if (first) { first = false; v } else (3 * y + v) / 4
+            (uid, eid, m, v, y)
+          }
+        }
+        .toDF("user_id", "event_id", "m_us", "v_us", "ewma_us")
+        .orderBy(col("user_id"), col("m_us"), col("event_id"))
+    }),
+
     // Ordered conversion funnel view → click → purchase: per user, the
     // earliest view, the earliest click STRICTLY AFTER that view, and
     // the earliest purchase strictly after that click — sequential
@@ -1468,6 +1503,28 @@ object Extended {
         |  CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS value_sum
         |FROM sx GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+
+    // Identical micro-quantization and integer recurrence, replayed as
+    // a per-rank recursive CTE (all users advance one rank per level).
+    "q_timeseries_ewma" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |             CAST(epoch_us(ts) AS BIGINT) AS m,
+        |             CAST(FLOOR(value * 1e6) AS BIGINT) AS v
+        |           FROM events),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |                                   ORDER BY m, event_id) AS rn
+        |      FROM e),
+        |rec AS (
+        |  WITH RECURSIVE w(user_id, event_id, m, v, rn, y) AS (
+        |    SELECT user_id, event_id, m, v, rn, v FROM r WHERE rn = 1
+        |    UNION ALL
+        |    SELECT r.user_id, r.event_id, r.m, r.v, r.rn,
+        |      (3 * w.y + r.v) // 4
+        |    FROM w JOIN r ON r.user_id = w.user_id AND r.rn = w.rn + 1)
+        |  SELECT * FROM w)
+        |SELECT user_id, event_id, m AS m_us, v AS v_us,
+        |  CAST(y AS BIGINT) AS ewma_us
+        |FROM rec ORDER BY user_id, m_us, event_id""".stripMargin,
 
     // Same conditional aggregates and anti-join counts, one row per
     // check.

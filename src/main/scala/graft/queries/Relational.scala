@@ -206,6 +206,76 @@ object Relational {
     // TPC-H Q1 shape: partial aggregation map-side, single shuffle on the
     // (tiny-cardinality) group key. dsum/davg keep double sums
     // order-independent for the oracle hash (QueryDefs).
+    // TPC-H Q3 analogue (shipping-priority): the canonical 3-way
+    // fact⋈fact⋈dim analytics join — segment-filtered customers prune
+    // orders, date predicates prune BOTH fact scans (pushdown asserted
+    // in PlanSpec), revenue aggregates per order, top-10 by revenue.
+    // Scale shape: the customer keys broadcast; orders⋈lineitem is the
+    // one real shuffle (both sides pre-filtered in their scans); the
+    // top-10 is a TakeOrdered, never a global sort. Revenue rides dsum
+    // (order-free decimal sum) so the double ranking key is
+    // bit-identical cross-engine; ties break by order key.
+    "q_tpch_q3" -> ((s, d) => {
+      val cut = lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
+      val c = Tables.customer(s, d)
+        .where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val o = Tables.orders(s, d).where(col("o_orderdate") < cut)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"), col("o_orderpriority"))
+      val l = Tables.lineitem(s, d).where(col("l_shipdate") > cut)
+        .select(col("l_orderkey"), col("l_extendedprice"),
+          col("l_discount"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .select(col("l_orderkey"), col("revenue"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 analogue (local-supplier volume): the 6-table snowflake
+    // — region filters nation, nation keys both customer AND supplier
+    // (the "local supplier" equality c_nationkey = s_nationkey makes
+    // this the classic cyclic-join shape), revenue per nation. Scale
+    // shape: region/nation/supplier/customer-keys all broadcast (dims);
+    // the only data-sized shuffles are lineitem⋈orders and
+    // orders⋈customer on their join keys; the output is |nations| rows.
+    "q_tpch_q5" -> ((s, d) => {
+      val nat = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)
+          .where(col("r_name") === "AFRICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val o = Tables.orders(s, d)
+        .where(col("o_orderdate") >=
+            lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("o_orderdate") <
+            lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val l = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey") &&
+          c("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(nat), c("c_nationkey") === nat("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     "q_agg_pricing_summary" -> ((s, d) => {
       Tables.lineitem(s, d)
         .where(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("2000-09-02 00:00:00")))
@@ -730,6 +800,38 @@ object Relational {
         |  CAST(FLOOR(mxy / (nd - 1.0) * 1e6) AS BIGINT) AS covar_q6,
         |  CAST(FLOOR(mxy / SQRT(mxx * myy) * 1e9) AS BIGINT) AS corr_q9
         |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    "q_tpch_q3" ->
+      s"""SELECT l.l_orderkey,
+         |  ${oSum("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue,
+         |  strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+         |  o.o_orderpriority
+         |FROM customer c
+         |JOIN orders o ON c.c_custkey = o.o_custkey
+         |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         |WHERE c.c_mktsegment = 'BUILDING'
+         |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY l.l_orderkey, strftime(o.o_orderdate, '%Y-%m-%d'),
+         |  o.o_orderpriority
+         |ORDER BY revenue DESC, l.l_orderkey
+         |LIMIT 10""".stripMargin,
+
+    "q_tpch_q5" ->
+      s"""SELECT n.n_name,
+         |  ${oSum("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue
+         |FROM customer c
+         |JOIN orders o ON c.c_custkey = o.o_custkey
+         |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  AND c.c_nationkey = s.s_nationkey
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |JOIN region r ON n.n_regionkey = r.r_regionkey
+         |WHERE r.r_name = 'AFRICA'
+         |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY n.n_name
+         |ORDER BY revenue DESC, n.n_name""".stripMargin,
 
     "q_agg_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,

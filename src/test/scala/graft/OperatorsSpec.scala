@@ -1443,4 +1443,52 @@ class OperatorsSpec extends AnyFunSuite {
     // every violation count is bounded by its checked count
     got.values.foreach { case (v, n, _) => assert(v >= 0 && v <= n) }
   }
+
+  test("EWMA equals in-memory fold and stays inside the running envelope") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")),
+        floor(col("value") * lit(1e6)).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val exp = ev.groupBy(_._1).toSeq.flatMap { case (uid, xs) =>
+      var y = 0L
+      var first = true
+      xs.sortBy(x => (x._3, x._2)).map { case (_, eid, m, v) =>
+        y = if (first) { first = false; v } else (3 * y + v) / 4
+        (uid, eid, m, v, y)
+      }
+    }.sortBy(r => (r._1, r._3, r._2))
+    val got = q("q_timeseries_ewma").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == exp)
+    // convexity: each smoothed value lies within the running min/max of
+    // the values seen so far (integer floor can dip at most 1 below)
+    got.groupBy(_._1).values.foreach { xs =>
+      var lo = Long.MaxValue
+      var hi = Long.MinValue
+      xs.sortBy(x => (x._3, x._2)).foreach { case (_, _, _, v, y) =>
+        lo = math.min(lo, v); hi = math.max(hi, v)
+        assert(y >= lo - 1 && y <= hi, s"ewma $y outside [$lo,$hi]")
+      }
+    }
+  }
+
+  test("TPC-H analogues return ranked, region-consistent rows") {
+    val q3 = q("q_tpch_q3").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(q3.length == 10)
+    assert(q3.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+      "Q3 must rank by revenue descending")
+    val q5 = q("q_tpch_q5").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(q5.nonEmpty && q5.forall(_._2 > 0))
+    // every reported nation must actually sit in the filtered region
+    val afr = graft.sources.Tables.nation(spark, sf)
+      .join(graft.sources.Tables.region(spark, sf)
+        .where(col("r_name") === "AFRICA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name")).collect().map(_.getString(0)).toSet
+    q5.foreach { case (n, _) => assert(afr(n), s"nation $n not in AFRICA") }
+  }
 }

@@ -460,6 +460,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(600))
   }
 
+  test("TPC-H analogues: date filters reach the fact scans, dims broadcast") {
+    val p3 = plan("q_tpch_q3")
+    assert(p3.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "GreaterThan(l_shipdate") ||
+      p3.linesIterator.exists(l => l.contains("PushedFilters") &&
+        l.contains("l_shipdate")),
+      "Q3's shipdate predicate must push into the lineitem scan")
+    assert(p3.contains("TakeOrderedAndProject"),
+      "Q3's top-10 must be a TakeOrdered, not a global sort")
+    val p5 = plan("q_tpch_q5")
+    assert(p5.contains("BroadcastHashJoin"),
+      "Q5's snowflake dims must broadcast")
+    assert(!p5.contains("CartesianProduct"), p5.take(600))
+  }
+
   test("compaction rewrites 64 small files into 4 large ones") {
     SparkEntry.queries("q_layout_compaction")(spark, sfDir).collect()
     val base = s"${sys.props("java.io.tmpdir")}/graft_cmp_${sfDir.replaceAll("[^0-9a-zA-Z]", "_")}"
