@@ -365,6 +365,78 @@ object Curation {
           sha2(regexp_replace(regexp_replace(col("aug"), email, "<EMAIL>"),
             phone, "<PHONE>").cast("binary"), 256).as("scrubbed_digest"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Token-budget water-filling: given a total training-token budget
+    // (here 60% of the corpus), allocate it across domains as evenly as
+    // possible — small domains contribute everything they have, large
+    // domains are capped at a common threshold t chosen so the
+    // allocations sum to the budget (the max-entropy mixture under
+    // availability caps; the closed form behind "uniform up to
+    // saturation" data-mixing recipes). The solver sorts domains by
+    // availability ascending and takes the first rank whose even split
+    // of the remaining budget fits under its own availability — pure
+    // integer arithmetic end to end, so the oracle replays it exactly
+    // (integer div leaves < k tokens unspent, documented not hidden).
+    // Scale shape: per-domain availability is ONE corpus aggregate
+    // (token counts fold inside the scan stage); the solver itself runs
+    // on k = |domains| rows — its global window is bounded by the
+    // domain alphabet, never by corpus size — and the threshold
+    // broadcasts back to the k-row table. At 100 TB only the first
+    // aggregate touches data.
+    "q_mix_waterfill" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val avail = Tables.documents(s, d)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .groupBy(col("source")).agg(sum(col("n_tok")).as("avail"))
+      val tot = avail.agg(sum(col("avail")).as("tot"),
+        count(lit(1)).as("k"), max(col("avail")).as("mx"))
+      val ord = Window.orderBy(col("avail"), col("source"))
+      val j = avail.crossJoin(broadcast(tot))
+        .withColumn("budget", expr("(tot * 3) div 5"))
+        .withColumn("rn", row_number().over(ord))
+        .withColumn("prev", coalesce(sum(col("avail")).over(
+          ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("cand", expr("(budget - prev) div (k - rn + 1)"))
+      val thr = j.where(col("cand") <= col("avail"))
+        .agg(min_by(col("cand"), col("rn")).as("t0"))
+      avail.crossJoin(broadcast(thr)).crossJoin(broadcast(tot))
+        .withColumn("alloc",
+          least(col("avail"), coalesce(col("t0"), col("mx"))))
+        .select(col("source"), col("avail"), col("alloc"),
+          expr("(1000 * alloc) div avail").as("rate_pm"))
+        .orderBy(col("source"))
+    }),
+
+    // Robust per-domain score normalization: median/IQR scaling of the
+    // per-doc token count within its source — the outlier-resistant
+    // standardization a curation pipeline applies before thresholding
+    // quality scores pooled across heterogeneous domains (mean/stddev
+    // z-scores let one giant document shift the whole domain; quartiles
+    // don't). Exact-percentile interpolation lands on quarter fractions
+    // of integers — exactly representable doubles — and the scaled
+    // value quantizes to per-mille, so both engines emit identical
+    // bits. Scale shape: quartiles are one per-domain aggregate (exact
+    // percentile shuffles only (source, n_tok) pairs; at extreme
+    // cardinality swap in approx_percentile with documented error); the
+    // k-row quartile table broadcasts back onto the scan, so scoring
+    // every document costs one pass.
+    "q_text_robust_scale" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val q = t.groupBy(col("source")).agg(
+        expr("percentile(n_tok, 0.25)").as("q1"),
+        expr("percentile(n_tok, 0.5)").as("med"),
+        expr("percentile(n_tok, 0.75)").as("q3"))
+      t.join(broadcast(q), "source")
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          when(col("q3") > col("q1"),
+            floor(lit(1000.0) * (col("n_tok") - col("med")) /
+              (col("q3") - col("q1"))))
+            .otherwise(0L).cast("long").as("rz_pm"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -591,6 +663,51 @@ object Curation {
         |  SHA256(regexp_replace(regexp_replace(aug,
         |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>',
         |    'g'), '555-[0-9]{4}', '<PHONE>', 'g')) AS scrubbed_digest
-        |FROM a ORDER BY doc_id""".stripMargin
+        |FROM a ORDER BY doc_id""".stripMargin,
+
+    // Replays the integer water-filling derivation step for step: same
+    // ascending sort, same prefix sums, same first-fitting-rank rule.
+    "q_mix_waterfill" ->
+      """WITH a AS (SELECT source,
+        |             SUM(len(string_split(text, ' '))) AS avail
+        |           FROM documents GROUP BY source),
+        |tot AS (SELECT SUM(avail) AS tot, COUNT(*) AS k,
+        |          MAX(avail) AS mx FROM a),
+        |j AS (SELECT a.source, a.avail, (tot.tot * 3) // 5 AS budget,
+        |        tot.k,
+        |        ROW_NUMBER() OVER (ORDER BY a.avail, a.source) AS rn,
+        |        COALESCE(SUM(a.avail) OVER (ORDER BY a.avail, a.source
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS prev
+        |      FROM a CROSS JOIN tot),
+        |t AS (SELECT MIN_BY((budget - prev) // (k - rn + 1), rn) AS t0
+        |      FROM j WHERE (budget - prev) // (k - rn + 1) <= avail),
+        |f AS (SELECT a.source, a.avail,
+        |        LEAST(a.avail, COALESCE(t.t0, tot.mx)) AS alloc
+        |      FROM a CROSS JOIN t CROSS JOIN tot)
+        |SELECT source, CAST(avail AS BIGINT) AS avail,
+        |  CAST(alloc AS BIGINT) AS alloc,
+        |  CAST((1000 * alloc) // avail AS BIGINT) AS rate_pm
+        |FROM f ORDER BY source""".stripMargin,
+
+    // quantile_cont interpolates lo + (hi-lo)·frac with frac ∈
+    // {0, ¼, ½, ¾} over integers — the same exact doubles Spark's
+    // percentile() produces.
+    "q_text_robust_scale" ->
+      """WITH t AS (SELECT doc_id, source,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT)
+        |               AS n_tok
+        |           FROM documents),
+        |q AS (SELECT source,
+        |        quantile_cont(n_tok, 0.25) AS q1,
+        |        quantile_cont(n_tok, 0.5) AS med,
+        |        quantile_cont(n_tok, 0.75) AS q3
+        |      FROM t GROUP BY source)
+        |SELECT t.doc_id, t.source, t.n_tok,
+        |  CAST(CASE WHEN q.q3 > q.q1 THEN
+        |         FLOOR(1000.0 * (t.n_tok - q.med) / (q.q3 - q.q1))
+        |       ELSE 0 END AS BIGINT) AS rz_pm
+        |FROM t JOIN q USING (source)
+        |ORDER BY t.doc_id""".stripMargin
   )
 }

@@ -1202,6 +1202,91 @@ object Extended {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"), QueryDefs.dsum(col("c_acctbal")).as("total"))
         .orderBy(col("c_mktsegment"))
+    }),
+
+    // Pareto frontier (skyline) over per-supplier totals: a supplier is
+    // on the frontier iff no other supplier ships at least as much
+    // quantity for at most as much spend (strictly better in one
+    // dimension). The textbook spelling is the O(n²) NOT-EXISTS
+    // anti-join (the oracle runs exactly that at fixture scale); the
+    // Spark side computes the same set in O(n log n) with a 2-D sweep:
+    // a row survives iff its cost is strictly below the minimum cost of
+    // every strictly-higher-quantity row, and no same-quantity row is
+    // strictly cheaper. The prefix-min over higher quantities is
+    // DECOMPOSED so no global single-partition window exists: quantity
+    // buckets (qty >> 8) pre-aggregate to a bucket-min table (bounded
+    // by the value range, thousands of rows at any corpus size) whose
+    // strictly-higher-bucket prefix-min is a window over that TINY
+    // table and broadcasts back; the within-bucket remainder is a
+    // RANGE-frame window PARTITIONED by bucket, so the big sort runs
+    // parallel per bucket. Both metrics are exact integers (quantity
+    // sums are integral doubles, spend rides the decimal-cents cast),
+    // so the frontier is bit-stable across engines.
+    "q_skyline" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val a = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_quantity")).cast("long").as("qty"),
+          expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) * 100 " +
+            "AS BIGINT)").as("cost_c"))
+        .select(col("l_suppkey").as("supp"), col("qty"), col("cost_c"))
+        .withColumn("bkt", shiftright(col("qty"), 8))
+      // bucket-min table: |value range / 256| rows — broadcast-sized at
+      // any corpus scale, so its global window is bounded by design
+      val bmin = a.groupBy(col("bkt")).agg(min(col("cost_c")).as("bc"))
+        .withColumn("pref_higher", min(col("bc")).over(
+          Window.orderBy(col("bkt").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)))
+        .select(col("bkt"), col("pref_higher"))
+      val wSame = Window.partitionBy(col("bkt")).orderBy(col("qty").desc)
+        .rangeBetween(Window.unboundedPreceding, -1)
+      a.join(broadcast(bmin), "bkt")
+        .withColumn("min_higher",
+          least(min(col("cost_c")).over(wSame), col("pref_higher")))
+        .withColumn("min_equal",
+          min(col("cost_c")).over(Window.partitionBy(col("qty"))))
+        .where((col("min_higher").isNull ||
+            col("min_higher") > col("cost_c")) &&
+          col("cost_c") === col("min_equal"))
+        .select(col("supp"), col("qty"), col("cost_c"))
+        .orderBy(col("qty").desc, col("supp"))
+    }),
+
+    // Pairwise co-occurrence mining with lift — the market-basket core
+    // (support + lift per event-type pair) over per-user behavior:
+    // which pairs of event types the same user performs more (or less)
+    // often than independence predicts. lift stays integer per-mille
+    // ((1000·n_both·n_users) div (n_a·n_b)) so both engines emit the
+    // identical value. Scale shape: the basket table is one DISTINCT
+    // over (user_id, event_type) — a single shuffle on user_id; the
+    // pair fan-out is a self-equi-join on user_id whose per-user output
+    // is bounded by |event_types|² (a small CONSTANT, not data-sized —
+    // the itemset alphabet, not the event volume); per-type supports
+    // and the user count are k-row aggregates that broadcast. A full
+    // FP-growth generalizes the alphabet; pairwise support/lift is the
+    // curation-relevant core (correlated behaviors, leakage checks).
+    "q_event_lift" -> ((s, d) => {
+      val ut = Tables.events(s, d)
+        .select(col("user_id"), col("event_type")).distinct()
+      val nu = ut.select(col("user_id")).distinct()
+        .agg(count(lit(1)).as("n_users"))
+      val supp = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n1"))
+      val pairs = ut.select(col("user_id"), col("event_type").as("type_a"))
+        .join(ut.select(col("user_id"), col("event_type").as("type_b")),
+          "user_id")
+        .where(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+      pairs
+        .join(broadcast(supp.select(col("event_type").as("type_a"),
+          col("n1").as("n_a"))), "type_a")
+        .join(broadcast(supp.select(col("event_type").as("type_b"),
+          col("n1").as("n_b"))), "type_b")
+        .crossJoin(broadcast(nu))
+        .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"),
+          col("n_b"),
+          expr("(1000 * n_both * n_users) div (n_a * n_b)").as("lift_pm"))
+        .orderBy(col("type_a"), col("type_b"))
     })
   )
 
@@ -1696,6 +1781,44 @@ object Extended {
     "q_source_xml" ->
       """SELECT s_nationkey, COUNT(*) AS n,
         |  CAST(SUM(CAST(s_acctbal AS DECIMAL(30,4))) AS DOUBLE) AS total
-        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    // The oracle affords the quadratic NOT-EXISTS dominance test at
+    // fixture scale — the Spark side's bucketed sweep is a plan
+    // strategy, not a semantics change, so the frontiers must match
+    // row for row.
+    "q_skyline" ->
+      """WITH a AS (
+        |  SELECT l_suppkey AS supp,
+        |    CAST(SUM(l_quantity) AS BIGINT) AS qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) * 100
+        |         AS BIGINT) AS cost_c
+        |  FROM lineitem GROUP BY 1)
+        |SELECT supp, qty, cost_c FROM a x
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM a y
+        |  WHERE y.qty >= x.qty AND y.cost_c <= x.cost_c
+        |    AND (y.qty > x.qty OR y.cost_c < x.cost_c))
+        |ORDER BY qty DESC, supp""".stripMargin,
+
+    "q_event_lift" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |nu AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM ut),
+        |supp AS (SELECT event_type, COUNT(*) AS n1 FROM ut
+        |         GROUP BY event_type),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |        COUNT(*) AS n_both
+        |      FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |        AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, CAST(p.n_both AS BIGINT) AS n_both,
+        |  CAST(sa.n1 AS BIGINT) AS n_a, CAST(sb.n1 AS BIGINT) AS n_b,
+        |  CAST((1000 * p.n_both * nu.n_users) // (sa.n1 * sb.n1)
+        |       AS BIGINT) AS lift_pm
+        |FROM p
+        |JOIN supp sa ON sa.event_type = p.type_a
+        |JOIN supp sb ON sb.event_type = p.type_b
+        |CROSS JOIN nu
+        |ORDER BY p.type_a, p.type_b""".stripMargin
   )
 }

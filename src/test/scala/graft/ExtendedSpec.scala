@@ -266,4 +266,41 @@ class ExtendedSpec extends AnyFunSuite {
     assert(q("q_source_json").collect().map(_.getLong(1)).sum ==
       graft.sources.Tables.customer(spark, sf).count())
   }
+
+  test("skyline equals the brute-force dominance filter") {
+    val base = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("qty"),
+        expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) * 100 " +
+          "AS BIGINT)").as("cost_c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = base.filter { case (_, q0, c0) =>
+      !base.exists { case (_, q1, c1) =>
+        q1 >= q0 && c1 <= c0 && (q1 > q0 || c1 < c0)
+      }
+    }.map(t => (t._1, t._2, t._3)).toSet
+    val got = q("q_skyline").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "frontier must not be vacuous")
+  }
+
+  test("event lift matches independent support counts") {
+    val ut = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byUser = ut.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nUsers = byUser.size.toLong
+    val supp = ut.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val rows = q("q_event_lift").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(a < b, "pairs are canonically ordered")
+      val both = byUser.values.count(s => s.contains(a) && s.contains(b))
+      assert(r.getLong(2) == both.toLong)
+      assert(r.getLong(3) == supp(a) && r.getLong(4) == supp(b))
+      assert(r.getLong(5) == 1000L * both * nUsers / (supp(a) * supp(b)))
+    }
+  }
 }

@@ -1491,4 +1491,50 @@ class OperatorsSpec extends AnyFunSuite {
       .select(col("n_name")).collect().map(_.getString(0)).toSet
     q5.foreach { case (n, _) => assert(afr(n), s"nation $n not in AFRICA") }
   }
+
+  test("water-filling spends the budget up to integer slack, never over") {
+    val rows = q("q_mix_waterfill").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val totalAvail = rows.map(_._2).sum
+    val budget = totalAvail * 3 / 5
+    val spent = rows.map(_._3).sum
+    assert(spent <= budget, "allocation must never exceed the budget")
+    assert(budget - spent < rows.length.toLong,
+      "unspent slack must stay below one token per domain")
+    rows.foreach { case (src, avail, alloc, ratePm) =>
+      assert(alloc <= avail, s"$src allocated more than available")
+      assert(ratePm == 1000L * alloc / avail)
+    }
+    // capped domains all sit at one common threshold (water level)
+    val capped = rows.filter(t => t._3 < t._2).map(_._3).distinct
+    assert(capped.length <= 1,
+      s"all capped domains share one threshold, got $capped")
+    // at a 60% budget some domain must actually be capped
+    assert(rows.exists(t => t._3 < t._2), "no domain saturated the level")
+  }
+
+  test("robust scaling equals an in-memory quartile reimplementation") {
+    val rows = q("q_text_robust_scale").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 500)
+    // exact-percentile with linear interpolation, the definition both
+    // engines implement: h = (n-1)p, lo + (hi-lo)·frac
+    def pct(sorted: Array[Long], p: Double): Double = {
+      val h = (sorted.length - 1) * p
+      val lo = sorted(h.toInt)
+      val hi = sorted(math.ceil(h).toInt)
+      lo + (hi - lo) * (h - h.toInt)
+    }
+    rows.groupBy(_._2).foreach { case (src, ds) =>
+      val sorted = ds.map(_._3).sorted
+      val (q1, med, q3) =
+        (pct(sorted, 0.25), pct(sorted, 0.5), pct(sorted, 0.75))
+      ds.foreach { case (id, _, nTok, rzPm) =>
+        val expected =
+          if (q3 > q1) math.floor(1000.0 * (nTok - med) / (q3 - q1)).toLong
+          else 0L
+        assert(rzPm == expected, s"$src doc $id: $rzPm != $expected")
+      }
+    }
+  }
 }
