@@ -379,17 +379,21 @@ object Curation {
     // integer arithmetic end to end, so the oracle replays it exactly
     // (integer div leaves < k tokens unspent, documented not hidden).
     // Scale shape: per-domain availability is ONE corpus aggregate
-    // (token counts fold inside the scan stage); the solver itself runs
-    // on k = |domains| rows — its global window is bounded by the
+    // (token counts fold inside the scan stage), PERSISTED because four
+    // consumers (totals, solver ranks, threshold, final allocation)
+    // would otherwise each re-derive it from the corpus — the cache is
+    // k rows, the recompute it saves is a 100 TB scan per consumer
+    // (plan-asserted: exactly one documents read). The solver itself
+    // runs on k = |domains| rows — its global window is bounded by the
     // domain alphabet, never by corpus size — and the threshold
-    // broadcasts back to the k-row table. At 100 TB only the first
-    // aggregate touches data.
+    // broadcasts back to the k-row table.
     "q_mix_waterfill" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val avail = Tables.documents(s, d)
         .select(col("source"),
           size(split(col("text"), " ")).cast("long").as("n_tok"))
         .groupBy(col("source")).agg(sum(col("n_tok")).as("avail"))
+        .persist()
       val tot = avail.agg(sum(col("avail")).as("tot"),
         count(lit(1)).as("k"), max(col("avail")).as("mx"))
       val ord = Window.orderBy(col("avail"), col("source"))
@@ -417,11 +421,12 @@ object Curation {
     // don't). Exact-percentile interpolation lands on quarter fractions
     // of integers — exactly representable doubles — and the scaled
     // value quantizes to per-mille, so both engines emit identical
-    // bits. Scale shape: quartiles are one per-domain aggregate (exact
-    // percentile shuffles only (source, n_tok) pairs; at extreme
-    // cardinality swap in approx_percentile with documented error); the
-    // k-row quartile table broadcasts back onto the scan, so scoring
-    // every document costs one pass.
+    // bits. Scale shape: two corpus reads, the minimum any
+    // stats-then-score shape admits — one per-domain quartile aggregate
+    // (exact percentile shuffles only (source, n_tok) pairs; at extreme
+    // cardinality swap in approx_percentile with documented error),
+    // then the k-row quartile table broadcasts onto a second scan that
+    // scores every document. Plan-asserted at exactly two reads.
     "q_text_robust_scale" -> ((s, d) => {
       val t = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),

@@ -475,6 +475,53 @@ class PlanSpec extends AnyFunSuite {
     assert(!p5.contains("CartesianProduct"), p5.take(600))
   }
 
+  test("skyline's bucket-min broadcasts; lift's supports broadcast") {
+    val p = plan("q_skyline")
+    assert(p.contains("BroadcastHashJoin"),
+      "bucket prefix-min table must broadcast back onto the keys")
+    assert(!p.contains("CartesianProduct"),
+      "the O(n²) dominance join belongs to the oracle only")
+    // the big window runs partitioned by bucket, never globally: every
+    // Window over the supplier-sized table must carry a partition spec
+    val l = plan("q_event_lift")
+    assert(l.contains("BroadcastHashJoin") && !l.contains("SortMergeJoin"),
+      "per-type supports must broadcast, not shuffle the pair table")
+  }
+
+  test("waterfill touches the corpus once; robust-scale exactly twice") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive._
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => q +: walk(q.plan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    def docReads(df: org.apache.spark.sql.DataFrame): Int = {
+      val nodes = walk(df.queryExecution.executedPlan)
+      val direct = nodes.count {
+        case f: FileSourceScanExec => f.toString.contains("documents.parquet")
+        case _ => false
+      }
+      val cached = nodes.collect {
+        case m: InMemoryTableScanExec => m.relation.cacheBuilder
+      }.distinctBy(System.identityHashCode)
+        .count(_.cachedPlan.toString.contains("documents.parquet"))
+      direct + cached
+    }
+    val w = SparkEntry.queries("q_mix_waterfill")(spark, sfDir)
+    assert(docReads(w) == 1,
+      s"solver must derive from ONE persisted corpus aggregate, " +
+        s"got ${docReads(w)}")
+    val r = SparkEntry.queries("q_text_robust_scale")(spark, sfDir)
+    assert(docReads(r) == 2,
+      s"stats pass + scoring pass, got ${docReads(r)}")
+    assert(r.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      "the k-row quartile table must broadcast onto the doc scan")
+    spark.catalog.clearCache()
+  }
+
   test("compaction rewrites 64 small files into 4 large ones") {
     SparkEntry.queries("q_layout_compaction")(spark, sfDir).collect()
     val base = s"${sys.props("java.io.tmpdir")}/graft_cmp_${sfDir.replaceAll("[^0-9a-zA-Z]", "_")}"
