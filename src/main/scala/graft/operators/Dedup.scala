@@ -1121,6 +1121,64 @@ object Dedup {
         .select(col("doc_id"), col("lang"), col("source"), col("n_tok"),
           col("bin"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Exact set-similarity self-join via PREFIX FILTERING (the PPJoin
+    // family's core): trigram-shingle Jaccard ≥ 1/2 with NO false
+    // negatives (unlike LSH) and NO df-cap compromise (unlike the
+    // stop-capped inverted index above) — the third point in the
+    // exact/approx design space, on the SAME shingle kernel as the
+    // rest of the dedup family. Each document's shingles sort by a
+    // global rarity order that is IMPLICIT in the (df, shingle) sort
+    // key — no vocabulary-wide ranking pass, no global window — and
+    // only the first ⌊s/2⌋+1 shingles (s − ⌈τ·s⌉ + 1 for τ = 1/2)
+    // enter the candidate join: if J(A,B) ≥ τ the sets must share an
+    // element in BOTH prefixes under any common total order
+    // (pigeonhole: the excluded suffixes are too small to cover the
+    // required overlap), so the filter is lossless — and the DuckDB
+    // oracle PROVES it by considering every shingle-sharing pair.
+    // Candidates also length-filter (τ = 1/2 ⇒ sizes within 2×).
+    // Verification counts shared shingles only for surviving pairs,
+    // and the τ test is the integer identity J ≥ 1/2 ⟺
+    // 3·inter ≥ sa + sb — no float anywhere. Scale shape: the df
+    // table is one shingle aggregate; candidate fan-out is per PREFIX
+    // shingle — the rarest by construction, so the join has the
+    // OPPOSITE skew profile of a raw inverted index; the verify joins
+    // key on (doc, shingle) and touch only candidates.
+    "q_dedup_prefix_filter" -> ((s, d) => {
+      val t = withShingles(s, d)
+        .select(col("doc_id"), explode(col("sh")).as("tok"))
+      val dfreq = t.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val arr = t.join(dfreq, "tok")
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("df"), col("tok"))))
+          .as("a"))
+        .select(col("doc_id"), col("a"),
+          size(col("a")).cast("long").as("sz"))
+      val pref = arr
+        .select(col("doc_id"), col("sz"),
+          explode(slice(col("a"), lit(1),
+            expr("CAST(sz div 2 AS INT) + 1"))).as("p"))
+        .select(col("doc_id"), col("sz"), col("p.tok").as("tok"))
+      val cand = pref.select(col("tok"), col("doc_id").as("doc_a"),
+          col("sz").as("sa"))
+        .join(pref.select(col("tok"), col("doc_id").as("doc_b"),
+          col("sz").as("sb")), "tok")
+        .where(col("doc_a") < col("doc_b") &&
+          col("sb") <= col("sa") * 2 && col("sa") <= col("sb") * 2)
+        .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+        .distinct()
+      cand
+        .join(t.select(col("doc_id").as("doc_a"), col("tok")), "doc_a")
+        .join(t.select(col("doc_id").as("doc_b"), col("tok")),
+          Seq("doc_b", "tok"))
+        .groupBy(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+        .agg(count(lit(1)).as("inter"))
+        .where(lit(3) * col("inter") >= col("sa") + col("sb"))
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("sa"),
+          col("sb"),
+          expr("(1000 * inter) div (sa + sb - inter)").as("jac_pm"))
+        .orderBy(col("doc_a"), col("doc_b"))
     })
   )
 
@@ -1742,6 +1800,36 @@ object Dedup {
         |       JOIN n b ON b.vec_id = c.vec_b)
         |SELECT vec_a, vec_b, dot / SQRT(na * nb) AS cos
         |FROM p2 WHERE dot / SQRT(na * nb) > 0.4
-        |ORDER BY vec_a, vec_b""".stripMargin
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // The oracle considers EVERY shingle-sharing pair — so any prefix
+    // that was one element too short on the Spark side would drop a
+    // pair and fail the compare. The parity check doubles as a proof
+    // of the prefix-filter completeness bound. Shingle CTEs are the
+    // ngramOracle spelling (the shared kernel).
+    "q_dedup_prefix_filter" ->
+      """WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w
+        |            FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                       for i in generate_series(1, len(w) - 2)])
+        |      ELSE [array_to_string(w, ' ')] END AS sh
+        |      FROM w0),
+        |t AS (SELECT doc_id, unnest(sh) AS tok FROM g),
+        |sz AS (SELECT doc_id, COUNT(*) AS s FROM t GROUP BY doc_id),
+        |i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        COUNT(*) AS inter
+        |      FROM t a JOIN t b
+        |        ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b, CAST(i.inter AS BIGINT) AS inter,
+        |  CAST(sa.s AS BIGINT) AS sa, CAST(sb.s AS BIGINT) AS sb,
+        |  CAST((1000 * i.inter) // (sa.s + sb.s - i.inter) AS BIGINT)
+        |    AS jac_pm
+        |FROM i
+        |JOIN sz sa ON sa.doc_id = i.doc_a
+        |JOIN sz sb ON sb.doc_id = i.doc_b
+        |WHERE 3 * i.inter >= sa.s + sb.s
+        |ORDER BY i.doc_a, i.doc_b""".stripMargin
   )
 }

@@ -1287,6 +1287,65 @@ object Extended {
           col("n_b"),
           expr("(1000 * n_both * n_users) div (n_a * n_b)").as("lift_pm"))
         .orderBy(col("type_a"), col("type_b"))
+    }),
+
+    // Pairwise Pearson correlation of the lineitem measures from ONE
+    // pass of exact integer moments. The builtin corr() accumulates
+    // floating co-moments whose partition merge order makes the last
+    // ulp nondeterministic across engines, so instead the inputs
+    // quantize to integers (quantity units, price cents, discount
+    // percent — all exact), the ten sufficient statistics (n, Σx, Σx²,
+    // Σxy per pair) accumulate as DECIMAL(38,0) — associative, order-
+    // independent, overflow-safe to ~1e38 — and the textbook formula
+    // corr = (n·Σxy − Σx·Σy) / √((n·Σx² − (Σx)²)(n·Σy² − (Σy)²))
+    // evaluates in double on the 1-ROW aggregate with the oracle
+    // spelling the identical operation order, so the quantized result
+    // is bit-stable. Scale shape: one corpus scan with map-side
+    // partial aggregation into ten cells; the 3-row output assembles
+    // by exploding a literal array over the single aggregate row — no
+    // second scan, no per-pair pass (the k²-moment generalization is
+    // the same single aggregate with k² cells).
+    "q_agg_corr" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        col("l_quantity").cast("long").as("q"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(30,4)) * 100 " +
+          "AS BIGINT)").as("p"),
+        expr("CAST(CAST(l_discount AS DECIMAL(30,4)) * 100 AS BIGINT)")
+          .as("dc"))
+      val m = li.agg(
+        count(lit(1)).as("n"),
+        expr("SUM(CAST(q AS DECIMAL(38,0)))").as("s_q"),
+        expr("SUM(CAST(p AS DECIMAL(38,0)))").as("s_p"),
+        expr("SUM(CAST(dc AS DECIMAL(38,0)))").as("s_d"),
+        expr("SUM(CAST(q*q AS DECIMAL(38,0)))").as("s_qq"),
+        expr("SUM(CAST(p*p AS DECIMAL(38,0)))").as("s_pp"),
+        expr("SUM(CAST(dc*dc AS DECIMAL(38,0)))").as("s_dd"),
+        expr("SUM(CAST(q*p AS DECIMAL(38,0)))").as("s_qp"),
+        expr("SUM(CAST(q*dc AS DECIMAL(38,0)))").as("s_qd"),
+        expr("SUM(CAST(p*dc AS DECIMAL(38,0)))").as("s_pd"))
+      def corrQ(sx: String, sy: String, sxx: String, syy: String,
+          sxy: String): org.apache.spark.sql.Column = {
+        val n = col("n").cast("double")
+        val cv = n * col(sxy).cast("double") -
+          col(sx).cast("double") * col(sy).cast("double")
+        val vx = n * col(sxx).cast("double") -
+          col(sx).cast("double") * col(sx).cast("double")
+        val vy = n * col(syy).cast("double") -
+          col(sy).cast("double") * col(sy).cast("double")
+        when(vx > 0 && vy > 0,
+          floor(lit(1e9) * cv / sqrt(vx * vy))).otherwise(0L)
+          .cast("long")
+      }
+      m.select(explode(array(
+          struct(lit("qty_price").as("pair"),
+            corrQ("s_q", "s_p", "s_qq", "s_pp", "s_qp").as("corr_q")),
+          struct(lit("qty_discount").as("pair"),
+            corrQ("s_q", "s_d", "s_qq", "s_dd", "s_qd").as("corr_q")),
+          struct(lit("price_discount").as("pair"),
+            corrQ("s_p", "s_d", "s_pp", "s_dd", "s_pd").as("corr_q"))))
+          .as("r"))
+        .select(col("r.pair").as("pair"), col("r.corr_q").as("corr_q"))
+        .orderBy(col("pair"))
     })
   )
 
@@ -1819,6 +1878,67 @@ object Extended {
         |JOIN supp sa ON sa.event_type = p.type_a
         |JOIN supp sb ON sb.event_type = p.type_b
         |CROSS JOIN nu
-        |ORDER BY p.type_a, p.type_b""".stripMargin
+        |ORDER BY p.type_a, p.type_b""".stripMargin,
+
+    // Identical quantization, identical decimal moments, identical
+    // double-arithmetic order — IEEE determinism does the rest.
+    "q_agg_corr" ->
+      """WITH li AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(30,4)) * 100
+        |         AS BIGINT) AS p,
+        |    CAST(CAST(l_discount AS DECIMAL(30,4)) * 100 AS BIGINT)
+        |      AS dc
+        |  FROM lineitem),
+        |m AS (SELECT COUNT(*) AS n,
+        |    SUM(CAST(q AS DECIMAL(38,0))) AS s_q,
+        |    SUM(CAST(p AS DECIMAL(38,0))) AS s_p,
+        |    SUM(CAST(dc AS DECIMAL(38,0))) AS s_d,
+        |    SUM(CAST(q*q AS DECIMAL(38,0))) AS s_qq,
+        |    SUM(CAST(p*p AS DECIMAL(38,0))) AS s_pp,
+        |    SUM(CAST(dc*dc AS DECIMAL(38,0))) AS s_dd,
+        |    SUM(CAST(q*p AS DECIMAL(38,0))) AS s_qp,
+        |    SUM(CAST(q*dc AS DECIMAL(38,0))) AS s_qd,
+        |    SUM(CAST(p*dc AS DECIMAL(38,0))) AS s_pd
+        |  FROM li),
+        |c AS (
+        |  SELECT 'qty_price' AS pair, CAST(CASE WHEN
+        |      CAST(n AS DOUBLE) * CAST(s_qq AS DOUBLE)
+        |        - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE) > 0
+        |      AND CAST(n AS DOUBLE) * CAST(s_pp AS DOUBLE)
+        |        - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE) > 0
+        |    THEN FLOOR(1e9 * (CAST(n AS DOUBLE) * CAST(s_qp AS DOUBLE)
+        |        - CAST(s_q AS DOUBLE) * CAST(s_p AS DOUBLE))
+        |      / SQRT((CAST(n AS DOUBLE) * CAST(s_qq AS DOUBLE)
+        |          - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+        |        * (CAST(n AS DOUBLE) * CAST(s_pp AS DOUBLE)
+        |          - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE))))
+        |    ELSE 0 END AS BIGINT) AS corr_q FROM m
+        |  UNION ALL
+        |  SELECT 'qty_discount', CAST(CASE WHEN
+        |      CAST(n AS DOUBLE) * CAST(s_qq AS DOUBLE)
+        |        - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE) > 0
+        |      AND CAST(n AS DOUBLE) * CAST(s_dd AS DOUBLE)
+        |        - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE) > 0
+        |    THEN FLOOR(1e9 * (CAST(n AS DOUBLE) * CAST(s_qd AS DOUBLE)
+        |        - CAST(s_q AS DOUBLE) * CAST(s_d AS DOUBLE))
+        |      / SQRT((CAST(n AS DOUBLE) * CAST(s_qq AS DOUBLE)
+        |          - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+        |        * (CAST(n AS DOUBLE) * CAST(s_dd AS DOUBLE)
+        |          - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE))))
+        |    ELSE 0 END AS BIGINT) FROM m
+        |  UNION ALL
+        |  SELECT 'price_discount', CAST(CASE WHEN
+        |      CAST(n AS DOUBLE) * CAST(s_pp AS DOUBLE)
+        |        - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE) > 0
+        |      AND CAST(n AS DOUBLE) * CAST(s_dd AS DOUBLE)
+        |        - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE) > 0
+        |    THEN FLOOR(1e9 * (CAST(n AS DOUBLE) * CAST(s_pd AS DOUBLE)
+        |        - CAST(s_p AS DOUBLE) * CAST(s_d AS DOUBLE))
+        |      / SQRT((CAST(n AS DOUBLE) * CAST(s_pp AS DOUBLE)
+        |          - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE))
+        |        * (CAST(n AS DOUBLE) * CAST(s_dd AS DOUBLE)
+        |          - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE))))
+        |    ELSE 0 END AS BIGINT) FROM m)
+        |SELECT pair, corr_q FROM c ORDER BY pair""".stripMargin
   )
 }

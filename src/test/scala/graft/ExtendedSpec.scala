@@ -285,6 +285,22 @@ class ExtendedSpec extends AnyFunSuite {
     assert(got.nonEmpty, "frontier must not be vacuous")
   }
 
+  test("moment-based correlations track the builtin corr() closely") {
+    val got = q("q_agg_corr").collect()
+      .map(r => r.getString(0) -> r.getLong(1) / 1e9).toMap
+    assert(got.size == 3)
+    assert(got.values.forall(c => c >= -1.0 && c <= 1.0))
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val ref = li.select(
+        corr(col("l_quantity"), col("l_extendedprice")).as("qp"),
+        corr(col("l_quantity"), col("l_discount")).as("qd"),
+        corr(col("l_extendedprice"), col("l_discount")).as("pd"))
+      .collect().head
+    assert(math.abs(got("qty_price") - ref.getDouble(0)) < 1e-6)
+    assert(math.abs(got("qty_discount") - ref.getDouble(1)) < 1e-6)
+    assert(math.abs(got("price_discount") - ref.getDouble(2)) < 1e-6)
+  }
+
   test("event lift matches independent support counts") {
     val ut = graft.sources.Tables.events(spark, sf)
       .select(col("user_id"), col("event_type")).distinct()

@@ -1513,6 +1513,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.exists(t => t._3 < t._2), "no domain saturated the level")
   }
 
+  test("prefix-filter join equals brute-force shingle-set Jaccard >= 1/2") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val w = r.getString(1).split(" ", -1)
+        val sh =
+          if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toSet
+          else Set(w.mkString(" "))
+        r.getLong(0) -> sh
+      }
+    val expected = (for {
+      (a, ta) <- docs; (b, tb) <- docs if a < b
+      inter = (ta & tb).size
+      if 3L * inter >= ta.size + tb.size
+    } yield (a, b, inter.toLong, ta.size.toLong, tb.size.toLong)).toSet
+    val got = q("q_dedup_prefix_filter").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    assert(got.nonEmpty, "prefix filter must not be vacuous on the fixture")
+  }
+
   test("robust scaling equals an in-memory quartile reimplementation") {
     val rows = q("q_text_robust_scale").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
