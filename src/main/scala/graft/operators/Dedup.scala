@@ -1149,17 +1149,20 @@ object Dedup {
       val t = withShingles(s, d)
         .select(col("doc_id"), explode(col("sh")).as("tok"))
       val dfreq = t.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      val arr = t.join(dfreq, "tok")
-        .groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(struct(col("df"), col("tok"))))
-          .as("a"))
-        .select(col("doc_id"), col("a"),
-          size(col("a")).cast("long").as("sz"))
-      val pref = arr
-        .select(col("doc_id"), col("sz"),
-          explode(slice(col("a"), lit(1),
-            expr("CAST(sz div 2 AS INT) + 1"))).as("p"))
-        .select(col("doc_id"), col("sz"), col("p.tok").as("tok"))
+      // The prefix is a RANK cut, not an array build: ranking each
+      // doc's shingles by the global (df, shingle) order with a
+      // per-doc window costs one doc_id-partitioned sort and streams —
+      // the collect_list/sort_array/slice spelling materializes every
+      // doc's full shingle set as an array through the same shuffle
+      // and measured ~2× slower at ×1 (ScaleProbe §12's first cut).
+      import org.apache.spark.sql.expressions.Window
+      val wDoc = Window.partitionBy(col("doc_id"))
+      val pref = t.join(dfreq, "tok")
+        .withColumn("sz", count(lit(1)).over(wDoc).cast("long"))
+        .withColumn("rn", row_number().over(
+          wDoc.orderBy(col("df"), col("tok"))))
+        .where(col("rn") <= expr("sz div 2 + 1"))
+        .select(col("doc_id"), col("sz"), col("tok"))
       val cand = pref.select(col("tok"), col("doc_id").as("doc_a"),
           col("sz").as("sa"))
         .join(pref.select(col("tok"), col("doc_id").as("doc_b"),

@@ -194,7 +194,8 @@ object ScaleProbe {
     val sections = args.drop(1).headOption
       .map(_.split(",").toSet)
       .getOrElse(Set("pipeline", "cc_corpus", "cc_chain", "topk",
-        "lsh", "semantic", "recall", "graph", "triangles", "cdc", "kcore"))
+        "lsh", "semantic", "recall", "graph", "triangles", "cdc", "kcore",
+        "prefix"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outBase = s"${sys.props("java.io.tmpdir")}/graft_scale"
@@ -488,6 +489,51 @@ object ScaleProbe {
             s""""exact_wall_s":${f"$wallExact%.2f"}}""")
         }
       }
+    }
+
+    // ---- 12. prefix-filter exact set-sim join vs the df-capped
+    // inverted index — two exact strategies, one corpus. Wall should
+    // track pair volume (the amplifier bounds near-dup cliques at 5 and
+    // chains are linear in F, so pair volume is O(F·docs)); the
+    // containment check proves the prefix filter's completeness bound
+    // empirically: every J > 0.5 pair the inverted index finds must
+    // also be a prefix-filter pair (whose τ test is the inclusive
+    // 3·inter ≥ sa + sb). ×100 excluded like the other pair-graph
+    // probes — ×1/×10 spans the structure the amplifier plants.
+    if (sections("prefix")) factors.filter(_ <= 10).foreach { f =>
+      val dir = if (f == 1) sfDir else amplify(spark, sfDir, f, outBase)
+      val nDocs = Tables.documents(spark, dir).count()
+      val q = graft.SparkEntry.queries("q_dedup_prefix_filter")
+      // min-of-2 per strategy (the topk-probe convention): the first
+      // measured query in a cold JVM otherwise pays all the JIT
+      def minOf2(body: => Set[(Long, Long)])
+          : (Set[(Long, Long)], Double, Long, Long, Long) = {
+        val runs = Seq.fill(2) {
+          val r = measured(spark, agg)(body)
+          spark.catalog.clearCache()
+          r
+        }
+        val best = runs.minBy(_._2)
+        (best._1, best._2, best._3, best._4, best._5)
+      }
+      val (pref, wPref, swP, srP, spP) = minOf2 {
+        q(spark, dir).select(col("doc_a"), col("doc_b")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      val (inv, wInv, swI, srI, _) = minOf2 {
+        graft.operators.Dedup.ngramJaccardPairsRaw(spark, dir)
+          .select(col("doc_a"), col("doc_b")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      require((inv -- pref).isEmpty,
+        s"prefix filter dropped ${(inv -- pref).size} true pairs at x$f")
+      emit(s"""{"probe":"prefix_filter","factor":$f,"docs":$nDocs,""" +
+        s""""prefix":{"pairs":${pref.size},"wall_s":${f"$wPref%.2f"},""" +
+        s""""shuffle_mb":${(swP + srP) / 1048576},""" +
+        s""""spill_mb":${spP / 1048576}},""" +
+        s""""inverted":{"pairs":${inv.size},"wall_s":${f"$wInv%.2f"},""" +
+        s""""shuffle_mb":${(swI + srI) / 1048576}},""" +
+        s""""contains_all_strict_pairs":true}""")
     }
 
     // ---- 8. integer PageRank over the amplified near-dup graph -----
