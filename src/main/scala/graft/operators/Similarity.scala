@@ -636,36 +636,52 @@ object Similarity {
       val (qid, qv, qn) =
         (qRow.getLong(0), qRow.getSeq[Double](1), qRow.getDouble(2))
       val qvLit = array(qv.map(lit(_)): _*)
-      val cand = e.where(col("vec_id") > qid)
+      // msim (max similarity to any already-selected vector) is a
+      // RUNNING max: after each pick, fold exactly ONE new decimal dot
+      // per candidate into a checkpointed msim column, instead of
+      // re-evaluating greatest() over every selected vector each round
+      // (that first cut cost O(k²) decimal dots per candidate —
+      // 4.6 s → the incremental fold is the k-round MMR at O(k) dots).
+      // The oracle's unrolled rounds compute max-over-selected
+      // directly; max-over-all ≡ running max, so results are
+      // bit-identical.
+      // The sentinel sits below the −1e6 cosine floor so the first
+      // fold's greatest() yields the true (possibly NEGATIVE) running
+      // max — seeding with 0 would clamp negative similarities and
+      // corrupt later picks (caught by the in-memory greedy spec).
+      // Round 1 publishes msim = 0 by definition (no selected set),
+      // exactly the old unrolled spelling and the oracle's round 1.
+      var cur = e.where(col("vec_id") > qid)
         .withColumn("rel_q",
           floor((decimal_dot(col("v"), qvLit).cast("double") /
             sqrt(col("nsq") * lit(qn))) * lit(1e6)).cast("long"))
-        .localCheckpoint() // k rounds re-scan this
+        .withColumn("msim_q", lit(-2000000L))
+        .localCheckpoint() // each round folds one dot into this
       var selected = Vector.empty[(Long, Seq[Double], Double, Long, Long, Long)]
-      for (_ <- 1 to k) {
-        val simCols = selected.map { case (_, sv, snsq, _, _, _) =>
-          floor((decimal_dot(col("v"), array(sv.map(lit(_)): _*))
-              .cast("double") / sqrt(col("nsq") * lit(snsq))) * lit(1e6))
-            .cast("long")
-        }
-        val msim = simCols.size match {
-          case 0 => lit(0L)
-          case 1 => simCols.head
-          case _ => greatest(simCols: _*)
-        }
-        val pick = cand
+      for (round <- 1 to k) {
+        val msimEff = if (selected.isEmpty) lit(0L) else col("msim_q")
+        val pick = cur
           .where(!col("vec_id").isInCollection(
             if (selected.isEmpty) Seq(-1L) else selected.map(_._1)))
-          .withColumn("msim_q", msim)
+          .withColumn("msim_eff", msimEff)
           .withColumn("score_q",
-            lit(7L) * col("rel_q") - lit(3L) * col("msim_q"))
+            lit(7L) * col("rel_q") - lit(3L) * col("msim_eff"))
           .orderBy(col("score_q").desc, col("vec_id")).limit(1)
           .select(col("vec_id"), col("v"), col("nsq"), col("rel_q"),
-            col("msim_q"), col("score_q"))
+            col("msim_eff"), col("score_q"))
           .collect()(0)
         selected :+= ((pick.getLong(0), pick.getSeq[Double](1),
           pick.getDouble(2), pick.getLong(3), pick.getLong(4),
           pick.getLong(5)))
+        if (round < k) {
+          val (sv, snsq) = (pick.getSeq[Double](1), pick.getDouble(2))
+          cur = cur.withColumn("msim_q",
+            greatest(col("msim_q"),
+              floor((decimal_dot(col("v"), array(sv.map(lit(_)): _*))
+                  .cast("double") / sqrt(col("nsq") * lit(snsq))) *
+                lit(1e6)).cast("long")))
+            .localCheckpoint()
+        }
       }
       import s.implicits._
       selected.zipWithIndex
