@@ -1346,6 +1346,80 @@ object Extended {
           .as("r"))
         .select(col("r.pair").as("pair"), col("r.corr_q").as("corr_q"))
         .orderBy(col("pair"))
+    }),
+
+    // Time-series resampling with LINEAR interpolation onto a regular
+    // hourly grid — the companion to q_timeseries_gapfill (which fills
+    // MISSING buckets with zeros; this estimates BETWEEN observations).
+    // All-integer: epoch millis × milli-quantized values keep every
+    // product under 2^53-ish (≤ ~1.5e16 for a year-long gap), and the
+    // two-sided weighted form (v0·(t1−t) + v1·(t−t0)) div (t1−t0)
+    // keeps the dividend non-negative so Spark's `div` and DuckDB's
+    // `//` agree without a floor-vs-truncate hazard. Scale shape: one
+    // user_id shuffle for the segment windows (lead), then ticks
+    // GENERATE inside each segment — output is grid-sized, the
+    // explode never exceeds span/step per segment, and no global
+    // structure exists beyond the per-key sort.
+    "q_timeseries_interp" -> ((s, d) => {
+      val stepMs = 3600000L
+      val pt = Tables.events(s, d)
+        .select(col("user_id"), unix_millis(col("ts")).as("m"),
+          col("event_id"),
+          floor(col("value") * lit(1000)).cast("long").as("vm"))
+        .groupBy(col("user_id"), col("m"))
+        .agg(min_by(col("vm"), col("event_id")).as("vm"))
+      val wu = Window.partitionBy(col("user_id")).orderBy(col("m"))
+      pt
+        .withColumn("m1", lead(col("m"), 1).over(wu))
+        .withColumn("vm1", lead(col("vm"), 1).over(wu))
+        .where(col("m1").isNotNull)
+        .withColumn("t0",
+          expr(s"((m + ${stepMs - 1}) div $stepMs) * $stepMs"))
+        .where(col("t0") < col("m1"))
+        .select(col("user_id"), col("m"), col("vm"), col("m1"),
+          col("vm1"),
+          explode(expr(s"sequence(t0, m1 - 1, $stepMs)")).as("t_ms"))
+        .select(col("user_id"), col("t_ms"),
+          expr("(vm * (m1 - t_ms) + vm1 * (t_ms - m)) div (m1 - m)")
+            .as("v_mq"))
+        .orderBy(col("user_id"), col("t_ms"))
+    }),
+
+    // Event-sequence pattern matching — the MATCH_RECOGNIZE analogue:
+    // per user, the time-ordered event stream folds to one
+    // single-char-coded string, and "view, then click, then purchase,
+    // with no error anywhere between" becomes the regex
+    // v[^e]*c[^e]*p evaluated ONCE per user — CEP as string algebra.
+    // This is strictly stronger than q_event_funnel's step joins: the
+    // funnel cannot express the no-error-between exclusion without a
+    // per-step anti-join per gap. The per-user string is bounded by
+    // per-entity event volume (the same documented caveat as the typed
+    // folds); the pattern has no alternation, so Java and RE2 regex
+    // engines produce the identical leftmost match and the oracle
+    // compares exactly. Scale shape: one user_id shuffle into a
+    // sorted collect, then per-row regex in the scan stage of a
+    // user-sized table.
+    "q_event_pattern" -> ((s, d) => {
+      val pat = "v[^e]*c[^e]*p"
+      val code = when(col("event_type") === "view", "v")
+        .when(col("event_type") === "click", "c")
+        .when(col("event_type") === "purchase", "p")
+        .when(col("event_type") === "error", "e")
+        .otherwise("s")
+      Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("m"),
+          col("event_id"), code.as("ch"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          array_join(transform(array_sort(collect_list(
+              struct(col("m"), col("event_id"), col("ch")))),
+            x => x.getField("ch")), "").as("seq"))
+        .select(col("user_id"), col("n_events"),
+          size(regexp_extract_all(col("seq"), lit(pat), lit(0)))
+            .cast("long").as("n_clean"),
+          length(regexp_extract(col("seq"), pat, 0)).cast("long")
+            .as("first_len"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -1939,6 +2013,48 @@ object Extended {
         |        * (CAST(n AS DOUBLE) * CAST(s_dd AS DOUBLE)
         |          - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE))))
         |    ELSE 0 END AS BIGINT) FROM m)
-        |SELECT pair, corr_q FROM c ORDER BY pair""".stripMargin
+        |SELECT pair, corr_q FROM c ORDER BY pair""".stripMargin,
+
+    // Identical integer grid/interp arithmetic; epoch millis both
+    // sides; non-negative dividends so // and div agree.
+    "q_timeseries_interp" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS m, event_id,
+        |             CAST(FLOOR(value * 1000) AS BIGINT) AS vm
+        |           FROM events),
+        |pt AS (SELECT user_id, m, MIN_BY(vm, event_id) AS vm
+        |       FROM e GROUP BY 1, 2),
+        |seg AS (SELECT user_id, m, vm,
+        |          LEAD(m) OVER (PARTITION BY user_id ORDER BY m) AS m1,
+        |          LEAD(vm) OVER (PARTITION BY user_id ORDER BY m)
+        |            AS vm1
+        |        FROM pt),
+        |s2 AS (SELECT user_id, m, vm, m1, vm1,
+        |         ((m + 3599999) // 3600000) * 3600000 AS t0
+        |       FROM seg WHERE m1 IS NOT NULL),
+        |g AS (SELECT user_id, m, vm, m1, vm1,
+        |        UNNEST(generate_series(t0, m1 - 1, 3600000)) AS t_ms
+        |      FROM s2 WHERE t0 < m1)
+        |SELECT user_id, t_ms,
+        |  (vm * (m1 - t_ms) + vm1 * (t_ms - m)) // (m1 - m) AS v_mq
+        |FROM g ORDER BY user_id, t_ms""".stripMargin,
+
+    // Same coded-string fold (string_agg with the identical tie-break
+    // order) and the same alternation-free regex.
+    "q_event_pattern" ->
+      """WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS m,
+        |             event_id,
+        |             CASE event_type WHEN 'view' THEN 'v'
+        |               WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+        |               WHEN 'error' THEN 'e' ELSE 's' END AS ch
+        |           FROM events),
+        |sq AS (SELECT user_id, COUNT(*) AS n_events,
+        |         string_agg(ch, '' ORDER BY m, event_id) AS seq
+        |       FROM e GROUP BY user_id)
+        |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(len(regexp_extract_all(seq, 'v[^e]*c[^e]*p'))
+        |       AS BIGINT) AS n_clean,
+        |  CAST(length(regexp_extract(seq, 'v[^e]*c[^e]*p'))
+        |       AS BIGINT) AS first_len
+        |FROM sq ORDER BY user_id""".stripMargin
   )
 }

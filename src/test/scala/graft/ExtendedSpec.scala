@@ -301,6 +301,54 @@ class ExtendedSpec extends AnyFunSuite {
     assert(math.abs(got("price_discount") - ref.getDouble(2)) < 1e-6)
   }
 
+  test("hourly interpolation matches an in-memory reimplementation") {
+    val pts = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), unix_millis(col("ts")).as("m"),
+        col("event_id"), floor(col("value") * lit(1000)).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val step = 3600000L
+    val expected = pts.groupBy(_._1).toSeq.flatMap { case (uid, es) =>
+      val dedup = es.groupBy(_._2).toSeq
+        .map { case (m, g) => (m, g.minBy(_._3)._4) }.sortBy(_._1)
+      dedup.sliding(2).filter(_.length == 2).flatMap { w =>
+        val Seq((m0, v0), (m1, v1)) = w.toSeq
+        val t0 = (m0 + step - 1) / step * step
+        Iterator.iterate(t0)(_ + step).takeWhile(_ < m1)
+          .map(t => (uid, t, (v0 * (m1 - t) + v1 * (t - m0)) / (m1 - m0)))
+      }
+    }.toSet
+    val got = q("q_timeseries_interp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    assert(got.nonEmpty)
+  }
+
+  test("event pattern: regex CEP agrees with a hand-rolled scan") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val rows = q("q_event_pattern").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.exists(_._3 > 0),
+      "pattern must fire for someone")
+    val byUser = ev.groupBy(_._1)
+    rows.foreach { case (uid, n, nClean, firstLen) =>
+      val es = byUser(uid).sortBy(e => (e._2, e._3))
+      assert(n == es.length.toLong)
+      val s = es.map(_._4 match {
+        case "view" => 'v'; case "click" => 'c'; case "purchase" => 'p'
+        case "error" => 'e'; case _ => 's'
+      }).mkString
+      val ms = "v[^e]*c[^e]*p".r.findAllIn(s).toSeq
+      assert(nClean == ms.length.toLong, s"user $uid: $s")
+      assert(firstLen == ms.headOption.map(_.length).getOrElse(0).toLong)
+    }
+  }
+
   test("event lift matches independent support counts") {
     val ut = graft.sources.Tables.events(spark, sf)
       .select(col("user_id"), col("event_type")).distinct()
