@@ -106,6 +106,26 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(fast == slow, s"$fast != $slow")
   }
 
+  test("decimal_dot overflow fallback equals the interpreted spelling") {
+    import spark.implicits._
+    // per-term unscaled DECIMAL(30,12) values of ~4.1e18 force the
+    // unscaled-long fast path's addExact to overflow on the second
+    // term — the arbitrary-precision fallback must produce the exact
+    // same sum the HOF spelling computes
+    val a = Array.fill(8)(2021000.0)
+    val b = Array.fill(8)(2021000.0)
+    val df = Seq((a, b)).toDF("a", "b")
+    val fast = df.select(VectorFunctions.decimal_dot(col("a"), col("b")))
+      .head.getDecimal(0)
+    val slow = df.select(
+      expr("""aggregate(zip_with(a, b, (x, y) -> x * y),
+             |  CAST(0 AS DECIMAL(30,12)),
+             |  (acc, x) -> CAST(acc + CAST(x AS DECIMAL(30,12))
+             |              AS DECIMAL(30,12)))""".stripMargin))
+      .head.getDecimal(0)
+    assert(fast == slow, s"$fast != $slow")
+  }
+
   test("srp_band_keys and decimal_dot are callable from SQL after registration") {
     graft.functions.GraftFunctions.registerAll(spark)
     val r = spark.sql(
