@@ -1420,6 +1420,35 @@ object Extended {
           length(regexp_extract(col("seq"), pat, 0)).cast("long")
             .as("first_len"))
         .orderBy(col("user_id"))
+    }),
+
+    // First-order Markov transition matrix of event types: for every
+    // (from, to) pair of consecutive events within a user's stream,
+    // the transition count and the integer-ppm row-normalized
+    // probability — the behavioral model behind next-event prediction
+    // and synthetic-stream generation, and the drift baseline a
+    // monitoring pipeline diffs against (PSI over transition rows).
+    // Scale shape: one user_id-partitioned LEAD window (the same sort
+    // every sequence operator here shares), then the transition table
+    // is |types|² rows — the alphabet squared, never event-sized —
+    // and the row totals broadcast back onto it.
+    "q_event_markov" -> ((s, d) => {
+      val wUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("m"), col("event_id"))
+      val trans = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("m"),
+          col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(wUser))
+        .where(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = trans.groupBy(col("from_type"))
+        .agg(sum(col("n")).as("row_n"))
+      trans.join(broadcast(tot), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          expr("(1000000 * n) div row_n").as("p_ppm"))
+        .orderBy(col("from_type"), col("to_type"))
     })
   )
 
@@ -2055,6 +2084,23 @@ object Extended {
         |       AS BIGINT) AS n_clean,
         |  CAST(length(regexp_extract(seq, 'v[^e]*c[^e]*p'))
         |       AS BIGINT) AS first_len
-        |FROM sq ORDER BY user_id""".stripMargin
+        |FROM sq ORDER BY user_id""".stripMargin,
+
+    "q_event_markov" ->
+      """WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS m,
+        |             event_id, event_type FROM events),
+        |l AS (SELECT user_id, event_type,
+        |        LEAD(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY m, event_id)
+        |          AS next_type
+        |      FROM e),
+        |tr AS (SELECT event_type AS from_type, next_type AS to_type,
+        |         COUNT(*) AS n
+        |       FROM l WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, SUM(n) AS row_n FROM tr GROUP BY 1)
+        |SELECT tr.from_type, tr.to_type, CAST(tr.n AS BIGINT) AS n,
+        |  CAST((1000000 * tr.n) // tot.row_n AS BIGINT) AS p_ppm
+        |FROM tr JOIN tot USING (from_type)
+        |ORDER BY tr.from_type, tr.to_type""".stripMargin
   )
 }

@@ -349,6 +349,22 @@ class ExtendedSpec extends AnyFunSuite {
     }
   }
 
+  test("markov transitions conserve events and rows normalize to 1e6") {
+    val rows = q("q_event_markov").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val ev = graft.sources.Tables.events(spark, sf)
+    val nEvents = ev.count()
+    val nUsers = ev.select(col("user_id")).distinct().count()
+    // each user's stream of length L yields L-1 transitions
+    assert(rows.map(_._3).sum == nEvents - nUsers)
+    rows.groupBy(_._1).foreach { case (from, ts) =>
+      val s = ts.map(_._4).sum
+      // integer ppm truncation loses < 1 ppm per destination row
+      assert(s > 1000000L - ts.length && s <= 1000000L,
+        s"$from row sums to $s over ${ts.length} destinations")
+    }
+  }
+
   test("event lift matches independent support counts") {
     val ut = graft.sources.Tables.events(spark, sf)
       .select(col("user_id"), col("event_type")).distinct()
