@@ -522,6 +522,29 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("corr reads lineitem once; sequence ops read events minimally") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive._
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => q +: walk(q.plan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    def reads(name: String, file: String): Int =
+      walk(SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan).count {
+        case f: FileSourceScanExec => f.toString.contains(file)
+        case _ => false
+      }
+    assert(reads("q_agg_corr", "lineitem.parquet") == 1,
+      "ten moments must fold in ONE lineitem scan")
+    assert(reads("q_event_pattern", "events.parquet") == 1)
+    assert(reads("q_timeseries_interp", "events.parquet") == 1)
+    assert(reads("q_event_markov", "events.parquet") <= 2,
+      "transition table + row totals must not rescan events further")
+    assert(!plan("q_timeseries_interp").contains("CartesianProduct"))
+  }
+
   test("compaction rewrites 64 small files into 4 large ones") {
     SparkEntry.queries("q_layout_compaction")(spark, sfDir).collect()
     val base = s"${sys.props("java.io.tmpdir")}/graft_cmp_${sfDir.replaceAll("[^0-9a-zA-Z]", "_")}"
