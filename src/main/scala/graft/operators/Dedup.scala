@@ -1154,7 +1154,7 @@ object Dedup {
       // per-doc window costs one doc_id-partitioned sort and streams —
       // the collect_list/sort_array/slice spelling materializes every
       // doc's full shingle set as an array through the same shuffle
-      // and measured ~2× slower at ×1 (ScaleProbe §12's first cut).
+      // and measured ~2× slower at both probe factors (SCALE.md §12).
       import org.apache.spark.sql.expressions.Window
       val wDoc = Window.partitionBy(col("doc_id"))
       val pref = t.join(dfreq, "tok")

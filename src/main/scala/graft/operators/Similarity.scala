@@ -675,12 +675,23 @@ object Similarity {
           pick.getLong(5)))
         if (round < k) {
           val (sv, snsq) = (pick.getSeq[Double](1), pick.getDouble(2))
-          cur = cur.withColumn("msim_q",
+          // persist-materialize-unpersist chain, NOT one localCheckpoint
+          // per round: checkpoint blocks are only freed by driver GC, so
+          // k checkpoints would hold k copies of the candidate table in
+          // executor storage at once — the chain bounds it at 2 (the
+          // count() materializes the child before its parent's blocks
+          // drop, so eviction never recomputes the whole fold stack)
+          val next = cur.withColumn("msim_q",
             greatest(col("msim_q"),
               floor((decimal_dot(col("v"), array(sv.map(lit(_)): _*))
                   .cast("double") / sqrt(col("nsq") * lit(snsq))) *
                 lit(1e6)).cast("long")))
-            .localCheckpoint()
+            .persist()
+          next.count()
+          cur.unpersist(false)
+          cur = next
+        } else {
+          cur.unpersist(false)
         }
       }
       import s.implicits._

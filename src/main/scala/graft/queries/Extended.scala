@@ -1224,6 +1224,9 @@ object Extended {
     // so the frontier is bit-stable across engines.
     "q_skyline" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
+      // persisted: the bucket-min branch and the main sweep would
+      // otherwise each re-aggregate the corpus (the same two-consumer
+      // trap q_mix_waterfill documents); the cache is |suppliers| rows
       val a = Tables.lineitem(s, d)
         .groupBy(col("l_suppkey"))
         .agg(sum(col("l_quantity")).cast("long").as("qty"),
@@ -1231,6 +1234,7 @@ object Extended {
             "AS BIGINT)").as("cost_c"))
         .select(col("l_suppkey").as("supp"), col("qty"), col("cost_c"))
         .withColumn("bkt", shiftright(col("qty"), 8))
+        .persist()
       // bucket-min table: |value range / 256| rows — broadcast-sized at
       // any corpus scale, so its global window is bounded by design
       val bmin = a.groupBy(col("bkt")).agg(min(col("cost_c")).as("bc"))
@@ -1266,8 +1270,12 @@ object Extended {
     // FP-growth generalizes the alphabet; pairwise support/lift is the
     // curation-relevant core (correlated behaviors, leakage checks).
     "q_event_lift" -> ((s, d) => {
+      // persisted: four consumers (user count, supports, both pair
+      // sides) would otherwise each re-scan events and re-run the
+      // DISTINCT; the basket table is |users|×|types| rows max
       val ut = Tables.events(s, d)
         .select(col("user_id"), col("event_type")).distinct()
+        .persist()
       val nu = ut.select(col("user_id")).distinct()
         .agg(count(lit(1)).as("n_users"))
       val supp = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n1"))

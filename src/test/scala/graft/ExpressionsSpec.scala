@@ -108,22 +108,25 @@ class ExpressionsSpec extends AnyFunSuite {
 
   test("decimal_dot overflow fallback equals the interpreted spelling") {
     import spark.implicits._
-    // per-term unscaled DECIMAL(30,12) values of ~4.1e18 force the
-    // unscaled-long fast path's addExact to overflow on the second
-    // term — the arbitrary-precision fallback must produce the exact
-    // same sum the HOF spelling computes
-    val a = Array.fill(8)(2021000.0)
-    val b = Array.fill(8)(2021000.0)
-    val df = Seq((a, b)).toDF("a", "b")
-    val fast = df.select(VectorFunctions.decimal_dot(col("a"), col("b")))
-      .head.getDecimal(0)
-    val slow = df.select(
-      expr("""aggregate(zip_with(a, b, (x, y) -> x * y),
-             |  CAST(0 AS DECIMAL(30,12)),
-             |  (acc, x) -> CAST(acc + CAST(x AS DECIMAL(30,12))
-             |              AS DECIMAL(30,12)))""".stripMargin))
-      .head.getDecimal(0)
-    assert(fast == slow, s"$fast != $slow")
+    // Two distinct overflow routes into the arbitrary-precision
+    // fallback: 2900² = 8.41e6 → unscaled 8.41e18 FITS a long, so the
+    // SECOND term's Math.addExact overflows mid-accumulation; while
+    // 2021000² ≈ 4.08e12 → unscaled 4.08e24 overflows
+    // longValueExact on the FIRST term. Both must reproduce the HOF
+    // spelling's exact sum.
+    for (v <- Seq(2900.0, 2021000.0)) {
+      val a = Array.fill(8)(v)
+      val df = Seq((a, a)).toDF("a", "b")
+      val fast = df.select(VectorFunctions.decimal_dot(col("a"), col("b")))
+        .head.getDecimal(0)
+      val slow = df.select(
+        expr("""aggregate(zip_with(a, b, (x, y) -> x * y),
+               |  CAST(0 AS DECIMAL(30,12)),
+               |  (acc, x) -> CAST(acc + CAST(x AS DECIMAL(30,12))
+               |              AS DECIMAL(30,12)))""".stripMargin))
+        .head.getDecimal(0)
+      assert(fast == slow, s"v=$v: $fast != $slow")
+    }
   }
 
   test("srp_band_keys and decimal_dot are callable from SQL after registration") {

@@ -17,6 +17,42 @@ class PlanSpec extends AnyFunSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
 
+  // Shared scan-counting helpers (one definition — the cache-dedup by
+  // CachedRDDBuilder identity is subtle enough that drifted copies
+  // would silently diverge): walk through AQE wrappers and query
+  // stages, but NOT into cached relations (their subtree materializes
+  // once, not per use).
+  private def walkPlan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive._
+    p match {
+      case a: AdaptiveSparkPlanExec => walkPlan(a.executedPlan)
+      case q: QueryStageExec => q +: walkPlan(q.plan)
+      case other => other +: other.children.flatMap(walkPlan)
+    }
+  }
+
+  /** Number of distinct reads of `file` in df's physical plan: direct
+    * FileSourceScans plus each distinct cached relation built over it. */
+  private def fileReads(df: org.apache.spark.sql.DataFrame,
+      file: String): Int = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val nodes = walkPlan(df.queryExecution.executedPlan)
+    val direct = nodes.count {
+      case f: FileSourceScanExec => f.toString.contains(file)
+      case _ => false
+    }
+    val cached = nodes.collect {
+      case m: InMemoryTableScanExec => m.relation.cacheBuilder
+    }.distinctBy(System.identityHashCode)
+      .count(_.cachedPlan.toString.contains(file))
+    direct + cached
+  }
+
+  private def fileReads(name: String, file: String): Int =
+    fileReads(SparkEntry.queries(name)(spark, sfDir), file)
+
   test("flagship filter is pushed into the parquet scan") {
     val p = plan("q_flagship_scan")
     assert(p.contains("PushedFilters: [IsNotNull(l_extendedprice), " +
@@ -489,58 +525,29 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("waterfill touches the corpus once; robust-scale exactly twice") {
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive._
-    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-      case q: QueryStageExec => q +: walk(q.plan)
-      case other => other +: other.children.flatMap(walk)
-    }
-    def docReads(df: org.apache.spark.sql.DataFrame): Int = {
-      val nodes = walk(df.queryExecution.executedPlan)
-      val direct = nodes.count {
-        case f: FileSourceScanExec => f.toString.contains("documents.parquet")
-        case _ => false
-      }
-      val cached = nodes.collect {
-        case m: InMemoryTableScanExec => m.relation.cacheBuilder
-      }.distinctBy(System.identityHashCode)
-        .count(_.cachedPlan.toString.contains("documents.parquet"))
-      direct + cached
-    }
-    val w = SparkEntry.queries("q_mix_waterfill")(spark, sfDir)
-    assert(docReads(w) == 1,
-      s"solver must derive from ONE persisted corpus aggregate, " +
-        s"got ${docReads(w)}")
+    assert(fileReads("q_mix_waterfill", "documents.parquet") == 1,
+      "solver must derive from ONE persisted corpus aggregate")
     val r = SparkEntry.queries("q_text_robust_scale")(spark, sfDir)
-    assert(docReads(r) == 2,
-      s"stats pass + scoring pass, got ${docReads(r)}")
+    assert(fileReads(r, "documents.parquet") == 2,
+      "stats pass + scoring pass")
     assert(r.queryExecution.executedPlan.toString
       .contains("BroadcastHashJoin"),
       "the k-row quartile table must broadcast onto the doc scan")
+    // the persisted aggregates added for the two-consumer queries must
+    // also pin their sources to one read each
+    assert(fileReads("q_skyline", "lineitem.parquet") == 1,
+      "skyline's bucket-min and sweep branches must share ONE aggregate")
+    assert(fileReads("q_event_lift", "events.parquet") == 1,
+      "the basket DISTINCT must be built once for all four consumers")
     spark.catalog.clearCache()
   }
 
   test("corr reads lineitem once; sequence ops read events minimally") {
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive._
-    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-      case q: QueryStageExec => q +: walk(q.plan)
-      case other => other +: other.children.flatMap(walk)
-    }
-    def reads(name: String, file: String): Int =
-      walk(SparkEntry.queries(name)(spark, sfDir)
-        .queryExecution.executedPlan).count {
-        case f: FileSourceScanExec => f.toString.contains(file)
-        case _ => false
-      }
-    assert(reads("q_agg_corr", "lineitem.parquet") == 1,
+    assert(fileReads("q_agg_corr", "lineitem.parquet") == 1,
       "ten moments must fold in ONE lineitem scan")
-    assert(reads("q_event_pattern", "events.parquet") == 1)
-    assert(reads("q_timeseries_interp", "events.parquet") == 1)
-    assert(reads("q_event_markov", "events.parquet") <= 2,
+    assert(fileReads("q_event_pattern", "events.parquet") == 1)
+    assert(fileReads("q_timeseries_interp", "events.parquet") == 1)
+    assert(fileReads("q_event_markov", "events.parquet") <= 2,
       "transition table + row totals must not rescan events further")
     assert(!plan("q_timeseries_interp").contains("CartesianProduct"))
   }
@@ -601,39 +608,17 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("e2e pipeline derives every stage from at most 2 corpus reads") {
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive._
-    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-    // walk through AQE wrappers and query stages, but NOT into cached
-    // relations (their subtree is materialized once, not re-executed)
-    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-      case q: QueryStageExec => q +: walk(q.plan)
-      case other => other +: other.children.flatMap(walk)
-    }
-    def docReads(df: org.apache.spark.sql.DataFrame): Int = {
-      val nodes = walk(df.queryExecution.executedPlan)
-      val direct = nodes.count {
-        case f: FileSourceScanExec => f.toString.contains("documents.parquet")
-        case _ => false
-      }
-      // each use of a cached relation gets fresh exprIds, so dedupe by
-      // the shared CachedRDDBuilder (one per cache entry), by identity
-      val cached = nodes.collect {
-        case m: InMemoryTableScanExec => m.relation.cacheBuilder
-      }.distinctBy(System.identityHashCode)
-        .count(_.cachedPlan.toString.contains("documents.parquet"))
-      direct + cached
-    }
     // the candidate stage (funnel → exact dedup → pair index) must hang
     // off ONE shared cached projection of the corpus
     val cand = graft.operators.Dedup.e2eCandidates(spark, sfDir)
-    assert(docReads(cand) <= 2,
-      s"candidate stage reads documents ${docReads(cand)} times")
+    assert(fileReads(cand, "documents.parquet") <= 2,
+      s"candidate stage reads documents " +
+        s"${fileReads(cand, "documents.parquet")} times")
     // the full pipeline (CC labels are checkpointed) adds no re-scan
     val full = SparkEntry.queries("q_pipeline_e2e")(spark, sfDir)
-    assert(docReads(full) <= 2,
-      s"full pipeline reads documents ${docReads(full)} times")
+    assert(fileReads(full, "documents.parquet") <= 2,
+      s"full pipeline reads documents " +
+        s"${fileReads(full, "documents.parquet")} times")
     spark.catalog.clearCache()
   }
 
