@@ -162,6 +162,122 @@ case class CdcChunkCodes(child: Expression)
     copy(child = newChild)
 }
 
+/** Per-pattern substring-occurrence counts over a fixed pattern list in
+  * ONE Aho–Corasick pass: `counts[i]` = number of END POSITIONS in the
+  * document where `patterns(i)` matches (every occurrence, overlapping
+  * included — the automaton's natural semantics, and the one a SQL
+  * position scan `substr(text, i, len(p)) = p` replays exactly).
+  *
+  * Why an expression and not k `instr`/`LIKE` probes: the naive plan is
+  * O(k · |text|) scans per document — at a 10k-entry production blocklist
+  * over 100 TB that is 10,000 full-text passes per row. The automaton
+  * reads each byte ONCE regardless of k (goto/fail links precomputed;
+  * the dictionary-suffix closure is folded into per-node output lists at
+  * build time), so cost is O(|text| + matches). The automaton builds
+  * lazily once per executor JVM from the pattern list captured in the
+  * plan — k·avg_len trie nodes of driver→executor traffic, not data.
+  *
+  * Matching is UTF-8 byte-level (exact for any pattern; fixture patterns
+  * are ASCII so the oracle's character positions coincide with byte
+  * positions). CodegenFallback: one virtual call per document, the byte
+  * loop inside is JIT'd — the [[CdcChunkCodes]] justification.
+  */
+case class MultiPatternCounts(child: Expression, patterns: Seq[String])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+
+  require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+    "multi_pattern_counts needs a non-empty list of non-empty patterns")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "multi_pattern_counts"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs string, got ${other.simpleString}")
+  }
+
+  @transient private lazy val ac = new AhoCorasick(patterns.toArray)
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(ac.countAll(bytes))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Classic Aho–Corasick automaton over the byte alphabet: flat goto table
+  * (`next`, 256 ints per node), failure links resolved into the goto
+  * table during the BFS, and each node carrying the FULL
+  * dictionary-suffix output list (so the scan never walks fail chains).
+  * Node count ≤ 1 + Σ|pattern bytes| — a 10k-word blocklist is ~100k
+  * nodes ≈ 100 MB of int table per executor, built once.
+  */
+private[functions] final class AhoCorasick(patterns: Array[String]) {
+  private val next = scala.collection.mutable.ArrayBuffer(
+    Array.fill(256)(-1))
+  private val out = scala.collection.mutable.ArrayBuffer(List.empty[Int])
+
+  for ((p, id) <- patterns.zipWithIndex) {
+    var s = 0
+    for (b <- p.getBytes(java.nio.charset.StandardCharsets.UTF_8)) {
+      val c = b & 0xFF
+      if (next(s)(c) == -1) {
+        next(s)(c) = next.length
+        next += Array.fill(256)(-1)
+        out += Nil
+      }
+      s = next(s)(c)
+    }
+    out(s) = id :: out(s)
+  }
+
+  private val fail = new Array[Int](next.length)
+  locally {
+    val q = scala.collection.mutable.Queue.empty[Int]
+    var c = 0
+    while (c < 256) {
+      val t = next(0)(c)
+      if (t == -1) next(0)(c) = 0 else { fail(t) = 0; q += t }
+      c += 1
+    }
+    while (q.nonEmpty) {
+      val s = q.dequeue()
+      out(s) = out(s) ::: out(fail(s)) // dictionary-suffix closure
+      var c = 0
+      while (c < 256) {
+        val t = next(s)(c)
+        if (t == -1) next(s)(c) = next(fail(s))(c)
+        else { fail(t) = next(fail(s))(c); q += t }
+        c += 1
+      }
+    }
+  }
+
+  // scan-time shape: arrays, no per-byte allocation
+  private val gotoTab: Array[Array[Int]] = next.toArray
+  private val outTab: Array[Array[Int]] = out.map(_.toArray).toArray
+
+  /** Occurrence count per pattern id over one document's bytes. */
+  def countAll(bytes: Array[Byte]): Array[Long] = {
+    val counts = new Array[Long](patterns.length)
+    var s = 0
+    var i = 0
+    while (i < bytes.length) {
+      s = gotoTab(s)(bytes(i) & 0xFF)
+      val hits = outTab(s)
+      var j = 0
+      while (j < hits.length) { counts(hits(j)) += 1L; j += 1 }
+      i += 1
+    }
+    counts
+  }
+}
+
 object TextFunctions {
   /** Tokens minus the (sorted) excised positions, space-joined — the
     * O(n + p) merge-scan rebuild for span-level dedup. */
@@ -173,4 +289,9 @@ object TextFunctions {
     * content-defined chunks — one compiled pass per document. */
   def cdc_chunk_codes(text: Column): Column =
     Bridge.column(CdcChunkCodes(Bridge.expression(text)))
+
+  /** Per-pattern occurrence counts from ONE Aho–Corasick pass — the
+    * O(|text| + hits) blocklist scan that replaces k LIKE probes. */
+  def multi_pattern_counts(text: Column, patterns: Seq[String]): Column =
+    Bridge.column(MultiPatternCounts(Bridge.expression(text), patterns))
 }

@@ -181,6 +181,33 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // Blocklist scan: per-pattern occurrence counts over a fixed phrase
+    // blocklist via ONE compiled Aho–Corasick pass per document
+    // (MultiPatternCounts), then an 8-key rollup: docs hit + total hits
+    // per pattern. The production shape for URL/term blocklist gates —
+    // at a 10k-entry list the automaton still reads each byte once,
+    // where the k-LIKE spelling pays k full-text scans per row (the
+    // oracle IS that naive position-scan spelling, which is the point:
+    // same answer, O(k·n) vs O(n)). Patterns include substring-nested
+    // pairs ("stream" inside nothing, "hash join" spanning a space) to
+    // exercise the dictionary-suffix closure.
+    "q_text_blocklist" -> ((s, d) => {
+      import graft.functions.TextFunctions.multi_pattern_counts
+      val pats = TextAnalysis.BlocklistPatterns
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          multi_pattern_counts(col("text"), pats).as("cnt"))
+        .select(col("doc_id"), posexplode(col("cnt")).as(Seq("pid", "hits")))
+        .groupBy(col("pid"))
+        .agg(sum((col("hits") > 0).cast("long")).as("n_docs"),
+          sum(col("hits")).as("n_hits"))
+        .select(
+          element_at(array(TextAnalysis.BlocklistPatterns.map(lit): _*),
+            col("pid") + 1).as("pattern"),
+          col("n_docs"), col("n_hits"))
+        .orderBy(col("pattern"))
+    }),
+
     // Tokenization: whitespace count vs a BPE-ish regex ([a-z]+ runs,
     // digit runs, single other glyphs) — the regex subset chosen to
     // behave identically under Java regex and RE2.
@@ -742,7 +769,35 @@ object TextAnalysis {
     })
   )
 
+  /** The q_text_blocklist pattern list — fixture phrases chosen so every
+    * pattern actually matches (non-vacuity asserted in OperatorsSpec) and
+    * the set nests ("stream" also occurs inside no other pattern, but
+    * multi-word phrases share word prefixes with each other). Shared by
+    * the Spark query and its oracle VALUES list. */
+  private[graft] val BlocklistPatterns: Seq[String] = Seq(
+    "big table", "customer query", "fast merge", "hash join",
+    "slow scan", "stream", "the line", "vector")
+
   val oracles: Map[String, String] = Map(
+    // The naive spelling the automaton replaces: for each (doc, pattern),
+    // count match END positions by direct position scan — exactly the
+    // all-occurrences (overlapping included) semantics of the AC pass.
+    "q_text_blocklist" -> {
+      val vals = BlocklistPatterns.zipWithIndex
+        .map { case (p, i) => s"($i, '$p')" }.mkString(", ")
+      s"""WITH pats AS (SELECT * FROM (VALUES $vals) p(pid, p)),
+         |m AS (SELECT d.doc_id, pats.p,
+         |        CAST(len([i FOR i IN
+         |               generate_series(1, len(d.text) - len(pats.p) + 1)
+         |             IF substr(d.text, i, len(pats.p)) = pats.p])
+         |          AS BIGINT) AS hits
+         |      FROM documents d CROSS JOIN pats)
+         |SELECT p AS pattern,
+         |       CAST(COUNT(*) FILTER (WHERE hits > 0) AS BIGINT) AS n_docs,
+         |       CAST(SUM(hits) AS BIGINT) AS n_hits
+         |FROM m GROUP BY p ORDER BY p""".stripMargin
+    },
+
     // Byte-exact replay of RollingFingerprint.minWindowHash (window 16,
     // base 1000003, mod 2147483647): the recursion carries (h, min) per
     // document byte position; 1828017126 = 1000003^15 mod M (the

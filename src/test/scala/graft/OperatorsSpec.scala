@@ -1560,4 +1560,43 @@ class OperatorsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("blocklist counts equal an in-memory position scan; non-vacuous") {
+    val pats = graft.operators.TextAnalysis.BlocklistPatterns
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .select(col("text")).collect().map(_.getString(0))
+    // independent reimplementation: count ALL match positions
+    // (overlapping included) by direct scan, not via the automaton
+    val expected = pats.map { p =>
+      var docs = 0L
+      var hits = 0L
+      texts.foreach { t =>
+        var i = t.indexOf(p)
+        var h = 0L
+        while (i >= 0) { h += 1; i = t.indexOf(p, i + 1) }
+        if (h > 0) docs += 1
+        hits += h
+      }
+      (p, docs, hits)
+    }.sortBy(_._1)
+    val got = q("q_text_blocklist").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected, s"got=$got expected=$expected")
+    assert(got.forall(_._3 > 0),
+      "every blocklist pattern must match at least once on the fixture")
+  }
+
+  test("overlapping and nested patterns count per the automaton semantics") {
+    import graft.functions.TextFunctions.multi_pattern_counts
+    import spark.implicits._
+    // "aa" in "aaaa" matches at 3 end positions (overlap); "ab" nests
+    // inside "aab"; dictionary-suffix closure must credit both when
+    // "aab" ends ("ab" ends at the same byte)
+    val df = Seq("aaaa", "xaabx").toDF("text")
+    val rows = df.select(
+        multi_pattern_counts(col("text"), Seq("aa", "ab", "aab")).as("c"))
+      .collect().map(_.getSeq[Long](0))
+    assert(rows(0) == Seq(3L, 0L, 0L), s"got ${rows(0)}")
+    assert(rows(1) == Seq(1L, 1L, 1L), s"got ${rows(1)}")
+  }
 }
