@@ -1457,10 +1457,105 @@ object Extended {
         .select(col("from_type"), col("to_type"), col("n"),
           expr("(1000000 * n) div row_n").as("p_ppm"))
         .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    // Slowly-changing-dimension Type-2 merge: apply a daily update
+    // extract to a versioned dimension — changed keys close their prior
+    // version (valid_to = effective date) and open a new current one,
+    // no-op updates (same attribute value) must NOT version, unseen
+    // keys insert as current, untouched keys pass through. Both inputs
+    // derive deterministically from the customer fixture: the base dim
+    // is custkey % 11 != 0; the extract updates custkey % 5 == 0
+    // (suffixing the segment, except % 15 == 0 rows which arrive
+    // unchanged — the no-op case) and inserts the % 11 == 0 keys.
+    //
+    // Scale shape: ONE full-outer shuffle join on the dimension key,
+    // then the 1-or-2 output versions per key are emitted map-side from
+    // a conditional struct array + explode — no second pass over the
+    // join and no union of three re-scans (the naive spelling re-joins
+    // per branch; the oracle IS that spelling). When the extract is
+    // small relative to the dim — the production case — split instead
+    // into base LEFT JOIN broadcast(upd) + upd ANTI base so the big
+    // side never reshuffles; the full outer here keeps one plan for
+    // arbitrary extract/dim ratios.
+    "q_scd2" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val base = cust.where(col("c_custkey") % 11 =!= 0)
+        .select(col("c_custkey"), col("c_mktsegment").as("seg_old"))
+      val upd = cust
+        .where(col("c_custkey") % 5 === 0 && col("c_custkey") % 11 =!= 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 15 === 0, col("c_mktsegment"))
+            .otherwise(concat(col("c_mktsegment"), lit("-R"))).as("seg_new"))
+        .unionByName(cust.where(col("c_custkey") % 11 === 0)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg_new")))
+      val from0 = lit(java.sql.Date.valueOf("2026-01-01"))
+      val eff = lit(java.sql.Date.valueOf("2026-06-01"))
+      base.join(upd, Seq("c_custkey"), "full_outer")
+        .select(col("c_custkey"), explode(filter(array(
+          // close the prior version — only on a REAL attribute change
+          when(col("seg_old").isNotNull && col("seg_new").isNotNull &&
+              col("seg_old") =!= col("seg_new"),
+            struct(col("seg_old").as("segment"),
+              from0.as("valid_from"), eff.as("valid_to"),
+              lit(false).as("is_current"))),
+          // open the new current version: changed update or fresh insert
+          when(col("seg_new").isNotNull &&
+              (col("seg_old").isNull || col("seg_old") =!= col("seg_new")),
+            struct(col("seg_new").as("segment"),
+              eff.as("valid_from"), lit(null).cast("date").as("valid_to"),
+              lit(true).as("is_current"))),
+          // untouched (no update, or a no-op update): keep as-is
+          when(col("seg_old").isNotNull &&
+              (col("seg_new").isNull || col("seg_old") === col("seg_new")),
+            struct(col("seg_old").as("segment"),
+              from0.as("valid_from"), lit(null).cast("date").as("valid_to"),
+              lit(true).as("is_current")))),
+          x => x.isNotNull)).as("r"))
+        .select(col("c_custkey"), col("r.segment").as("segment"),
+          col("r.valid_from").as("valid_from"),
+          col("r.valid_to").as("valid_to"),
+          col("r.is_current").as("is_current"))
+        .orderBy(col("c_custkey"), col("valid_from"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // The three-branch UNION ALL spelling of the SCD2 merge (per-branch
+    // re-scan of the joined frame — the naive plan the single-pass
+    // struct-array emit avoids).
+    "q_scd2" ->
+      """WITH base AS (SELECT c_custkey, c_mktsegment AS seg_old
+        |              FROM customer WHERE c_custkey % 11 <> 0),
+        |upd AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 15 = 0 THEN c_mktsegment
+        |              ELSE c_mktsegment || '-R' END AS seg_new
+        |  FROM customer WHERE c_custkey % 5 = 0 AND c_custkey % 11 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment
+        |  FROM customer WHERE c_custkey % 11 = 0),
+        |j AS (SELECT COALESCE(b.c_custkey, u.c_custkey) AS c_custkey,
+        |        seg_old, seg_new
+        |      FROM base b FULL OUTER JOIN upd u
+        |        ON b.c_custkey = u.c_custkey)
+        |SELECT c_custkey, seg_old AS segment,
+        |       DATE '2026-01-01' AS valid_from,
+        |       DATE '2026-06-01' AS valid_to, FALSE AS is_current
+        |FROM j WHERE seg_old IS NOT NULL AND seg_new IS NOT NULL
+        |       AND seg_old <> seg_new
+        |UNION ALL
+        |SELECT c_custkey, seg_new, DATE '2026-06-01',
+        |       CAST(NULL AS DATE), TRUE
+        |FROM j WHERE seg_new IS NOT NULL
+        |       AND (seg_old IS NULL OR seg_old <> seg_new)
+        |UNION ALL
+        |SELECT c_custkey, seg_old, DATE '2026-01-01',
+        |       CAST(NULL AS DATE), TRUE
+        |FROM j WHERE seg_old IS NOT NULL
+        |       AND (seg_new IS NULL OR seg_old = seg_new)
+        |ORDER BY c_custkey, valid_from""".stripMargin,
+
     "q_topk_custom" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice
         |FROM orders

@@ -383,4 +383,45 @@ class ExtendedSpec extends AnyFunSuite {
       assert(r.getLong(5) == 1000L * both * nUsers / (supp(a) * supp(b)))
     }
   }
+
+  test("SCD2 merge equals an in-memory replay; all four cases exercised") {
+    val cust = graft.sources.Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val base = cust.filter(_._1 % 11 != 0).toMap
+    val upd = (cust.filter(kv => kv._1 % 5 == 0 && kv._1 % 11 != 0)
+        .map { case (k, seg) =>
+          k -> (if (k % 15 == 0) seg else seg + "-R") } ++
+      cust.filter(_._1 % 11 == 0)).toMap
+    val (f0, eff) = ("2026-01-01", "2026-06-01")
+    // independent replay of the merge semantics, one key at a time
+    val expected = (base.keySet ++ upd.keySet).toSeq.flatMap { k =>
+      (base.get(k), upd.get(k)) match {
+        case (Some(o), Some(n)) if o != n =>
+          Seq((k, o, f0, eff, false), (k, n, eff, null, true))
+        case (Some(o), _) => Seq((k, o, f0, null, true)) // no-op or absent
+        case (None, Some(n)) => Seq((k, n, eff, null, true))
+        case _ => Nil
+      }
+    }.toSet
+    val got = q("q_scd2").collect().map { r =>
+      (r.getLong(0), r.getString(1), r.getDate(2).toString,
+        Option(r.getDate(3)).map(_.toString).orNull, r.getBoolean(4))
+    }.toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    // all four merge cases must actually occur on the fixture
+    assert(got.exists(!_._5), "a closed prior version exists")
+    assert(got.exists(r => r._5 && r._3 == eff && base.contains(r._1)),
+      "a reopened (changed) version exists")
+    assert(got.exists(r => r._5 && r._3 == eff && !base.contains(r._1)),
+      "an inserted key exists")
+    assert(got.exists(r => r._5 && r._3 == f0 && upd.contains(r._1)),
+      "a no-op update passed through unversioned")
+    // versioning invariants: exactly one current row per surviving key
+    got.groupBy(_._1).foreach { case (k, vs) =>
+      assert(vs.count(_._5) == 1, s"key $k: exactly one current row")
+      assert(vs.size <= 2, s"key $k: at most two versions")
+    }
+  }
 }
