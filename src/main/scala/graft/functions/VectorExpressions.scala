@@ -482,6 +482,30 @@ object VectorFunctions {
   def neutral_hash40(c: Column): Column =
     Bridge.column(NeutralHash40(Bridge.expression(c)))
 
+  /** Avalanche a [[NeutralHash40]] value down to a uniform 31-bit hash.
+    *
+    * The raw 40-bit polynomial fold is value-uniform only once the input
+    * is long enough to wrap the modulus (~6+ bytes) — trigram shingles
+    * qualify (measured: q_agg_distinct_kmv max rel. error 0.056), but
+    * SHORT keys like stringified user ids fold to tiny, ordered values,
+    * which breaks any ORDER-STATISTIC use of the hash (a bottom-k sketch
+    * saw "1".."1500" as the 64 smallest values in the domain and
+    * overestimated 125 distinct as 1.26 M). Two xor-shift/multiply
+    * rounds (the [[SrpBandKeys.weight]] recipe, every step positive
+    * int64-safe) restore uniformity; the 2^31 domain keeps the second
+    * multiply under 2^63 so plain-SQL replay is exact. Composition of
+    * codegen'd built-ins on purpose — no custom expression needed.
+    * SQL twin: [[graft.streaming.EventStreams]] Avalanche31Ctes. */
+  def avalanche31(c: Column): Column = {
+    import org.apache.spark.sql.functions.{lit, shiftright}
+    val m = lit(2147483648L)
+    val h0 = c.bitwiseXOR(shiftright(c, 20)) % m
+    val h1 = (h0 * lit(2654435761L)) % m
+    val h2 = h1.bitwiseXOR(shiftright(h1, 15))
+    val h3 = (h2 * lit(1540483477L)) % m
+    h3.bitwiseXOR(shiftright(h3, 12))
+  }
+
   /** One-pass 64×64 integer Gram matrix of an `array<long>` column
     * (row-major 4,096-long array out). */
   def gram_matrix_agg(c: Column): Column =

@@ -160,6 +160,38 @@ object EventStreams {
         .orderBy(col("window_start_s"), col("event_type"))
     }),
 
+    // Streaming distinct-count per tumbling window via the mergeable KMV
+    // sketch: exact COUNT(DISTINCT) is unsupported in streaming
+    // aggregation (its state is unbounded per group), but the KMV buffer
+    // is 64 longs per window regardless of cardinality and merges
+    // associatively, so the SAME TypedImperativeAggregate the batch
+    // q_agg_distinct_kmv uses runs here partial/final across
+    // micro-batches. The estimate replays exactly in the batch oracle
+    // (bottom-64 order statistic), so unlike approx_count_distinct this
+    // streaming sketch is oracle-checked EXACTLY.
+    "q_stream_distinct" -> ((s, d) => {
+      import graft.functions.VectorFunctions.{avalanche31, neutral_hash40}
+      import graft.functions.KmvAgg.{kmv_agg, K}
+      // avalanche31 on top of the fold: user-id strings are SHORT, and
+      // the raw 40-bit fold is ordered on short keys — fatal for an
+      // order-statistic sketch (see VectorFunctions.avalanche31). The
+      // estimator domain is 2^31 accordingly.
+      val agg = eventStream(s, d)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(count(lit(1)).as("n_events"),
+          kmv_agg(avalanche31(neutral_hash40(col("user_id").cast("string"))))
+            .as("kmv"))
+      runToMemory(s, agg, "complete", s"kmvdv_${System.nanoTime()}")
+        .select(unix_timestamp(col("window.start")).as("window_start_s"),
+          col("n_events"),
+          when(size(col("kmv")) < K, size(col("kmv")).cast("long"))
+            .otherwise(expr(
+              s"(${K - 1} * 2147483648) div element_at(kmv, $K)"))
+            .as("kmv_dv"))
+        .orderBy(col("window_start_s"))
+    }),
+
     // Session windows (30-minute gap) per user: event-time sessionization
     // with mergeable state — the streaming twin of gaps-and-islands SQL,
     // which is exactly what the DuckDB oracle runs.
@@ -734,6 +766,40 @@ object EventStreams {
         |  CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Batch replay of the windowed KMV estimate: per day bucket, the
+    // 64th-smallest distinct avalanched hash of the user id string. The
+    // fold spelling matches the q_agg_distinct_kmv oracle; the avalanche
+    // steps replay VectorFunctions.avalanche31 stepwise (the
+    // SrpBandKeys constants — grep 2654435761/1540483477 on kernel
+    // edits, per the shared-kernel rule).
+    "q_stream_distinct" ->
+      """WITH e AS (SELECT time_bucket(INTERVAL '1 day', ts) AS ws,
+        |             CAST(user_id AS VARCHAR) AS u FROM events),
+        |f AS (SELECT DISTINCT ws,
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(string_split(u, ''),
+        |            c -> CAST(ascii(c) AS BIGINT))),
+        |          (a, c) -> (a * 1000003 + c) % 1099511627776) AS f40
+        |      FROM e),
+        |a1 AS (SELECT ws, (xor(f40, f40 >> 20) % 2147483648) AS h0 FROM f),
+        |a2 AS (SELECT ws, ((h0 * 2654435761) % 2147483648) AS h1 FROM a1),
+        |a3 AS (SELECT ws, xor(h1, h1 >> 15) AS h2 FROM a2),
+        |a4 AS (SELECT ws, ((h2 * 1540483477) % 2147483648) AS h3 FROM a3),
+        |h AS (SELECT DISTINCT ws, xor(h3, h3 >> 12) AS hv FROM a4),
+        |r AS (SELECT ws, hv,
+        |        ROW_NUMBER() OVER (PARTITION BY ws ORDER BY hv) AS rn
+        |      FROM h),
+        |cnt AS (SELECT ws, COUNT(*) AS nd FROM h GROUP BY ws),
+        |nev AS (SELECT ws, COUNT(*) AS n_events FROM e GROUP BY ws),
+        |kth AS (SELECT ws, hv AS kth FROM r WHERE rn = 64)
+        |SELECT CAST(epoch(c.ws) AS BIGINT) AS window_start_s,
+        |  CAST(n.n_events AS BIGINT) AS n_events,
+        |  CAST(CASE WHEN c.nd < 64 THEN c.nd
+        |            ELSE (63 * 2147483648) // k.kth END AS BIGINT)
+        |    AS kmv_dv
+        |FROM cnt c JOIN nev n USING (ws) LEFT JOIN kth k USING (ws)
+        |ORDER BY window_start_s""".stripMargin,
 
     "q_stream_session" ->
       """WITH x AS (

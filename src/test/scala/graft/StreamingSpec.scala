@@ -270,4 +270,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream.toSeq == batch.toSeq,
       "stateful fold must equal the batch step-wise minima")
   }
+
+  test("streaming KMV distinct equals a batch replay of the sketch") {
+    import graft.functions.VectorFunctions.{avalanche31, neutral_hash40}
+    import graft.functions.KmvAgg.{kmv_agg, K}
+    val stream = SparkEntry.queries("q_stream_distinct")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n_events"),
+        kmv_agg(avalanche31(neutral_hash40(col("user_id").cast("string"))))
+          .as("kmv"))
+      .select(unix_timestamp(col("window.start")).as("w"), col("n_events"),
+        when(size(col("kmv")) < K, size(col("kmv")).cast("long"))
+          .otherwise(expr(
+            s"(${K - 1} * 2147483648) div element_at(kmv, $K)"))
+          .as("dv"))
+      .orderBy(col("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(stream.nonEmpty && stream == batch,
+      "micro-batch KMV state must merge to the single-batch sketch")
+  }
+
+  test("the KMV estimator branch engages above K and lands near exact") {
+    // the fixture's per-day user cardinality sits under K at sf0.001, so
+    // drive the SAME aggregate over a synthetic high-cardinality column
+    // and check the order-statistic estimate is sane (within 25% here;
+    // the estimator's relative error concentrates ~1/sqrt(K-2) ≈ 13%).
+    // Sequential short keys are the adversarial case that forced the
+    // avalanche — the raw fold overestimated this by 50%+.
+    import graft.functions.VectorFunctions.{avalanche31, neutral_hash40}
+    import graft.functions.KmvAgg.{kmv_agg, K}
+    import spark.implicits._
+    val n = 5000
+    val est = (1 to n).map(i => s"user_$i").toDF("u")
+      .agg(kmv_agg(avalanche31(neutral_hash40(col("u")))).as("kmv"))
+      .select(when(size(col("kmv")) < K, size(col("kmv")).cast("long"))
+        .otherwise(expr(
+          s"(${K - 1} * 2147483648) div element_at(kmv, $K)")))
+      .head.getLong(0)
+    assert(est > K, s"estimator branch must engage (est=$est)")
+    assert(math.abs(est - n) < n / 4, s"estimate $est too far from $n")
+  }
 }
