@@ -508,15 +508,21 @@ object Dedup {
         .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
         .select(col("doc_a"), col("doc_b"), col("inter"),
           col("sa.n").as("na"), col("sb.n").as("nb"))
-      val aInB = scored.select(col("doc_a").as("contained"),
-        col("doc_b").as("container"),
-        floor(col("inter").cast("double") / col("na").cast("double")
-          * lit(1e6)).cast("long").as("containment_q"))
-      val bInA = scored.select(col("doc_b").as("contained"),
-        col("doc_a").as("container"),
-        floor(col("inter").cast("double") / col("nb").cast("double")
-          * lit(1e6)).cast("long").as("containment_q"))
-      aInB.unionAll(bInA)
+      // both directions from ONE pass over the scored pairs: a union of
+      // two selects re-derives the whole inverted-index pipeline per
+      // branch (the clusterLabels lesson — measured 2× this query's
+      // cost), where a per-row 2-element struct array + explode emits
+      // the swap map-side with zero recompute
+      scored.select(explode(array(
+          struct(col("doc_a").as("contained"), col("doc_b").as("container"),
+            floor(col("inter").cast("double") / col("na").cast("double")
+              * lit(1e6)).cast("long").as("containment_q")),
+          struct(col("doc_b").as("contained"), col("doc_a").as("container"),
+            floor(col("inter").cast("double") / col("nb").cast("double")
+              * lit(1e6)).cast("long").as("containment_q")))).as("r"))
+        .select(col("r.contained").as("contained"),
+          col("r.container").as("container"),
+          col("r.containment_q").as("containment_q"))
         .where(col("containment_q") > 800000L)
         .orderBy(col("contained"), col("container"))
     }),
