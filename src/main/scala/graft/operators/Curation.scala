@@ -29,6 +29,37 @@ object Curation {
 
   val defs: Map[String, Q] = Map(
 
+    // N-gram novelty against a frozen reference slice (source = 'src0'):
+    // per candidate document, the share of its distinct trigram shingles
+    // absent from the ENTIRE reference corpus — the mixing signal that
+    // ranks incoming data by how much it adds over what the model
+    // already trained on (decontamination's complement: there the
+    // overlap disqualifies, here the non-overlap is the value). Shingles
+    // ride the shared Dedup.ShingleExpr kernel. Scale shape: the
+    // reference's distinct-shingle table builds once with map-side
+    // combine, candidates LEFT ANTI join it on the shingle — one
+    // equi-shuffle, no arrays through the join; at 100 TB swap the anti
+    // join for a bloom filter of the reference set (the q_dedup_bloom
+    // machinery) and the same plan keeps one corpus scan per side.
+    "q_curation_novelty" -> ((s, d) => {
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("source"),
+          explode(expr(Dedup.ShingleExpr)).as("sh"))
+      val ref = sh.where(col("source") === "src0")
+        .select(col("sh")).distinct()
+      val cand = sh.where(col("source") =!= "src0")
+      val totals = cand.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val novel = cand.join(ref, Seq("sh"), "left_anti")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+      totals.join(novel, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_sh"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          expr("(1000 * coalesce(n_novel, 0)) div n_sh").as("novelty_pm"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic stratified sampling: per-language permille rates
     // applied by hashing the KEY, not by drawing randoms — the same doc
     // is kept or dropped on every run, on any partitioning, on any
@@ -446,6 +477,30 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    // Same trigram construction as the Dedup family's ngram oracle;
+    // novelty counted via the anti-join spelling.
+    "q_curation_novelty" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, source,
+        |        UNNEST(CASE WHEN len(w) >= 3 THEN
+        |          list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                         for i in generate_series(1, len(w) - 2)])
+        |        ELSE [array_to_string(w, ' ')] END) AS sh
+        |      FROM t),
+        |ref AS (SELECT DISTINCT sh FROM g WHERE source = 'src0'),
+        |cand AS (SELECT doc_id, sh FROM g WHERE source <> 'src0'),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_sh FROM cand GROUP BY doc_id),
+        |nov AS (SELECT c.doc_id, COUNT(*) AS n_novel FROM cand c
+        |        WHERE NOT EXISTS (SELECT 1 FROM ref r WHERE r.sh = c.sh)
+        |        GROUP BY c.doc_id)
+        |SELECT t.doc_id, t.n_sh,
+        |  CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
+        |  (1000 * CAST(COALESCE(n.n_novel, 0) AS BIGINT)) // t.n_sh
+        |    AS novelty_pm
+        |FROM tot t LEFT JOIN nov n USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+
     "q_sample_hash" ->
       """WITH h AS (
         |  SELECT doc_id, lang,

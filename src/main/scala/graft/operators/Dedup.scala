@@ -31,7 +31,7 @@ object Dedup {
 
   /** Distinct word-trigram shingles from a `toks` array column, guarded
     * for texts shorter than 3 words (whole text as one shingle). */
-  private val ShingleExpr =
+  private[operators] val ShingleExpr =
     """CASE WHEN size(toks) >= 3 THEN
       |  array_distinct(transform(
       |    sequence(1, size(toks) - 2),

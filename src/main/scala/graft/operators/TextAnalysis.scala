@@ -208,6 +208,48 @@ object TextAnalysis {
         .orderBy(col("pattern"))
     }),
 
+    // Zipf rank-frequency slope per source: OLS fit of ln(count) on
+    // ln(rank) over the word-frequency table — the corpus-health
+    // diagnostic (natural text ≈ −1; the fixture's ~40-word uniform
+    // soup fits shallow, which is itself the signal: flat slope = low
+    // diversity / synthetic text). Rank ties break on the word so both
+    // engines rank identically. Per-term ln values are 1e3-floor-
+    // quantized so the FIVE sufficient statistics are exact integer
+    // sums (the q_agg_corr shape — OLS on a vocab-sized table after
+    // one corpus-scan aggregation); envelope: ~1e5 types keeps
+    // n·Σxy under 2^63. The slope itself is integer div, per-mille.
+    "q_text_zipf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cnt = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      val ranked = cnt.withColumn("rn", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("c").desc, col("w"))))
+        .select(col("source"), col("c"),
+          floor(log(col("rn").cast("double")) * 1000).cast("long").as("xq"),
+          floor(log(col("c").cast("double")) * 1000).cast("long").as("yq"))
+      ranked.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_types"),
+          sum(col("c")).as("n_tokens"),
+          sum(col("xq")).as("sx"), sum(col("yq")).as("sy"),
+          sum(col("xq") * col("xq")).as("sxx"),
+          sum(col("xq") * col("yq")).as("sxy"))
+        .select(col("source"), col("n_types"), col("n_tokens"),
+          (lit(1000) * (col("n_types") * col("sxy") - col("sx") * col("sy")))
+            .as("num"),
+          (col("n_types") * col("sxx") - col("sx") * col("sx")).as("den"))
+        // FLOOR division: the numerator is negative (Zipf slopes are),
+        // and Spark's `div` truncates toward zero where DuckDB's `//`
+        // floors — (num - mod_floor) div den is exact and engine-equal
+        // (both engines' % is C-style truncated remainder)
+        .select(col("source"), col("n_types"), col("n_tokens"),
+          expr("""CASE WHEN den = 0 THEN NULL
+                 |ELSE (num - ((num % den + den) % den)) div den
+                 |END""".stripMargin).as("slope_pm"))
+        .orderBy(col("source"))
+    }),
+
     // Tokenization: whitespace count vs a BPE-ish regex ([a-z]+ runs,
     // digit runs, single other glyphs) — the regex subset chosen to
     // behave identically under Java regex and RE2.
@@ -797,6 +839,36 @@ object TextAnalysis {
          |       CAST(SUM(hits) AS BIGINT) AS n_hits
          |FROM m GROUP BY p ORDER BY p""".stripMargin
     },
+
+    // Same rank construction and 1e3-floor ln quantization; the OLS is
+    // pure integer arithmetic on the five sums, so the replay is exact
+    // (DuckDB hugeint sums cast back inside BIGINT).
+    "q_text_zipf" ->
+      """WITH tok AS (SELECT source, UNNEST(string_split(text, ' ')) AS w
+        |            FROM documents),
+        |cnt AS (SELECT source, w, COUNT(*) AS c
+        |        FROM tok GROUP BY source, w),
+        |rk AS (SELECT source, c,
+        |         CAST(FLOOR(LN(CAST(ROW_NUMBER() OVER (
+        |             PARTITION BY source ORDER BY c DESC, w)
+        |           AS DOUBLE)) * 1000) AS BIGINT) AS xq,
+        |         CAST(FLOOR(LN(CAST(c AS DOUBLE)) * 1000) AS BIGINT) AS yq
+        |       FROM cnt),
+        |st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types,
+        |         CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |         CAST(SUM(xq) AS BIGINT) AS sx,
+        |         CAST(SUM(yq) AS BIGINT) AS sy,
+        |         CAST(SUM(xq * xq) AS BIGINT) AS sxx,
+        |         CAST(SUM(xq * yq) AS BIGINT) AS sxy
+        |       FROM rk GROUP BY source),
+        |nd AS (SELECT source, n_types, n_tokens,
+        |         1000 * (n_types * sxy - sx * sy) AS num,
+        |         n_types * sxx - sx * sx AS den FROM st)
+        |SELECT source, n_types, n_tokens,
+        |  CASE WHEN den = 0 THEN NULL
+        |       ELSE (num - ((num % den + den) % den)) // den
+        |  END AS slope_pm
+        |FROM nd ORDER BY source""".stripMargin,
 
     // Byte-exact replay of RollingFingerprint.minWindowHash (window 16,
     // base 1000003, mod 2147483647): the recursion carries (h, min) per

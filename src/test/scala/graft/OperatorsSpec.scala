@@ -1561,6 +1561,61 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("zipf slope equals an in-memory integer OLS over quantized logs") {
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ", -1).map(r.getString(0) -> _))
+    val bySource = toks.groupBy(_._1)
+    val rows = q("q_text_zipf").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.keySet == bySource.keySet)
+    bySource.foreach { case (src, ws) =>
+      val cnt = ws.groupBy(_._2).view.mapValues(_.length.toLong).toSeq
+        .sortBy { case (w, c) => (-c, w) }
+      val qs = cnt.zipWithIndex.map { case ((_, c), i) =>
+        (math.floor(math.log((i + 1).toDouble) * 1000).toLong,
+          math.floor(math.log(c.toDouble) * 1000).toLong)
+      }
+      val n = qs.length.toLong
+      val (sx, sy) = (qs.map(_._1).sum, qs.map(_._2).sum)
+      val sxx = qs.map(p => p._1 * p._1).sum
+      val sxy = qs.map(p => p._1 * p._2).sum
+      val num = 1000L * (n * sxy - sx * sy)
+      val den = n * sxx - sx * sx
+      val slope = Math.floorDiv(num, den)
+      val (nTypes, nTok, slopePm) = rows(src)
+      assert(nTypes == n && nTok == ws.length.toLong)
+      assert(slopePm == slope, s"$src: $slopePm != $slope")
+      assert(slopePm < 0, "rank-frequency slope must be negative")
+    }
+  }
+
+  test("novelty equals an in-memory reference-set diff, both tails present") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def sh(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toSet
+      else Set(w.mkString(" "))
+    }
+    val ref = docs.filter(_._2 == "src0").flatMap(d => sh(d._3)).toSet
+    val expected = docs.filter(_._2 != "src0").map { case (id, _, t) =>
+      val ss = sh(t)
+      val nov = ss.count(!ref.contains(_)).toLong
+      (id, ss.size.toLong, nov, 1000L * nov / ss.size)
+    }.toSet
+    val got = q("q_curation_novelty").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    assert(got.exists(_._3 > 0), "some document must carry novel shingles")
+    assert(got.exists(r => r._3 < r._2),
+      "some document must overlap the reference")
+  }
+
   test("blocklist counts equal an in-memory position scan; non-vacuous") {
     val pats = graft.operators.TextAnalysis.BlocklistPatterns
     val texts = graft.sources.Tables.documents(spark, sf)
