@@ -195,7 +195,7 @@ object ScaleProbe {
       .map(_.split(",").toSet)
       .getOrElse(Set("pipeline", "cc_corpus", "cc_chain", "topk",
         "lsh", "semantic", "recall", "graph", "triangles", "cdc", "kcore",
-        "prefix"))
+        "prefix", "blocklist"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outBase = s"${sys.props("java.io.tmpdir")}/graft_scale"
@@ -534,6 +534,80 @@ object ScaleProbe {
         s""""inverted":{"pairs":${inv.size},"wall_s":${f"$wInv%.2f"},""" +
         s""""shuffle_mb":${(swI + srI) / 1048576}},""" +
         s""""contains_all_strict_pairs":true}""")
+    }
+
+    // ---- blocklist: automaton vs k-scan at growing pattern counts --
+    // The q_text_blocklist claim made measurable: the Aho–Corasick pass
+    // reads each byte once regardless of pattern count, while the naive
+    // per-pattern spelling (length-minus-replace — the cheapest k-scan
+    // Spark can run without the automaton) pays one full-text pass PER
+    // pattern. Patterns are two-word phrases built deterministically
+    // from the corpus vocabulary (bounded driver traffic), k ∈
+    // {8, 64, 512}, over the ×10 amplified corpus. Totals from both
+    // arms are emitted as the cross-check (word phrases cannot
+    // self-overlap, so occurrence conventions agree).
+    if (sections("blocklist")) {
+      val dir = if (maxFactor >= 10) amplify(spark, sfDir, 10, outBase)
+        else sfDir
+      val nDocs = Tables.documents(spark, dir).count()
+      val vocab = Tables.documents(spark, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")) >= 3)
+        .distinct().orderBy(col("w")).limit(40)
+        .collect().map(_.getString(0)) // ≤ 40 rows: bounded by design
+      Seq(8, 64, 512, 4096).foreach { k =>
+        // +1 offset keeps adjacent words distinct (a doubled-word phrase
+        // like "agg agg" self-overlaps in "agg agg agg", where AC counts
+        // every end position but replace() consumes greedily). Above the
+        // ~1.6k distinct-pair ceiling of a 40-word vocabulary the
+        // patterns become word triples.
+        val pats = (0 until k).map { i =>
+          val n = vocab.length
+          val a = vocab(i % n)
+          val b = vocab((i / n + i + 1) % n)
+          if (k <= 1000) s"$a $b"
+          else {
+            // last word must differ from the first: "x y x" self-overlaps
+            val c0 = (i / 1600 + i * 7 + 3) % n
+            s"$a $b ${vocab(if (c0 == i % n) (c0 + 1) % n else c0)}"
+          }
+        }.distinct
+        // Both arms produce the identical per-pattern counts array; the
+        // TIMED leg forces it through a codegen'd xxhash64-of-array sum
+        // (O(k) per row at ~ns/element — any k-row reduction would bury
+        // the scans being compared: a posexplode+sum reduction alone
+        // cost 7-9 s at k = 512, and an interpreted aggregate() HOF
+        // 25.6M lambda frames). The arms differ ONLY in how counts
+        // derive: one automaton pass vs one replace() full-text scan
+        // per pattern. Equal hash sums prove the arrays identical
+        // element-for-element; hit totals come from one untimed pass.
+        // (A k-term reduce(_ + _) chain was worse still: the left-
+        // nested Column tree overflows the analyzer stack at k = 512 —
+        // the flat-expression naive spelling can't even ANALYZE at
+        // production blocklist sizes.)
+        import graft.functions.TextFunctions.multi_pattern_counts
+        val acCounts = multi_pattern_counts(col("text"), pats)
+        val naiveCounts = transform(array(pats.map(lit): _*),
+          p => ((length(col("text")) -
+            length(replace(col("text"), p, lit("")))) / length(p))
+            .cast("long"))
+        def forced(counts: org.apache.spark.sql.Column): Long =
+          Tables.documents(spark, dir)
+            .select(xxhash64(counts).as("h"))
+            .agg(expr("bit_xor(h)")).head.getLong(0) // full-range hashes
+                                                     // overflow an ANSI sum
+        val (acHash, wAc, _, _, _, _) =
+          measured(spark, agg) { forced(acCounts) }
+        val (nvHash, wNv, _, _, _, _) =
+          measured(spark, agg) { forced(naiveCounts) }
+        val acTotal = Tables.documents(spark, dir).select(acCounts.as("c"))
+          .select(posexplode(col("c")).as(Seq("pid", "h")))
+          .agg(sum(col("h"))).head.getLong(0)
+        emit(s"""{"probe":"blocklist","factor":10,"docs":$nDocs,""" +
+          s""""k":${pats.length},"ac_wall_s":${f"$wAc%.2f"},""" +
+          s""""naive_wall_s":${f"$wNv%.2f"},"hits":$acTotal,""" +
+          s""""arms_identical":${acHash == nvHash}}""")
+      }
     }
 
     // ---- 8. integer PageRank over the amplified near-dup graph -----
