@@ -295,6 +295,27 @@ object Curation {
         .orderBy(col("lang"), col("split"))
     }),
 
+    // Leakage-safe train/valid/test split: hash the near-dup cluster
+    // CANONICAL id, not the doc id, so every member of a duplicate
+    // family lands in the SAME split by construction. The doc-keyed
+    // split (q_split_assign's shape at 80/10/10) measurably leaks on
+    // the fixture — 5 of 28 near-dup pairs straddle splits at sf0.001
+    // (spec-demonstrated) — which is exactly how eval contamination
+    // enters a pretraining corpus: the model trains on a near-copy of
+    // a held-out document. Rides the memoized pair table + CC labels
+    // (one mining pass per session); the split itself is a map-side
+    // expression over the label table.
+    "q_split_leakage" -> ((s, d) => {
+      Dedup.clusterLabels(s, d)
+        .select(col("doc_id"), col("keep_id"),
+          expr("((keep_id % 1048576) * 2654435761 >> 16) % 1000").as("hb"))
+        .withColumn("split",
+          when(col("hb") < 800, "train")
+            .when(col("hb") < 900, "valid").otherwise("test"))
+        .select(col("doc_id"), col("keep_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // CCNet-style perplexity bucketing: per language, rank documents by
     // their statistical-LM score (the shared add-1 bigram scorer behind
     // q_text_lm_score) and split into head/middle/tail terciles — the
@@ -652,6 +673,39 @@ object Curation {
         |SELECT lang, split, COUNT(*) AS n_docs,
         |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
         |FROM a GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    // Same cluster-label CTE block as the q_dedup_clusters oracle, then
+    // the split is the shared hash arithmetic applied to keep_id.
+    "q_split_leakage" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                       for i in generate_series(1, len(w) - 2)])
+        |      ELSE [array_to_string(w, ' ')] END AS sh
+        |      FROM t),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        len(list_intersect(a.sh, b.sh)) AS inter,
+        |        len(a.sh) AS na, len(b.sh) AS nb
+        |      FROM g a JOIN g b ON a.doc_id < b.doc_id),
+        |pairs AS (SELECT doc_a, doc_b FROM p
+        |          WHERE inter / (na + nb - inter) > 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |rec AS (
+        |  WITH RECURSIVE reach(id, lbl) AS (
+        |    SELECT doc_id, doc_id FROM documents
+        |    UNION
+        |    SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+        |    WHERE r.lbl < e.dst
+        |  ) SELECT id, MIN(lbl) AS keep_id FROM reach GROUP BY id),
+        |h AS (SELECT id AS doc_id, keep_id,
+        |        ((keep_id % 1048576) * 2654435761 >> 16) % 1000 AS hb
+        |      FROM rec)
+        |SELECT doc_id, keep_id,
+        |  CASE WHEN hb < 800 THEN 'train'
+        |       WHEN hb < 900 THEN 'valid' ELSE 'test' END AS split
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     // Rides TextAnalysis.LmScoreCtes so the LM derivation has exactly
     // one SQL replica (shared-kernel discipline).

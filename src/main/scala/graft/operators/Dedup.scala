@@ -181,7 +181,7 @@ object Dedup {
     * own swap would re-derive the whole inverted-index pipeline once
     * per branch (measured ~2× the query's cost), and the memo shares
     * ONE materialization across every graph consumer. */
-  private def clusterLabels(s: SparkSession, d: String): DataFrame = {
+  private[operators] def clusterLabels(s: SparkSession, d: String): DataFrame = {
     val pairs = ngramJaccardPairsMemo(s, d)
     val edges = pairs.unionAll(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))

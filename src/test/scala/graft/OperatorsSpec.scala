@@ -1561,6 +1561,35 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("cluster-keyed split never straddles a near-dup pair; doc-keyed does") {
+    val asg = q("q_split_leakage").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val pairs = q("q_dedup_ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(asg.size.toLong == nDocs, "every document is assigned")
+    assert(asg.values.map(_._2).toSet == Set("train", "valid", "test"),
+      "all three splits are populated")
+    // THE property: both endpoints of every near-dup pair share a split
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(asg(a)._2 == asg(b)._2, s"pair ($a,$b) straddles splits")
+      assert(asg(a)._1 == asg(b)._1, "near-dup pair in different clusters")
+    }
+    // split is a pure function of the cluster canonical
+    asg.values.groupBy(_._1).foreach { case (k, vs) =>
+      assert(vs.map(_._2).toSet.size == 1, s"cluster $k split-inconsistent")
+    }
+    // the contrast: the SAME hash applied to doc_id (q_split_assign's
+    // shape at 80/10/10) leaks eval data through near-dup twins
+    def docSplit(id: Long): Int = {
+      val hb = (((id % 1048576) * 2654435761L) >> 16) % 1000
+      if (hb < 800) 0 else if (hb < 900) 1 else 2
+    }
+    assert(pairs.exists { case (a, b) => docSplit(a) != docSplit(b) },
+      "fixture must demonstrate the doc-keyed straddle the operator fixes")
+  }
+
   test("zipf slope equals an in-memory integer OLS over quantized logs") {
     val toks = graft.sources.Tables.documents(spark, sf)
       .select(col("source"), col("text")).collect()
