@@ -47,16 +47,19 @@ object Curation {
           split(col("text"), " ").as("toks"))
         .select(col("doc_id"), col("source"),
           explode(expr(Dedup.ShingleExpr)).as("sh"))
+      // totals and novel counts in ONE pass: a LEFT join against the
+      // reference set with null-flag counting, instead of a separate
+      // totals aggregation + anti join (which scanned the corpus three
+      // times — plan-asserted down to two)
       val ref = sh.where(col("source") === "src0")
-        .select(col("sh")).distinct()
+        .select(col("sh")).distinct().withColumn("in_ref", lit(1))
       val cand = sh.where(col("source") =!= "src0")
-      val totals = cand.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val novel = cand.join(ref, Seq("sh"), "left_anti")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
-      totals.join(novel, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_sh"),
-          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
-          expr("(1000 * coalesce(n_novel, 0)) div n_sh").as("novelty_pm"))
+      cand.join(ref, Seq("sh"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sh"),
+          sum(when(col("in_ref").isNull, 1L).otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"), col("n_sh"), col("n_novel"),
+          expr("(1000 * n_novel) div n_sh").as("novelty_pm"))
         .orderBy(col("doc_id"))
     }),
 

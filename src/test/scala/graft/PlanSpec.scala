@@ -622,6 +622,47 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("SCD2 merge is ONE join with map-side version emit, no union re-scan") {
+    val p = plan("q_scd2")
+    val joins = p.split('\n').count(l =>
+      l.contains("Join") && !l.contains("BroadcastExchange"))
+    // the naive three-branch UNION spelling re-plans this join PER
+    // BRANCH (3 joins); the map-side emit keeps exactly one. (A Union
+    // below the join is fine — the update extract is itself built from
+    // two filtered scans.)
+    assert(joins == 1, s"expected exactly one join stage:\n$p")
+    assert(p.contains("Generate"), "versions must come from a map-side explode")
+    assert(fileReads("q_scd2", "customer.parquet") <= 3,
+      "base (1 scan) + extract (2 filtered scans) bound the dim reads")
+  }
+
+  test("blocklist counts derive in the scan stage; one tiny rollup shuffle") {
+    val p = plan("q_text_blocklist")
+    assert(p.contains("multi_pattern_counts"), "the compiled AC pass is live")
+    assert(fileReads("q_text_blocklist", "documents.parquet") == 1,
+      "the corpus is scanned exactly once")
+    val exchanges = p.split('\n').count(_.contains("Exchange"))
+    // one partial/final agg boundary (+AQE reads) — never a join shuffle
+    assert(!p.contains("Join"), s"no join belongs in this plan:\n$p")
+  }
+
+  test("novelty is one reference left-join pass, corpus read at most twice") {
+    val p = plan("q_curation_novelty")
+    val joins = p.split('\n').count(l =>
+      l.contains("Join") && !l.contains("BroadcastExchange"))
+    assert(joins == 1, s"totals+novel must share one join pass:\n$p")
+    assert(!p.contains("NestedLoop"), "reference join must be hash/merge")
+    assert(fileReads("q_curation_novelty", "documents.parquet") <= 2,
+      "reference + candidate sides bound the corpus reads at two")
+  }
+
+  test("zipf statistics aggregate per source after one corpus scan") {
+    assert(fileReads("q_text_zipf", "documents.parquet") == 1,
+      "the corpus is scanned exactly once")
+    val p = plan("q_text_zipf")
+    assert(p.contains("HashAggregate"), "counts flow through hash aggregation")
+  }
+
   test("dynamic partition overwrite leaves untouched partitions' files intact") {
     val rows = SparkEntry.queries("q_layout_incremental")(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
