@@ -298,6 +298,43 @@ object Curation {
         .orderBy(col("lang"), col("split"))
     }),
 
+    // In-batch negative pairs for contrastive training, with
+    // false-negative filtering: hash documents into training batches,
+    // take every within-batch ordered pair (a < b) as a candidate
+    // negative, and EXCLUDE pairs the near-dup miner knows are
+    // near-copies — training "apart" on a near-duplicate is the classic
+    // false-negative failure of in-batch sampling. Output is
+    // analytics-sized (per batch: doc/pair/excluded counts + a digest
+    // of the kept pairs), never pair-sized. Scale shape: the candidate
+    // stage is a self-equi-join ON THE BATCH KEY, so the quadratic is
+    // bounded by batch_size² — a bound the training-batch semantics
+    // impose anyway; batch count grows as n/batch_size (the fixture
+    // pins 4 batches so the exclusion path is provably non-vacuous:
+    // 10 of 28 near-dup pairs land same-batch at sf0.001). The
+    // exclusion table is the memoized pair memo — broadcast-sized.
+    "q_sample_negatives" -> ((s, d) => {
+      val b = Tables.documents(s, d).select(col("doc_id"),
+        expr("((doc_id % 1048576) * 2654435761 >> 16) % 4").as("batch"))
+      val cand = b.as("x").join(b.as("y"),
+          col("x.batch") === col("y.batch") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.batch").as("batch"), col("x.doc_id").as("doc_a"),
+          col("y.doc_id").as("doc_b"))
+      val nd = Dedup.ngramJaccardPairsMemo(s, d).withColumn("dup", lit(1))
+      val sizes = b.groupBy(col("batch")).agg(count(lit(1)).as("n_docs"))
+      cand.join(broadcast(nd), Seq("doc_a", "doc_b"), "left")
+        .groupBy(col("batch"))
+        .agg(sum(when(col("dup").isNull, 1L).otherwise(0L)).as("n_neg_pairs"),
+          sum(when(col("dup").isNotNull, 1L).otherwise(0L)).as("n_excluded"),
+          sum(when(col("dup").isNull,
+            col("doc_a") * 100003L + col("doc_b")).otherwise(0L))
+            .as("pair_digest"))
+        .join(broadcast(sizes), Seq("batch"))
+        .select(col("batch"), col("n_docs"), col("n_neg_pairs"),
+          col("n_excluded"), col("pair_digest"))
+        .orderBy(col("batch"))
+    }),
+
     // Leakage-safe train/valid/test split: hash the near-dup cluster
     // CANONICAL id, not the doc id, so every member of a duplicate
     // family lands in the SAME split by construction. The doc-keyed
@@ -676,6 +713,48 @@ object Curation {
         |SELECT lang, split, COUNT(*) AS n_docs,
         |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
         |FROM a GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    // Standard pairs CTE block for the exclusion, the shared batch hash
+    // for assignment, and the same null-flag conditional counting.
+    "q_sample_negatives" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                       for i in generate_series(1, len(w) - 2)])
+        |      ELSE [array_to_string(w, ' ')] END AS sh
+        |      FROM t),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        len(list_intersect(a.sh, b.sh)) AS inter,
+        |        len(a.sh) AS na, len(b.sh) AS nb
+        |      FROM g a JOIN g b ON a.doc_id < b.doc_id),
+        |pairs AS (SELECT doc_a, doc_b FROM p
+        |          WHERE inter / (na + nb - inter) > 0.5),
+        |b AS (SELECT doc_id,
+        |        ((doc_id % 1048576) * 2654435761 >> 16) % 4 AS batch
+        |      FROM documents),
+        |cand AS (SELECT x.batch, x.doc_id AS doc_a, y.doc_id AS doc_b
+        |         FROM b x JOIN b y
+        |           ON x.batch = y.batch AND x.doc_id < y.doc_id),
+        |f AS (SELECT c.batch, c.doc_a, c.doc_b,
+        |        EXISTS (SELECT 1 FROM pairs p
+        |                WHERE p.doc_a = c.doc_a AND p.doc_b = c.doc_b)
+        |          AS dup
+        |      FROM cand c),
+        |agg AS (SELECT batch,
+        |          CAST(COUNT(*) FILTER (WHERE NOT dup) AS BIGINT)
+        |            AS n_neg_pairs,
+        |          CAST(COUNT(*) FILTER (WHERE dup) AS BIGINT)
+        |            AS n_excluded,
+        |          CAST(SUM(CASE WHEN NOT dup
+        |                   THEN doc_a * 100003 + doc_b ELSE 0 END)
+        |            AS BIGINT) AS pair_digest
+        |        FROM f GROUP BY batch),
+        |sz AS (SELECT batch, COUNT(*) AS n_docs FROM b GROUP BY batch)
+        |SELECT a.batch, s.n_docs, a.n_neg_pairs, a.n_excluded,
+        |       a.pair_digest
+        |FROM agg a JOIN sz s USING (batch)
+        |ORDER BY a.batch""".stripMargin,
 
     // Same cluster-label CTE block as the q_dedup_clusters oracle, then
     // the split is the shared hash arithmetic applied to keep_id.

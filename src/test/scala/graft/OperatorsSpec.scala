@@ -1561,6 +1561,29 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("in-batch negatives equal an in-memory replay; exclusion fires") {
+    val ids = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val nd = q("q_dedup_ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def batch(id: Long): Long = (((id % 1048576) * 2654435761L) >> 16) % 4
+    val byBatch = ids.groupBy(batch)
+    val expected = byBatch.map { case (bk, ds) =>
+      val cand = for (a <- ds; b <- ds if a < b) yield (a, b)
+      val (dup, kept) = cand.partition(nd.contains)
+      (bk, ds.length.toLong, kept.length.toLong, dup.length.toLong,
+        kept.map { case (a, b) => a * 100003L + b }.sum)
+    }.toSet
+    val got = q("q_sample_negatives").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(2)} extra=${(got -- expected).take(2)}")
+    assert(got.map(_._4).sum > 0,
+      "the near-dup exclusion must fire on the fixture (else vacuous)")
+    assert(got.forall(_._3 > 0), "every batch yields negative pairs")
+  }
+
   test("cluster-keyed split never straddles a near-dup pair; doc-keyed does") {
     val asg = q("q_split_leakage").collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
