@@ -1478,7 +1478,44 @@ object Extended {
     // into base LEFT JOIN broadcast(upd) + upd ANTI base so the big
     // side never reshuffles; the full outer here keeps one plan for
     // arbitrary extract/dim ratios.
-    "q_scd2" -> ((s, d) => {
+    "q_scd2" -> ((s, d) =>
+      scd2Dim(s, d).orderBy(col("c_custkey"), col("valid_from"))),
+
+    // Point-in-time-correct temporal join: enrich each event with the
+    // dimension attribute that was valid AT EVENT TIME — the
+    // training-serving-skew killer (joining the CURRENT attribute
+    // backfills future information into training features; the version
+    // filter makes the feature reproducible as-of any date). Equi-join
+    // on the key with the validity-window filter in the join condition;
+    // the SCD2 dim carries ≤ 2 versions per key, so no fan-out, and at
+    // fact×dim scale the dim side broadcasts exactly like any other
+    // star join — versioning adds a filter, not a shuffle. Events whose
+    // key entered the dim only at the effective date correctly find no
+    // version before it (inner join drops them: the feature did not
+    // exist then).
+    "q_join_temporal" -> ((s, d) => {
+      val dim = scd2Dim(s, d).select(col("c_custkey"), col("segment"),
+        col("valid_from").cast("timestamp").as("vf"),
+        col("valid_to").cast("timestamp").as("vt"))
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .join(broadcast(dim),
+          col("user_id") === col("c_custkey") && col("ts") >= col("vf") &&
+            (col("vt").isNull || col("ts") < col("vt")))
+        .select(col("event_id"), col("user_id"), col("segment"))
+        .orderBy(col("event_id"))
+    })
+  )
+
+  /** The SCD2 merge result (unsorted) — shared by q_scd2 (which adds
+    * the published ORDER BY) and q_join_temporal (which joins events
+    * against the versions). Validity dates straddle the events
+    * fixture's January-2024 span so the temporal join exercises BOTH
+    * versions: base valid from 2024-01-01, updates effective
+    * 2024-01-16 (the same mid-month boundary the PSI drift split
+    * uses). */
+  private[queries] def scd2Dim(s: SparkSession, d: String): DataFrame = {
+    {
       val cust = Tables.customer(s, d)
       val base = cust.where(col("c_custkey") % 11 =!= 0)
         .select(col("c_custkey"), col("c_mktsegment").as("seg_old"))
@@ -1489,8 +1526,8 @@ object Extended {
             .otherwise(concat(col("c_mktsegment"), lit("-R"))).as("seg_new"))
         .unionByName(cust.where(col("c_custkey") % 11 === 0)
           .select(col("c_custkey"), col("c_mktsegment").as("seg_new")))
-      val from0 = lit(java.sql.Date.valueOf("2026-01-01"))
-      val eff = lit(java.sql.Date.valueOf("2026-06-01"))
+      val from0 = lit(java.sql.Date.valueOf("2024-01-01"))
+      val eff = lit(java.sql.Date.valueOf("2024-01-16"))
       base.join(upd, Seq("c_custkey"), "full_outer")
         .select(col("c_custkey"), explode(filter(array(
           // close the prior version — only on a REAL attribute change
@@ -1516,11 +1553,49 @@ object Extended {
           col("r.valid_from").as("valid_from"),
           col("r.valid_to").as("valid_to"),
           col("r.is_current").as("is_current"))
-        .orderBy(col("c_custkey"), col("valid_from"))
-    })
-  )
+    }
+  }
 
   val oracles: Map[String, String] = Map(
+    // The SCD2 version table rebuilt by the same three-branch spelling,
+    // then the validity-window join at event time.
+    "q_join_temporal" ->
+      """WITH base AS (SELECT c_custkey, c_mktsegment AS seg_old
+        |              FROM customer WHERE c_custkey % 11 <> 0),
+        |upd AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 15 = 0 THEN c_mktsegment
+        |              ELSE c_mktsegment || '-R' END AS seg_new
+        |  FROM customer WHERE c_custkey % 5 = 0 AND c_custkey % 11 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment
+        |  FROM customer WHERE c_custkey % 11 = 0),
+        |j AS (SELECT COALESCE(b.c_custkey, u.c_custkey) AS c_custkey,
+        |        seg_old, seg_new
+        |      FROM base b FULL OUTER JOIN upd u
+        |        ON b.c_custkey = u.c_custkey),
+        |dim AS (
+        |  SELECT c_custkey, seg_old AS segment,
+        |         TIMESTAMP '2024-01-01 00:00:00' AS vf,
+        |         TIMESTAMP '2024-01-16 00:00:00' AS vt
+        |  FROM j WHERE seg_old IS NOT NULL AND seg_new IS NOT NULL
+        |         AND seg_old <> seg_new
+        |  UNION ALL
+        |  SELECT c_custkey, seg_new, TIMESTAMP '2024-01-16 00:00:00',
+        |         CAST(NULL AS TIMESTAMP)
+        |  FROM j WHERE seg_new IS NOT NULL
+        |         AND (seg_old IS NULL OR seg_old <> seg_new)
+        |  UNION ALL
+        |  SELECT c_custkey, seg_old, TIMESTAMP '2024-01-01 00:00:00',
+        |         CAST(NULL AS TIMESTAMP)
+        |  FROM j WHERE seg_old IS NOT NULL
+        |         AND (seg_new IS NULL OR seg_old = seg_new))
+        |SELECT e.event_id, e.user_id, d.segment
+        |FROM events e JOIN dim d
+        |  ON e.user_id = d.c_custkey AND e.ts >= d.vf
+        |  AND (d.vt IS NULL OR e.ts < d.vt)
+        |ORDER BY e.event_id""".stripMargin,
+
     // The three-branch UNION ALL spelling of the SCD2 merge (per-branch
     // re-scan of the joined frame — the naive plan the single-pass
     // struct-array emit avoids).
@@ -1540,17 +1615,17 @@ object Extended {
         |      FROM base b FULL OUTER JOIN upd u
         |        ON b.c_custkey = u.c_custkey)
         |SELECT c_custkey, seg_old AS segment,
-        |       DATE '2026-01-01' AS valid_from,
-        |       DATE '2026-06-01' AS valid_to, FALSE AS is_current
+        |       DATE '2024-01-01' AS valid_from,
+        |       DATE '2024-01-16' AS valid_to, FALSE AS is_current
         |FROM j WHERE seg_old IS NOT NULL AND seg_new IS NOT NULL
         |       AND seg_old <> seg_new
         |UNION ALL
-        |SELECT c_custkey, seg_new, DATE '2026-06-01',
+        |SELECT c_custkey, seg_new, DATE '2024-01-16',
         |       CAST(NULL AS DATE), TRUE
         |FROM j WHERE seg_new IS NOT NULL
         |       AND (seg_old IS NULL OR seg_old <> seg_new)
         |UNION ALL
-        |SELECT c_custkey, seg_old, DATE '2026-01-01',
+        |SELECT c_custkey, seg_old, DATE '2024-01-01',
         |       CAST(NULL AS DATE), TRUE
         |FROM j WHERE seg_old IS NOT NULL
         |       AND (seg_new IS NULL OR seg_old = seg_new)

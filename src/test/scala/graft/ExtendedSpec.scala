@@ -384,6 +384,37 @@ class ExtendedSpec extends AnyFunSuite {
     }
   }
 
+  test("temporal join picks the version valid at event time, both eras hit") {
+    val dim = q("q_scd2").collect().map { r =>
+      (r.getLong(0), r.getString(1), r.getDate(2).toString,
+        Option(r.getDate(3)).map(_.toString))
+    }
+    val eff = java.time.LocalDate.parse("2024-01-16")
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2).toInstant.atZone(java.time.ZoneOffset.UTC)
+          .toLocalDate))
+    val expected = ev.flatMap { case (eid, uid, day) =>
+      dim.filter { case (k, _, vf, vt) =>
+        k == uid && !day.isBefore(java.time.LocalDate.parse(vf)) &&
+          vt.forall(t => day.isBefore(java.time.LocalDate.parse(t)))
+      }.map(v => (eid, uid, v._2))
+    }.toSet
+    val got = q("q_join_temporal").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    // at most one version per event, and both eras must be exercised:
+    // pre-effective events on a later-changed key see the OLD segment
+    assert(got.size == got.map(r => (r._1, r._2)).size, "one version/event")
+    val changed = dim.filter(_._4.isDefined).map(_._1).toSet
+    val pre = got.filter(r => changed(r._2) && !r._3.endsWith("-R"))
+    val post = got.filter(r => changed(r._2) && r._3.endsWith("-R"))
+    assert(pre.nonEmpty && post.nonEmpty,
+      "events must match both the closed and the reopened version")
+  }
+
   test("SCD2 merge equals an in-memory replay; all four cases exercised") {
     val cust = graft.sources.Tables.customer(spark, sf)
       .select(col("c_custkey"), col("c_mktsegment")).collect()
@@ -393,7 +424,7 @@ class ExtendedSpec extends AnyFunSuite {
         .map { case (k, seg) =>
           k -> (if (k % 15 == 0) seg else seg + "-R") } ++
       cust.filter(_._1 % 11 == 0)).toMap
-    val (f0, eff) = ("2026-01-01", "2026-06-01")
+    val (f0, eff) = ("2024-01-01", "2024-01-16")
     // independent replay of the merge semantics, one key at a time
     val expected = (base.keySet ++ upd.keySet).toSeq.flatMap { k =>
       (base.get(k), upd.get(k)) match {
