@@ -1481,6 +1481,69 @@ object Extended {
     "q_scd2" -> ((s, d) =>
       scd2Dim(s, d).orderBy(col("c_custkey"), col("valid_from"))),
 
+    // Two-sample Kolmogorov–Smirnov drift test per event type, the
+    // nonparametric complement to q_drift_psi (PSI needs a bucketing
+    // choice; KS is the max CDF gap over the pooled values, so it
+    // catches shifts PSI's 10 fixed buckets can average away). The
+    // whole statistic is INTEGER-exact: per distinct value the two
+    // cumulative counts cross-multiply against the opposite side's
+    // total — D(v) = |cum_ref·n_cur − cum_cur·n_ref| — so the max and
+    // the per-mille division never touch a float. Scale shape: one
+    // (type, value) aggregation, one per-type window over distinct
+    // values (bounded by value cardinality, not event count), and the
+    // per-type totals broadcast back.
+    // Chi-square independence audit of the lang × source contingency
+    // table — the data-audit that catches a skewed pipeline (one crawler
+    // feeding one language) before it skews the mix. Per-cell statistic
+    // (O·n − r·c)²/(n·r·c) is exact-in-double (every product < 2^53)
+    // and 1e3-floor-quantized per cell so the corpus χ² is an exact
+    // integer sum; the grid is the CROSS join of the marginals (tiny),
+    // LEFT-joined to observed counts so zero cells contribute their
+    // expected mass — dropping them understates the statistic. One
+    // corpus scan feeds all three aggregations.
+    "q_audit_chisq" -> ((s, d) => {
+      val d0 = Tables.documents(s, d).select(col("lang"), col("source"))
+      val cell = d0.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("o_cnt"))
+      val rows = d0.groupBy(col("lang")).agg(count(lit(1)).as("r"))
+      val cols = d0.groupBy(col("source")).agg(count(lit(1)).as("c"))
+      val tot = d0.agg(count(lit(1)).as("n"))
+      rows.crossJoin(broadcast(cols)).crossJoin(broadcast(tot))
+        .join(cell, Seq("lang", "source"), "left")
+        .select(col("lang"), col("source"),
+          coalesce(col("o_cnt"), lit(0L)).as("o_cnt"),
+          col("r"), col("c"), col("n"))
+        .select(col("lang"), col("source"), col("o_cnt"),
+          expr("""CAST(FLOOR(
+                 |  CAST((o_cnt * n - r * c) * (o_cnt * n - r * c) AS DOUBLE)
+                 |  / CAST(n * r * c AS DOUBLE) * 1000) AS BIGINT)"""
+            .stripMargin).as("term_q"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
+    "q_drift_ks" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"),
+        (col("ts") < expr(PsiSplitSql)).as("is_ref"))
+      val perVal = ev.groupBy(col("event_type"), col("value"))
+        .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("c_ref"),
+          sum(when(!col("is_ref"), 1L).otherwise(0L)).as("c_cur"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = perVal
+        .withColumn("cum_ref", sum(col("c_ref")).over(w))
+        .withColumn("cum_cur", sum(col("c_cur")).over(w))
+      val tot = perVal.groupBy(col("event_type"))
+        .agg(sum(col("c_ref")).as("n_ref"), sum(col("c_cur")).as("n_cur"))
+      cum.join(broadcast(tot), "event_type")
+        .groupBy(col("event_type"), col("n_ref"), col("n_cur"))
+        .agg(max(abs(col("cum_ref") * col("n_cur") -
+          col("cum_cur") * col("n_ref"))).as("d_max"))
+        .select(col("event_type"), col("n_ref"), col("n_cur"),
+          expr("(1000 * d_max) div (n_ref * n_cur)").as("ks_pm"))
+        .orderBy(col("event_type"))
+    }),
+
     // Point-in-time-correct temporal join: enrich each event with the
     // dimension attribute that was valid AT EVENT TIME — the
     // training-serving-skew killer (joining the CURRENT attribute
@@ -1557,6 +1620,60 @@ object Extended {
   }
 
   val oracles: Map[String, String] = Map(
+    // Same grid construction and the identically-spelled exact-in-double
+    // per-cell statistic.
+    "q_audit_chisq" ->
+      """WITH d0 AS (SELECT lang, source FROM documents),
+        |cell AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o_cnt
+        |         FROM d0 GROUP BY lang, source),
+        |r AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS r
+        |      FROM d0 GROUP BY lang),
+        |c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS c
+        |      FROM d0 GROUP BY source),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d0),
+        |g AS (SELECT r.lang, c.source, r.r, c.c, n.n,
+        |        COALESCE(cell.o_cnt, 0) AS o_cnt
+        |      FROM r CROSS JOIN c CROSS JOIN n
+        |      LEFT JOIN cell ON cell.lang = r.lang
+        |        AND cell.source = c.source)
+        |SELECT lang, source, o_cnt,
+        |  CAST(FLOOR(
+        |    CAST((o_cnt * n - r * c) * (o_cnt * n - r * c) AS DOUBLE)
+        |    / CAST(n * r * c AS DOUBLE) * 1000) AS BIGINT) AS term_q
+        |FROM g ORDER BY lang, source""".stripMargin,
+
+    // Same cumulative cross-multiplication; the boundary literal is the
+    // shared PsiSplitSql constant.
+    "q_drift_ks" -> {
+      s"""WITH e AS (SELECT event_type, value,
+         |             ts < $PsiSplitSql AS is_ref FROM events),
+         |pv AS (SELECT event_type, value,
+         |         CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS c_ref,
+         |         CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT)
+         |           AS c_cur
+         |       FROM e GROUP BY event_type, value),
+         |cum AS (SELECT event_type, value, c_ref, c_cur,
+         |          CAST(SUM(c_ref) OVER (PARTITION BY event_type
+         |            ORDER BY value ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |            AS cum_ref,
+         |          CAST(SUM(c_cur) OVER (PARTITION BY event_type
+         |            ORDER BY value ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |            AS cum_cur
+         |        FROM pv),
+         |tot AS (SELECT event_type, CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+         |          CAST(SUM(c_cur) AS BIGINT) AS n_cur
+         |        FROM pv GROUP BY event_type),
+         |d AS (SELECT c.event_type, t.n_ref, t.n_cur,
+         |        MAX(ABS(c.cum_ref * t.n_cur - c.cum_cur * t.n_ref))
+         |          AS d_max
+         |      FROM cum c JOIN tot t USING (event_type)
+         |      GROUP BY c.event_type, t.n_ref, t.n_cur)
+         |SELECT event_type, n_ref, n_cur,
+         |  (1000 * d_max) // (n_ref * n_cur) AS ks_pm
+         |FROM d ORDER BY event_type""".stripMargin
+    },
+
     // The SCD2 version table rebuilt by the same three-branch spelling,
     // then the validity-window join at event time.
     "q_join_temporal" ->

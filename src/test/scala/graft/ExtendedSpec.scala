@@ -384,6 +384,54 @@ class ExtendedSpec extends AnyFunSuite {
     }
   }
 
+  test("chi-square grid equals an in-memory contingency recompute") {
+    val d0 = graft.sources.Tables.documents(spark, sf)
+      .select(col("lang"), col("source")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val n = d0.length.toLong
+    val rTot = d0.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val cTot = d0.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val obs = d0.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rows = q("q_audit_chisq").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == rTot.size * cTot.size, "full grid incl. zero cells")
+    rows.foreach { case (l, s, o, tq) =>
+      assert(o == obs.getOrElse((l, s), 0L))
+      val diff = (o * n - rTot(l) * cTot(s)).toDouble
+      val expected =
+        math.floor(diff * diff / (n * rTot(l) * cTot(s)).toDouble * 1000)
+          .toLong
+      assert(tq == expected, s"($l,$s): $tq != $expected")
+    }
+    assert(rows.map(_._4).sum >= 0)
+  }
+
+  test("KS statistic equals an in-memory two-sample scan, bounded by 1000") {
+    val split = java.time.LocalDateTime.parse("2024-01-16T00:00:00")
+      .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), col("value"), unix_micros(col("ts")))
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        r.getLong(2) < split))
+    val rows = q("q_drift_ks").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.keySet == ev.map(_._1).toSet)
+    ev.groupBy(_._1).foreach { case (t, es) =>
+      val ref = es.filter(_._3).map(_._2).sorted
+      val cur = es.filterNot(_._3).map(_._2).sorted
+      val (nr, nc) = (ref.length.toLong, cur.length.toLong)
+      val dMax = es.map(_._2).distinct.map { v =>
+        math.abs(ref.count(_ <= v) * nc - cur.count(_ <= v) * nr)
+      }.max
+      val (gNr, gNc, gKs) = rows(t)
+      assert(gNr == nr && gNc == nc)
+      assert(gKs == 1000L * dMax / (nr * nc), s"$t ks mismatch")
+      assert(gKs >= 0 && gKs <= 1000)
+    }
+    assert(rows.values.exists(_._3 > 0), "some drift must register")
+  }
+
   test("temporal join picks the version valid at event time, both eras hit") {
     val dim = q("q_scd2").collect().map { r =>
       (r.getLong(0), r.getString(1), r.getDate(2).toString,
