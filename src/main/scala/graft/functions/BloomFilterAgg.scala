@@ -34,17 +34,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 case class BloomFilterAgg(
     child: Expression,
     k: Int = BloomFilterAgg.K,
+    m: Int = BloomFilterAgg.M,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] {
-  import BloomFilterAgg.{WORDS, position}
+  import BloomFilterAgg.position
+
+  require(m >= 64 && (m & (m - 1)) == 0, s"m must be a power of two: $m")
+  private def words: Int = m / 64
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "bloom_agg"
 
-  override def createAggregationBuffer(): Array[Long] = new Array[Long](WORDS)
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](words)
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
@@ -53,7 +57,7 @@ case class BloomFilterAgg(
         v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
       var r = 0
       while (r < k) {
-        val pos = position(base, r)
+        val pos = position(base, r, m)
         buf(pos >>> 6) |= 1L << (pos & 63)
         r += 1
       }
@@ -77,7 +81,7 @@ case class BloomFilterAgg(
 
   override def deserialize(bytes: Array[Byte]): Array[Long] = {
     val bb = ByteBuffer.wrap(bytes)
-    Array.fill(WORDS)(bb.getLong())
+    Array.fill(words)(bb.getLong())
   }
 
   override def withNewMutableAggBufferOffset(o: Int): BloomFilterAgg =
@@ -101,15 +105,23 @@ object BloomFilterAgg {
   val K = 3
 
   /** Bit position r of a base hash — same Knuth family as
-    * [[CountMinAgg.rowIndex]], modulo M instead of the CMS width.
+    * [[CountMinAgg.rowIndex]], modulo the filter size (default [[M]]).
     * base < 2^20 keeps the product under 2^53. */
-  def position(base: Long, r: Int): Int =
-    (((base * (2654435761L + r)) >> 16) % M).toInt
+  def position(base: Long, r: Int, m: Int = M): Int =
+    (((base * (2654435761L + r)) >> 16) % m).toInt
 
   /** Aggregate Column: M-bit bloom filter (as M/64 longs) over a string
     * column, bit positions from [[CountMinAgg.baseHash]]. */
   def bloom_agg(c: Column): Column =
     Bridge.column(BloomFilterAgg(Bridge.expression(c)).toAggregateExpression())
+
+  /** Corpus-sized variant: `m` must be a power of two, derived from the
+    * key count (≈ 8 bits/key keeps FP under ~1% at k = 3) — the fixed
+    * default saturates past ~1k keys, which is exactly the failure the
+    * lshBits/ivfCells rule exists to prevent. */
+  def bloom_agg(c: Column, m: Int): Column =
+    Bridge.column(BloomFilterAgg(Bridge.expression(c), m = m)
+      .toAggregateExpression())
 
   /** k=1 variant: the bit array IS a linear-counting sketch (Whang et
     * al. 1990) — with n keys in M bits, E[set bits] = M(1-e^(-n/M)), so

@@ -298,6 +298,53 @@ object Curation {
         .orderBy(col("lang"), col("split"))
     }),
 
+    // The bloom-filter rendition of q_curation_novelty — the documented
+    // 100 TB swap made real: instead of anti-joining every candidate
+    // shingle against the reference set (a corpus×corpus equi-shuffle),
+    // build ONE corpus-sized bloom filter over the reference shingles
+    // (mergeable aggregate, map-side combined, M/8 bytes broadcast) and
+    // probe each candidate shingle map-side — the candidate corpus
+    // never shuffles at all. A bloom MISS is a certain novelty (no
+    // false negatives), a hit may be a false positive, so the bloom
+    // novelty count is a provable LOWER bound on the exact one
+    // (spec-asserted per doc, with the aggregate within the FP
+    // envelope). M derives from the reference cardinality (≈ 8
+    // bits/key, smallest power of two ≥ 8n — the lshBits rule: the
+    // 4096-bit default saturates at sf0.1's 10k reference shingles and
+    // would report zero novelty). The reference count is ONE bounded
+    // driver scalar, same class as the centroid loops.
+    "q_curation_novelty_bloom" -> ((s, d) => {
+      import graft.functions.BloomFilterAgg
+      import graft.functions.BloomFilterAgg.bloom_agg
+      import graft.functions.CountMinAgg.cms_base
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("source"),
+          explode(expr(Dedup.ShingleExpr)).as("sh"))
+      val ref = sh.where(col("source") === "src0")
+        .select(col("sh")).distinct()
+      val nRef = ref.count() // bounded driver scalar: sizes the filter
+      val bits = math.max(12,
+        64 - java.lang.Long.numberOfLeadingZeros(8L * nRef - 1))
+      val m = 1 << bits
+      val filt = ref.agg(bloom_agg(col("sh"), m).as("bloom"))
+      val hit = (0 until BloomFilterAgg.K).map { r =>
+        val p = s"((shiftright(base * ${2654435761L + r}, 16)) % $m)"
+        expr(s"(shiftrightunsigned(element_at(bloom," +
+          s" CAST($p DIV 64 AS INT) + 1), CAST($p % 64 AS INT)) & 1) = 1")
+      }.reduce(_ && _)
+      sh.where(col("source") =!= "src0")
+        .crossJoin(broadcast(filt))
+        .withColumn("base", cms_base(col("sh")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sh"),
+          sum(when(!hit, 1L).otherwise(0L)).as("n_novel_bloom"))
+        .select(col("doc_id"), col("n_sh"), col("n_novel_bloom"),
+          expr("(1000 * n_novel_bloom) div n_sh").as("novelty_bloom_pm"))
+        .orderBy(col("doc_id"))
+    }),
+
     // In-batch negative pairs for contrastive training, with
     // false-negative filtering: hash documents into training batches,
     // take every within-batch ordered pair (a < b) as a candidate
@@ -713,6 +760,56 @@ object Curation {
         |SELECT lang, split, COUNT(*) AS n_docs,
         |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
         |FROM a GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    // Replays the corpus-derived filter size (smallest power of two ≥
+    // 8·n_ref, floor 2^12 — integer comparisons, no log2 float), the
+    // shared cms_base fold, and the K=3 Knuth bit positions as a
+    // distinct-position membership join (the q_dedup_bloom spelling).
+    "q_curation_novelty_bloom" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, source,
+        |        UNNEST(CASE WHEN len(w) >= 3 THEN
+        |          list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                         for i in generate_series(1, len(w) - 2)])
+        |        ELSE [array_to_string(w, ' ')] END) AS sh
+        |      FROM t),
+        |refsh AS (SELECT DISTINCT sh FROM g WHERE source = 'src0'),
+        |refc AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM refsh),
+        |mb AS (SELECT MIN(b) AS bits FROM (VALUES (12),(13),(14),(15),
+        |         (16),(17),(18),(19),(20),(21),(22),(23),(24),(25),(26))
+        |         v(b) CROSS JOIN refc
+        |       WHERE (CAST(1 AS BIGINT) << b) >= 8 * c),
+        |mm AS (SELECT CAST(1 AS BIGINT) << bits AS m FROM mb),
+        |rb AS (SELECT DISTINCT list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(string_split(sh, ''),
+        |           c -> CAST(ascii(c) AS BIGINT))),
+        |         (h, c) -> (h * 31 + c) % 1048576) AS base
+        |       FROM refsh),
+        |r AS (SELECT UNNEST([0, 1, 2]) AS r),
+        |setpos AS (SELECT DISTINCT
+        |             ((base * (2654435761 + r)) >> 16) % (SELECT m FROM mm)
+        |               AS p
+        |           FROM rb CROSS JOIN r),
+        |cb AS (SELECT doc_id, sh,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split(sh, ''),
+        |             c -> CAST(ascii(c) AS BIGINT))),
+        |           (h, c) -> (h * 31 + c) % 1048576) AS base
+        |       FROM g WHERE source <> 'src0'),
+        |probe AS (SELECT doc_id, sh,
+        |            ((base * (2654435761 + r)) >> 16) % (SELECT m FROM mm)
+        |              AS p
+        |          FROM cb CROSS JOIN r),
+        |hits AS (SELECT pr.doc_id, pr.sh,
+        |           CASE WHEN COUNT(sp.p) = 3 THEN 1 ELSE 0 END AS hit
+        |         FROM probe pr LEFT JOIN setpos sp ON sp.p = pr.p
+        |         GROUP BY pr.doc_id, pr.sh)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh,
+        |  CAST(SUM(1 - hit) AS BIGINT) AS n_novel_bloom,
+        |  (1000 * CAST(SUM(1 - hit) AS BIGINT))
+        |    // CAST(COUNT(*) AS BIGINT) AS novelty_bloom_pm
+        |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Standard pairs CTE block for the exclusion, the shared batch hash
     // for assignment, and the same null-flag conditional counting.

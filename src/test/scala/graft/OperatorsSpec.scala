@@ -1561,6 +1561,24 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom novelty lower-bounds exact novelty, within the FP envelope") {
+    val exact = q("q_curation_novelty").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val bloom = q("q_curation_novelty_bloom").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(bloom.length == exact.size, "same candidate coverage")
+    bloom.foreach { case (id, nSh, nb) =>
+      val (eSh, eNov) = exact(id)
+      assert(nSh == eSh, s"doc $id shingle count")
+      // a bloom miss is a certain novelty: never OVER-counts
+      assert(nb <= eNov, s"doc $id: bloom $nb exceeds exact $eNov")
+    }
+    val (sumB, sumE) = (bloom.map(_._3).sum, exact.values.map(_._2).sum)
+    assert(sumE > 0 && sumB * 10 >= sumE * 9,
+      s"aggregate bloom novelty $sumB under 90% of exact $sumE — " +
+        "filter undersized or saturated")
+  }
+
   test("in-batch negatives equal an in-memory replay; exclusion fires") {
     val ids = graft.sources.Tables.documents(spark, sf)
       .select(col("doc_id")).collect().map(_.getLong(0))
