@@ -1492,6 +1492,51 @@ object Extended {
     // (type, value) aggregation, one per-type window over distinct
     // values (bounded by value cardinality, not event count), and the
     // per-type totals broadcast back.
+    // Kaplan–Meier survival over user activity: treat a user's last
+    // event day as churn UNLESS it falls on the corpus's final day
+    // (right-censored — still active when observation ended; ignoring
+    // censoring is the classic retention-curve bias, understating
+    // survival near the end). Per day: n_risk (users whose last day is
+    // ≥ t), d (uncensored churns at t), and the running log-survival
+    // ln Π(1 − d_i/n_i) = Σ [ln(n_i − d_i) − ln(n_i)] — every term an
+    // ln of an INTEGER, 1e6-floor-quantized so the cumulative sum is
+    // an exact integer (the lm-score envelope). Completes the event
+    // triad's missing curve: retention says who came back, survival
+    // says how long they stay. Scale shape: one per-user aggregate,
+    // one day-level aggregate (output is day-sized), one ordered
+    // prefix sum over days.
+    "q_event_survival" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val lastDay = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(expr("unix_micros(max(ts)) div 86400000000")
+          .as("last_day"))
+      val horizon = lastDay.agg(max(col("last_day")).as("max_day"))
+      val perDay = lastDay.crossJoin(broadcast(horizon))
+        .groupBy(col("last_day").as("day"))
+        .agg(count(lit(1)).as("n_leaving"),
+          sum(when(col("last_day") < col("max_day"), 1L).otherwise(0L))
+            .as("d_churn"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      perDay
+        .withColumn("n_risk",
+          sum(col("n_leaving")).over(wAll) -
+            sum(col("n_leaving")).over(w) + col("n_leaving"))
+        .withColumn("term_q",
+          when(col("d_churn") > 0,
+            floor(log(col("n_risk") - col("d_churn")) * 1e6).cast("long") -
+              floor(log(col("n_risk")) * 1e6).cast("long"))
+            .otherwise(lit(0L)))
+        .withColumn("log_s_q", sum(col("term_q")).over(w))
+        .select(col("day"), col("n_risk"), col("d_churn"),
+          (col("n_leaving") - col("d_churn")).as("n_censored"),
+          col("log_s_q"))
+        .orderBy(col("day"))
+    }),
+
     // Chi-square independence audit of the lang × source contingency
     // table — the data-audit that catches a skewed pipeline (one crawler
     // feeding one language) before it skews the mix. Per-cell statistic
@@ -1620,6 +1665,38 @@ object Extended {
   }
 
   val oracles: Map[String, String] = Map(
+    // Same censoring rule, suffix-sum n_risk, and per-term quantized
+    // integer-ln sum.
+    "q_event_survival" ->
+      """WITH ld AS (SELECT user_id,
+        |              epoch_us(MAX(ts)) // 86400000000 AS last_day
+        |            FROM events GROUP BY user_id),
+        |h AS (SELECT MAX(last_day) AS max_day FROM ld),
+        |pd AS (SELECT last_day AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS n_leaving,
+        |         CAST(SUM(CASE WHEN last_day < (SELECT max_day FROM h)
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS d_churn
+        |       FROM ld GROUP BY last_day),
+        |c AS (SELECT day, n_leaving, d_churn,
+        |        CAST(SUM(n_leaving) OVER ()
+        |          - SUM(n_leaving) OVER (ORDER BY day
+        |              ROWS UNBOUNDED PRECEDING)
+        |          + n_leaving AS BIGINT) AS n_risk
+        |      FROM pd),
+        |tq AS (SELECT day, n_risk, d_churn, n_leaving,
+        |         CASE WHEN d_churn > 0 THEN
+        |           CAST(FLOOR(LN(CAST(n_risk - d_churn AS DOUBLE)) * 1e6)
+        |             AS BIGINT)
+        |           - CAST(FLOOR(LN(CAST(n_risk AS DOUBLE)) * 1e6)
+        |             AS BIGINT)
+        |         ELSE 0 END AS term_q
+        |       FROM c)
+        |SELECT day, n_risk, d_churn,
+        |  n_leaving - d_churn AS n_censored,
+        |  CAST(SUM(term_q) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS log_s_q
+        |FROM tq ORDER BY day""".stripMargin,
+
     // Same grid construction and the identically-spelled exact-in-double
     // per-cell statistic.
     "q_audit_chisq" ->

@@ -384,6 +384,36 @@ class ExtendedSpec extends AnyFunSuite {
     }
   }
 
+  test("survival curve equals an in-memory KM replay with censoring") {
+    val lastDay = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg((unix_micros(max(col("ts"))) / lit(86400000000L)).cast("long")
+        .as("d"))
+      .collect().map(_.getLong(1))
+    val maxDay = lastDay.max
+    val days = lastDay.distinct.sorted
+    var logS = 0L
+    val expected = days.map { t =>
+      val nRisk = lastDay.count(_ >= t).toLong
+      val leaving = lastDay.count(_ == t).toLong
+      val churn = if (t < maxDay) leaving else 0L
+      if (churn > 0)
+        logS += math.floor(math.log((nRisk - churn).toDouble) * 1e6).toLong -
+          math.floor(math.log(nRisk.toDouble) * 1e6).toLong
+      (t, nRisk, churn, leaving - churn, logS)
+    }.toSeq
+    val got = q("q_event_survival").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected, s"first diff: ${
+      got.zip(expected).find(p => p._1 != p._2)}")
+    // censoring must actually occur (the final day's leavers) and the
+    // curve must be monotone non-increasing
+    assert(got.last._4 > 0, "final-day users are censored, not churned")
+    assert(got.map(_._5) == got.map(_._5).sorted.reverse,
+      "log-survival is non-increasing")
+  }
+
   test("chi-square grid equals an in-memory contingency recompute") {
     val d0 = graft.sources.Tables.documents(spark, sf)
       .select(col("lang"), col("source")).collect()
