@@ -63,6 +63,25 @@ object Curation {
         .orderBy(col("doc_id"))
     }),
 
+    // Exactly-k-per-group sampling: the fixed-size counterpart of
+    // q_sample_hash's fixed-RATE draw — a rate gives each stratum a
+    // binomial count, while eval sets and per-domain probes need
+    // exactly k rows per group regardless of group size. Rank by the
+    // shared deterministic hash ascending (negated for the heap
+    // operator's DESC order) and keep the k smallest: a second use
+    // case for TopKPerGroupExec — one hash-exchange heap pass, no
+    // per-group sort (the window spelling is the operator's own
+    // documented fallback).
+    "q_sample_per_group" -> ((s, d) => {
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          expr("-(((doc_id % 1048576) * 2654435761 >> 16) % 1048576)")
+            .as("nh"))
+      graft.plans.TopK.topKPerGroup(scored, Seq("source"), "nh", "doc_id", 5)
+        .select(col("source"), col("doc_id"), (-col("nh")).as("hs"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
     // Deterministic stratified sampling: per-language permille rates
     // applied by hashing the KEY, not by drawing randoms — the same doc
     // is kept or dropped on every run, on any partitioning, on any
@@ -585,6 +604,19 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    // The rank spelling of the per-group k-smallest-hash draw.
+    "q_sample_per_group" ->
+      """WITH h AS (SELECT source, doc_id,
+        |             ((doc_id % 1048576) * 2654435761 >> 16) % 1048576
+        |               AS hs
+        |           FROM documents),
+        |r AS (SELECT source, doc_id, hs,
+        |        ROW_NUMBER() OVER (PARTITION BY source
+        |          ORDER BY hs, doc_id) AS rn
+        |      FROM h)
+        |SELECT source, doc_id, CAST(hs AS BIGINT) AS hs
+        |FROM r WHERE rn <= 5 ORDER BY source, doc_id""".stripMargin,
+
     // Same trigram construction as the Dedup family's ngram oracle;
     // novelty counted via the anti-join spelling.
     "q_curation_novelty" ->

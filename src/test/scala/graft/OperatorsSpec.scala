@@ -1561,6 +1561,24 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("per-group sample keeps exactly the k hash-smallest of each source") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def hs(id: Long): Long = (((id % 1048576) * 2654435761L) >> 16) % 1048576
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      ds.map(d => (src, d._1, hs(d._1)))
+        .sortBy(t => (t._3, t._2)).take(5)
+    }.toSet
+    val got = q("q_sample_per_group").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    got.groupBy(_._1).foreach { case (src, s) =>
+      assert(s.size == 5, s"$src: exactly 5 rows")
+    }
+  }
+
   test("bloom novelty lower-bounds exact novelty, within the FP envelope") {
     val exact = q("q_curation_novelty").collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
