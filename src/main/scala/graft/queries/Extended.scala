@@ -1492,6 +1492,40 @@ object Extended {
     // (type, value) aggregation, one per-type window over distinct
     // values (bounded by value cardinality, not event count), and the
     // per-type totals broadcast back.
+    // Cohen's kappa between two quality gates (the length gate vs the
+    // distinct-word-ratio gate): chance-corrected agreement is the
+    // right audit when comparing labelers — raw agreement flatters any
+    // pair that fires at similar rates. Both counts and the statistic
+    // are exact integers (kappa·1000 = 1000·(n·agree − Σ marginal
+    // products) floor-div (n² − Σ marginal products), the explicit
+    // floor-div spelling since kappa is legitimately negative — the
+    // fixture's gates agree WORSE than chance, ≈ −420 pm, which is
+    // itself the finding: the two gates encode anti-correlated length
+    // signals). One corpus scan, one 5-long aggregate row out.
+    "q_audit_kappa" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(split(col("text"), " ").as("toks"))
+        .select((size(col("toks")) >= 30).as("a"),
+          (size(array_distinct(col("toks"))).cast("double") /
+            size(col("toks")).cast("double") > 0.45).as("b"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+          sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+          sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
+          sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"))
+        .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+          expr("""1000 * (n * (n11 + n00)
+                 |  - ((n11 + n10) * (n11 + n01)
+                 |     + (n01 + n00) * (n10 + n00)))""".stripMargin)
+            .as("num"),
+          expr("""n * n - ((n11 + n10) * (n11 + n01)
+                 |  + (n01 + n00) * (n10 + n00))""".stripMargin).as("den"))
+        .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+          expr("""CASE WHEN den = 0 THEN NULL
+                 |ELSE (num - ((num % den + den) % den)) div den
+                 |END""".stripMargin).as("kappa_pm"))
+    }),
+
     // Kaplan–Meier survival over user activity: treat a user's last
     // event day as churn UNLESS it falls on the corpus's final day
     // (right-censored — still active when observation ended; ignoring
@@ -1665,6 +1699,32 @@ object Extended {
   }
 
   val oracles: Map[String, String] = Map(
+    // Same gates, marginal products, and floor-div spelling.
+    "q_audit_kappa" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |l AS (SELECT len(w) >= 30 AS a,
+        |        len(list_distinct(w)) * 1.0 / len(w) > 0.45 AS b
+        |      FROM t),
+        |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(COUNT(*) FILTER (WHERE a AND b) AS BIGINT) AS n11,
+        |        CAST(COUNT(*) FILTER (WHERE a AND NOT b) AS BIGINT) AS n10,
+        |        CAST(COUNT(*) FILTER (WHERE NOT a AND b) AS BIGINT) AS n01,
+        |        CAST(COUNT(*) FILTER (WHERE NOT a AND NOT b) AS BIGINT)
+        |          AS n00
+        |      FROM l),
+        |nd AS (SELECT n, n11, n10, n01, n00,
+        |         1000 * (n * (n11 + n00)
+        |           - ((n11 + n10) * (n11 + n01)
+        |              + (n01 + n00) * (n10 + n00))) AS num,
+        |         n * n - ((n11 + n10) * (n11 + n01)
+        |           + (n01 + n00) * (n10 + n00)) AS den
+        |       FROM c)
+        |SELECT n, n11, n10, n01, n00,
+        |  CASE WHEN den = 0 THEN NULL
+        |       ELSE (num - ((num % den + den) % den)) // den
+        |  END AS kappa_pm
+        |FROM nd""".stripMargin,
+
     // Same censoring rule, suffix-sum n_risk, and per-term quantized
     // integer-ln sum.
     "q_event_survival" ->

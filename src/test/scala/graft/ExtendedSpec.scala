@@ -384,6 +384,31 @@ class ExtendedSpec extends AnyFunSuite {
     }
   }
 
+  test("kappa equals an in-memory chance-corrected recompute, negative here") {
+    val cells = graft.sources.Tables.documents(spark, sf)
+      .select(col("text")).collect().map { r =>
+        val w = r.getString(0).split(" ", -1)
+        val a = w.length >= 30
+        val b = w.distinct.length.toDouble / w.length.toDouble > 0.45
+        (a, b)
+      }
+    val n = cells.length.toLong
+    val n11 = cells.count(c => c._1 && c._2).toLong
+    val n10 = cells.count(c => c._1 && !c._2).toLong
+    val n01 = cells.count(c => !c._1 && c._2).toLong
+    val n00 = cells.count(c => !c._1 && !c._2).toLong
+    val num = 1000L * (n * (n11 + n00) -
+      ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))
+    val den = n * n -
+      ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+    val r = q("q_audit_kappa").head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((n, n11, n10, n01, n00)))
+    assert(r.getLong(5) == Math.floorDiv(num, den))
+    assert(r.getLong(5) < 0,
+      "fixture gates agree worse than chance — the audit's finding")
+  }
+
   test("survival curve equals an in-memory KM replay with censoring") {
     val lastDay = graft.sources.Tables.events(spark, sf)
       .groupBy(col("user_id"))
