@@ -63,6 +63,46 @@ object Curation {
         .orderBy(col("doc_id"))
     }),
 
+    // Jensen–Shannon divergence between the train and valid splits'
+    // token distributions — the QA check that the hash split didn't
+    // skew CONTENT (a balanced row count says nothing about balanced
+    // vocabulary). Every JS term is ln of an INTEGER product
+    // (ln(2·c_p·n_q) − ln(c_p·n_q + c_q·n_p), products < 2^53 exact in
+    // double), 1e6-floor-quantized and count-weighted, so the two
+    // emitted sums are exact integers; one-sided words contribute ln 2
+    // on their side and zero on the other, exactly as JS prescribes
+    // (KL would be undefined — the reason JS is the right audit).
+    // Scale: one scan, one vocab-sized aggregate, totals broadcast.
+    "q_split_divergence" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(expr(SampleHashSql).as("hb"),
+          explode(split(col("text"), " ")).as("w"))
+        .where(col("hb") < 990)
+        .select(col("w"), (col("hb") < 980).as("is_train"))
+      val cnt = toks.groupBy(col("w"))
+        .agg(sum(when(col("is_train"), 1L).otherwise(0L)).as("cp"),
+          sum(when(!col("is_train"), 1L).otherwise(0L)).as("cq"))
+      val tot = cnt.agg(sum(col("cp")).as("np"), sum(col("cq")).as("nq"))
+      cnt.crossJoin(broadcast(tot))
+        .select(col("cp"), col("cq"), col("np"), col("nq"),
+          when(col("cp") > 0, col("cp") *
+            (floor(log(lit(2.0) * col("cp") * col("nq")) * 1e6)
+              .cast("long") -
+             floor(log(col("cp") * col("nq") + col("cq") * col("np"))
+               * 1e6).cast("long"))).otherwise(0L).as("ta"),
+          when(col("cq") > 0, col("cq") *
+            (floor(log(lit(2.0) * col("cq") * col("np")) * 1e6)
+              .cast("long") -
+             floor(log(col("cq") * col("np") + col("cp") * col("nq"))
+               * 1e6).cast("long"))).otherwise(0L).as("tb"))
+        .groupBy(col("np"), col("nq"))
+        .agg(sum(col("ta")).as("js_a_scaled"),
+          sum(col("tb")).as("js_b_scaled"))
+        .select(col("np").as("n_train_tokens"),
+          col("nq").as("n_valid_tokens"),
+          col("js_a_scaled"), col("js_b_scaled"))
+    }),
+
     // Exactly-k-per-group sampling: the fixed-size counterpart of
     // q_sample_hash's fixed-RATE draw — a rate gives each stratum a
     // binomial count, while eval sets and per-domain probes need
@@ -604,6 +644,39 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    // Same term construction; DuckDB's LN on the same exact-in-double
+    // integer products, identical quantization.
+    "q_split_divergence" ->
+      """WITH tk AS (SELECT
+        |    ((doc_id % 1048576) * 2654435761 >> 16) % 1000 AS hb,
+        |    UNNEST(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |f AS (SELECT w, hb < 980 AS is_train FROM tk WHERE hb < 990),
+        |c AS (SELECT w,
+        |        CAST(SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS cp,
+        |        CAST(SUM(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT)
+        |          AS cq
+        |      FROM f GROUP BY w),
+        |t AS (SELECT CAST(SUM(cp) AS BIGINT) AS np,
+        |        CAST(SUM(cq) AS BIGINT) AS nq FROM c),
+        |terms AS (SELECT np, nq,
+        |    CASE WHEN cp > 0 THEN cp *
+        |      (CAST(FLOOR(LN(2.0 * cp * nq) * 1e6) AS BIGINT)
+        |       - CAST(FLOOR(LN(CAST(cp * nq + cq * np AS DOUBLE)) * 1e6)
+        |           AS BIGINT))
+        |    ELSE 0 END AS ta,
+        |    CASE WHEN cq > 0 THEN cq *
+        |      (CAST(FLOOR(LN(2.0 * cq * np) * 1e6) AS BIGINT)
+        |       - CAST(FLOOR(LN(CAST(cq * np + cp * nq AS DOUBLE)) * 1e6)
+        |           AS BIGINT))
+        |    ELSE 0 END AS tb
+        |  FROM c CROSS JOIN t)
+        |SELECT np AS n_train_tokens, nq AS n_valid_tokens,
+        |  CAST(SUM(ta) AS BIGINT) AS js_a_scaled,
+        |  CAST(SUM(tb) AS BIGINT) AS js_b_scaled
+        |FROM terms GROUP BY np, nq""".stripMargin,
+
     // The rank spelling of the per-group k-smallest-hash draw.
     "q_sample_per_group" ->
       """WITH h AS (SELECT source, doc_id,

@@ -1561,6 +1561,38 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("split JS divergence equals an in-memory replay and is near zero") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def hb(id: Long): Long = {
+      val v = (((id % 1048576) * 2654435761L) >> 16) % 1000
+      if (v < 0) v + 1000 else v
+    }
+    val toks = docs.filter(d => hb(d._1) < 990).flatMap { case (id, t) =>
+      t.split(" ", -1).map(w => (w, hb(id) < 980))
+    }
+    val cnt = toks.groupBy(_._1).view.mapValues { ws =>
+      (ws.count(_._2).toLong, ws.count(!_._2).toLong)
+    }.toMap
+    val np = cnt.values.map(_._1).sum
+    val nq = cnt.values.map(_._2).sum
+    def q6(x: Double): Long = math.floor(math.log(x) * 1e6).toLong
+    var (jsA, jsB) = (0L, 0L)
+    cnt.values.foreach { case (cp, cq) =>
+      val mix = (cp * nq + cq * np).toDouble
+      if (cp > 0) jsA += cp * (q6(2.0 * cp * nq) - q6(mix))
+      if (cq > 0) jsB += cq * (q6(2.0 * cq * np) - q6(mix))
+    }
+    val r = q("q_split_divergence").head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((np, nq, jsA, jsB)), s"got $r expected ($np,$nq,$jsA,$jsB)")
+    // a hash split of one word soup should be nearly balanced: JS in
+    // nats = jsA/(2·np·1e6) + jsB/(2·nq·1e6), bounded by ln 2
+    val js = jsA.toDouble / (2e6 * np) + jsB.toDouble / (2e6 * nq)
+    assert(js >= -1e-6 && js < 0.1, s"suspicious divergence $js")
+  }
+
   test("per-group sample keeps exactly the k hash-smallest of each source") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select(col("doc_id"), col("source")).collect()
