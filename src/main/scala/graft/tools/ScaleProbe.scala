@@ -195,7 +195,7 @@ object ScaleProbe {
       .map(_.split(",").toSet)
       .getOrElse(Set("pipeline", "cc_corpus", "cc_chain", "topk",
         "lsh", "semantic", "recall", "graph", "triangles", "cdc", "kcore",
-        "prefix", "blocklist"))
+        "prefix", "blocklist", "novelty"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outBase = s"${sys.props("java.io.tmpdir")}/graft_scale"
@@ -608,6 +608,41 @@ object ScaleProbe {
           s""""naive_wall_s":${f"$wNv%.2f"},"hits":$acTotal,""" +
           s""""arms_identical":${acHash == nvHash}}""")
       }
+    }
+
+    // ---- novelty: exact anti-join vs corpus-sized bloom probe ------
+    // The q_curation_novelty / q_curation_novelty_bloom swap, measured:
+    // same per-doc novelty scoring, the exact arm shuffling candidate
+    // shingles against the reference set, the bloom arm probing a
+    // broadcast filter map-side. Alongside wall time the probe records
+    // shuffle volume — the quantity that actually separates the plans
+    // at 1000 executors — and the aggregate undercount the FP envelope
+    // costs the bloom arm.
+    if (sections("novelty")) factors.filter(_ <= 10).foreach { f =>
+      val dir = if (f == 1) sfDir else amplify(spark, sfDir, f, outBase)
+      val nDocs = Tables.documents(spark, dir).count()
+      val qe = graft.SparkEntry.queries("q_curation_novelty")
+      val qb = graft.SparkEntry.queries("q_curation_novelty_bloom")
+      // min-of-2 per arm (the prefix-probe convention): the first
+      // measured query in a cold JVM otherwise pays all the JIT
+      def minOf2(body: => Long): (Long, Double, Long, Long) = {
+        val runs = Seq.fill(2)(measured(spark, agg)(body))
+        val best = runs.minBy(_._2)
+        (best._1, best._2, best._3, best._4)
+      }
+      val (exTot, wEx, swE, srE) = minOf2 {
+        qe(spark, dir).agg(sum(col("n_novel"))).head.getLong(0)
+      }
+      val (blTot, wBl, swB, srB) = minOf2 {
+        qb(spark, dir).agg(sum(col("n_novel_bloom"))).head.getLong(0)
+      }
+      emit(s"""{"probe":"novelty","factor":$f,"docs":$nDocs,""" +
+        s""""exact":{"wall_s":${f"$wEx%.2f"},"novel":$exTot,""" +
+        s""""shuffle_mb":${(swE + srE) / 1048576}},""" +
+        s""""bloom":{"wall_s":${f"$wBl%.2f"},"novel":$blTot,""" +
+        s""""shuffle_mb":${(swB + srB) / 1048576}},""" +
+        s""""bloom_undercount_pm":${
+          if (exTot > 0) 1000 * (exTot - blTot) / exTot else 0}}""")
     }
 
     // ---- 8. integer PageRank over the amplified near-dup graph -----
