@@ -318,6 +318,37 @@ object Curation {
         .orderBy(col("doc_id"))
     }),
 
+    // Calibration audit of the hashed-linear classifier against the
+    // distinct-word-ratio weak label: per fixed-width score bin
+    // (width 200, clamped to ±5 — fixed bins, NOT ntile, because a
+    // global decile rank is a corpus-sized single-partition window;
+    // fixed bins compute map-side), the observed positive rate. A
+    // usable quality score must be monotone-ish in the label rate; a
+    // flat curve means the classifier adds nothing over chance — which
+    // is the honest fixture reading, and exactly what this audit is
+    // for. Score binning uses the explicit floor-division spelling
+    // (scores are signed). One scan, 11 rows out.
+    "q_audit_calibration" -> ((s, d) => {
+      val score = expr(
+        """aggregate(split(text, ' '), 0L, (acc, t) ->
+          |  acc + (shiftright((pmod(ascii(t) * 31 + length(t), 64) + 1)
+          |                    * 2654435761, 16) % 2001) - 1000)""".stripMargin)
+      val toks = split(col("text"), " ")
+      Tables.documents(s, d)
+        .select(score.as("score"),
+          (size(array_distinct(toks)).cast("double") /
+            size(toks).cast("double") > 0.45).as("pos"))
+        .select(greatest(lit(-5L), least(lit(5L),
+          expr("(score - ((score % 200 + 200) % 200)) div 200")))
+          .as("bin"), col("pos"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"))
+        .select(col("bin"), col("n_docs"), col("n_pos"),
+          expr("(1000 * n_pos) div n_docs").as("pos_pm"))
+        .orderBy(col("bin"))
+    }),
+
     // Per-domain document cap (the Common-Crawl anti-spam lever): at most
     // `cap` docs survive per source, chosen by deterministic hash rank so
     // reruns keep the same docs. The window partitions by domain —
@@ -644,6 +675,28 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    // Same classifier fold (the q_text_classifier oracle spelling),
+    // weak label, floor-div binning, and clamp.
+    "q_audit_calibration" ->
+      """WITH s AS (SELECT
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ' '), t ->
+        |        ((((ascii(t) * 31 + length(t)) % 64 + 1) * 2654435761
+        |          >> 16) % 2001) - 1000)),
+        |      (acc, x) -> acc + x) AS score,
+        |    len(list_distinct(string_split(text, ' '))) * 1.0
+        |      / len(string_split(text, ' ')) > 0.45 AS pos
+        |  FROM documents),
+        |b AS (SELECT GREATEST(-5, LEAST(5,
+        |        (score - ((score % 200 + 200) % 200)) // 200)) AS bin,
+        |        pos
+        |      FROM s)
+        |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) FILTER (WHERE pos) AS BIGINT) AS n_pos,
+        |  (1000 * CAST(COUNT(*) FILTER (WHERE pos) AS BIGINT))
+        |    // CAST(COUNT(*) AS BIGINT) AS pos_pm
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
     // Same term construction; DuckDB's LN on the same exact-in-double
     // integer products, identical quantization.
     "q_split_divergence" ->

@@ -1561,6 +1561,30 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("calibration bins equal an in-memory replay; both polarities hit") {
+    val rows = graft.sources.Tables.documents(spark, sf)
+      .select(col("text")).collect().map { r =>
+        val w = r.getString(0).split(" ", -1)
+        val score = w.map { t =>
+          val a = if (t.isEmpty) 0L else t.charAt(0).toLong
+          ((((a * 31 + t.length) % 64 + 1) * 2654435761L) >> 16) % 2001 - 1000
+        }.sum
+        val pos = w.distinct.length.toDouble / w.length.toDouble > 0.45
+        (math.max(-5L, math.min(5L, Math.floorDiv(score, 200L))), pos)
+      }
+    val expected = rows.groupBy(_._1).map { case (b, ds) =>
+      val nPos = ds.count(_._2).toLong
+      (b, ds.length.toLong, nPos, 1000L * nPos / ds.length)
+    }.toSet
+    val got = q("q_audit_calibration").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    assert(got.exists(_._1 < 0) && got.exists(_._1 > 0),
+      "scores must populate both polarities")
+  }
+
   test("split JS divergence equals an in-memory replay and is near zero") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select(col("doc_id"), col("text")).collect()
