@@ -31,6 +31,13 @@ object EventStreams {
   /** Funnel progress for q_stream_funnel (0 = step not reached). */
   case class FunnelState(t1: Long, t2: Long, t3: Long)
 
+  /** q_stream_pattern state: the OPEN error-free block's code string
+    * plus tallies over CLOSED blocks. The open block stays in state
+    * (bounded by the inter-error gap); closed blocks fold into the
+    * tallies eagerly and are dropped. */
+  case class PatternState(buf: String, nEvents: Long, nClean: Long,
+      firstLen: Long)
+
   /** StatefulProcessor for q_stream_transform_state: per-event-type
     * running (count, Σ value-micros) in a ValueState. Sums are LONG
     * micro-units (floor(value·1e6) per row) so state merges are
@@ -282,6 +289,67 @@ object EventStreams {
         }
         .toDF("user_id", "t1_us", "t2_us", "t3_us", "steps")
       runToMemory(s, out, "update", s"funnel_${System.nanoTime()}")
+        .orderBy(col("user_id"))
+    }),
+
+    // Streaming CEP: the q_event_pattern regex (view→click→purchase
+    // with no error between) evaluated incrementally per user. Errors
+    // delimit blocks; a CLOSED block is scanned with the same
+    // leftmost-greedy regex the batch twin uses and folded into the
+    // state tallies, so state carries only the OPEN block (bounded by
+    // the inter-error gap) — never the full history. The open block's
+    // contribution is computed PROVISIONALLY at emit time and not
+    // folded into state, so a later batch extending the block revises
+    // it instead of double-counting: the emitted row always equals the
+    // batch answer over the events seen so far.
+    "q_stream_pattern" -> ((s, d) => {
+      import s.implicits._
+      val typed = eventStream(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("m"), col("event_id"))
+        .as[(Long, String, Long, Long)]
+      val out = typed.groupByKey(_._1)
+        .flatMapGroupsWithState[PatternState, (Long, Long, Long, Long)](
+          OutputMode.Update, GroupStateTimeout.NoTimeout) {
+          (uid: Long, it: Iterator[(Long, String, Long, Long)],
+              st: GroupState[PatternState]) =>
+            val pat = java.util.regex.Pattern.compile("v[^e]*c[^e]*p")
+            val prev = st.getOption.getOrElse(PatternState("", 0L, 0L, 0L))
+            var buf = prev.buf
+            var n = prev.nEvents
+            var clean = prev.nClean
+            var fl = prev.firstLen
+            // returns (matches, first-match length) of one block
+            def scan(block: String): (Long, Long) = {
+              val m = pat.matcher(block)
+              var c = 0L
+              var first = 0L
+              while (m.find()) {
+                c += 1
+                if (first == 0L) first = (m.end - m.start).toLong
+              }
+              (c, first)
+            }
+            it.toSeq.sortBy(e => (e._3, e._4)).foreach { case (_, tpe, _, _) =>
+              n += 1
+              val ch = tpe match {
+                case "view" => 'v'; case "click" => 'c'
+                case "purchase" => 'p'; case "error" => 'e'; case _ => 's'
+              }
+              if (ch == 'e') { // block closes: fold it into the tallies
+                val (c, first) = scan(buf)
+                clean += c
+                if (fl == 0L && first > 0L) fl = first
+                buf = ""
+              } else buf += ch
+            }
+            st.update(PatternState(buf, n, clean, fl))
+            val (pc, pf) = scan(buf) // provisional open-block view
+            Iterator((uid, n, clean + pc,
+              if (fl > 0L) fl else pf))
+        }
+        .toDF("user_id", "n_events", "n_clean", "first_len")
+      runToMemory(s, out, "update", s"spattern_${System.nanoTime()}")
         .orderBy(col("user_id"))
     }),
 
@@ -759,6 +827,11 @@ object EventStreams {
   )
 
   val oracles: Map[String, String] = Map(
+    // The streaming CEP emits exactly the batch q_event_pattern rows at
+    // end of stream — ONE oracle spelling, shared by reference (the
+    // shared-kernel rule applied to a whole query).
+    "q_stream_pattern" -> graft.queries.Extended.oracles("q_event_pattern"),
+
     "q_stream_tumbling" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
         |    AS window_start_s,

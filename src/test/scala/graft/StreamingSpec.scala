@@ -271,6 +271,19 @@ class StreamingSpec extends AnyFunSuite {
       "stateful fold must equal the batch step-wise minima")
   }
 
+  test("streaming CEP pattern equals the batch regex row for row") {
+    val stream = SparkEntry.queries("q_stream_pattern")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val batch = SparkEntry.queries("q_event_pattern")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(stream.nonEmpty && stream.exists(_._3 > 0),
+      "some user must complete a clean pattern")
+    assert(stream.toSeq == batch.toSeq,
+      "incremental block fold must equal the batch leftmost-greedy regex")
+  }
+
   test("streaming KMV distinct equals a batch replay of the sketch") {
     import graft.functions.VectorFunctions.{avalanche31, neutral_hash40}
     import graft.functions.KmvAgg.{kmv_agg, K}
