@@ -69,7 +69,10 @@ object Curation {
     // vocabulary). Every JS term is ln of an INTEGER product
     // (ln(2·c_p·n_q) − ln(c_p·n_q + c_q·n_p), products < 2^53 exact in
     // double), 1e6-floor-quantized and count-weighted, so the two
-    // emitted sums are exact integers; one-sided words contribute ln 2
+    // emitted sums are exact integers; envelope: exact while
+    // c_max·n_other < 2^53 (≈ 3e9 tokens per side for a 1e6-count top
+    // word) — past that, audit per language shard or subsample, the
+    // statistic is an average anyway; one-sided words contribute ln 2
     // on their side and zero on the other, exactly as JS prescribes
     // (KL would be undefined — the reason JS is the right audit).
     // Scale: one scan, one vocab-sized aggregate, totals broadcast.

@@ -1497,7 +1497,9 @@ object Extended {
     // right audit when comparing labelers — raw agreement flatters any
     // pair that fires at similar rates. Both counts and the statistic
     // are exact integers (kappa·1000 = 1000·(n·agree − Σ marginal
-    // products) floor-div (n² − Σ marginal products), the explicit
+    // products) floor-div (n² − Σ marginal products); envelope: exact
+    // to n ≈ 3e9 rows — n² must stay under 2^63 — past which compute
+    // the audit per shard or rescale the marginals; the explicit
     // floor-div spelling since kappa is legitimately negative — the
     // fixture's gates agree WORSE than chance, ≈ −420 pm, which is
     // itself the finding: the two gates encode anti-correlated length
