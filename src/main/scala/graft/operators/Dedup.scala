@@ -1177,12 +1177,24 @@ object Dedup {
           col("sb") <= col("sa") * 2 && col("sa") <= col("sb") * 2)
         .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
         .distinct()
+      // Verification by doc-level set intersection, not a token-level
+      // pair join: collecting each doc's (distinct) shingles into one
+      // array costs a single doc_id aggregate of t, and each surviving
+      // pair is checked with a hash-set array_intersect — versus
+      // shuffling the full token table through TWO pair joins and a
+      // (pair × shared-token)-row groupBy. The intermediate is one row
+      // per candidate pair (arrays in tow), never one per shared
+      // shingle; shingle sets are list_distinct by construction so
+      // |array_intersect| IS the overlap count.
+      val docArr = t.groupBy(col("doc_id"))
+        .agg(collect_list(col("tok")).as("toks"))
       cand
-        .join(t.select(col("doc_id").as("doc_a"), col("tok")), "doc_a")
-        .join(t.select(col("doc_id").as("doc_b"), col("tok")),
-          Seq("doc_b", "tok"))
-        .groupBy(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
-        .agg(count(lit(1)).as("inter"))
+        .join(docArr.select(col("doc_id").as("doc_a"),
+          col("toks").as("ta")), "doc_a")
+        .join(docArr.select(col("doc_id").as("doc_b"),
+          col("toks").as("tb")), "doc_b")
+        .withColumn("inter",
+          size(array_intersect(col("ta"), col("tb"))).cast("long"))
         .where(lit(3) * col("inter") >= col("sa") + col("sb"))
         .select(col("doc_a"), col("doc_b"), col("inter"), col("sa"),
           col("sb"),
