@@ -798,6 +798,33 @@ object Extended {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Footer-only aggregation: COUNT/MIN/MAX answered from parquet
+    // row-group statistics with ZERO data pages read — the DSv2 scan
+    // rewrites the aggregate into a metadata walk (PushedAggregation in
+    // the plan, asserted in PlanSpec). At 100 TB this is the difference
+    // between a full corpus scan and listing footers: row counts and
+    // column envelopes are the first questions asked of any new
+    // dataset, and they are already materialized in the files. Runs on
+    // a child session because the V2 parquet path + pushdown are
+    // session confs (parquet is on useV1SourceList by default) that
+    // must not leak into the other queries' planning; timestamp and
+    // string columns are deliberately absent (parquet min/max pushdown
+    // excludes them — timestamp for int96 ambiguity, string for stats
+    // truncation), which is itself part of the documented envelope.
+    "q_scan_agg_pushdown" -> ((s, d) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.sources.useV1SourceList", "")
+      s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      s2.read.parquet(s"$d/lineitem.parquet").agg(
+        count(lit(1)).as("n"),
+        min(col("l_orderkey")).as("min_ok"),
+        max(col("l_orderkey")).as("max_ok"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+    }),
+
     // Time-series gap-fill: hourly per-type event counts with explicit
     // zero rows for silent hours — the resample/densify primitive behind
     // rate metrics and training-data time slicing. The hour spine comes
@@ -1701,6 +1728,17 @@ object Extended {
   }
 
   val oracles: Map[String, String] = Map(
+    // DuckDB computes the same envelope by scanning (its own zone-map
+    // skipping aside); the CONTRACT is identical values, the Spark plan
+    // additionally proves footer-only execution via PushedAggregation.
+    "q_scan_agg_pushdown" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok,
+        |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+        |  MIN(l_extendedprice) AS min_price,
+        |  MAX(l_extendedprice) AS max_price
+        |FROM lineitem""".stripMargin,
+
     // Same gates, marginal products, and floor-div spelling.
     "q_audit_kappa" ->
       """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),

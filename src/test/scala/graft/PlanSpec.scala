@@ -663,6 +663,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), "counts flow through hash aggregation")
   }
 
+  test("footer aggregate pushes COUNT/MIN/MAX into the parquet scan") {
+    // The whole point of q_scan_agg_pushdown: the DSv2 scan node carries
+    // the aggregate (answered from row-group statistics), so the plan
+    // reads footers, not data pages. Formatted explain — toString elides
+    // the pushed-aggregation list on some plans.
+    val df = SparkEntry.queries("q_scan_agg_pushdown")(spark, sfDir)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("PushedAggregation: [COUNT(*)"),
+      p.linesIterator.filter(_.contains("Pushed")).mkString("\n"))
+    assert(p.contains("MIN(l_quantity)") && p.contains("MAX(l_extendedprice)"),
+      "column envelopes must ride the pushed aggregate")
+  }
+
   test("dynamic partition overwrite leaves untouched partitions' files intact") {
     val rows = SparkEntry.queries("q_layout_incremental")(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
