@@ -52,6 +52,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "remove_tokens_at", args => RemoveTokensAt(args(0), args(1)),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "jaro_winkler", args => JaroWinkler(args(0), args(1)), "built-in")
   }
 
   private def ngramsBuilder(args: Seq[Expression]): Expression = args match {

@@ -932,6 +932,34 @@ object Dedup {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Fuzzy record linkage by JARO-WINKLER on the document head — the
+    // typo-robust name/title matcher of entity-resolution pipelines,
+    // here canonicalizing near-identical document openings. Candidates
+    // come from standard BLOCKING, not all pairs: the (first two
+    // tokens) key is an equi-join — at 100 TB the block key just gets
+    // richer (more tokens / sorted-token signature), the plan shape is
+    // unchanged, and per-block fan-out stays bounded because heads that
+    // disagree in their first two tokens can't be linkage candidates at
+    // a 0.9 threshold anyway. The score is the library's compiled
+    // [[graft.functions.JaroWinkler]] expression, bit-identical to
+    // DuckDB's jaro_winkler_similarity (rapidfuzz) — raw doubles cross
+    // the oracle hash-compare with no quantization.
+    "q_dedup_jarowinkler" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        substring(col("text"), 1, 48).as("h"),
+        concat(element_at(split(col("text"), " "), 1), lit(" "),
+          element_at(split(col("text"), " "), 2)).as("blk"))
+      docs.select(col("doc_id").as("doc_a"), col("h").as("ha"), col("blk"))
+        .join(docs.select(col("doc_id").as("doc_b"), col("h").as("hb"),
+          col("blk")), "blk")
+        .where(col("doc_a") < col("doc_b"))
+        .withColumn("jw",
+          graft.functions.TextFunctions.jaro_winkler(col("ha"), col("hb")))
+        .where(col("jw") >= 0.9)
+        .select(col("doc_a"), col("doc_b"), col("jw"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Benchmark-contamination check: which corpus documents share ≥ 5
     // word trigrams with any document in the held-out set (source src0
     // stands in for an eval benchmark)? The scale shape is the same
@@ -1351,6 +1379,20 @@ object Dedup {
     // Candidates from full shingle-set intersections (the df-cap is
     // provably inactive on the fixtures — same argument as the Jaccard
     // twin); unit-cost Levenshtein is integer and engine-independent.
+    // Same blocking, DuckDB's native jaro_winkler_similarity — the
+    // compiled expression replays its exact arithmetic (see
+    // TextExpressions.scala), so raw doubles compare hash-exact.
+    "q_dedup_jarowinkler" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 48) AS h,
+        |             split_part(text, ' ', 1) || ' ' ||
+        |             split_part(text, ' ', 2) AS blk
+        |           FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  jaro_winkler_similarity(a.h, b.h) AS jw
+        |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE jaro_winkler_similarity(a.h, b.h) >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     "q_dedup_editdist" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w
         |           FROM documents),

@@ -334,6 +334,39 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(got == "p s")
   }
 
+  test("jaro_winkler reproduces DuckDB's doubles bit-for-bit") {
+    import graft.functions.JaroWinkler
+    def jw(a: String, b: String): Double =
+      JaroWinkler.sim(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    // expected bit patterns captured from
+    // `SELECT jaro_winkler_similarity(a, b)` in DuckDB itself — the
+    // contract is BIT equality, not epsilon closeness
+    val vectors = Seq(
+      ("MARTHA", "MARHTA") -> "0x1.ec16c16c16c17p-1",
+      ("DIXON", "DICKSONX") -> "0x1.a06d3a06d3a06p-1",
+      ("JELLYFISH", "SMELLYFISH") -> "0x1.cae759203cae8p-1",
+      ("DWAYNE", "DUANE") -> "0x1.ae147ae147ae2p-1",
+      ("apple banana", "apple bananna") -> "0x1.f81f81f81f820p-1",
+      ("abc", "abc") -> "0x1.0p0",
+      ("abc", "xyz") -> "0x0.0p0",
+      ("a", "") -> "0x0.0p0",
+      ("", "") -> "0x0.0p0") // DuckDB: two empties are 0, not 1
+    vectors.foreach { case ((a, b), hex) =>
+      val got = jw(a, b)
+      val want = java.lang.Double.parseDouble(hex)
+      assert(java.lang.Double.doubleToLongBits(got) ==
+        java.lang.Double.doubleToLongBits(want),
+        s"jw($a, $b) = $got, want $want")
+    }
+    // symmetry on asymmetric-length inputs (window is max-based)
+    assert(jw("DIXON", "DICKSONX") == jw("DICKSONX", "DIXON"))
+    // SQL registration surface
+    graft.functions.GraftFunctions.registerAll(spark)
+    val viaSql = spark.sql("SELECT jaro_winkler('MARTHA', 'MARHTA')")
+      .head.getDouble(0)
+    assert(viaSql == jw("MARTHA", "MARHTA"))
+  }
+
   test("kmv_agg keeps the K smallest DISTINCT hashes, partition-invariant") {
     import spark.implicits._
     import graft.functions.KmvAgg

@@ -261,6 +261,14 @@ class PlanSpec extends AnyFunSuite {
       "Levenshtein must run only on shingle-blocked candidates")
   }
 
+  test("jaro-winkler linkage blocks through an equi-join, no cross product") {
+    val p = plan("q_dedup_jarowinkler")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the JW kernel must run only on block-key candidates")
+    assert(p.contains("jaro_winkler"), "compiled expression in the plan")
+  }
+
   test("full outer join is a two-sided shuffle join (cannot broadcast)") {
     val p = plan("q_join_full")
     assert(p.contains("FullOuter"), "expected a full outer join")
