@@ -195,7 +195,7 @@ object ScaleProbe {
       .map(_.split(",").toSet)
       .getOrElse(Set("pipeline", "cc_corpus", "cc_chain", "topk",
         "lsh", "semantic", "recall", "graph", "triangles", "cdc", "kcore",
-        "prefix", "blocklist", "novelty"))
+        "prefix", "blocklist", "novelty", "linkage"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outBase = s"${sys.props("java.io.tmpdir")}/graft_scale"
@@ -534,6 +534,36 @@ object ScaleProbe {
         s""""inverted":{"pairs":${inv.size},"wall_s":${f"$wInv%.2f"},""" +
         s""""shuffle_mb":${(swI + srI) / 1048576}},""" +
         s""""contains_all_strict_pairs":true}""")
+    }
+
+    // ---- linkage: blocked Jaro-Winkler at growing corpus scale ------
+    // The blocking claim made measurable: the candidate stage is an
+    // equi-join on the (first two tokens) key, so wall must track the
+    // Σ per-block C(n,2) candidate volume — not docs² — and the max
+    // block size is the skew exposure. Under the amplifier, only fam-0
+    // exact replicas share a block across replicas (every other family
+    // rewrites its opening tokens), so candidate volume grows
+    // ~linearly·F² ONLY inside those bounded families while the block
+    // count grows linearly — the probe records both so the relation is
+    // data, not argument.
+    if (sections("linkage")) factors.filter(_ <= 10).foreach { f =>
+      val dir = if (f == 1) sfDir else amplify(spark, sfDir, f, outBase)
+      val nDocs = Tables.documents(spark, dir).count()
+      val prof = Tables.documents(spark, dir)
+        .select(concat(expr("element_at(split(text, ' '), 1)"), lit(" "),
+          expr("element_at(split(text, ' '), 2)")).as("blk"))
+        .groupBy(col("blk")).count()
+        .agg(count(lit(1)).as("blocks"), max(col("count")).as("max_blk"),
+          sum(expr("count * (count - 1) div 2")).as("cand"))
+        .collect()(0)
+      val q = graft.SparkEntry.queries("q_dedup_jarowinkler")
+      val runs = Seq.fill(2)(measured(spark, agg) { q(spark, dir).count() })
+      val (matches, w, sw, sr, sp, _) = runs.minBy(_._2)
+      emit(s"""{"probe":"linkage","factor":$f,"docs":$nDocs,""" +
+        s""""blocks":${prof.getLong(0)},"max_block":${prof.getLong(1)},""" +
+        s""""cand_pairs":${prof.getLong(2)},"matches":$matches,""" +
+        s""""wall_s":${f"$w%.2f"},"shuffle_mb":${(sw + sr) / 1048576},""" +
+        s""""spill_mb":${sp / 1048576}}""")
     }
 
     // ---- blocklist: automaton vs k-scan at growing pattern counts --
