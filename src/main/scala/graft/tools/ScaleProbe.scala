@@ -178,6 +178,32 @@ object ScaleProbe {
     out
   }
 
+  /** Deterministic ×`factor` EVENTS amplifier: event and user ids shift
+    * by replica (nid = id·F + r), timestamps and everything else kept
+    * verbatim — models USER-dimension growth at a constant time span,
+    * the streaming scale axis: per-key state (dedup rows in the
+    * watermark, per-user/session state, join buffers) must grow
+    * linearly in F while the watermark frontier and window count stay
+    * fixed. Raw read/write (no Tables.events ts cast) so the parquet
+    * stays TIMESTAMP_NTZ and the stream schema applies unchanged. */
+  private[graft] def amplifyEvents(s: SparkSession, d: String,
+      factor: Int, outBase: String): String = {
+    val out = s"$outBase/ev_x$factor"
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$out/events.parquet/_SUCCESS")
+    if (marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .exists(marker)) return out
+    val reps = s.range(factor).select(col("id").as("r"))
+    s.read.parquet(s"$d/events.parquet").crossJoin(reps)
+      .select((col("event_id") * factor + col("r")).as("event_id"),
+        col("ts"),
+        (col("user_id") * factor + col("r")).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    out
+  }
+
   /** Cluster-size histogram of a label table — the structural
     * fingerprint both CC variants must agree on. */
   private def histogram(labels: DataFrame): Seq[(Long, Long)] =
@@ -195,7 +221,7 @@ object ScaleProbe {
       .map(_.split(",").toSet)
       .getOrElse(Set("pipeline", "cc_corpus", "cc_chain", "topk",
         "lsh", "semantic", "recall", "graph", "triangles", "cdc", "kcore",
-        "prefix", "blocklist", "novelty", "linkage"))
+        "prefix", "blocklist", "novelty", "linkage", "stream"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outBase = s"${sys.props("java.io.tmpdir")}/graft_scale"
@@ -564,6 +590,74 @@ object ScaleProbe {
         s""""cand_pairs":${prof.getLong(2)},"matches":$matches,""" +
         s""""wall_s":${f"$w%.2f"},"shuffle_mb":${(sw + sr) / 1048576},""" +
         s""""spill_mb":${sp / 1048576}}""")
+    }
+
+    // ---- stream: stateful streaming state vs event volume -----------
+    // The batch probes measure shuffle; streaming's scale axis is STATE.
+    // Three representative stateful plans at ×1/×10 event volume (users
+    // scale, time span fixed): watermark dedup (state rows track events
+    // inside the watermark — the linear-growth worst case), tumbling
+    // window aggregation (state rows track windows×types — must stay
+    // FLAT as volume grows; if it doesn't, the key design is wrong),
+    // and the stream-stream join (buffers both sides within their
+    // watermarks). Recorded per run: end-state rows, state memory,
+    // summed commit time, micro-batches, wall, input rows/s — the
+    // numbers that decide provider choice and partition sizing at a
+    // real deployment's volume.
+    if (sections("stream")) {
+      val picks = Seq(
+        ("q_stream_tumbling", "tumbling"),
+        ("q_stream_dedup_watermark", "dedupw"),
+        ("q_stream_join", "sjoin"))
+      val stateAgg =
+        new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+      val lst = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryProgressEvent): Unit = {
+          val p = e.progress
+          val ops = p.stateOperators
+          if (p.name != null && ops != null && ops.nonEmpty) {
+            val cur = stateAgg.computeIfAbsent(p.name.takeWhile(_ != '_'),
+              _ => Array(0L, 0L, 0L, 0L))
+            cur.synchronized {
+              // PEAK rows, not the last snapshot: the final batch's
+              // watermark purge zeroes dedup state, and capacity
+              // planning cares about the high-water mark
+              cur(0) = math.max(cur(0), ops.map(_.numRowsTotal).sum)
+              cur(1) = math.max(cur(1), ops.map(_.memoryUsedBytes).sum)
+              cur(2) += ops.map(_.commitTimeMs).sum
+              cur(3) += 1L
+            }
+          }
+        }
+      }
+      spark.streams.addListener(lst)
+      factors.filter(_ <= 10).foreach { f =>
+        val dir = if (f == 1) sfDir else amplifyEvents(spark, sfDir, f, outBase)
+        val nEv = spark.read.parquet(s"$dir/events.parquet").count()
+        picks.foreach { case (qn, prefix) =>
+          stateAgg.clear()
+          val q = graft.SparkEntry.queries(qn)
+          val (rows, w, sw, sr, sp, _) =
+            measured(spark, agg) { q(spark, dir).count() }
+          org.apache.spark.sql.graftbridge.Bridge.waitListenerBus(spark, 10000)
+          val st = Option(stateAgg.get(prefix)).getOrElse(Array(0L, 0L, 0L, 0L))
+          emit(s"""{"probe":"stream","factor":$f,"query":"$qn",""" +
+            s""""events":$nEv,"out_rows":$rows,"wall_s":${f"$w%.2f"},""" +
+            s""""rows_per_s":${(nEv / w).toLong},"state_rows":${st(0)},""" +
+            s""""state_mem_mb":${st(1) / 1048576},"commit_ms":${st(2)},""" +
+            s""""batches":${st(3)},"shuffle_mb":${(sw + sr) / 1048576},""" +
+            s""""spill_mb":${sp / 1048576}}""")
+        }
+      }
+      spark.streams.removeListener(lst)
     }
 
     // ---- blocklist: automaton vs k-scan at growing pattern counts --
