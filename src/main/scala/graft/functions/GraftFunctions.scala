@@ -54,6 +54,9 @@ object GraftFunctions {
       "built-in")
     reg.createOrReplaceTempFunction(
       "jaro_winkler", args => JaroWinkler(args(0), args(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "damerau_levenshtein",
+      args => DamerauLevenshtein(args(0), args(1)), "built-in")
   }
 
   private def ngramsBuilder(args: Seq[Expression]): Expression = args match {

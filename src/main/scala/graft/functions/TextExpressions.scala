@@ -381,6 +381,81 @@ object JaroWinkler {
   }
 }
 
+/** Unrestricted Damerau-Levenshtein distance of two string columns —
+  * the transposition-aware edit distance (Lowrance-Wagner DP with the
+  * last-occurrence table, NOT the restricted OSA variant: "ca"→"abc"
+  * is 2 here, 3 under OSA), matching DuckDB's `damerau_levenshtein`
+  * exactly (20k-pair fuzz). Integer-valued, so oracle parity is exact
+  * by construction — no float spelling to mirror. Spark ships plain
+  * `levenshtein` (used by q_dedup_editdist's banded verify) but has no
+  * transposition-aware distance; adjacent-swap typos are the dominant
+  * human error class, which is why linkage stacks score with it.
+  * Byte-level like [[JaroWinkler]], matching DuckDB's byte semantics.
+  * O(l1·l2) time, O(l1·l2) ints — candidate-pair-stage only, same
+  * CodegenFallback justification as the other pair kernels.
+  */
+case class DamerauLevenshtein(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "damerau_levenshtein"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (string, string), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DamerauLevenshtein.dist(a.asInstanceOf[UTF8String].getBytes,
+      b.asInstanceOf[UTF8String].getBytes)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object DamerauLevenshtein {
+  def dist(s1: Array[Byte], s2: Array[Byte]): Long = {
+    val l1 = s1.length
+    val l2 = s2.length
+    if (l1 == 0) return l2.toLong
+    if (l2 == 0) return l1.toLong
+    val inf = l1 + l2
+    val w = l2 + 2
+    val d = new Array[Int]((l1 + 2) * w) // d(i)(j) = d(i * w + j)
+    d(0) = inf
+    var i = 0
+    while (i <= l1) { d((i + 1) * w) = inf; d((i + 1) * w + 1) = i; i += 1 }
+    var j = 0
+    while (j <= l2) { d(j + 1) = inf; d(w + j + 1) = j; j += 1 }
+    val da = new Array[Int](256) // last row where byte occurred in s1
+    i = 1
+    while (i <= l1) {
+      var db = 0
+      j = 1
+      while (j <= l2) {
+        val k = da(s2(j - 1) & 0xff)
+        val l = db
+        val cost = if (s1(i - 1) == s2(j - 1)) { db = j; 0 } else 1
+        val sub = d(i * w + j) + cost
+        val ins = d((i + 1) * w + j) + 1
+        val del = d(i * w + j + 1) + 1
+        val swap = d(k * w + l) + (i - k - 1) + 1 + (j - l - 1)
+        d((i + 1) * w + j + 1) =
+          math.min(math.min(sub, ins), math.min(del, swap))
+        j += 1
+      }
+      da(s1(i - 1) & 0xff) = i
+      i += 1
+    }
+    d((l1 + 1) * w + l2 + 1).toLong
+  }
+}
+
 object TextFunctions {
   /** Tokens minus the (sorted) excised positions, space-joined — the
     * O(n + p) merge-scan rebuild for span-level dedup. */
@@ -402,4 +477,9 @@ object TextFunctions {
     * `jaro_winkler_similarity`. */
   def jaro_winkler(a: Column, b: Column): Column =
     Bridge.column(JaroWinkler(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Unrestricted Damerau-Levenshtein distance (DuckDB-exact). */
+  def damerau_levenshtein(a: Column, b: Column): Column =
+    Bridge.column(DamerauLevenshtein(Bridge.expression(a),
+      Bridge.expression(b)))
 }

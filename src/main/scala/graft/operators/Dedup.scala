@@ -960,6 +960,28 @@ object Dedup {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // The linkage family's second scorer: unrestricted DAMERAU-
+    // LEVENSHTEIN on the same blocked candidates — the transposition-
+    // aware edit distance (adjacent-swap typos cost 1, not 2), which
+    // Spark's builtin levenshtein can't express. Same blocking doctrine
+    // as q_dedup_jarowinkler (equi-join on the first-two-tokens key);
+    // the integer distance makes oracle parity exact by construction.
+    "q_dedup_damerau" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        substring(col("text"), 1, 48).as("h"),
+        concat(element_at(split(col("text"), " "), 1), lit(" "),
+          element_at(split(col("text"), " "), 2)).as("blk"))
+      docs.select(col("doc_id").as("doc_a"), col("h").as("ha"), col("blk"))
+        .join(docs.select(col("doc_id").as("doc_b"), col("h").as("hb"),
+          col("blk")), "blk")
+        .where(col("doc_a") < col("doc_b"))
+        .withColumn("dl", graft.functions.TextFunctions
+          .damerau_levenshtein(col("ha"), col("hb")))
+        .where(col("dl") <= 10)
+        .select(col("doc_a"), col("doc_b"), col("dl"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Benchmark-contamination check: which corpus documents share ≥ 5
     // word trigrams with any document in the held-out set (source src0
     // stands in for an eval benchmark)? The scale shape is the same
@@ -1379,6 +1401,20 @@ object Dedup {
     // Candidates from full shingle-set intersections (the df-cap is
     // provably inactive on the fixtures — same argument as the Jaccard
     // twin); unit-cost Levenshtein is integer and engine-independent.
+    // Same blocking, DuckDB's native damerau_levenshtein — the compiled
+    // expression implements the identical unrestricted Lowrance-Wagner
+    // DP; integers, so parity is definitional.
+    "q_dedup_damerau" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 48) AS h,
+        |             split_part(text, ' ', 1) || ' ' ||
+        |             split_part(text, ' ', 2) AS blk
+        |           FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(damerau_levenshtein(a.h, b.h) AS BIGINT) AS dl
+        |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE damerau_levenshtein(a.h, b.h) <= 10
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     // Same blocking, DuckDB's native jaro_winkler_similarity — the
     // compiled expression replays its exact arithmetic (see
     // TextExpressions.scala), so raw doubles compare hash-exact.

@@ -367,6 +367,31 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(viaSql == jw("MARTHA", "MARHTA"))
   }
 
+  test("damerau_levenshtein is the UNRESTRICTED variant, DuckDB-exact") {
+    import graft.functions.DamerauLevenshtein
+    def dl(a: String, b: String): Long =
+      DamerauLevenshtein.dist(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    // expected values captured from DuckDB's damerau_levenshtein —
+    // "ca"→"abc" = 2 is the discriminator: the restricted OSA variant
+    // (which most libraries ship) says 3
+    assert(dl("ca", "abc") == 2L, "must be unrestricted, not OSA")
+    assert(dl("abcd", "badc") == 2L)
+    assert(dl("kitten", "sitting") == 3L)
+    assert(dl("ab", "ba") == 1L)
+    assert(dl("abc", "acb") == 1L)
+    assert(dl("", "") == 0L)
+    assert(dl("a", "") == 1L)
+    assert(dl("", "abc") == 3L)
+    assert(dl("same", "same") == 0L)
+    // symmetry + triangle-inequality spot checks
+    assert(dl("ca", "abc") == dl("abc", "ca"))
+    assert(dl("ca", "abc") <= dl("ca", "b") + dl("b", "abc"))
+    // SQL registration surface
+    graft.functions.GraftFunctions.registerAll(spark)
+    assert(spark.sql("SELECT damerau_levenshtein('ca', 'abc')")
+      .head.getLong(0) == 2L)
+  }
+
   test("kmv_agg keeps the K smallest DISTINCT hashes, partition-invariant") {
     import spark.implicits._
     import graft.functions.KmvAgg
