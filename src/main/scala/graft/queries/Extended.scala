@@ -825,6 +825,29 @@ object Extended {
         max(col("l_extendedprice")).as("max_price"))
     }),
 
+    // Custom DSv2 connector end-to-end: scan the deterministic synth
+    // source (graft.sources.GraftSynthSource — TableProvider → pruning
+    // + filter-pushdown ScanBuilder → range partitions → row readers)
+    // through an id-range filter and an aggregate. The id filter
+    // narrows the generator's range AT PLANNING TIME (the connector's
+    // partition pruning — asserted in PlanSpec via planInputPartitions)
+    // and rows are a pure function of id, so the DuckDB oracle replays
+    // the whole scan with generate_series. Outputs avoid double
+    // SUMMATION entirely (min/max/count/distinct are exact; the val
+    // doubles are bit-identical per row in both engines by IEEE
+    // division), so parity is definitional.
+    "q_source_custom" -> ((s, d) => {
+      s.read.format("graft.sources.GraftSynthSource")
+        .option("rows", "100000").option("parts", "8").load()
+        .where(col("id") >= 25000L && col("id") < 75000L)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("val")).as("min_val"),
+          max(col("val")).as("max_val"),
+          countDistinct(col("tok")).as("n_tok"))
+        .orderBy(col("bucket"))
+    }),
+
     // Time-series gap-fill: hourly per-type event counts with explicit
     // zero rows for silent hours — the resample/densify primitive behind
     // rate metrics and training-data time slicing. The hour spine comes
@@ -1728,6 +1751,24 @@ object Extended {
   }
 
   val oracles: Map[String, String] = Map(
+    // The custom connector's rows are a pure function of id, so DuckDB
+    // rebuilds the identical scan from generate_series: same Knuth /
+    // Murmur-mix constants, same exact IEEE division for val.
+    "q_source_custom" ->
+      """WITH e AS (
+        |  SELECT g.g AS id,
+        |    CAST(((g.g * 2654435761) % 2147483648) % 100 AS INTEGER)
+        |      AS bucket,
+        |    CAST((g.g * 1540483477) % 2147483648 AS DOUBLE) / 2147483648
+        |      AS val,
+        |    't' || CAST(g.g % 97 AS VARCHAR) AS tok
+        |  FROM generate_series(0, 99999) AS g(g)
+        |  WHERE g.g >= 25000 AND g.g < 75000)
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(val) AS min_val, MAX(val) AS max_val,
+        |  CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_tok
+        |FROM e GROUP BY bucket ORDER BY bucket""".stripMargin,
+
     // DuckDB computes the same envelope by scanning (its own zone-map
     // skipping aside); the CONTRACT is identical values, the Spark plan
     // additionally proves footer-only execution via PushedAggregation.

@@ -685,6 +685,35 @@ class PlanSpec extends AnyFunSuite {
       "column envelopes must ride the pushed aggregate")
   }
 
+  test("custom DSv2 source prunes columns and narrows ranges at planning") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val df = SparkEntry.queries("q_source_custom")(spark, sfDir)
+    val scans = walkPlan(df.queryExecution.executedPlan).collect {
+      case b: BatchScanExec => b.scan
+    }
+    assert(scans.nonEmpty, "expected a DSv2 BatchScan of the synth source")
+    val scan = scans.head
+    // the id-range predicate narrowed the generator BEFORE task launch:
+    // every planned partition lies inside [25000, 75000)
+    val parts = scan.toBatch.planInputPartitions()
+    assert(parts.nonEmpty)
+    parts.foreach { p =>
+      val r = p.asInstanceOf[graft.sources.SynthRange]
+      assert(r.lo >= 25000L && r.hi <= 75000L, s"unpruned range $r")
+    }
+    assert(parts.map(_.asInstanceOf[graft.sources.SynthRange])
+      .map(r => r.hi - r.lo).sum == 50000L, "ranges must tile the filter")
+    // column pruning reaches the generator: a 2-column projection
+    // plans a 2-column read schema
+    val slim = spark.read.format("graft.sources.GraftSynthSource")
+      .option("rows", "1000").load().select("id", "bucket")
+    val slimScan = walkPlan(slim.queryExecution.executedPlan).collect {
+      case b: BatchScanExec => b.scan
+    }.head
+    assert(slimScan.readSchema().fieldNames.toSeq == Seq("id", "bucket"),
+      slimScan.readSchema().treeString)
+  }
+
   test("dynamic partition overwrite leaves untouched partitions' files intact") {
     val rows = SparkEntry.queries("q_layout_incremental")(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
