@@ -51,6 +51,50 @@ class RunnerSpec extends AnyFunSuite {
     } finally { reader.close(); alloc.close() }
   }
 
+  test("manifest sink commits atomically: parts, counts, temp cleanup") {
+    import org.apache.spark.sql.functions._
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_manifest_spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val src = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .repartition(4)
+    src.write.format("graft.sources.GraftManifestSink")
+      .option("path", dir).mode("append").save()
+    // the manifest is the commit: it lists every part with its rows,
+    // the parts exist, the temp dir does not
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_MANIFEST")), "UTF-8")
+    val entries = manifest.trim.split("\n").map(_.split("\t"))
+    assert(entries.length == 4, s"expected 4 parts: $manifest")
+    assert(entries.map(_(1).toLong).sum == src.count(),
+      "manifest row counts must sum to the source")
+    entries.foreach { e =>
+      assert(new java.io.File(dir, e(0)).isFile, s"missing part ${e(0)}")
+    }
+    assert(!new java.io.File(dir, "_temp").exists, "temp dir must be gone")
+    // the parts round-trip: TSV un-escape restores the exact rows
+    val back = spark.read.option("sep", "\t").csv(
+        entries.map(e => s"$dir/${e(0)}"): _*)
+      .select(col("_c0").cast("long").as("doc_id"), col("_c1").as("lang"),
+        col("_c2").as("text"))
+    assert(back.count() == src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty,
+      "TSV round-trip must be lossless on the fixture")
+    // abort leaves nothing behind: a task-level abort deletes its file
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val w = new graft.sources.ManifestWriterFactory(dir,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.LongType))),
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)).createWriter(9, 99L)
+    w.write(org.apache.spark.sql.catalyst.InternalRow(1L))
+    w.abort()
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/_temp/part-9-99.tsv")), "aborted part must be deleted")
+  }
+
   test("merged single-job scan agrees with per-file fan-out row count") {
     val fanout = ScanRunner.run(spark, Seq(sf), "l_quantity", 25.0, jobs = 4)
     val merged = ScanRunner.runMerged(spark,
