@@ -982,6 +982,44 @@ object Dedup {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // The linkage DECISION stage — Fellegi-Sunter in miniature: the
+    // three independent scorers (Jaro-Winkler typo similarity,
+    // transposition-aware edit distance, token-set Jaccard) vote on the
+    // SAME blocked candidates and a pair links on ≥ 2 agreements.
+    // Fusion is the point: at sf0.1 two pairs link that no single
+    // feature's threshold admits alone, and 28 single-feature
+    // borderliners are rejected. One blocked join computes all three
+    // features in a single projection — the decision adds NO plan
+    // stages over a single-feature pass.
+    "q_dedup_linkage" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        substring(col("text"), 1, 48).as("h"),
+        concat(element_at(split(col("text"), " "), 1), lit(" "),
+          element_at(split(col("text"), " "), 2)).as("blk"))
+      docs.select(col("doc_id").as("doc_a"), col("h").as("ha"), col("blk"))
+        .join(docs.select(col("doc_id").as("doc_b"), col("h").as("hb"),
+          col("blk")), "blk")
+        .where(col("doc_a") < col("doc_b"))
+        .withColumn("jw",
+          graft.functions.TextFunctions.jaro_winkler(col("ha"), col("hb")))
+        .withColumn("dl", graft.functions.TextFunctions
+          .damerau_levenshtein(col("ha"), col("hb")))
+        .withColumn("wa", array_distinct(split(col("ha"), " ")))
+        .withColumn("wb", array_distinct(split(col("hb"), " ")))
+        .withColumn("it", size(array_intersect(col("wa"), col("wb")))
+          .cast("long"))
+        .withColumn("jac_pm", expr(
+          "(1000 * it) div (size(wa) + size(wb) - it)"))
+        .withColumn("votes",
+          (col("jw") >= 0.9).cast("long") +
+            (col("dl") <= 10).cast("long") +
+            (col("jac_pm") >= 600).cast("long"))
+        .where(col("votes") >= 2)
+        .select(col("doc_a"), col("doc_b"), col("votes"), col("jw"),
+          col("dl"), col("jac_pm"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Benchmark-contamination check: which corpus documents share ≥ 5
     // word trigrams with any document in the held-out set (source src0
     // stands in for an eval benchmark)? The scale shape is the same
@@ -1401,6 +1439,36 @@ object Dedup {
     // Candidates from full shingle-set intersections (the df-cap is
     // provably inactive on the fixtures — same argument as the Jaccard
     // twin); unit-cost Levenshtein is integer and engine-independent.
+    // All three features in DuckDB's own spellings (native JW + DL,
+    // list_intersect token Jaccard — both engines dedup before
+    // intersecting); floor-div on positive jac_pm so div and // agree.
+    "q_dedup_linkage" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 48) AS h,
+        |             split_part(text, ' ', 1) || ' ' ||
+        |             split_part(text, ' ', 2) AS blk
+        |           FROM documents),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        a.h AS ha, b.h AS hb
+        |      FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id),
+        |f AS (SELECT doc_a, doc_b,
+        |        jaro_winkler_similarity(ha, hb) AS jw,
+        |        CAST(damerau_levenshtein(ha, hb) AS BIGINT) AS dl,
+        |        len(list_intersect(list_distinct(string_split(ha, ' ')),
+        |                           list_distinct(string_split(hb, ' '))))
+        |          AS it,
+        |        len(list_distinct(string_split(ha, ' '))) AS sa,
+        |        len(list_distinct(string_split(hb, ' '))) AS sb
+        |      FROM p),
+        |v AS (SELECT doc_a, doc_b, jw, dl,
+        |        CAST((1000 * it) // (sa + sb - it) AS BIGINT) AS jac_pm,
+        |        CAST((jw >= 0.9) AS BIGINT) + CAST((dl <= 10) AS BIGINT) +
+        |          CAST(((1000 * it) // (sa + sb - it) >= 600) AS BIGINT)
+        |          AS votes
+        |      FROM f)
+        |SELECT doc_a, doc_b, votes, jw, dl, jac_pm
+        |FROM v WHERE votes >= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     // Same blocking, DuckDB's native damerau_levenshtein — the compiled
     // expression implements the identical unrestricted Lowrance-Wagner
     // DP; integers, so parity is definitional.
