@@ -221,7 +221,7 @@ object ScaleProbe {
       .map(_.split(",").toSet)
       .getOrElse(Set("pipeline", "cc_corpus", "cc_chain", "topk",
         "lsh", "semantic", "recall", "graph", "triangles", "cdc", "kcore",
-        "prefix", "blocklist", "novelty", "linkage", "stream"))
+        "prefix", "blocklist", "novelty", "linkage", "stream", "codec"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outBase = s"${sys.props("java.io.tmpdir")}/graft_scale"
@@ -658,6 +658,32 @@ object ScaleProbe {
         }
       }
       spark.streams.removeListener(lst)
+    }
+
+    // ---- codec: storage-codec cost curve on the real corpus ---------
+    // At 100 TB the parquet compression codec is a standing
+    // CPU-vs-bytes trade paid on EVERY write and EVERY scan; measure it
+    // on the ×10 amplified corpus (full-text column dominates) instead
+    // of quoting folklore. Read leg forces full text decode
+    // (sum(length(text))); min-of-2 per leg.
+    if (sections("codec")) {
+      val dir = amplify(spark, sfDir, 10, outBase)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      Seq("none", "snappy", "lz4", "zstd", "gzip").foreach { c =>
+        val out = s"$outBase/codec_$c"
+        val wWall = Seq.fill(2)(measured(spark, agg) {
+          docs.write.mode("overwrite").option("compression", c).parquet(out)
+        }._2).min
+        val p = new org.apache.hadoop.fs.Path(out)
+        val bytes = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength
+        val rWall = Seq.fill(2)(measured(spark, agg) {
+          spark.read.parquet(out)
+            .agg(sum(length(col("text")))).collect()
+        }._2).min
+        emit(s"""{"probe":"codec","codec":"$c","mb":${bytes / 1048576},""" +
+          s""""write_s":${f"$wWall%.2f"},"read_s":${f"$rWall%.2f"}}""")
+      }
     }
 
     // ---- blocklist: automaton vs k-scan at growing pattern counts --
