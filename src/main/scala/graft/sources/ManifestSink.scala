@@ -61,18 +61,76 @@ private[graft] class ManifestTable(path: String, writeSchema: StructType)
   override def name(): String = s"graft_manifest($path)"
   override def schema(): StructType = writeSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
+        private def hconf = new SerializableConfiguration(
+          org.apache.spark.sql.SparkSession.active
+            .sparkContext.hadoopConfiguration)
         override def toBatch: BatchWrite =
-          new ManifestBatchWrite(path, info.schema(),
-            new SerializableConfiguration(
-              org.apache.spark.sql.SparkSession.active
-                .sparkContext.hadoopConfiguration))
+          new ManifestBatchWrite(path, info.schema(), hconf)
+        override def toStreaming: streaming.StreamingWrite =
+          new ManifestStreamingWrite(path, info.schema(), hconf)
       }
     }
+}
+
+/** Streaming flavor: one `_MANIFEST-<epoch>` per micro-batch, and
+  * commit is IDEMPOTENT on epoch — if the manifest for an epoch already
+  * exists (the driver died after commit, the batch re-delivers), the
+  * re-commit discards its freshly written temps instead of publishing a
+  * second copy. That epoch check is the entire exactly-once story of a
+  * streaming sink: the source replays, the sink deduplicates on the
+  * epoch id it is handed. */
+private[graft] class ManifestStreamingWrite(path: String,
+    schema: StructType, conf: SerializableConfiguration)
+    extends streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : streaming.StreamingDataWriterFactory = {
+    // locals only: the anonymous factory must not capture `this` (the
+    // StreamingWrite stays driver-side and is not Serializable)
+    val inner = new ManifestWriterFactory(path, schema, conf)
+    new streaming.StreamingDataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long,
+          epochId: Long): DataWriter[InternalRow] =
+        inner.createWriter(partitionId, taskId, epochId)
+    }
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf.value)
+    val manifestPath = new Path(dir, s"_MANIFEST-$epochId")
+    val parts = messages.map(_.asInstanceOf[PartCommit])
+    if (fs.exists(manifestPath)) { // replayed epoch: drop, don't double
+      parts.foreach(p => fs.delete(new Path(p.file), false))
+      return
+    }
+    fs.mkdirs(dir)
+    parts.foreach { p =>
+      val tmp = new Path(p.file)
+      fs.rename(tmp, new Path(dir, tmp.getName))
+    }
+    val manifest = parts.sortBy(_.file).map(p =>
+      s"${new Path(p.file).getName}\t${p.rows}\t${p.bytes}")
+      .mkString("", "\n", "\n")
+    val out = fs.create(manifestPath, false)
+    out.write(manifest.getBytes("UTF-8"))
+    out.close()
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(conf.value)
+    messages.collect { case p: PartCommit =>
+      fs.delete(new Path(p.file), false)
+    }
+  }
 }
 
 /** One committed part: where it landed and what it holds. */
@@ -118,9 +176,17 @@ private[graft] class ManifestWriterFactory(path: String,
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] = mkWriter(s"part-$partitionId-$taskId.tsv")
+
+  /** Streaming variant: the epoch id lands in the part name, so replays
+    * of the same epoch never collide with the committed files. */
+  def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] =
+    mkWriter(s"part-$epochId-$partitionId-$taskId.tsv")
+
+  private def mkWriter(name: String)
       : DataWriter[InternalRow] = new DataWriter[InternalRow] {
-    private val file =
-      new Path(s"$path/_temp/part-$partitionId-$taskId.tsv")
+    private val file = new Path(s"$path/_temp/$name")
     private val fs = file.getFileSystem(conf.value)
     private val out = fs.create(file, true)
     private var rows = 0L

@@ -95,6 +95,53 @@ class RunnerSpec extends AnyFunSuite {
       s"$dir/_temp/part-9-99.tsv")), "aborted part must be deleted")
   }
 
+  test("streaming manifest sink: a manifest per epoch, idempotent replay") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val tmp = sys.props("java.io.tmpdir")
+    val srcDir = s"$tmp/graft_mstream_src"
+    val dst = s"$tmp/graft_mstream_out"
+    Seq(srcDir, dst, dst + "_chk").foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val src = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+    src.repartition(3).write.parquet(srcDir)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("lang", StringType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream.format("graft.sources.GraftManifestSink")
+      .option("path", dst)
+      .option("checkpointLocation", dst + "_chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    def manifests(): Seq[java.io.File] =
+      new java.io.File(dst).listFiles.toSeq
+        .filter(_.getName.startsWith("_MANIFEST-")).sortBy(_.getName)
+    def committedRows(): Long = manifests()
+      .flatMap(m => scala.io.Source.fromFile(m).getLines())
+      .map(_.split("\t")(1).toLong).sum
+    assert(manifests().size >= 2,
+      s"maxFilesPerTrigger=1 over 3 files must yield multiple epochs: ${manifests()}")
+    assert(committedRows() == src.count(), "epoch manifests must sum to source")
+    // idempotent replay: re-committing an already-manifested epoch must
+    // discard the replayed temps, not double-publish
+    val epoch = manifests().head.getName.stripPrefix("_MANIFEST-").toLong
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val sw = new graft.sources.ManifestStreamingWrite(dst, schema, conf)
+    val w = new graft.sources.ManifestWriterFactory(dst, schema, conf)
+      .createWriter(7, 777L, epoch)
+    w.write(org.apache.spark.sql.catalyst.InternalRow(
+      42L, org.apache.spark.unsafe.types.UTF8String.fromString("xx")))
+    val msg = w.commit()
+    sw.commit(epoch, Array(msg))
+    assert(committedRows() == src.count(), "replayed epoch must not re-publish")
+    assert(!new java.io.File(s"$dst/_temp/part-$epoch-7-777.tsv").exists,
+      "replayed temp part must be cleaned up")
+  }
+
   test("merged single-job scan agrees with per-file fan-out row count") {
     val fanout = ScanRunner.run(spark, Seq(sf), "l_quantity", 25.0, jobs = 4)
     val merged = ScanRunner.runMerged(spark,
