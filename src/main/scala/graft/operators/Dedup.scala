@@ -1256,6 +1256,14 @@ object Dedup {
         .withColumn("rn", row_number().over(
           wDoc.orderBy(col("df"), col("tok"))))
         .where(col("rn") <= expr("sz div 2 + 1"))
+        // df=1 prefix tokens exist in exactly ONE doc (df counts docs —
+        // shingle sets are distinct per doc), so they cannot match in
+        // the pair join below; they still had to exist upstream for the
+        // rank cut (dropping them BEFORE rn would shift every doc's
+        // prefix boundary). Trigram shingles are mostly unique, so this
+        // removes the bulk of the self-join input without changing its
+        // output.
+        .where(col("df") >= 2)
         .select(col("doc_id"), col("sz"), col("tok"))
       val cand = pref.select(col("tok"), col("doc_id").as("doc_a"),
           col("sz").as("sa"))

@@ -617,14 +617,22 @@ object Extended {
     // same rank formula but not necessarily the same FP op order, so the
     // emitted values are floor-quantized to 1e-3 (same trick as ln/pow).
     "q_agg_median" -> ((s, d) => {
+      // One percentile(ARRAY(...)) aggregate, not two scalar ones: each
+      // scalar percentile builds its own value→count map per group per
+      // partition and merges it through the shuffle; the array form
+      // computes both ranks from ONE shared buffer (half the hashing,
+      // half the merge traffic), with identical interpolation per rank.
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          floor(expr("percentile(l_extendedprice, 0.5)") * 1000).cast("long")
-            .as("median_price_m"),
-          floor(expr("percentile(l_extendedprice, 0.9)") * 1000).cast("long")
-            .as("p90_price_m"),
+          expr("percentile(l_extendedprice, array(0.5, 0.9))").as("pcts"),
           count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          floor(element_at(col("pcts"), 1) * 1000).cast("long")
+            .as("median_price_m"),
+          floor(element_at(col("pcts"), 2) * 1000).cast("long")
+            .as("p90_price_m"),
+          col("n"))
         .orderBy(col("l_returnflag"))
     }),
 
