@@ -57,6 +57,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "damerau_levenshtein",
       args => DamerauLevenshtein(args(0), args(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "nfc_normalize", args => NfcNormalize(args(0)), "built-in")
   }
 
   private def ngramsBuilder(args: Seq[Expression]): Expression = args match {

@@ -456,6 +456,48 @@ object DamerauLevenshtein {
   }
 }
 
+/** Unicode NFC normalization (UAX #15 canonical composition) of a string
+  * column — the first step of web-corpus text hygiene: the same visible
+  * text arrives from crawls both composed ("é" U+00E9) and decomposed
+  * ("e"+U+0301), and every downstream exact-match operator (hash dedup,
+  * shingles, blocklists, tokenizers) treats those as different bytes
+  * unless a normalization pass runs first.
+  *
+  * Spark ships no normalization function, so this wraps
+  * `java.text.Normalizer` (the JDK's ICU-equivalent UAX #15
+  * implementation; DuckDB's `nfc_normalize` — utf8proc — implements the
+  * same algorithm, which is what makes the oracle exact). Fast path:
+  * `isNormalized` is a scan with NO allocation, and real corpus text is
+  * overwhelmingly already-NFC, so the common case returns the input
+  * UTF8String untouched. CodegenFallback: one virtual call per document,
+  * same justification as [[CdcChunkCodes]].
+  */
+case class NfcNormalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nfc_normalize"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val u = v.asInstanceOf[UTF8String]
+    val s = u.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   /** Tokens minus the (sorted) excised positions, space-joined — the
     * O(n + p) merge-scan rebuild for span-level dedup. */
@@ -482,4 +524,8 @@ object TextFunctions {
   def damerau_levenshtein(a: Column, b: Column): Column =
     Bridge.column(DamerauLevenshtein(Bridge.expression(a),
       Bridge.expression(b)))
+
+  /** Unicode NFC normalization (UAX #15), DuckDB `nfc_normalize`-exact. */
+  def nfc_normalize(text: Column): Column =
+    Bridge.column(NfcNormalize(Bridge.expression(text)))
 }

@@ -388,6 +388,48 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // Unicode hygiene — the pass every web corpus needs BEFORE any
+    // exact-match operator: NFC canonical composition (decomposed
+    // e+U+0301 and composed é are the same text but different bytes —
+    // different hashes, different shingles, different blocklist misses),
+    // then strip control characters (except \t \n) and the zero-width
+    // family (ZWSP/ZWNJ/ZWJ/BOM — invisible chars that split tokens and
+    // defeat dedup). The fixture corpus is clean ASCII, so each doc
+    // deterministically injects one taint class by doc_id % 4 (combining
+    // mark / zero-width / control / none) — the operator must fix
+    // exactly the first three and pass the fourth through unchanged.
+    // Everything is per-row expression work inside the scan stage (no
+    // shuffle before the presentation sort); normalization is the
+    // compiled [[graft.functions.NfcNormalize]] (JDK UAX #15 — Spark has
+    // no built-in), whose output DuckDB's utf8proc-backed nfc_normalize
+    // reproduces byte-for-byte, making even the STRING column
+    // hash-exact across engines.
+    "q_text_sanitize" -> ((s, d) => {
+      import graft.functions.TextFunctions.nfc_normalize
+      // taints are spelled as \u escapes end-to-end (raw combining /
+      // zero-width / control bytes in source are invisible to review)
+      val frag = substring(col("text"), 1, 32)
+      val kind = pmod(col("doc_id"), lit(4)).cast("long")
+      val dirty = when(kind === 0, concat(frag, lit(" cafe\u0301")))
+        .when(kind === 1, concat(frag, lit(" zero\u200Bwidth\uFEFFmark")))
+        .when(kind === 2, concat(frag, lit(" ctrl\u0007bell\u000Bvt")))
+        .otherwise(frag)
+      val ctrlClass =
+        "[\u0000-\u0008\u000B\u000C\u000E-\u001F\u007F]"
+      val zwClass = "[\u200B\u200C\u200D\uFEFF]"
+      Tables.documents(s, d)
+        .select(col("doc_id"), kind.as("kind"), dirty.as("d"))
+        .select(col("doc_id"), col("kind"),
+          length(col("d")).cast("long").as("len_dirty"),
+          regexp_replace(regexp_replace(nfc_normalize(col("d")),
+            ctrlClass, ""), zwClass, "").as("clean"),
+          col("d"))
+        .select(col("doc_id"), col("kind"), col("len_dirty"), col("clean"),
+          length(col("clean")).cast("long").as("len_clean"),
+          when(col("clean") === col("d"), 0L).otherwise(1L).as("changed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Winnowing fingerprint SETS (Schleimer/Wilkerson/Aiken, the MOSS
     // selection): token-trigram hashes, window w=4, keep the RIGHTMOST
     // minimum per window — the robust selection whose guarantee is
@@ -909,6 +951,36 @@ object TextAnalysis {
         |SELECT doc_id, CAST(code // 1099511627776 AS BIGINT) AS pos,
         |  CAST(code % 1099511627776 AS BIGINT) AS fp
         |FROM u ORDER BY doc_id, pos""".stripMargin,
+
+    // Taint injection mirrored with chr() (DuckDB has no \u string
+    // escapes); nfc_normalize is utf8proc's UAX #15 — same algorithm the
+    // Spark expression gets from java.text.Normalizer, so the cleaned
+    // STRING column compares hash-exact. RE2 spells codepoint classes
+    // \x{...}; the 'g' flag matters (DuckDB replaces first-only by
+    // default, Spark replaces all).
+    "q_text_sanitize" ->
+      """WITH dirty AS (
+        |  SELECT doc_id, doc_id % 4 AS kind,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN substr(text, 1, 32) || ' cafe' || chr(769)
+        |      WHEN 1 THEN substr(text, 1, 32) || ' zero' || chr(8203)
+        |                  || 'width' || chr(65279) || 'mark'
+        |      WHEN 2 THEN substr(text, 1, 32) || ' ctrl' || chr(7)
+        |                  || 'bell' || chr(11) || 'vt'
+        |      ELSE substr(text, 1, 32) END AS d
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, kind, d,
+        |    regexp_replace(regexp_replace(nfc_normalize(d),
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |      '[\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g') AS clean
+        |  FROM dirty)
+        |SELECT doc_id, CAST(kind AS BIGINT) AS kind,
+        |  CAST(length(d) AS BIGINT) AS len_dirty, clean,
+        |  CAST(length(clean) AS BIGINT) AS len_clean,
+        |  CASE WHEN clean = d THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(1 AS BIGINT) END AS changed
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_text_fingerprint" ->
       """WITH m AS (SELECT doc_id, text,

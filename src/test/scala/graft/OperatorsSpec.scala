@@ -1798,4 +1798,63 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows(0) == Seq(3L, 0L, 0L), s"got ${rows(0)}")
     assert(rows(1) == Seq(1L, 1L, 1L), s"got ${rows(1)}")
   }
+
+  test("sanitize fixes exactly the injected taint classes, non-vacuously") {
+    val rows = q("q_text_sanitize")
+      .select("kind", "changed", "len_dirty", "len_clean", "clean")
+      .collect()
+    assert(rows.length >= 4)
+    rows.foreach { r =>
+      val (kind, changed) = (r.getLong(0), r.getLong(1))
+      val (ld, lc, clean) = (r.getLong(2), r.getLong(3), r.getString(4))
+      kind match {
+        case 0 => // combining mark composes: 1 char shorter, é present
+          assert(changed == 1L && lc == ld - 1 &&
+            clean.contains("caf\u00E9"))
+        case 1 => // ZWSP + BOM stripped: 2 chars shorter
+          assert(changed == 1L && lc == ld - 2 && clean.endsWith("zerowidthmark"))
+        case 2 => // BEL + VT stripped: 2 chars shorter
+          assert(changed == 1L && lc == ld - 2 && clean.endsWith("ctrlbellvt"))
+        case _ => // clean ASCII passes through untouched
+          assert(changed == 0L && lc == ld)
+      }
+      assert(!clean.exists(c => Character.getType(c) == Character.FORMAT ||
+        (Character.isISOControl(c) && c != '\n' && c != '\t')),
+        s"residual invisible char in: $clean")
+    }
+  }
+
+  test("nfc_normalize is the JDK NFC and keeps already-normalized input") {
+    import graft.functions.TextFunctions.nfc_normalize
+    import spark.implicits._
+    val cases = Seq(
+      "cafe\u0301",   // e + combining acute -> \u00E9
+      "A\u030AB",     // A + combining ring -> \u00C5
+      "\u00C5",       // already composed stays
+      "plain ascii")
+    val got = cases.toDF("t").select(nfc_normalize(col("t")))
+      .collect().map(_.getString(0))
+    val want = cases.map(java.text.Normalizer.normalize(_,
+      java.text.Normalizer.Form.NFC))
+    assert(got.toSeq == want)
+    assert(got(0) == "caf\u00E9" && got(1) == "\u00C5B")
+  }
+
+  test("length-sorted batching strictly beats arrival order on padding") {
+    val byStrat = q("q_pack_padding").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val langs = byStrat.keys.map(_._2).toSet
+    assert(langs.size >= 2, "fixture should have multiple languages")
+    langs.foreach { l =>
+      val (abat, adoc, atok, apad) = byStrat(("arrival", l))
+      val (bbat, bdoc, btok, bpad) = byStrat(("length", l))
+      // same docs, same batches, same real tokens — only padding moves
+      assert(abat == bbat && adoc == bdoc && atok == btok)
+      assert(bpad < apad,
+        s"length-sorted should waste less: lang=$l $bpad vs $apad")
+      assert(apad >= 0 && bpad >= 0)
+    }
+  }
 }
