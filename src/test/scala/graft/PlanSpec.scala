@@ -714,6 +714,125 @@ class PlanSpec extends AnyFunSuite {
       slimScan.readSchema().treeString)
   }
 
+  // ---- suite-wide plan census ------------------------------------------
+  //
+  // The per-query assertions above pin ~40 load-bearing plans; this
+  // census walks EVERY batch query's physical plan and enforces the two
+  // invariants that silently kill a 100 TB run no matter which query
+  // they sneak into: (1) no cartesian/nested-loop join and (2) no
+  // global (empty-partition) window — each one quadratic or
+  // single-reducer in corpus size. Deliberate exceptions are a NAMED
+  // whitelist with the scale justification next to the name, so a new
+  // all-pairs plan can only ship by writing its justification here.
+  // The census itself is dumped to target/plan_census.tsv per test run
+  // — a durable inventory of exchanges/joins/windows per query.
+
+  /** Fenced all-pairs / nested-loop plans, each fixture-only or k-bounded:
+    * q_join_cross IS the cartesian demo (5×5×5 dims); q_dedup_embedding
+    * is the documented all-pairs oracle baseline the LSH path replaces;
+    * q_dedup_editdist's blocked-candidate length filter plans a range
+    * join (candidates, not corpus); q_sim_cosine_topk / q_sim_cosine_sql
+    * / q_sim_maxsim / q_sim_mmr probe k≤5 query vectors against the
+    * corpus — the broadcast side is k rows by construction; q_skyline's
+    * oracle-shaped dominance check joins the broadcast-sized bucket-min
+    * table; q_agg_kmv_jaccard compares k=20 sketches pairwise. */
+  private val allPairsWhitelist = Set(
+    "q_join_cross", "q_dedup_embedding", "q_dedup_editdist",
+    "q_sim_cosine_topk", "q_sim_cosine_sql", "q_sim_maxsim", "q_sim_mmr",
+    "q_skyline", "q_agg_kmv_jaccard",
+    // rank-selects quantiles from the 100-row histogram tail via a
+    // non-equi join — bounded by the bucket count, not the corpus
+    "q_agg_quantile_hist")
+
+  /** Global windows allowed only over provably bounded inputs:
+    * q_agg_quantile_hist ranks the 100-row histogram tail;
+    * q_text_heavy_hitters* and q_text_zipf rank term tables already
+    * capped/aggregated upstream; q_event_markov normalizes the
+    * |types|² transition grid; q_text_collocations ranks the
+    * support-floored PMI table. */
+  private val globalWindowWhitelist = Set(
+    "q_agg_quantile_hist", "q_text_heavy_hitters",
+    "q_text_heavy_hitters_approx", "q_text_zipf", "q_event_markov",
+    "q_text_collocations",
+    // rank presentation over a LIMIT-k result (200 / 20 rows)
+    "q_sample_weighted", "q_sim_hybrid_rrf",
+    // per-day KM grid — rows bounded by the day span, not the corpus
+    "q_event_survival",
+    // water-filling solver over the k-row domain-alphabet table
+    "q_mix_waterfill",
+    // prefix-min over the broadcast-sized bucket-min table (the
+    // decomposition that REPLACED the corpus-sized global window)
+    "q_skyline")
+
+  test("census: no unfenced cartesian joins or global windows, any query") {
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val rows = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(_._1.startsWith("q_stream_")) // defs execute the stream
+      .map { case (name, q) =>
+        val nodes = walkPlan(q(spark, sfDir).queryExecution.executedPlan)
+        // CartesianProductExec = both sides shuffle-materialized with no
+        // key — quadratic, fenced strictly. BroadcastNestedLoopJoinExec
+        // is USUALLY the legitimate scalar-join shape (a 1-row/k-row
+        // aggregate broadcast onto the corpus: tfidf's totals, langid's
+        // profiles, gapfill's bounds...) — inventoried in the TSV and
+        // pinned by count below rather than banned.
+        val cart = nodes.count {
+          case _: CartesianProductExec => true
+          case _ => false
+        }
+        val bnlj = nodes.count {
+          case _: BroadcastNestedLoopJoinExec => true
+          case _ => false
+        }
+        val gwin = nodes.count {
+          case w: WindowExec => w.partitionSpec.isEmpty
+          case _ => false
+        }
+        val shuffles = nodes.count {
+          case _: ShuffleExchangeLike => true
+          case _ => false
+        }
+        val bcasts = nodes.count {
+          case _: BroadcastHashJoinExec => true
+          case _ => false
+        }
+        ((name, cart, bnlj, gwin),
+          s"$name\t$shuffles\t$bcasts\t$cart\t$bnlj\t$gwin")
+      }
+    val cartBad = rows.collect {
+      case ((n, c, _, _), _) if c > 0 && !allPairsWhitelist.contains(n) => n }
+    val gwinBad = rows.collect {
+      case ((n, _, _, g), _) if g > 0 && !globalWindowWhitelist.contains(n)
+        => n }
+    assert(cartBad.isEmpty,
+      s"unfenced CartesianProduct in: $cartBad — fix the plan or " +
+        "whitelist WITH a justification")
+    assert(gwinBad.isEmpty,
+      s"unfenced global single-partition windows in: $gwinBad — " +
+        "partition it or whitelist WITH a justification")
+    // BNLJ budget: the scalar-join shape is ≤ 2 per query today (the
+    // waterfill solver legitimately chains 3 scalar joins over its
+    // k-row domain table); a query suddenly planning MORE nested-loop
+    // joins is a plan regression this pin surfaces (raise only with
+    // justification)
+    val bnljBudget = Map("q_mix_waterfill" -> 3).withDefaultValue(2)
+    val bnljBad = rows.collect {
+      case ((n, _, b, _), _)
+        if b > bnljBudget(n) && !allPairsWhitelist.contains(n) => (n, b) }
+    assert(bnljBad.isEmpty,
+      s"nested-loop-join count above the scalar-join budget: $bnljBad")
+    val out = java.nio.file.Paths.get("target/plan_census.tsv")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out,
+      (("query\tshuffles\tbroadcast_joins\tcartesian\tbnlj\tglobal_windows"
+        +: rows.map(_._2)).mkString("", "\n", "\n")).getBytes("UTF-8"))
+    assert(rows.size > 180, s"census should cover the suite: ${rows.size}")
+  }
+
   test("dynamic partition overwrite leaves untouched partitions' files intact") {
     val rows = SparkEntry.queries("q_layout_incremental")(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
