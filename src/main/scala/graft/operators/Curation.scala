@@ -343,6 +343,43 @@ object Curation {
       arrival.unionAll(bylen).orderBy(col("strategy"), col("lang"))
     }),
 
+    // Incremental aggregate maintenance — the nightly-delta pattern: a
+    // 100 TB corpus's per-source stats are NOT recomputed by rescanning
+    // history every refresh; the stored sufficient statistics (n, Σx,
+    // Σx²) merge with the delta batch's in a k-row join. This query
+    // runs that merge for real — the "existing" corpus (doc_id % 3 ≠ 0,
+    // q_dedup_bloom's convention) and the delta (doc_id % 3 = 0) are
+    // aggregated as SEPARATE scans and combined by component-wise
+    // addition over a full-outer source join — and the DuckDB oracle
+    // computes the same stats from ONE full scan, so the hash-exact
+    // match IS the merge-equals-recompute proof. All moments are exact
+    // integers (token counts), mean is integer-quantized; at scale the
+    // existing side is a stored k-row table, and only the delta ever
+    // scans.
+    "q_agg_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      def stats(f: org.apache.spark.sql.Column) = docs.where(f)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_tok")).as("s"),
+          sum(col("n_tok") * col("n_tok")).as("q"))
+      val existing = stats(pmod(col("doc_id"), lit(3)) =!= 0)
+      val delta = stats(pmod(col("doc_id"), lit(3)) === 0)
+      existing.as("a").join(delta.as("b"), Seq("source"), "full")
+        .select(col("source"),
+          (coalesce(col("a.n"), lit(0L)) + coalesce(col("b.n"), lit(0L)))
+            .as("n_docs"),
+          (coalesce(col("a.s"), lit(0L)) + coalesce(col("b.s"), lit(0L)))
+            .as("tok_sum"),
+          (coalesce(col("a.q"), lit(0L)) + coalesce(col("b.q"), lit(0L)))
+            .as("tok_sumsq"))
+        .withColumn("mean_tok_q",
+          expr("(1000000 * tok_sum) div n_docs"))
+        .orderBy(col("source"))
+    }),
+
     // Model-based quality filtering via the hashing trick: a linear
     // classifier whose features are hashed token buckets and whose
     // weights derive from the shared Knuth hash — the fastText-shaped
@@ -923,6 +960,20 @@ object Curation {
         |SELECT lang, (cum - n_tok) // 2048 AS bin,
         |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_sum
         |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+
+    // ONE full scan — deliberately NOT the merge: equality proves the
+    // merged sufficient statistics reproduce the full recompute.
+    "q_agg_incremental" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS tok_sum,
+        |  CAST(SUM(n_tok * n_tok) AS BIGINT) AS tok_sumsq,
+        |  (1000000 * CAST(SUM(n_tok) AS BIGINT)) // COUNT(*)
+        |    AS mean_tok_q
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
 
     "q_pack_padding" ->
       """WITH t AS (

@@ -1840,6 +1840,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(0) == "caf\u00E9" && got(1) == "\u00C5B")
   }
 
+  test("incremental stats merge equals the one-scan recompute in-engine") {
+    val merged = q("q_agg_incremental").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val direct = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("s"),
+        sum(col("n") * col("n")).as("q"))
+      .withColumn("m", expr("(1000000 * s) div n_docs"))
+      .orderBy(col("source")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(merged == direct)
+    assert(merged.map(_._2).sum ==
+      graft.sources.Tables.documents(spark, sf).count())
+  }
+
   test("length-sorted batching strictly beats arrival order on padding") {
     val byStrat = q("q_pack_padding").collect()
       .map(r => ((r.getString(0), r.getString(1)),
