@@ -850,6 +850,64 @@ object TextAnalysis {
             .as("clean_text"),
           coalesce(size(col("ps")), lit(0)).as("n_removed"))
         .orderBy(col("doc_id"))
+    }),
+
+    // RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    // the maximal stopword-free token runs (gaps-and-islands over token
+    // positions — pos minus the per-doc rank of surviving tokens is
+    // constant within a run), capped at 4 tokens per standard practice;
+    // each member word scores degree/frequency over the candidate-phrase
+    // corpus (degree = Σ length of phrases containing the word — its
+    // co-occurrence reach; frequency = its occurrence count), and a
+    // phrase scores the sum of its members' scores. The stopword list is
+    // CORPUS-DERIVED — the 10 most frequent tokens (count desc, token
+    // asc) — per the round-8 rule that every data-dependent width
+    // derives from the data: a hand-picked list goes stale, and at
+    // 100 TB "frequent" is exactly what a stoplist means. The fixture
+    // proves the point by inversion: its English function words
+    // ('the', 'a') are RARE (~125 occurrences vs ~950 for content
+    // tokens), so the derived list correctly keeps them phrase-eligible
+    // where a hand-picked English stoplist would silently delete the
+    // wrong 10% of this corpus. Per-member
+    // scores are (1000·degree) div freq so the phrase score is an exact
+    // nonnegative-integer sum. Scale shape: one explode + per-doc
+    // windows, vocab-sized stats broadcast back, distributed TakeOrdered
+    // top-20; the ONLY global window ranks the vocab-sized (31-row)
+    // frequency table (census-whitelisted).
+    "q_text_rake" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      val stops = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("c").desc, col("tok"))))
+        .where(col("rk") <= 10)
+        .select(col("tok"), lit(true).as("is_stop"))
+      val content = toks.join(broadcast(stops), Seq("tok"), "left")
+        .where(col("is_stop").isNull)
+      val phrases = content
+        .withColumn("grp", col("pos") - row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(count(lit(1)).as("plen"),
+          array_sort(collect_list(struct(col("pos"), col("tok"))))
+            .as("mem"))
+        .where(col("plen") <= 4)
+      val members = phrases.select(col("doc_id"), col("grp"), col("plen"),
+        explode(expr("transform(mem, m -> m.tok)")).as("tok"))
+      val wordStats = members.groupBy(col("tok"))
+        .agg(count(lit(1)).as("freq"), sum(col("plen")).as("degree"))
+      val scored = members.join(broadcast(wordStats), "tok")
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(sum(expr("(1000 * degree) div freq")).as("score_q"))
+      phrases.join(scored, Seq("doc_id", "grp"))
+        .select(expr("array_join(transform(mem, m -> m.tok), ' ')")
+          .as("phrase"), col("plen"), col("score_q"))
+        .groupBy(col("phrase"))
+        .agg(max(col("plen")).as("plen"), count(lit(1)).as("n_occ"),
+          max(col("score_q")).as("score_q"))
+        .orderBy(col("score_q").desc, col("phrase"))
+        .limit(20)
     })
   )
 
@@ -1424,6 +1482,44 @@ object TextAnalysis {
         |  FROM scored)
         |SELECT b.doc_id, d.lang, b.plang AS pred_lang, b.score
         |FROM best b JOIN documents d ON b.doc_id = d.doc_id
-        |WHERE b.rn = 1 ORDER BY b.doc_id""".stripMargin
+        |WHERE b.rn = 1 ORDER BY b.doc_id""".stripMargin,
+
+    // Same corpus-derived stoplist (count desc, token asc), the same
+    // islands grouping (the 0-based/1-based pos offset cancels inside
+    // pos − row_number), and the same per-member integer floor-division
+    // scores.
+    "q_text_rake" ->
+      """WITH tk AS (SELECT doc_id, generate_subscripts(w, 1) - 1 AS pos,
+        |              UNNEST(w) AS tok
+        |            FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |                  FROM documents)),
+        |vf AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok),
+        |st AS (SELECT tok FROM (
+        |         SELECT tok, ROW_NUMBER() OVER (ORDER BY c DESC, tok)
+        |           AS rk FROM vf)
+        |       WHERE rk <= 10),
+        |ct AS (SELECT doc_id, pos, tok,
+        |         pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                                  ORDER BY pos) AS grp
+        |       FROM tk WHERE tok NOT IN (SELECT tok FROM st)),
+        |ph AS (SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS plen,
+        |         STRING_AGG(tok, ' ' ORDER BY pos) AS phrase
+        |       FROM ct GROUP BY doc_id, grp
+        |       HAVING COUNT(*) <= 4),
+        |mem AS (SELECT ct.doc_id, ct.grp, ph.plen, ct.tok
+        |        FROM ct JOIN ph USING (doc_id, grp)),
+        |ws AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq,
+        |         CAST(SUM(plen) AS BIGINT) AS degree
+        |       FROM mem GROUP BY tok),
+        |sc AS (SELECT m.doc_id, m.grp,
+        |         CAST(SUM((1000 * ws.degree) // ws.freq) AS BIGINT)
+        |           AS score_q
+        |       FROM mem m JOIN ws USING (tok) GROUP BY m.doc_id, m.grp)
+        |SELECT ph.phrase, CAST(MAX(ph.plen) AS BIGINT) AS plen,
+        |  CAST(COUNT(*) AS BIGINT) AS n_occ,
+        |  CAST(MAX(sc.score_q) AS BIGINT) AS score_q
+        |FROM ph JOIN sc USING (doc_id, grp)
+        |GROUP BY ph.phrase
+        |ORDER BY score_q DESC, phrase LIMIT 20""".stripMargin
   )
 }

@@ -115,6 +115,12 @@ object TopKSqlRewrite extends Rule[LogicalPlan] {
                   Seq(SortOrder(score: Attribute, Descending, NullsLast, _),
                       SortOrder(tie: Attribute, Ascending, NullsFirst, _)))
                 if k >= 1 &&
+                  // grouped top-k only: an EMPTY partition spec is a
+                  // GLOBAL top-k — ClusteredDistribution(Nil) is
+                  // ill-formed (planner crash), and the single-group
+                  // heap would be a one-reducer plan anyway; leave it
+                  // to WindowExec / TakeOrdered
+                  w.partitionSpec.nonEmpty &&
                   w.partitionSpec.forall(_.isInstanceOf[Attribute]) &&
                   projectList.forall(!_.references.contains(rn)) =>
                 // InferWindowGroupLimit may already sit below; the heap

@@ -1715,6 +1715,83 @@ object Extended {
             (col("vt").isNull || col("ts") < col("vt")))
         .select(col("event_id"), col("user_id"), col("segment"))
         .orderBy(col("event_id"))
+    }),
+
+    // Last-touch revenue attribution: each purchase credits the most
+    // recent PRECEDING view/click of the same user inside a 7-day
+    // lookback, else the 'direct' bucket — the marketing-analytics twin
+    // of the funnel (funnel asks "did the path complete", attribution
+    // asks "which touch gets the revenue"). One per-user window pass
+    // (carrying the last-touch (ts, type) pair as a struct so both
+    // fields come from the SAME row), then an alphabet-sized channel
+    // aggregate; revenue is per-row 1e6-floor-quantized so the sums are
+    // exact integers. The strict 1-PRECEDING frame keeps a purchase
+    // from attributing to a same-timestamp touch ordered after it.
+    "q_event_attribution" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"),
+          floor(col("value") * lit(1e6)).cast("long").as("v_q"))
+        .withColumn("touch",
+          last(when(col("event_type").isin("view", "click"),
+            struct(col("ts").as("tts"), col("event_type").as("ttype"))),
+            ignoreNulls = true).over(w))
+        .where(col("event_type") === "purchase")
+        .select(
+          when(col("touch").isNotNull &&
+            col("touch.tts") >= col("ts") - expr("INTERVAL 7 DAYS"),
+            col("touch.ttype")).otherwise(lit("direct")).as("channel"),
+          col("v_q"))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("conversions"), sum(col("v_q")).as("revenue_q"))
+        .orderBy(col("channel"))
+    }),
+
+    // Hour-of-day seasonal profile per event type: mean value per
+    // (type, hour) cell and its residual against the type's overall
+    // mean — the seasonality decomposition that turns "traffic dipped"
+    // into "traffic dipped RELATIVE TO the 3am baseline" (the gapfill /
+    // ewma / interp family's missing piece). ONE corpus scan: the
+    // type-level totals re-aggregate from the 120-cell table rather
+    // than re-reading events. Values are per-row 1e6-floor-quantized
+    // (exact IEEE product, both engines agree), sums and the floor
+    // divisions are then pure nonnegative-integer arithmetic.
+    "q_timeseries_seasonal" -> ((s, d) => {
+      val cell = Tables.events(s, d)
+        .select(col("event_type"), hour(col("ts")).as("hr"),
+          floor(col("value") * lit(1e6)).cast("long").as("v_q"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("cnt"), sum(col("v_q")).as("sum_q"))
+      val tot = cell.groupBy(col("event_type"))
+        .agg(sum(col("cnt")).as("tcnt"), sum(col("sum_q")).as("tsum_q"))
+      cell.join(broadcast(tot), "event_type")
+        .select(col("event_type"), col("hr"), col("cnt"),
+          expr("sum_q div cnt").as("mean_q"),
+          expr("(sum_q div cnt) - (tsum_q div tcnt)").as("resid_q"))
+        .orderBy(col("event_type"), col("hr"))
+    }),
+
+    // k-anonymity audit over the quasi-identifier tuple (lang, source,
+    // 64-char length bucket): any group smaller than k = 5 is a
+    // re-identification risk — the PRIVACY complement of q_pii_scrub
+    // (scrubbing direct identifiers does nothing about a document being
+    // the ONLY Italian crawl doc of its length). Output is the full
+    // group grid (bounded by |langs|·|sources|·buckets, corpus-size-
+    // independent) with each group's population and risk verdict, so
+    // the safe and risky verdicts both exercise. One groupBy, no
+    // window, no join.
+    "q_audit_kanonymity" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("lang"), col("source"),
+          expr("n_chars div 64").as("len_b"))
+        .groupBy(col("lang"), col("source"), col("len_b"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("lang"), col("source"), col("len_b"), col("cnt"),
+          (col("cnt") < lit(5)).as("at_risk"))
+        .orderBy(col("lang"), col("source"), col("len_b"))
     })
   )
 
@@ -2631,6 +2708,59 @@ object Extended {
         |SELECT tr.from_type, tr.to_type, CAST(tr.n AS BIGINT) AS n,
         |  CAST((1000000 * tr.n) // tot.row_n AS BIGINT) AS p_ppm
         |FROM tr JOIN tot USING (from_type)
-        |ORDER BY tr.from_type, tr.to_type""".stripMargin
+        |ORDER BY tr.from_type, tr.to_type""".stripMargin,
+
+    // Same strict 1-PRECEDING frame, the same paired IGNORE NULLS
+    // last_value windows (both non-null exactly on touch rows, so they
+    // pick the same row), and the identical 7-day lookback gate.
+    "q_event_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, ts, event_type,
+        |             CAST(FLOOR(value * 1e6) AS BIGINT) AS v_q
+        |           FROM events),
+        |t AS (SELECT *,
+        |        LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+        |                        THEN ts END IGNORE NULLS)
+        |          OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING
+        |                  AND 1 PRECEDING) AS touch_ts,
+        |        LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+        |                        THEN event_type END IGNORE NULLS)
+        |          OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING
+        |                  AND 1 PRECEDING) AS touch_type
+        |      FROM e)
+        |SELECT CASE WHEN touch_ts IS NOT NULL
+        |              AND touch_ts >= ts - INTERVAL 7 DAY
+        |            THEN touch_type ELSE 'direct' END AS channel,
+        |  CAST(COUNT(*) AS BIGINT) AS conversions,
+        |  CAST(SUM(v_q) AS BIGINT) AS revenue_q
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same one-scan shape: type totals re-aggregate from the cell
+    // table; nonnegative integer floor divisions agree across engines.
+    "q_timeseries_seasonal" ->
+      """WITH cell AS (SELECT event_type,
+        |                CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hr,
+        |                CAST(COUNT(*) AS BIGINT) AS cnt,
+        |                CAST(SUM(CAST(FLOOR(value * 1e6) AS BIGINT))
+        |                  AS BIGINT) AS sum_q
+        |              FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS tcnt,
+        |          CAST(SUM(sum_q) AS BIGINT) AS tsum_q
+        |        FROM cell GROUP BY 1)
+        |SELECT cell.event_type, cell.hr, cell.cnt,
+        |  CAST(sum_q // cnt AS BIGINT) AS mean_q,
+        |  CAST((sum_q // cnt) - (tsum_q // tcnt) AS BIGINT) AS resid_q
+        |FROM cell JOIN tot USING (event_type)
+        |ORDER BY cell.event_type, cell.hr""".stripMargin,
+
+    // Same quasi-identifier bucketing and k = 5 threshold.
+    "q_audit_kanonymity" ->
+      """SELECT lang, source, n_chars // 64 AS len_b,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  COUNT(*) < 5 AS at_risk
+        |FROM documents
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
   )
 }

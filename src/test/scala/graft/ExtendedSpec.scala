@@ -487,6 +487,80 @@ class ExtendedSpec extends AnyFunSuite {
     assert(rows.values.exists(_._3 > 0), "some drift must register")
   }
 
+  test("attribution equals an in-memory last-touch walk; direct bucket real") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")),
+        col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val lookbackUs = 7L * 86400000000L
+    val expected = ev.groupBy(_._2).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._3, e._1))
+      var touch: Option[(Long, String)] = None
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      sorted.foreach { e =>
+        if (e._4 == "purchase") {
+          val ch = touch match {
+            case Some((tts, tt)) if tts >= e._3 - lookbackUs => tt
+            case _ => "direct"
+          }
+          out += ((ch, math.floor(e._5 * 1e6).toLong))
+        }
+        if (e._4 == "view" || e._4 == "click") touch = Some((e._3, e._4))
+      }
+      out.toSeq
+    }.groupBy(_._1).view.mapValues(vs =>
+      (vs.size.toLong, vs.map(_._2).sum)).toMap
+    val got = q("q_event_attribution").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+    assert(got.contains("direct"), "outside-lookback / no-touch bucket real")
+    assert(got.keySet.exists(Set("view", "click")), "attributed bucket real")
+  }
+
+  test("seasonal profile equals an in-memory hour-cell recompute") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), unix_micros(col("ts")), col("value"))
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1) / 3600000000L) % 24, // epoch-hour mod 24 == UTC hour
+        math.floor(r.getDouble(2) * 1e6).toLong))
+    val cells = ev.groupBy(e => (e._1, e._2)).view.mapValues(es =>
+      (es.size.toLong, es.map(_._3).sum)).toMap
+    val tots = ev.groupBy(_._1).view.mapValues(es =>
+      (es.size.toLong, es.map(_._3).sum)).toMap
+    val got = q("q_timeseries_seasonal").collect()
+    assert(got.length == cells.size)
+    got.foreach { r =>
+      val k = (r.getString(0), r.getInt(1).toLong)
+      val (cnt, sum) = cells(k)
+      val (tcnt, tsum) = tots(r.getString(0))
+      assert(r.getLong(2) == cnt)
+      assert(r.getLong(3) == sum / cnt)
+      assert(r.getLong(4) == sum / cnt - tsum / tcnt, s"resid at $k")
+    }
+    val resids = got.map(_.getLong(4))
+    assert(resids.exists(_ > 0) && resids.exists(_ < 0),
+      "seasonality registers in both directions")
+  }
+
+  test("k-anonymity grid equals an in-memory QI grouping, both verdicts") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("lang"), col("source"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2) / 64))
+    val expected = docs.groupBy(identity).view.mapValues(_.length.toLong)
+      .toMap
+    val got = q("q_audit_kanonymity").collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val cnt = expected((r.getString(0), r.getString(1), r.getLong(2)))
+      assert(r.getLong(3) == cnt)
+      assert(r.getBoolean(4) == (cnt < 5))
+    }
+    val flags = got.map(_.getBoolean(4)).toSet
+    assert(flags == Set(true, false), "both risk verdicts must exercise")
+  }
+
   test("temporal join picks the version valid at event time, both eras hit") {
     val dim = q("q_scd2").collect().map { r =>
       (r.getLong(0), r.getString(1), r.getDate(2).toString,

@@ -1876,4 +1876,40 @@ class OperatorsSpec extends AnyFunSuite {
       assert(apad >= 0 && bpad >= 0)
     }
   }
+
+  test("RAKE top-20 equals an in-memory reimplementation end to end") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    // corpus-derived stoplist: 10 most frequent (count desc, token asc)
+    val stops = docs.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.size).toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(10).map(_._1).toSet
+    // islands of non-stop tokens, capped at 4 members
+    val phrases = docs.flatMap { case (_, toks) =>
+      val runs = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+      var cur = scala.collection.mutable.ArrayBuffer.empty[String]
+      toks.foreach { t =>
+        if (stops(t)) { if (cur.nonEmpty) runs += cur.toSeq; cur.clear() }
+        else cur += t
+      }
+      if (cur.nonEmpty) runs += cur.toSeq
+      runs.toSeq
+    }.filter(_.size <= 4)
+    val freq = phrases.flatten.groupBy(identity).view.mapValues(_.size.toLong)
+    val degree = phrases.flatMap(p => p.map(_ -> p.size.toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+    def score(p: Seq[String]): Long =
+      p.map(w => 1000L * degree(w) / freq(w)).sum
+    val expected = phrases.groupBy(_.mkString(" ")).map { case (s, occ) =>
+      (s, occ.head.size.toLong, occ.size.toLong, score(occ.head))
+    }.toSeq.sortBy { case (s, _, _, sc) => (-sc, s) }.take(20)
+    val got = q("q_text_rake").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected, s"first diff: ${
+      got.zip(expected).find(p => p._1 != p._2)}")
+    assert(got.exists(_._2 > 1), "multi-token phrases must surface")
+    assert(phrases.nonEmpty && stops.size == 10)
+  }
 }

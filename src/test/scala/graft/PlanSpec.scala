@@ -762,7 +762,9 @@ class PlanSpec extends AnyFunSuite {
     "q_mix_waterfill",
     // prefix-min over the broadcast-sized bucket-min table (the
     // decomposition that REPLACED the corpus-sized global window)
-    "q_skyline")
+    "q_skyline",
+    // stoplist rank over the vocab-sized token-frequency aggregate
+    "q_text_rake")
 
   test("census: no unfenced cartesian joins or global windows, any query") {
     import org.apache.spark.sql.execution.joins.{
