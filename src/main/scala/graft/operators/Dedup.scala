@@ -603,6 +603,75 @@ object Dedup {
     "q_dedup_clusters" -> ((s, d) =>
       clusterLabels(s, d).orderBy(col("doc_id"))),
 
+    // INCREMENTAL cluster maintenance — the nightly-delta shape for the
+    // near-dup graph (q_agg_incremental's pattern, lifted from algebra
+    // to graphs): the corpus splits at a data-derived cut (last fifth =
+    // the delta batch); the existing 4/5 is clustered as the stored
+    // state, and the delta merges in WITHOUT re-clustering the corpus —
+    // old components CONTRACT to their label (one super-node per
+    // component), delta edges rewrite onto super-nodes, and CC runs on
+    // the contracted delta subgraph only (new docs + touched
+    // components, never the full graph). Because old labels are their
+    // components' min ids, the contracted CC's min-label compose gives
+    // exactly the from-scratch canonical labels — so the full-recompute
+    // oracle hash-match IS the merge-equals-recompute proof. At 100 TB
+    // the old labels are a stored table, the delta's candidate pairs
+    // come from probing the persisted shingle index, and the nightly
+    // CC cost tracks the DELTA's component sizes, not the corpus.
+    "q_dedup_clusters_incremental" -> ((s, d) => {
+      val pairs = ngramJaccardPairsMemo(s, d)
+      val edges = pairs.unionAll(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .toDF("src", "dst")
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      // bounded driver scalar (the split point), like PageRank's node
+      // count; oracle replays it as (MAX(doc_id)*4)//5
+      val cut = docs.agg((max(col("doc_id")) * 4).as("m"))
+        .head.getLong(0) / 5
+      // stored state: labels over the existing corpus only
+      val oldDocs = docs.where(col("doc_id") < cut)
+        .select(col("doc_id"), col("doc_id").as("lbl"))
+      val oldEdges = edges.where(col("src") < cut && col("dst") < cut)
+      val (oldLabels, _) = connectedComponents(oldDocs, oldEdges)
+      val mapOld = oldLabels
+        .select(col("doc_id").as("m_id"), col("lbl").as("m_lbl"))
+        .localCheckpoint()
+      // delta: edges touching any new doc, endpoints contracted to the
+      // stored label (new endpoints stand for themselves)
+      val delta = edges.where(col("src") >= cut || col("dst") >= cut)
+        .join(mapOld.withColumnRenamed("m_id", "src")
+          .withColumnRenamed("m_lbl", "src_lbl"), Seq("src"), "left")
+        .join(mapOld.withColumnRenamed("m_id", "dst")
+          .withColumnRenamed("m_lbl", "dst_lbl"), Seq("dst"), "left")
+        .select(coalesce(col("src_lbl"), col("src")).as("src"),
+          coalesce(col("dst_lbl"), col("dst")).as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+      val newDocs = docs.where(col("doc_id") >= cut)
+      val rnodes = delta.select(col("src").as("doc_id"))
+        .unionAll(delta.select(col("dst").as("doc_id")))
+        .unionAll(newDocs)
+        .distinct()
+        .select(col("doc_id"), col("doc_id").as("lbl"))
+      val (redLabels, _) = connectedComponents(rnodes, delta)
+      val redMap = redLabels
+        .select(col("doc_id").as("r_id"), col("lbl").as("r_lbl"))
+      // compose: untouched old components keep their stored label
+      val finalOld = oldLabels
+        .join(redMap, col("lbl") === col("r_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("r_lbl"), col("lbl")).as("keep_id"))
+      val finalNew = newDocs
+        .join(redMap, col("doc_id") === col("r_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("r_lbl"), col("doc_id")).as("keep_id"))
+      finalOld.unionAll(finalNew)
+        .select(col("doc_id"), col("keep_id"),
+          (col("doc_id") === col("keep_id")).as("is_keeper"),
+          (col("doc_id") >= cut).as("is_new"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Dedup REPORT — the number people actually quote: the cluster-size
     // histogram of the near-dup graph (1-clusters = unique docs; the
     // tail is the duplication mass) from the same label pipeline as
@@ -1597,6 +1666,37 @@ object Dedup {
         |    WHERE r.lbl < e.dst
         |  ) SELECT id, MIN(lbl) AS keep_id FROM reach GROUP BY id)
         |SELECT id AS doc_id, keep_id, (id = keep_id) AS is_keeper
+        |FROM rec ORDER BY doc_id""".stripMargin,
+
+    // The incremental path must equal the FULL from-scratch recompute —
+    // this oracle IS that recompute (the q_dedup_clusters reachability
+    // verbatim), plus the data-derived delta flag.
+    "q_dedup_clusters_incremental" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                       for i in generate_series(1, len(w) - 2)])
+        |      ELSE [array_to_string(w, ' ')] END AS sh
+        |      FROM t),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        len(list_intersect(a.sh, b.sh)) AS inter,
+        |        len(a.sh) AS na, len(b.sh) AS nb
+        |      FROM g a JOIN g b ON a.doc_id < b.doc_id),
+        |pairs AS (SELECT doc_a, doc_b FROM p
+        |          WHERE inter / (na + nb - inter) > 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |cut AS (SELECT (MAX(doc_id) * 4) // 5 AS c FROM documents),
+        |rec AS (
+        |  WITH RECURSIVE reach(id, lbl) AS (
+        |    SELECT doc_id, doc_id FROM documents
+        |    UNION
+        |    SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+        |    WHERE r.lbl < e.dst
+        |  ) SELECT id, MIN(lbl) AS keep_id FROM reach GROUP BY id)
+        |SELECT id AS doc_id, keep_id, (id = keep_id) AS is_keeper,
+        |  id >= (SELECT c FROM cut) AS is_new
         |FROM rec ORDER BY doc_id""".stripMargin,
 
     // Clusters twin, aggregated twice into the size histogram.

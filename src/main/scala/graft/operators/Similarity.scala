@@ -293,6 +293,48 @@ object Similarity {
         .orderBy(col("query_id"), col("rn"))
     }),
 
+    // Maximum-inner-product search — the scoring mode of dot-product-
+    // trained retrieval embeddings (DPR-style), where the UNNORMALIZED
+    // inner product is the relevance signal and cosine's normalization
+    // actively destroys it (a long, confident document SHOULD outrank a
+    // short one at equal angle). Exact top-5 per query by decimal-exact
+    // inner product (ties to neighbor_id). The published aug_resid_q
+    // column is the norm-augmentation certificate (Bachrach et al.
+    // 2014): with M² = max corpus squared norm, appending
+    // √(M²−‖x‖²)/M to each corpus vector makes every augmented vector
+    // unit-length and the query's augmented COSINE order equal to the
+    // inner-product order — so at 100 TB this exact scan swaps for the
+    // SRP/IVF cosine ANN index over augmented vectors with NO change to
+    // scoring semantics (the spec proves order-equality on the
+    // fixture). aug_resid_q = M²_q − ‖x‖²_q ≥ 0 is the augmented
+    // dimension's squared magnitude, integer by quantization.
+    "q_sim_mips" -> ((s, d) => {
+      import graft.functions.VectorFunctions.decimal_dot
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = e.where(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val corpus = e.where(col("vec_id") >= 3)
+      val m2 = corpus.agg(max(
+        floor(decimal_dot(col("v"), col("v")).cast("double") * lit(1e6))
+          .cast("long")).as("m2_q"))
+      val scored = corpus.join(broadcast(q)).crossJoin(broadcast(m2))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          decimal_dot(col("qv"), col("v")).as("ip"),
+          floor(decimal_dot(col("qv"), col("v")).cast("double") * lit(1e6))
+            .cast("long").as("ip_q"),
+          (col("m2_q") -
+            floor(decimal_dot(col("v"), col("v")).cast("double") * lit(1e6))
+              .cast("long")).as("aug_resid_q"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("ip").desc, col("neighbor_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("ip_q"),
+          col("aug_resid_q"), col("rn"))
+        .orderBy(col("query_id"), col("rn"))
+    }),
+
     // Hybrid retrieval via Reciprocal Rank Fusion (Cormack, Clarke &
     // Buettcher 2009): fuse a LEXICAL ranking (document-level BM25 — the
     // per-term scores of q_text_bm25 summed per doc) with a DENSE
@@ -1596,6 +1638,32 @@ object Similarity {
         |                           ORDER BY cos DESC, neighbor_id) AS rn
         |      FROM s)
         |SELECT query_id, neighbor_id, cos, rn FROM r
+        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+
+    // Same decimal-exact inner product for ranking; ip_q / the norm
+    // quantizations replay the identical decimal→double→floor path.
+    "q_sim_mips" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        CAST(FLOOR((SELECT CAST(SUM(CAST(x * x AS DECIMAL(30,12)))
+        |                           AS DOUBLE)
+        |                    FROM UNNEST(v) AS t(x)) * 1e6) AS BIGINT)
+        |          AS n2_q
+        |      FROM e WHERE vec_id >= 3),
+        |m AS (SELECT MAX(n2_q) AS m2_q FROM n),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |        (SELECT SUM(CAST(q.v[i] * c.v[i] AS DECIMAL(30,12)))
+        |         FROM generate_series(1, 64) AS t(i)) AS ip,
+        |        c.n2_q
+        |      FROM e q JOIN n c ON q.vec_id < 3),
+        |r AS (SELECT query_id, neighbor_id,
+        |        CAST(FLOOR(CAST(ip AS DOUBLE) * 1e6) AS BIGINT) AS ip_q,
+        |        (SELECT m2_q FROM m) - n2_q AS aug_resid_q,
+        |        ROW_NUMBER() OVER (PARTITION BY query_id
+        |                           ORDER BY ip DESC, neighbor_id) AS rn
+        |      FROM s)
+        |SELECT query_id, neighbor_id, ip_q, aug_resid_q, rn FROM r
         |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
 
     // Dense arm = the q_sim_cosine_topk decimal-cosine spelling against

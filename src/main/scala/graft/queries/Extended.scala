@@ -212,6 +212,52 @@ object Extended {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Per-(layout path) zone-map manifests, built once per JVM — the
+    * in-memory stand-in for a table format's manifest file. Bounded:
+    * one (file, min, max) triple per layout file (8 here). */
+  private val zmapManifests =
+    scala.collection.mutable.Map.empty[String, Array[(String, Long, Long)]]
+
+  /** Zone-map (min/max) file pruning — the manifest-consults-stats scan
+    * every lake table format runs at 100 TB (Iceberg/Delta manifests,
+    * parquet footer stats): the documents corpus is laid out ONCE per
+    * (JVM, dataset) as 8 doc_id-range files; a manifest of per-file
+    * (min, max) is aggregated distributed and memoized (driver
+    * traffic = one row per FILE, never per data row — at 100 TB the
+    * manifest is itself a table and this filter is a scan over it);
+    * and the range query plans its file list FROM the manifest, so
+    * files that cannot contain matches are never opened — scan cost
+    * tracks the predicate's selectivity, not the table size. The
+    * pruned-vs-total file counts are returned for PlanSpec, which
+    * asserts strict pruning; the in-file residual predicate still
+    * pushes to the parquet reader (row-group zone maps prune WITHIN
+    * the chosen files). The query range derives from the manifest
+    * itself (max doc_id), oracle-replayed as a scalar subquery. */
+  private[graft] def zonemapScan(s: SparkSession, d: String)
+      : (DataFrame, Int, Int) = {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_zmap_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+    val success = new org.apache.hadoop.fs.Path(s"$base/_SUCCESS")
+    if (!success.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .exists(success))
+      Tables.documents(s, d).repartitionByRange(8, col("doc_id"))
+        .write.mode("overwrite").parquet(base)
+    val manifest = zmapManifests.synchronized {
+      zmapManifests.getOrElseUpdate(base, {
+        s.read.parquet(base)
+          .groupBy(input_file_name().as("file"))
+          .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      })
+    }
+    val maxId = manifest.map(_._3).max
+    val (lo, hi) = (maxId / 10, maxId / 5)
+    val hit = manifest.filter { case (_, mn, mx) => mx >= lo && mn <= hi }
+      .map(_._1).sorted
+    val df = s.read.parquet(hit.toIndexedSeq: _*)
+      .where(col("doc_id") >= lo && col("doc_id") <= hi)
+    (df, hit.length, manifest.length)
+  }
+
   /** The join under q_join_runtime_filter, exposed so PlanSpec can
     * assert the injected bloom filter on the same plan the query runs. */
   private[graft] def runtimeFilteredJoin(s: SparkSession, d: String): DataFrame =
@@ -1792,6 +1838,17 @@ object Extended {
         .select(col("lang"), col("source"), col("len_b"), col("cnt"),
           (col("cnt") < lit(5)).as("at_risk"))
         .orderBy(col("lang"), col("source"), col("len_b"))
+    }),
+
+    // Zone-map-pruned range scan — see [[zonemapScan]]: the manifest
+    // picks the doc_id-range files, only those are opened, and the
+    // per-source aggregate runs over the pruned scan. PlanSpec asserts
+    // the file set actually shrank.
+    "q_scan_zonemap" -> ((s, d) => {
+      zonemapScan(s, d)._1
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("source"))
     })
   )
 
@@ -2761,6 +2818,17 @@ object Extended {
         |  CAST(COUNT(*) AS BIGINT) AS cnt,
         |  COUNT(*) < 5 AS at_risk
         |FROM documents
-        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // The pruned scan must equal the full-table range query — pruning
+    // is an optimization, never a semantics change. Range bounds
+    // replay the manifest-derived max as a scalar subquery.
+    "q_scan_zonemap" ->
+      """WITH b AS (SELECT MAX(doc_id) AS mx FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents, b
+        |WHERE doc_id >= mx // 10 AND doc_id <= mx // 5
+        |GROUP BY source ORDER BY source""".stripMargin
   )
 }

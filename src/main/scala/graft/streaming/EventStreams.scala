@@ -31,6 +31,14 @@ object EventStreams {
   /** Funnel progress for q_stream_funnel (0 = step not reached). */
   case class FunnelState(t1: Long, t2: Long, t3: Long)
 
+  /** q_stream_attribution state: the last touch (micros + type; 0/"" =
+    * none yet) and one fixed (conversions, revenue_q) accumulator pair
+    * per channel — state is 8 scalars per user regardless of event
+    * volume. */
+  case class AttribState(touchM: Long, touchT: String,
+      cView: Long, rView: Long, cClick: Long, rClick: Long,
+      cDirect: Long, rDirect: Long)
+
   /** q_stream_pattern state: the OPEN error-free block's code string
     * plus tallies over CLOSED blocks. The open block stays in state
     * (bounded by the inter-error gap); closed blocks fold into the
@@ -290,6 +298,56 @@ object EventStreams {
         .toDF("user_id", "t1_us", "t2_us", "t3_us", "steps")
       runToMemory(s, out, "update", s"funnel_${System.nanoTime()}")
         .orderBy(col("user_id"))
+    }),
+
+    // Streaming last-touch attribution — the stateful twin of the batch
+    // q_event_attribution, at per-user grain: state carries ONLY the
+    // last touch (ts, type) plus one fixed accumulator pair per channel
+    // (8 scalars per user — bounded regardless of volume, like the
+    // funnel's 3 slots), so the 7-day-lookback channel decision is made
+    // ONLINE as each purchase arrives, never by re-scanning history.
+    // Events fold in (ts, event_id) order within the batch; AvailableNow
+    // replays the fixture as one batch, so the per-user-channel batch
+    // SQL is an exact oracle. Emits only channels with conversions so
+    // the output is conversion-sized.
+    "q_stream_attribution" -> ((s, d) => {
+      import s.implicits._
+      val lookbackUs = 7L * 86400000000L
+      val typed = eventStream(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("m"), col("event_id"),
+          floor(col("value") * lit(1e6)).cast("long").as("v_q"))
+        .as[(Long, String, Long, Long, Long)]
+      val out = typed.groupByKey(_._1)
+        .flatMapGroupsWithState[AttribState, (Long, String, Long, Long)](
+          OutputMode.Update, GroupStateTimeout.NoTimeout) {
+          (uid: Long, it: Iterator[(Long, String, Long, Long, Long)],
+              st: GroupState[AttribState]) =>
+            val prev = st.getOption.getOrElse(
+              AttribState(0L, "", 0L, 0L, 0L, 0L, 0L, 0L))
+            var (tm, tt) = (prev.touchM, prev.touchT)
+            var (cv, rv) = (prev.cView, prev.rView)
+            var (cc, rc) = (prev.cClick, prev.rClick)
+            var (cd, rd) = (prev.cDirect, prev.rDirect)
+            it.toSeq.sortBy(e => (e._3, e._4)).foreach {
+              case (_, tpe, m, _, vq) =>
+                if (tpe == "purchase") {
+                  if (tt.nonEmpty && tm >= m - lookbackUs) {
+                    if (tt == "view") { cv += 1; rv += vq }
+                    else { cc += 1; rc += vq }
+                  } else { cd += 1; rd += vq }
+                } else if (tpe == "view" || tpe == "click") {
+                  tm = m; tt = tpe
+                }
+            }
+            st.update(AttribState(tm, tt, cv, rv, cc, rc, cd, rd))
+            Seq(("view", cv, rv), ("click", cc, rc), ("direct", cd, rd))
+              .collect { case (ch, c, r) if c > 0 => (uid, ch, c, r) }
+              .iterator
+        }
+        .toDF("user_id", "channel", "conversions", "revenue_q")
+      runToMemory(s, out, "update", s"attrib_${System.nanoTime()}")
+        .orderBy(col("user_id"), col("channel"))
     }),
 
     // Streaming CEP: the q_event_pattern regex (view→click→purchase
@@ -927,6 +985,33 @@ object EventStreams {
         |LEFT JOIN c USING (user_id)
         |LEFT JOIN p USING (user_id)
         |ORDER BY u.user_id""".stripMargin,
+
+    // The batch q_event_attribution oracle at per-(user, channel)
+    // grain; only channels a user actually converted through.
+    "q_stream_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, ts, event_type,
+        |             CAST(FLOOR(value * 1e6) AS BIGINT) AS v_q
+        |           FROM events),
+        |t AS (SELECT *,
+        |        LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+        |                        THEN ts END IGNORE NULLS)
+        |          OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING
+        |                  AND 1 PRECEDING) AS touch_ts,
+        |        LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+        |                        THEN event_type END IGNORE NULLS)
+        |          OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING
+        |                  AND 1 PRECEDING) AS touch_type
+        |      FROM e)
+        |SELECT user_id,
+        |  CASE WHEN touch_ts IS NOT NULL
+        |         AND touch_ts >= ts - INTERVAL 7 DAY
+        |       THEN touch_type ELSE 'direct' END AS channel,
+        |  CAST(COUNT(*) AS BIGINT) AS conversions,
+        |  CAST(SUM(v_q) AS BIGINT) AS revenue_q
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_stream_sliding" ->
       """WITH x AS (

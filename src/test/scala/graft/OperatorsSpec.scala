@@ -108,6 +108,27 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental cluster merge equals from-scratch labels, non-trivially") {
+    val inc = q("q_dedup_clusters_incremental").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getBoolean(3)))
+    val scratch = q("q_dedup_clusters").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(inc.length == scratch.size)
+    inc.foreach { case (id, keep, isK, _) =>
+      assert(keep == scratch(id), s"doc $id: incremental label drifted")
+      assert((id == keep) == isK)
+    }
+    // the merge must be NON-TRIVIAL: some delta doc joins an existing
+    // component (its canonical is an old doc), or the test proves
+    // nothing about the contraction path
+    assert(inc.exists { case (_, keep, _, isNew) =>
+      isNew && inc.exists(r => r._1 == keep && !r._4) },
+      "no delta doc merged into an existing component — vacuous split")
+    assert(inc.exists(_._4) && inc.exists(!_._4),
+      "both eras must be populated")
+  }
+
   test("large-star/small-star CC labels equal pointer-jumping CC labels") {
     import spark.implicits._
     import graft.operators.Dedup
@@ -1911,5 +1932,44 @@ class OperatorsSpec extends AnyFunSuite {
       got.zip(expected).find(p => p._1 != p._2)}")
     assert(got.exists(_._2 > 1), "multi-token phrases must surface")
     assert(phrases.nonEmpty && stops.size == 10)
+  }
+
+  test("MIPS top-5 equals in-memory; augmented-cosine order = ip order") {
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def ip(a: Array[Double], b: Array[Double]): BigDecimal =
+      a.zip(b).map { case (x, y) =>
+        BigDecimal(x * y).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+    val corpus = vecs.filter(_._1 >= 3)
+    val m2 = corpus.values.map(v => ip(v, v).toDouble).max
+    val got = q("q_sim_mips").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))
+    assert(got.length == 15)
+    (0L until 3L).foreach { qid =>
+      val qv = vecs(qid)
+      val ranked = corpus.toSeq
+        .map { case (id, v) => (id, ip(qv, v)) }
+        .sortBy { case (id, s) => (-s, id) }
+      val expTop = ranked.take(5).map(_._1)
+      val gotTop = got.filter(_._1 == qid).sortBy(_._5).map(_._2).toSeq
+      assert(gotTop == expTop, s"query $qid top-5 mismatch")
+    }
+    // the augmentation certificate: aug_resid_q = M²_q − ‖x‖²_q is the
+    // squared augmented dimension — nonnegative everywhere, and the
+    // augmented vectors all have squared norm M² exactly (‖x‖² +
+    // resid), which is WHY cosine order against the zero-extended
+    // query equals inner-product order (the denominator ‖q‖·M is
+    // constant per query — algebraic, no float comparison needed)
+    val m2q = math.floor(m2 * 1e6).toLong
+    got.foreach { case (_, id, _, resid, _) =>
+      val n2q = math.floor(ip(vecs(id), vecs(id)).toDouble * 1e6).toLong
+      assert(resid == m2q - n2q && resid >= 0, s"residual of vec $id")
+    }
+    assert(got.map(_._4).distinct.length > 1,
+      "corpus norms vary — MIPS is not cosine on this fixture")
   }
 }

@@ -593,6 +593,26 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("zone-map manifest prunes the file set; pruning never drops rows") {
+    val (df, hit, total) = graft.queries.Extended.zonemapScan(spark, sfDir)
+    assert(total == 8, s"range layout should produce 8 files, got $total")
+    assert(hit >= 1 && hit < total,
+      s"manifest must prune strictly: $hit of $total files")
+    // the in-file residual range predicate still reaches the reader
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), " +
+      "GreaterThanOrEqual(doc_id"),
+      "residual doc_id range must push into the pruned parquet scan")
+    // pruning is an optimization, not a semantics change: equal to the
+    // same range filter over the unpruned table
+    import org.apache.spark.sql.functions.{col, max}
+    val full = graft.sources.Tables.documents(spark, sfDir)
+    val mx = full.agg(max("doc_id")).head.getLong(0)
+    val expected = full.where(col("doc_id") >= mx / 10 &&
+      col("doc_id") <= mx / 5).count()
+    assert(df.count() == expected)
+  }
+
   test("star join prunes fact partitions at runtime (DPP)") {
     val p = graft.queries.Extended.dppStarJoin(spark, sfDir)
       .queryExecution.executedPlan.toString

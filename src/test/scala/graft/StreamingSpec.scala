@@ -271,6 +271,40 @@ class StreamingSpec extends AnyFunSuite {
       "stateful fold must equal the batch step-wise minima")
   }
 
+  test("streaming attribution equals an in-memory last-touch walk") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")),
+        col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val lookbackUs = 7L * 86400000000L
+    val expected = ev.groupBy(_._2).toSeq.flatMap { case (uid, es) =>
+      var touch: Option[(Long, String)] = None
+      val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      es.sortBy(e => (e._3, e._1)).foreach { e =>
+        if (e._4 == "purchase") {
+          val ch = touch match {
+            case Some((tts, tt)) if tts >= e._3 - lookbackUs => tt
+            case _ => "direct"
+          }
+          val (c, r) = acc.getOrElse(ch, (0L, 0L))
+          acc(ch) = (c + 1, r + math.floor(e._5 * 1e6).toLong)
+        }
+        if (e._4 == "view" || e._4 == "click") touch = Some((e._3, e._4))
+      }
+      acc.toSeq.map { case (ch, (c, r)) => (uid, ch, c, r) }
+    }.sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("q_stream_attribution")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected, "stateful online walk must equal batch replay")
+    assert(got.exists(_._2 == "direct") &&
+      got.exists(t => t._2 == "view" || t._2 == "click"),
+      "both attributed and direct conversions must occur")
+  }
+
   test("streaming CEP pattern equals the batch regex row for row") {
     val stream = SparkEntry.queries("q_stream_pattern")(spark, sf)
       .collect()
