@@ -841,6 +841,79 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // Multi-source BFS: hop distance from the manually-audited seed
+    // set (the 2% sample doc_id % 50 == 0) through the CHUNK-SHARE
+    // graph — two docs are adjacent when they share a content-defined
+    // chunk (the q_dedup_cdc kernel), so provenance chains through
+    // PARTIAL overlaps: A shares a passage with B, B shares a
+    // different passage with C, and distance measures how far audited
+    // trust (or taint, from a flagged seed set) extends through
+    // copy-with-edit lineage. The near-dup Jaccard graph is useless
+    // here BY DESIGN — its 0.5 whole-doc threshold yields tiny
+    // star components (measured: nothing past hop 1), while
+    // chunk-sharing is exactly the relation that chains. Frequent
+    // chunks (shared by > 16 docs — boilerplate) are dropped before
+    // pairing, the posting-length cap every similarity join needs at
+    // scale (the stop-chunk analogue of prefix filtering) and the
+    // bound that keeps per-chunk pair fan-out ≤ 16².
+    //
+    // Frontier BFS, the at-scale alternative to per-node shortest
+    // paths: each round joins only the CURRENT frontier against the
+    // edge list (shuffle ∝ frontier-adjacent edges, never the corpus),
+    // newly-reached nodes anti-join away everything already labelled,
+    // and the loop early-stops the round the frontier empties —
+    // O(reached diameter) rounds, each one bounded driver scalar (the
+    // frontier count). The 6-hop cap both bounds the loop and defines
+    // the published semantics (min-hop ≤ 6; the recursive oracle
+    // replays the same cap). The fixture graph genuinely reaches the
+    // cap (depths 0-6 at sf0.01), so every round does real work.
+    "q_graph_bfs" -> ((s, d) => {
+      import graft.functions.TextFunctions.cdc_chunk_codes
+      val rows = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(cdc_chunk_codes(col("text"))).as("code"))
+        .select(col("doc_id"),
+          expr("code % 1099511627776").as("chunk_hash"))
+        .distinct()
+      val keep = rows.groupBy(col("chunk_hash"))
+        .agg(count(lit(1)).as("nd"))
+        .where(col("nd") >= 2 && col("nd") <= 16)
+        .select(col("chunk_hash"))
+      val shared = rows.join(keep, Seq("chunk_hash"))
+      val edges = shared
+        .select(col("chunk_hash"), col("doc_id").as("src"))
+        .join(shared.select(col("chunk_hash"), col("doc_id").as("dst")),
+          Seq("chunk_hash"))
+        .where(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"))
+        .distinct()
+        .localCheckpoint() // six frontier joins reuse the edge list
+      var dist = Tables.documents(s, d).select(col("doc_id"))
+        .where(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), lit(0L).as("dist"))
+        .localCheckpoint()
+      var frontier = dist
+      var round = 0
+      var growing = true
+      while (growing && round < 6) {
+        round += 1
+        val fresh = frontier
+          .join(edges, frontier("doc_id") === edges("src"))
+          .select(col("dst").as("doc_id"))
+          .distinct()
+          .join(dist.select(col("doc_id")), Seq("doc_id"), "anti")
+          .select(col("doc_id"), lit(round.toLong).as("dist"))
+          .localCheckpoint(eager = false)
+        val grew = fresh.count()
+        growing = grew > 0
+        if (growing) {
+          dist = dist.unionAll(fresh).localCheckpoint(eager = false)
+          frontier = fresh
+        }
+      }
+      dist.orderBy(col("doc_id"))
+    }),
+
     // Content-defined-chunking dedup (the LBFS/rsync/CDC idea at token
     // granularity): chunk boundaries are cut where the rolling content
     // hash — here the trigram shingle hash ending at the boundary —
@@ -1912,6 +1985,63 @@ object Dedup {
          |FROM documents d LEFT JOIN cd ON cd.src = d.doc_id
          |ORDER BY d.doc_id""".stripMargin
     },
+
+    // The q_dedup_cdc chunking CTEs rebuild the same (doc, chunk_hash)
+    // postings; the df ∈ [2,16] keep-filter, the symmetric pair join,
+    // and a depth-capped recursive walk from the seed set. UNION dedups
+    // (id, depth) pairs so cycles terminate, and MIN(d) per node is the
+    // ≤ 6-hop BFS distance.
+    "q_graph_bfs" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, text, w, CASE WHEN len(w) >= 3 THEN
+        |        [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |         for i in generate_series(1, len(w) - 2)]
+        |      ELSE [text] END AS sh
+        |      FROM t),
+        |hh AS (SELECT doc_id, text, w, list_transform(sh, s ->
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split(s, ''),
+        |             c -> CAST(ascii(c) AS BIGINT))),
+        |           (h, c) -> (h * 1000003 + c) % 1099511627776)) AS h
+        |       FROM g),
+        |cu AS (SELECT doc_id, text, w,
+        |         list_filter(generate_series(1, len(w) - 3),
+        |                     i -> h[i] % 8 = 0) AS cuts
+        |       FROM hh),
+        |se AS (SELECT doc_id, text, w,
+        |         list_prepend(1, list_transform(cuts, i -> i + 3)) AS ss,
+        |         list_append(list_transform(cuts, i -> i + 2), len(w)) AS ee
+        |       FROM cu),
+        |ch AS (SELECT doc_id, CASE WHEN len(w) >= 4 THEN
+        |         [array_to_string(w[ss[j]:ee[j]], ' ')
+        |          for j in generate_series(1, len(ss))]
+        |       ELSE [text] END AS cs
+        |       FROM se),
+        |r AS (SELECT doc_id, UNNEST(cs) AS c FROM ch),
+        |rw AS (SELECT DISTINCT doc_id,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split(c, ''),
+        |             b -> CAST(ascii(b) AS BIGINT))),
+        |           (h, b) -> (h * 1000003 + b) % 1099511627776)
+        |           AS chunk_hash
+        |       FROM r),
+        |keep AS (SELECT chunk_hash FROM rw GROUP BY chunk_hash
+        |         HAVING COUNT(*) BETWEEN 2 AND 16),
+        |edges AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        |  FROM rw a JOIN rw b USING (chunk_hash)
+        |  JOIN keep USING (chunk_hash)
+        |  WHERE a.doc_id <> b.doc_id),
+        |walk AS (
+        |  WITH RECURSIVE rr(id, d) AS (
+        |    SELECT doc_id, 0 FROM documents WHERE doc_id % 50 = 0
+        |    UNION
+        |    SELECT e.dst, rr.d + 1 FROM rr JOIN edges e ON e.src = rr.id
+        |    WHERE rr.d < 6
+        |  ) SELECT id, MIN(d) AS dist FROM rr GROUP BY id)
+        |SELECT id AS doc_id, CAST(dist AS BIGINT) AS dist
+        |FROM walk ORDER BY doc_id""".stripMargin,
 
     // Clusters twin + integer-quality argmax per cluster.
     "q_dedup_canonical" ->

@@ -117,7 +117,84 @@ object TextAnalysis {
           lit(1e4)).cast("long").as("bm25_q"))
   }
 
+  /** Per-(session, dataset) term-stats memo for the inverted index:
+    * one (term, df, bucket) row per VOCABULARY term (31 on the
+    * fixtures) — the stored term-statistics side table every search
+    * system keeps next to its postings. Bounded driver traffic: rows ∝
+    * vocabulary, never corpus. */
+  private val invIdxStats = new scala.collection.concurrent.TrieMap[
+    (Int, String), Array[(String, Long, Int)]]
+
+  /** Inverted-index layout, written once per (JVM, dataset): postings
+    * (term, doc_id, tf) hash-partitioned into 16 term buckets
+    * (`partitionBy("bkt")`), so a probe for k terms opens only their
+    * buckets' files — partition pruning over the TERM axis, the
+    * posting-list access path of every search engine re-expressed as a
+    * lake layout. At 100 TB the bucket count scales with vocabulary
+    * and the layout is a maintained table; here it's built on demand
+    * like the zone-map and DPP layouts. */
+  private[graft] def invertedIndexPath(s: SparkSession, d: String): String = {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_invidx_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+    val success = new org.apache.hadoop.fs.Path(s"$base/_SUCCESS")
+    if (!success.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .exists(success))
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("bkt", pmod(xxhash64(col("tok")), lit(16)).cast("int"))
+        .write.partitionBy("bkt").mode("overwrite").parquet(base)
+    base
+  }
+
+  /** The probe side of [[invertedIndexPath]]: derive the k = 3 rarest
+    * terms from the memoized term-stats table (ties broken by term),
+    * then scan ONLY those terms' buckets (partition filter on bkt,
+    * residual `tok IN (...)` pushed into the chosen files). Returns
+    * (probe postings, query terms, distinct buckets opened) so
+    * PlanSpec can assert the pruning on the same plan the query runs. */
+  private[graft] def invertedProbe(s: SparkSession, d: String)
+      : (DataFrame, Array[String], Array[Int]) = {
+    val base = invertedIndexPath(s, d)
+    val stats = invIdxStats.getOrElseUpdate(
+      (System.identityHashCode(s), d), {
+        s.read.parquet(base)
+          .groupBy(col("tok"))
+          .agg(count(lit(1)).as("df"), first(col("bkt")).as("bkt"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+      })
+    val terms = stats.sortBy { case (t, df, _) => (df, t) }.take(3)
+    val toks = terms.map(_._1)
+    val bkts = terms.map(_._3).distinct
+    val probe = s.read.parquet(base)
+      .where(col("bkt").isin(bkts.toIndexedSeq: _*) &&
+        col("tok").isin(toks.toIndexedSeq: _*))
+    (probe, toks, bkts)
+  }
+
   val defs: Map[String, Q] = Map(
+
+    // Conjunctive (AND) keyword search answered FROM the inverted
+    // index, never the corpus: the 3 rarest terms' posting lists are
+    // read via bucket partition pruning ([[invertedProbe]]), and the
+    // intersection is one groupBy(doc_id) keeping docs matched by all
+    // 3 lists — cost ∝ Σ posting-list length (df), not corpus size,
+    // which is the entire point of an inverted index at 100 TB. The
+    // published sum_tf is the total query-term mass per matching doc
+    // (the trivial tf ranking signal). The oracle replays the SAME
+    // rarest-3 term choice from raw text and intersects by brute
+    // force — index answer must equal scan answer.
+    "q_text_index_query" -> ((s, d) => {
+      val (probe, toks, _) = invertedProbe(s, d)
+      probe
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("tok")).as("nt"),
+          sum(col("tf")).as("sum_tf"))
+        .where(col("nt") === toks.length)
+        .select(col("doc_id"), col("sum_tf"))
+        .orderBy(col("doc_id"))
+    }),
 
     // Per-document surface statistics. avg_word_len derives from the
     // single-spaced layout: chars minus separators over word count.
@@ -921,6 +998,20 @@ object TextAnalysis {
     "slow scan", "stream", "the line", "vector")
 
   val oracles: Map[String, String] = Map(
+
+    // Brute-force twin: same rarest-3 term derivation (df asc, term
+    // asc), intersection by HAVING over the per-(term, doc) postings.
+    "q_text_index_query" ->
+      """WITH t AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |p AS (SELECT tok, doc_id, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        |d AS (SELECT tok, COUNT(*) AS df FROM p GROUP BY tok),
+        |q AS (SELECT tok FROM d ORDER BY df ASC, tok ASC LIMIT 3)
+        |SELECT p.doc_id, CAST(SUM(p.tf) AS BIGINT) AS sum_tf
+        |FROM p JOIN q USING (tok)
+        |GROUP BY p.doc_id
+        |HAVING COUNT(DISTINCT p.tok) = 3
+        |ORDER BY doc_id""".stripMargin,
     // The naive spelling the automaton replaces: for each (doc, pattern),
     // count match END positions by direct position scan — exactly the
     // all-occurrences (overlapping included) semantics of the AC pass.

@@ -1849,6 +1849,36 @@ object Extended {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("source"))
+    }),
+
+    // Frequent-sequence mining over the event log: every length-3
+    // event-type sequence a user emits (in (ts, event_id) order), its
+    // total occurrence count, and its user support — the sequential-
+    // pattern complement to q_event_markov (the Markov matrix is
+    // memoryless by construction; "view>view>purchase vs
+    // click>view>purchase" is exactly what it cannot distinguish).
+    // Top-20 by (support, n, seq), fully tie-broken. Scale shape: both
+    // lead() offsets share ONE window pass (same partition/order spec
+    // → a single WindowExec over the per-user sort), the pattern
+    // aggregate is keyed on a ≤ |types|³ domain, and the top-20 is
+    // distributed TakeOrdered — no global sort, no second scan.
+    "q_event_seqmine" -> ((s, d) => {
+      val wUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("m"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("m"),
+          col("event_id"), col("event_type"))
+        .withColumn("t1", lead(col("event_type"), 1).over(wUser))
+        .withColumn("t2", lead(col("event_type"), 2).over(wUser))
+        .where(col("t2").isNotNull)
+        .select(col("user_id"),
+          concat_ws(">", col("event_type"), col("t1"), col("t2"))
+            .as("seq"))
+        .groupBy(col("seq"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("support"))
+        .orderBy(col("support").desc, col("n").desc, col("seq"))
+        .limit(20)
     })
   )
 
@@ -2829,6 +2859,23 @@ object Extended {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents, b
         |WHERE doc_id >= mx // 10 AND doc_id <= mx // 5
-        |GROUP BY source ORDER BY source""".stripMargin
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // The same (m, event_id) per-user order; t2 non-null implies t1
+    // non-null, so the concat never sees a NULL arm.
+    "q_event_seqmine" ->
+      """WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS m,
+        |             event_id, event_type FROM events),
+        |l AS (SELECT user_id, event_type,
+        |        LEAD(event_type, 1) OVER w AS t1,
+        |        LEAD(event_type, 2) OVER w AS t2
+        |      FROM e
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY m, event_id))
+        |SELECT event_type || '>' || t1 || '>' || t2 AS seq,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS support
+        |FROM l WHERE t2 IS NOT NULL
+        |GROUP BY 1
+        |ORDER BY support DESC, n DESC, seq LIMIT 20""".stripMargin
   )
 }

@@ -522,6 +522,46 @@ object EventStreams {
         .orderBy(col("click_id"), col("p_id"))
     }),
 
+    // Stream-stream FULL OUTER join — both unmatched sides emit, each
+    // once the watermark proves its match window closed. Eviction is
+    // per-side, derived from the time-range condition: a CLICK's last
+    // joinable purchase time is its own c_ts (flushes when the
+    // watermark passes c_ts, as in the left join); a PURCHASE's last
+    // joinable click time is p_ts + 1h (clicks up to an hour later may
+    // still claim it), so unmatched purchases flush only when the
+    // watermark passes p_ts + 1h. With AvailableNow over the static
+    // fixture the final watermark is deterministic —
+    // min(max(c_ts) − 1h, max(p_ts) − 2h) — so the oracle replays
+    // exactly which unmatched rows of EACH side flush and which are
+    // still held in state at end-of-stream. user_id coalesces across
+    // sides (null-extended click columns on right-only rows).
+    "q_stream_full_join" -> ((s, d) => {
+      val clicks = eventStream(s, d)
+        .where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = eventStream(s, d)
+        .where(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"), col("value"))
+        .withWatermark("p_ts", "2 hours")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
+          col("p_ts") <= col("c_ts"),
+        "fullOuter")
+      withRocksDb(s) {
+        runToMemory(s, joined, "append", s"sfjoin_${System.nanoTime()}")
+      }
+        .select(col("click_id"),
+          coalesce(col("user_id"), col("p_user")).as("user_id"),
+          unix_micros(col("c_ts")).as("click_ts_us"),
+          col("p_id"), unix_micros(col("p_ts")).as("purchase_ts_us"),
+          col("value"))
+        .orderBy(col("click_id"), col("p_id"))
+    }),
+
     // transformWithState (Spark 4's arbitrary-state API, successor to
     // flatMapGroupsWithState): per-event-type running totals in a typed
     // ValueState on the RocksDB state store — the provider that makes
@@ -1189,6 +1229,40 @@ object EventStreams {
         |        AND p.p_ts <= c.c_ts)
         |  AND c.c_ts < (SELECT w FROM wm)
         |ORDER BY click_id, p_id NULLS FIRST""".stripMargin,
+
+    // The left-join oracle plus the symmetric right side: an unmatched
+    // purchase flushes when the watermark passes p_ts + 1h (its latest
+    // joinable click time under the range condition).
+    "q_stream_full_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, ts AS c_ts
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts, value
+        |      FROM events WHERE event_type = 'purchase'),
+        |wm AS (SELECT LEAST(
+        |         (SELECT MAX(c_ts) FROM c) - INTERVAL '1 hour',
+        |         (SELECT MAX(p_ts) FROM p) - INTERVAL '2 hours') AS w)
+        |SELECT c.click_id, c.user_id, epoch_us(c.c_ts) AS click_ts_us,
+        |       p.p_id, epoch_us(p.p_ts) AS purchase_ts_us, p.value
+        |FROM c JOIN p ON p.p_user = c.user_id
+        |  AND p.p_ts >= c.c_ts - INTERVAL '1 hour' AND p.p_ts <= c.c_ts
+        |UNION ALL
+        |SELECT c.click_id, c.user_id, epoch_us(c.c_ts),
+        |       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |       CAST(NULL AS DOUBLE)
+        |FROM c
+        |WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.p_user = c.user_id
+        |        AND p.p_ts >= c.c_ts - INTERVAL '1 hour'
+        |        AND p.p_ts <= c.c_ts)
+        |  AND c.c_ts < (SELECT w FROM wm)
+        |UNION ALL
+        |SELECT CAST(NULL AS BIGINT), p.p_user, CAST(NULL AS BIGINT),
+        |       p.p_id, epoch_us(p.p_ts), p.value
+        |FROM p
+        |WHERE NOT EXISTS (SELECT 1 FROM c WHERE p.p_user = c.user_id
+        |        AND p.p_ts >= c.c_ts - INTERVAL '1 hour'
+        |        AND p.p_ts <= c.c_ts)
+        |  AND p.p_ts + INTERVAL '1 hour' < (SELECT w FROM wm)
+        |ORDER BY click_id NULLS FIRST, p_id NULLS FIRST""".stripMargin,
 
     "q_stream_transform_state" ->
       """SELECT event_type, COUNT(*) AS n,

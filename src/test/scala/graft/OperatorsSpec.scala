@@ -1972,4 +1972,83 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.map(_._4).distinct.length > 1,
       "corpus norms vary — MIPS is not cosine on this fixture")
   }
+
+  test("BFS distances equal an in-memory BFS over the chunk-share graph") {
+    val got = q("q_graph_bfs").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // rebuild the capped chunk-share graph from the same compiled kernel
+    import graft.functions.TextFunctions.cdc_chunk_codes
+    val posting = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        explode(cdc_chunk_codes(col("text"))).as("code"))
+      .select(col("doc_id"), expr("code % 1099511627776").as("h"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byChunk = posting.groupBy(_._2)
+      .filter { case (_, ds) => ds.length >= 2 && ds.length <= 16 }
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    byChunk.values.foreach { ds =>
+      val ids = ds.map(_._1)
+      for (a <- ids; b <- ids if a != b) adj(a) = adj(a) + b
+    }
+    val seeds = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+      .filter(_ % 50 == 0)
+    var dist = seeds.map(_ -> 0L).toMap
+    var frontier = seeds.toSet
+    for (round <- 1 to 6 if frontier.nonEmpty) {
+      val fresh = frontier.flatMap(adj) -- dist.keySet
+      dist = dist ++ fresh.map(_ -> round.toLong)
+      frontier = fresh
+    }
+    assert(got == dist, "frontier BFS must equal the in-memory walk")
+    // non-vacuity: the fixture graph genuinely chains past hop 1, so
+    // every round of the frontier loop does real work
+    assert(got.values.exists(_ >= 2L),
+      "chunk-share graph must reach depth >= 2 — seed choice vacuous")
+    assert(got.size > seeds.length, "BFS must reach beyond the seed set")
+  }
+
+  test("index probe equals a corpus-scan AND query, non-vacuously") {
+    val got = q("q_text_index_query").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // in-memory: tokenize, pick the 3 rarest terms, intersect
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    val df = docs.flatMap { case (_, ts) => ts.distinct }
+      .groupBy(identity).map { case (t, o) => (t, o.length) }
+    val terms = df.toSeq.sortBy { case (t, n) => (n, t) }.take(3).map(_._1)
+    val expected = docs.flatMap { case (id, ts) =>
+      val hits = ts.filter(terms.contains)
+      if (terms.forall(ts.contains)) Some(id -> hits.length.toLong)
+      else None
+    }.toMap
+    assert(got == expected, "index answer must equal the scan answer")
+    assert(got.nonEmpty, "conjunctive query must match some docs")
+    assert(got.size < docs.length,
+      "rarest-term conjunction must be selective")
+  }
+
+  test("event trigram mining equals an in-memory sequential count") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val tri = ev.groupBy(_._1).toSeq.flatMap { case (uid, es) =>
+      val types = es.sortBy(e => (e._2, e._3)).map(_._4)
+      types.sliding(3).filter(_.length == 3)
+        .map(w => (uid, w.mkString(">"))).toSeq
+    }
+    val expected = tri.groupBy(_._2).map { case (s, o) =>
+      (s, o.length.toLong, o.map(_._1).distinct.length.toLong)
+    }.toSeq
+      .sortBy { case (s, n, sup) => (-sup, -n, s) }.take(20)
+    val got = q("q_event_seqmine").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected, "top-20 trigrams must match the replay")
+    assert(got.exists(_._1.split(">").distinct.length > 1),
+      "mixed-type sequences must surface")
+  }
 }

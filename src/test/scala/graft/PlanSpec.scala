@@ -613,6 +613,27 @@ class PlanSpec extends AnyFunSuite {
     assert(df.count() == expected)
   }
 
+  test("inverted-index probe prunes term buckets; residual term filter pushes") {
+    val (probe, toks, bkts) = graft.operators.TextAnalysis
+      .invertedProbe(spark, sfDir)
+    assert(toks.length == 3 && bkts.nonEmpty && bkts.length <= 3)
+    val p = probe.queryExecution.executedPlan.toString
+    // the partition filter on bkt must reach the scan (bucket pruning:
+    // only the query terms' posting files are opened)...
+    assert(p.contains("PartitionFilters") && p.contains("bkt"),
+      "bkt partition filter must prune the posting buckets")
+    // ...and the term IN-list must push into the chosen files
+    assert(p.contains("PushedFilters") && p.contains("In(tok"),
+      "tok IN-list must push into the parquet reader")
+    // strictly fewer partition dirs than the 16-bucket layout
+    val scans = probe.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.selectedPartitions.partitionCount == bkts.length,
+      s"probe must open exactly the ${bkts.length} query buckets")
+  }
+
   test("star join prunes fact partitions at runtime (DPP)") {
     val p = graft.queries.Extended.dppStarJoin(spark, sfDir)
       .queryExecution.executedPlan.toString

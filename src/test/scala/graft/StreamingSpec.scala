@@ -144,6 +144,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("full outer stream join flushes both unmatched sides by watermark") {
+    val rows = SparkEntry.queries("q_stream_full_join")(spark, sf).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    val matched = rows.collect { case (Some(c), Some(p)) => (c, p) }.toSet
+    val loneClicks = rows.collect { case (Some(c), None) => c }.toSet
+    val lonePurch = rows.collect { case (None, Some(p)) => p }.toSet
+    // in-memory truth from the fixture
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val hourUs = 3600000000L
+    val clicks = ev.filter(_._4 == "click")
+    val purch = ev.filter(_._4 == "purchase")
+    val matchedB = (for {
+      c <- clicks; p <- purch
+      if p._2 == c._2 && p._3 >= c._3 - hourUs && p._3 <= c._3
+    } yield (c._1, p._1)).toSet
+    val wm = math.min(clicks.map(_._3).max - hourUs,
+      purch.map(_._3).max - 2 * hourUs)
+    val cMatched = matchedB.map(_._1)
+    val pMatched = matchedB.map(_._2)
+    val loneClicksB = clicks
+      .filter(c => !cMatched.contains(c._1) && c._3 < wm).map(_._1).toSet
+    val lonePurchB = purch
+      .filter(p => !pMatched.contains(p._1) && p._3 + hourUs < wm)
+      .map(_._1).toSet
+    assert(matched == matchedB, "matched pairs must equal the batch join")
+    assert(loneClicks == loneClicksB,
+      "unmatched clicks must flush exactly when the watermark passes c_ts")
+    assert(lonePurch == lonePurchB,
+      "unmatched purchases must flush when the watermark passes p_ts + 1h")
+    assert(loneClicks.nonEmpty && lonePurch.nonEmpty,
+      "both outer sides must actually flush on the fixture")
+  }
+
   test("stream-static enrichment join equals the batch join") {
     val stream = SparkEntry.queries("q_stream_static_join")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
