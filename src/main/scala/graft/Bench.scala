@@ -23,6 +23,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // storage-partitioned DSv2 scans (SynthSource layout=mod) report
+      // KeyGroupedPartitioning; this flag lets Catalyst honor it
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.warehouse.dir", "/root/repo/target/warehouse")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

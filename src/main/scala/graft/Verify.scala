@@ -17,6 +17,9 @@ object Verify {
       // same instants the oracle computes.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.adaptive.enabled", "true")
+      // storage-partitioned DSv2 scans (SynthSource layout=mod) report
+      // KeyGroupedPartitioning; this flag lets Catalyst honor it
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.warehouse.dir", "/root/repo/target/warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

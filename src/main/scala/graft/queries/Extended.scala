@@ -911,6 +911,31 @@ object Extended {
         .orderBy(col("bucket"))
     }),
 
+    // Storage-partitioned aggregation over the DSv2 connector's
+    // key-grouped layout (`layout=mod`: partition p owns the ids ≡ p
+    // mod 8, and the scan REPORTS KeyGroupedPartitioning over `part`
+    // via HasPartitionKey) — so the per-part aggregate's clustering
+    // requirement is satisfied AT THE SCAN and Catalyst plans NO
+    // shuffle exchange (PlanSpec-asserted). This is the at-scale story
+    // for any source whose physical layout already matches the query's
+    // grouping — shard-per-file logs, Kafka partitions, Iceberg
+    // storage-partitioned tables: the largest shuffle of a per-shard
+    // rollup costs ZERO bytes because the connector declares where the
+    // data already is. countDistinct is deliberately absent: a distinct
+    // aggregate plans an Expand + re-shuffle regardless of layout.
+    "q_source_kgrouped" -> ((s, d) => {
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.read.format("graft.sources.GraftSynthSource")
+        .option("rows", "100000").option("parts", "8")
+        .option("layout", "mod").load()
+        .groupBy(col("part"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("bucket").cast("long")).as("sum_bucket"),
+          min(col("id")).as("min_id"),
+          max(col("id")).as("max_id"))
+        .orderBy(col("part"))
+    }),
+
     // Time-series gap-fill: hourly per-type event counts with explicit
     // zero rows for silent hours — the resample/densify primitive behind
     // rate metrics and training-data time slicing. The hour spine comes
@@ -1000,6 +1025,50 @@ object Extended {
     // as q_typed_mapgroups; a group too large for memory would chunk
     // by time and carry y across chunks). DuckDB replays the fold as a
     // per-rank recursive CTE.
+    // Autocorrelation of the daily event-count series at lags 1..7 —
+    // the periodicity diagnostic behind seasonality detection (is
+    // there a weekly cycle?) and residual whiteness checks, feeding
+    // q_timeseries_seasonal's profile with EVIDENCE for its period
+    // choice. The whole statistic is INTEGER-exact: with n days, total
+    // S and daily counts x_t, center through y_t = n·x_t − S (no
+    // rational mean), then acf_pm(k) = ⌊1000·Σ y_t·y_{t+k} / Σ y_t²⌋
+    // using the explicit floor-div spelling since lagged sums are
+    // legitimately negative (envelope: n²·x² per product must stay
+    // under 2^63 — at 30 days × fixture volumes that's ~1e12; a
+    // century of billion-event days still fits by rescaling counts to
+    // thousands). Scale shape: the corpus collapses to one day-grain
+    // aggregate (≤ series length rows); everything after — the
+    // row_number index (bounded global window, census-whitelisted like
+    // q_event_survival's day grid), the ×7 lag explode, the per-lag
+    // sums — is series-sized, never event-sized.
+    "q_timeseries_acf" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val idx = daily.select(col("x"),
+        row_number().over(Window.orderBy(col("day"))).as("t"))
+      val tot = idx.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+      // materialize the centered series ONCE (≤ day-span rows): three
+      // consumers (numerator, lag side, denominator) would otherwise
+      // each re-derive the corpus aggregate — three full scans
+      val y = idx.crossJoin(broadcast(tot))
+        .select(col("t"), (col("n") * col("x") - col("s")).as("y"))
+        .localCheckpoint()
+      val den = y.agg(sum(col("y") * col("y")).as("den"))
+      val lagged = y.select(col("t").as("t2"), col("y").as("y2"))
+      val num = y
+        .crossJoin(s.range(1, 8).select(col("id").as("lag")))
+        .join(lagged, col("t2") === col("t") + col("lag"))
+        .groupBy(col("lag"))
+        .agg(sum(col("y") * col("y2")).as("num"),
+          count(lit(1)).as("n_pairs"))
+      num.crossJoin(broadcast(den))
+        .select(col("lag").cast("long").as("lag"), col("n_pairs"),
+          expr("(1000 * num - ((1000 * num % den + den) % den)) div den")
+            .as("acf_pm"))
+        .orderBy(col("lag"))
+    }),
+
     "q_timeseries_ewma" -> ((s, d) => {
       import s.implicits._
       val e = Tables.events(s, d)
@@ -1950,6 +2019,21 @@ object Extended {
         |  CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_tok
         |FROM e GROUP BY bucket ORDER BY bucket""".stripMargin,
 
+    // Same deterministic generator; DuckDB groups by the mod-8 key
+    // directly — the contract is values, the Spark plan additionally
+    // proves the shuffle-free storage-partitioned aggregation.
+    "q_source_kgrouped" ->
+      """WITH e AS (
+        |  SELECT g.g AS id,
+        |    CAST(((g.g * 2654435761) % 2147483648) % 100 AS INTEGER)
+        |      AS bucket,
+        |    CAST(g.g % 8 AS INTEGER) AS part
+        |  FROM generate_series(0, 99999) AS g(g))
+        |SELECT part, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(bucket) AS BIGINT) AS sum_bucket,
+        |  MIN(id) AS min_id, MAX(id) AS max_id
+        |FROM e GROUP BY part ORDER BY part""".stripMargin,
+
     // DuckDB computes the same envelope by scanning (its own zone-map
     // skipping aside); the CONTRACT is identical values, the Spark plan
     // additionally proves footer-only execution via PushedAggregation.
@@ -2444,6 +2528,30 @@ object Extended {
         |  CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS value_sum
         |FROM sx GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+
+    // Same n·x − S centering and integer lag products; the explicit
+    // floored-division spelling on BOTH sides (Spark div truncates,
+    // DuckDB // also truncates on integers — the kappa precedent).
+    "q_timeseries_acf" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS day,
+        |                 COUNT(*) AS x
+        |               FROM events GROUP BY 1),
+        |idx AS (SELECT x, ROW_NUMBER() OVER (ORDER BY day) AS t
+        |        FROM daily),
+        |tot AS (SELECT COUNT(*) AS n, SUM(x) AS s FROM idx),
+        |y AS (SELECT t, n * x - s AS y FROM idx, tot),
+        |den AS (SELECT SUM(y * y) AS den FROM y),
+        |num AS (SELECT k.lag, SUM(a.y * b.y) AS num,
+        |          COUNT(*) AS n_pairs
+        |        FROM generate_series(1, 7) AS k(lag)
+        |        JOIN y a ON TRUE
+        |        JOIN y b ON b.t = a.t + k.lag
+        |        GROUP BY k.lag)
+        |SELECT CAST(lag AS BIGINT) AS lag,
+        |  CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  CAST((1000 * num - ((1000 * num % den + den) % den)) // den
+        |       AS BIGINT) AS acf_pm
+        |FROM num, den ORDER BY lag""".stripMargin,
 
     // Identical micro-quantization and integer recurrence, replayed as
     // a per-rank recursive CTE (all users advance one rank per level).

@@ -56,7 +56,8 @@ class GraftSynthSource extends TableProvider {
       properties: util.Map[String, String]): Table =
     new SynthTable(
       properties.getOrDefault("rows", "100000").toLong,
-      properties.getOrDefault("parts", "8").toInt)
+      properties.getOrDefault("parts", "8").toInt,
+      properties.getOrDefault("layout", "range") == "mod")
 }
 
 object GraftSynthSource {
@@ -64,7 +65,8 @@ object GraftSynthSource {
     StructField("id", LongType, nullable = false),
     StructField("bucket", IntegerType, nullable = false),
     StructField("val", DoubleType, nullable = false),
-    StructField("tok", StringType, nullable = false)))
+    StructField("tok", StringType, nullable = false),
+    StructField("part", IntegerType, nullable = false)))
 
   private val M31 = 2147483648L
 
@@ -73,17 +75,17 @@ object GraftSynthSource {
   def tokOf(id: Long): String = "t" + (id % 97L)
 }
 
-private[sources] class SynthTable(rows: Long, parts: Int)
+private[sources] class SynthTable(rows: Long, parts: Int, mod: Boolean)
     extends Table with SupportsRead {
   override def name(): String = s"graft_synth($rows)"
   override def schema(): StructType = GraftSynthSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = new SynthScanBuilder(rows, parts)
+      : ScanBuilder = new SynthScanBuilder(rows, parts, mod)
 }
 
-private[sources] class SynthScanBuilder(rows: Long, parts: Int)
+private[sources] class SynthScanBuilder(rows: Long, parts: Int, mod: Boolean)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
@@ -114,7 +116,7 @@ private[sources] class SynthScanBuilder(rows: Long, parts: Int)
 
   override def pushedFilters(): Array[sources.Filter] = Array.empty
 
-  override def build(): Scan = new SynthScan(required, lo, hi, parts)
+  override def build(): Scan = new SynthScan(required, lo, hi, parts, mod)
 }
 
 /** Package-visible so PlanSpec can assert planning-time range
@@ -122,16 +124,55 @@ private[sources] class SynthScanBuilder(rows: Long, parts: Int)
 private[graft] case class SynthRange(lo: Long, hi: Long)
     extends InputPartition
 
+/** `layout=mod` partition: the ids ≡ `p` (mod `parts`) within
+  * [lo, hi). [[HasPartitionKey]] is the storage-partitioning contract:
+  * every row this partition emits has `part` = p, and declaring the key
+  * lets Catalyst treat the scan's layout as a
+  * [[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]].
+  */
+private[graft] case class SynthModPart(p: Int, parts: Int, lo: Long,
+    hi: Long) extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(p)
+}
+
 private[sources] class SynthScan(required: StructType, lo: Long, hi: Long,
-    parts: Int) extends Scan with Batch {
+    parts: Int, mod: Boolean) extends Scan with Batch
+    with SupportsReportPartitioning {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft_synth range=[$lo,$hi) cols=${required.fieldNames.mkString(",")}"
+    s"graft_synth range=[$lo,$hi) layout=${if (mod) "mod" else "range"} " +
+      s"cols=${required.fieldNames.mkString(",")}"
+
+  /** The connector-declared layout. `layout=mod` reports each input
+    * partition as one `part` key group, so any clustering requirement
+    * on `part` (a groupBy, a storage-partitioned join side) is already
+    * satisfied AT THE SCAN and Catalyst plans NO exchange — the DSv2
+    * spelling of "the data is already where the operator needs it",
+    * which at 100 TB deletes the largest shuffle a per-shard aggregate
+    * would otherwise pay. Requires
+    * spark.sql.sources.v2.bucketing.enabled (set by the library's
+    * session builders); PlanSpec asserts the shuffle-free plan. The
+    * range layout stays honest: UnknownPartitioning, every downstream
+    * clustering pays its exchange. */
+  override def outputPartitioning(): partitioning.Partitioning =
+    if (mod)
+      new partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .identity("part")),
+        planInputPartitions().length)
+    else new partitioning.UnknownPartitioning(parts)
 
   override def planInputPartitions(): Array[InputPartition] = {
     if (hi <= lo) return Array.empty
+    if (mod) {
+      // one partition per residue class that intersects the id range
+      return (0 until parts).filter { p =>
+        val first = lo + ((p - lo % parts + parts) % parts)
+        first < hi
+      }.map(p => SynthModPart(p, parts, lo, hi): InputPartition).toArray
+    }
     val n = hi - lo
     val per = math.max(1L, (n + parts - 1) / parts)
     val out = ArrayBuffer.empty[InputPartition]
@@ -144,26 +185,32 @@ private[sources] class SynthScan(required: StructType, lo: Long, hi: Long,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SynthReaderFactory(required.fieldNames)
+    new SynthReaderFactory(required.fieldNames, parts)
 }
 
 /** Serialized to executors; generates only the planned columns. */
-private[sources] class SynthReaderFactory(cols: Array[String])
+private[sources] class SynthReaderFactory(cols: Array[String], parts: Int)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
-      : PartitionReader[InternalRow] = {
-    val r = partition.asInstanceOf[SynthRange]
-    new PartitionReader[InternalRow] {
-      private var id = r.lo - 1
-      override def next(): Boolean = { id += 1; id < r.hi }
-      override def get(): InternalRow =
-        InternalRow.fromSeq(cols.toSeq.map {
-          case "id" => id
-          case "bucket" => GraftSynthSource.bucketOf(id)
-          case "val" => GraftSynthSource.valOf(id)
-          case "tok" => UTF8String.fromString(GraftSynthSource.tokOf(id))
-        })
-      override def close(): Unit = ()
-    }
+      : PartitionReader[InternalRow] = partition match {
+    case r: SynthRange => reader(r.lo - 1, r.hi, 1L)
+    case m: SynthModPart =>
+      val first = m.lo + ((m.p - m.lo % m.parts + m.parts) % m.parts)
+      reader(first - m.parts, m.hi, m.parts.toLong)
+  }
+
+  private def reader(start: Long, hi: Long, step: Long)
+      : PartitionReader[InternalRow] = new PartitionReader[InternalRow] {
+    private var id = start
+    override def next(): Boolean = { id += step; id < hi }
+    override def get(): InternalRow =
+      InternalRow.fromSeq(cols.toSeq.map {
+        case "id" => id
+        case "bucket" => GraftSynthSource.bucketOf(id)
+        case "val" => GraftSynthSource.valOf(id)
+        case "tok" => UTF8String.fromString(GraftSynthSource.tokOf(id))
+        case "part" => (id % parts).toInt
+      })
+    override def close(): Unit = ()
   }
 }

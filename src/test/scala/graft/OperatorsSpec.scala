@@ -2031,6 +2031,48 @@ class OperatorsSpec extends AnyFunSuite {
       "rarest-term conjunction must be selective")
   }
 
+  test("ACF equals an in-memory replay; lag-0 identity holds") {
+    val daily = graft.sources.Tables.events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .orderBy(col("day")).collect().map(_.getLong(1))
+    val n = daily.length
+    val s0 = daily.sum
+    val y = daily.map(x => n * x - s0)
+    val den = y.map(v => v * v).sum
+    def floorDiv(a: Long, b: Long): Long = Math.floorDiv(a, b)
+    val expected = (1 to 7).map { k =>
+      val num = (0 until n - k).map(t => y(t) * y(t + k)).sum
+      (k.toLong, (n - k).toLong, floorDiv(1000L * num, den))
+    }
+    val got = q("q_timeseries_acf").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected, "ACF must equal the in-memory series replay")
+    // normalization sanity: |acf| ≤ 1000 at every lag (Cauchy–Schwarz
+    // on the shared-denominator estimator)
+    assert(got.forall(t => t._3.abs <= 1000))
+    assert(got.map(_._3).distinct.length > 1,
+      "a flat ACF across all lags would be a degenerate series")
+  }
+
+  test("key-grouped layout returns the same rows as the range layout") {
+    // layout is an ACCESS PATH: same (rows, parts) must yield identical
+    // data whether partitions are contiguous ranges or mod-residue
+    // classes (and the part column is consistent with id in both)
+    def load(layout: String) =
+      spark.read.format("graft.sources.GraftSynthSource")
+        .option("rows", "5000").option("parts", "8")
+        .option("layout", layout).load()
+        .select("id", "bucket", "tok", "part")
+    val range = load("range").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    val mod = load("mod").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(range.sortBy(_._1).toSeq == mod.sortBy(_._1).toSeq)
+    assert(mod.length == 5000)
+    assert(mod.forall { case (id, _, _, p) => p == (id % 8).toInt })
+  }
+
   test("event trigram mining equals an in-memory sequential count") {
     val ev = graft.sources.Tables.events(spark, sf)
       .select(col("user_id"), unix_micros(col("ts")), col("event_id"),

@@ -613,6 +613,34 @@ class PlanSpec extends AnyFunSuite {
     assert(df.count() == expected)
   }
 
+  test("key-grouped DSv2 scan aggregates with zero shuffle exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = SparkEntry.queries("q_source_kgrouped")(spark, sfDir)
+    df.collect() // finalize the adaptive plan before walking it
+    val nodes = walkPlan(df.queryExecution.executedPlan)
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+    // the per-part aggregate must reuse the scan's key grouping; the
+    // published 8-group orderBy may plan its own (8-row) sort exchange,
+    // so the pin is: no shuffle BELOW the final aggregate — i.e. every
+    // shuffle in the plan sits above the HashAggregate pair
+    val agg = nodes.collectFirst {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+        if a.toString.contains("count") => a }
+    assert(agg.isDefined, "aggregate must be present")
+    val aggSubtree = walkPlan(agg.get)
+    assert(!aggSubtree.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      "the connector reports KeyGroupedPartitioning over part — the " +
+        "per-part aggregate must not re-shuffle")
+    // and the partial/final pair must have collapsed to ONE aggregate
+    // over the scan (no exchange between them)
+    assert(nodes.count(_.isInstanceOf[
+      org.apache.spark.sql.execution.aggregate.HashAggregateExec]) <= 2)
+    assert(nodes.mkString("\n").contains("layout=mod"),
+      "plan must read the mod layout scan")
+    assert(shuffles.forall(_.toString.contains("rangepartitioning")),
+      s"only the 8-row presentation sort may shuffle: $shuffles")
+  }
+
   test("inverted-index probe prunes term buckets; residual term filter pushes") {
     val (probe, toks, bkts) = graft.operators.TextAnalysis
       .invertedProbe(spark, sfDir)
@@ -799,6 +827,8 @@ class PlanSpec extends AnyFunSuite {
     "q_sample_weighted", "q_sim_hybrid_rrf",
     // per-day KM grid — rows bounded by the day span, not the corpus
     "q_event_survival",
+    // row_number index over the day-grain series — same day-span bound
+    "q_timeseries_acf",
     // water-filling solver over the k-row domain-alphabet table
     "q_mix_waterfill",
     // prefix-min over the broadcast-sized bucket-min table (the

@@ -12,6 +12,9 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // storage-partitioned DSv2 scans (SynthSource layout=mod) report
+      // KeyGroupedPartitioning; this flag lets Catalyst honor it
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.warehouse.dir", "/root/repo/target/warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
