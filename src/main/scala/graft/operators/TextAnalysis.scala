@@ -148,11 +148,15 @@ object TextAnalysis {
   }
 
   /** The probe side of [[invertedIndexPath]]: derive the k = 3 rarest
-    * terms from the memoized term-stats table (ties broken by term),
-    * then scan ONLY those terms' buckets (partition filter on bkt,
-    * residual `tok IN (...)` pushed into the chosen files). Returns
-    * (probe postings, query terms, distinct buckets opened) so
-    * PlanSpec can assert the pruning on the same plan the query runs. */
+    * QUALIFYING terms from the memoized term-stats table — rarest by
+    * (df, term), but only terms with df ≥ max(5, max-df/100), the
+    * df floor that keeps the conjunction non-vacuous on corpora whose
+    * tail is singleton tokens (typo-like hapaxes: an AND query over
+    * three hapaxes matches nothing and demonstrates nothing) — then
+    * scan ONLY those terms' buckets (partition filter on bkt, residual
+    * `tok IN (...)` pushed into the chosen files). Returns (probe
+    * postings, query terms, distinct buckets opened) so PlanSpec can
+    * assert the pruning on the same plan the query runs. */
   private[graft] def invertedProbe(s: SparkSession, d: String)
       : (DataFrame, Array[String], Array[Int]) = {
     val base = invertedIndexPath(s, d)
@@ -164,7 +168,9 @@ object TextAnalysis {
           .collect()
           .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
       })
-    val terms = stats.sortBy { case (t, df, _) => (df, t) }.take(3)
+    val floor = math.max(5L, stats.map(_._2).max / 100L)
+    val terms = stats.filter(_._2 >= floor)
+      .sortBy { case (t, df, _) => (df, t) }.take(3)
     val toks = terms.map(_._1)
     val bkts = terms.map(_._3).distinct
     val probe = s.read.parquet(base)
@@ -999,14 +1005,17 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
 
-    // Brute-force twin: same rarest-3 term derivation (df asc, term
-    // asc), intersection by HAVING over the per-(term, doc) postings.
+    // Brute-force twin: same df floor (max(5, max-df/100)) and
+    // rarest-3 derivation (df asc, term asc), intersection by HAVING
+    // over the per-(term, doc) postings.
     "q_text_index_query" ->
       """WITH t AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
         |           FROM documents),
         |p AS (SELECT tok, doc_id, COUNT(*) AS tf FROM t GROUP BY 1, 2),
         |d AS (SELECT tok, COUNT(*) AS df FROM p GROUP BY tok),
-        |q AS (SELECT tok FROM d ORDER BY df ASC, tok ASC LIMIT 3)
+        |fl AS (SELECT GREATEST(5, MAX(df) // 100) AS f FROM d),
+        |q AS (SELECT tok FROM d, fl WHERE df >= f
+        |      ORDER BY df ASC, tok ASC LIMIT 3)
         |SELECT p.doc_id, CAST(SUM(p.tf) AS BIGINT) AS sum_tf
         |FROM p JOIN q USING (tok)
         |GROUP BY p.doc_id

@@ -221,7 +221,8 @@ object ScaleProbe {
       .map(_.split(",").toSet)
       .getOrElse(Set("pipeline", "cc_corpus", "cc_chain", "topk",
         "lsh", "semantic", "recall", "graph", "triangles", "cdc", "kcore",
-        "prefix", "blocklist", "novelty", "linkage", "stream", "codec"))
+        "prefix", "blocklist", "novelty", "linkage", "stream", "codec",
+        "kgrouped", "invidx"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outBase = s"${sys.props("java.io.tmpdir")}/graft_scale"
@@ -896,6 +897,75 @@ object ScaleProbe {
         s""""rounds_to_fixpoint":${stats._1},""" +
         s""""core_edges":${stats._2},"wall_s":${f"$wall%.2f"},""" +
         s""""shuffle_mb":${(sw + sr) / 1048576}}""")
+      spark.catalog.clearCache()
+    }
+
+    // ---- 18. storage-partitioned aggregation: the shuffle that -----
+    // costs zero bytes. A HIGH-CARDINALITY rollup — groupBy(part, sub)
+    // with sub = id % 100k, then a per-part digest — over the DSv2
+    // connector at 1M/10M/100M rows, once per layout. High cardinality
+    // is the honest case: with few groups, map-side partial aggregation
+    // collapses the exchange to ~nothing regardless of layout (the
+    // elision then saves a stage, not bytes); with groups ∝ data,
+    // partial aggs DON'T collapse, so layout=range shuffles ~the whole
+    // dataset while layout=mod (KeyGroupedPartitioning honored at the
+    // scan) still moves ZERO bytes — the column being claimed.
+    if (sections("kgrouped")) {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      Seq(1000000L, 10000000L, 100000000L).foreach { rows =>
+        def rollup(layout: String) = spark.read
+          .format("graft.sources.GraftSynthSource")
+          .option("rows", rows.toString).option("parts", cpus)
+          .option("layout", layout).load()
+          .groupBy(col("part"), (col("id") % 100000L).as("sub"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("bucket").cast("long")).as("sb"))
+          .groupBy(col("part"))
+          .agg(count(lit(1)).as("n_sub"), sum(col("sb")).as("sb"))
+        val (gMod, wMod, swM, srM, _, _) = measured(spark, agg) {
+          rollup("mod").queryExecution.toRdd.count()
+        }
+        val (gRange, wRange, swR, srR, _, _) = measured(spark, agg) {
+          rollup("range").queryExecution.toRdd.count()
+        }
+        require(gMod == gRange, s"layouts disagree: $gMod vs $gRange")
+        emit(s"""{"probe":"kgrouped","rows":$rows,"groups":$gMod,""" +
+          s""""mod":{"wall_s":${f"$wMod%.2f"},""" +
+          s""""shuffle_kb":${(swM + srM) / 1024}},""" +
+          s""""range":{"wall_s":${f"$wRange%.2f"},""" +
+          s""""shuffle_kb":${(swR + srR) / 1024}}}""")
+      }
+    }
+
+    // ---- 19. inverted-index probe cost vs corpus size --------------
+    // The q_text_index_query claim: answering a conjunctive query costs
+    // Σ df of the query terms (posting rows), NOT a corpus scan. The
+    // amplifier grows the corpus ×10 (and its tag-token vocabulary with
+    // it); the probe's wall and shuffle should track the 3 rarest
+    // terms' posting mass, not the ×10 corpus. Build cost (one-time,
+    // linear) reported alongside for honesty.
+    if (sections("invidx")) factors.filter(_ <= 10).foreach { f =>
+      val dir = if (f == 1) sfDir else amplify(spark, sfDir, f, outBase)
+      val nDocs = Tables.documents(spark, dir).count()
+      val (_, wBuild, _, _, _, _) = measured(spark, agg) {
+        graft.operators.TextAnalysis.invertedIndexPath(spark, dir)
+      }
+      val ((hits, postings), wProbe, sw, sr, _, _) = measured(spark, agg) {
+        val (probe, toks, _) =
+          graft.operators.TextAnalysis.invertedProbe(spark, dir)
+        val p = probe.cache()
+        val rows = p.count()
+        val h = p.groupBy(col("doc_id"))
+          .agg(countDistinct(col("tok")).as("nt"))
+          .where(col("nt") === toks.length).count()
+        p.unpersist()
+        (h, rows)
+      }
+      emit(s"""{"probe":"invidx","factor":$f,"docs":$nDocs,""" +
+        s""""build_wall_s":${f"$wBuild%.2f"},""" +
+        s""""posting_rows_read":$postings,"matching_docs":$hits,""" +
+        s""""probe_wall_s":${f"$wProbe%.2f"},""" +
+        s""""probe_shuffle_kb":${(sw + sr) / 1024}}""")
       spark.catalog.clearCache()
     }
 

@@ -2019,7 +2019,9 @@ class OperatorsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
     val df = docs.flatMap { case (_, ts) => ts.distinct }
       .groupBy(identity).map { case (t, o) => (t, o.length) }
-    val terms = df.toSeq.sortBy { case (t, n) => (n, t) }.take(3).map(_._1)
+    val floor = math.max(5, df.values.max / 100)
+    val terms = df.toSeq.filter(_._2 >= floor)
+      .sortBy { case (t, n) => (n, t) }.take(3).map(_._1)
     val expected = docs.flatMap { case (id, ts) =>
       val hits = ts.filter(terms.contains)
       if (terms.forall(ts.contains)) Some(id -> hits.length.toLong)
