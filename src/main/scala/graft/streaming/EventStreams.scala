@@ -73,6 +73,64 @@ object EventStreams {
     }
   }
 
+  /** q_stream_timers: per-user gap sessionization where the TAIL
+    * session closes by an EVENT-TIME TIMER, not by a next event — the
+    * state-expiry half of the transformWithState API (registerTimer /
+    * deleteTimer / handleExpiredTimer) that keeps per-key state from
+    * living forever on keys that simply stop arriving. In-batch and
+    * cross-batch gap closures emit inline from handleInputRows; each
+    * update re-points ONE pending timer at last_ts + 30 min, and
+    * handleExpiredTimer emits the session the watermark proved
+    * complete, then clears the key's state — at 100 TB this is the
+    * difference between state ∝ ACTIVE users and state ∝ all users
+    * ever seen. State: (session_start_us, last_us, n) per user. */
+  class SessionTimerProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, java.sql.Timestamp, Long), (Long, Long, Long, Long)] {
+    private val GapUs = 1800000000L // 30 min
+    @transient private var sess:
+        org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      sess = getHandle.getValueState[(Long, Long, Long)]("sess",
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, java.sql.Timestamp, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long, Long)] = {
+      if (key < 0) return Iterator.empty // watermark-advance sentinel
+      val ts = rows.map(_._3).toArray.sorted
+      var out = List.empty[(Long, Long, Long, Long)]
+      var (st, last, n) =
+        if (sess.exists()) sess.get() else (-1L, -1L, 0L)
+      ts.foreach { t =>
+        if (st < 0) { st = t; last = t; n = 1L }
+        else if (t - last > GapUs) {
+          out ::= ((key, st, last, n)); st = t; last = t; n = 1L
+        } else { n += 1L; last = t }
+      }
+      sess.update((st, last, n))
+      // exactly one pending timer per key: the tail session's close
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer((last + GapUs) / 1000L)
+      out.reverseIterator
+    }
+
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[(Long, Long, Long, Long)] = {
+      if (!sess.exists()) return Iterator.empty
+      val (st, last, n) = sess.get()
+      sess.clear()
+      Iterator.single((key, st, last, n))
+    }
+  }
+
   private val rawSchema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", TimestampNTZType), // micros, no timezone (as stored)
@@ -560,6 +618,67 @@ object EventStreams {
           col("p_id"), unix_micros(col("p_ts")).as("purchase_ts_us"),
           col("value"))
         .orderBy(col("click_id"), col("p_id"))
+    }),
+
+    // Event-time TIMERS on transformWithState ([[SessionTimerProcessor]]):
+    // gap sessionization where the tail session per user closes when the
+    // WATERMARK proves it complete — no next event required. Driven
+    // across FIVE time-ordered micro-batches (four week-quarter files
+    // with controlled mtimes + a far-future watermark-advance sentinel,
+    // maxFilesPerTrigger=1), so timers genuinely fire across batch
+    // boundaries: quarter-k tail sessions emit in quarter k+1 once the
+    // watermark passes last_ts + 30 min, sessions straddling a quarter
+    // boundary are carried (old timer deleted, new one registered), and
+    // the sentinel batch flushes every remaining key. Because the
+    // sentinel advances the final watermark past every close time, the
+    // COMPLETE session set emits and the plain batch gap-sessionization
+    // SQL is an exact oracle; the per-batch emission trajectory is
+    // spec-asserted separately. Time-ordered single-file batches make
+    // the watermark trajectory deterministic (same discipline as the
+    // outer joins' flush replay).
+    "q_stream_timers" -> ((s, d) => {
+      import s.implicits._
+      val base = s"${sys.props("java.io.tmpdir")}/graft_timers_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+      val in = s"$base/in"
+      val ready = new java.io.File(s"$base/_READY")
+      if (!ready.exists()) {
+        val ev = graft.sources.Tables.events(s, d)
+          .select(col("user_id"), col("ts"))
+        val maxUs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
+        new java.io.File(in).mkdirs()
+        val t0 = System.currentTimeMillis()
+        (0 to 4).foreach { k =>
+          val part =
+            if (k < 4) ev.where(expr("(day(ts) - 1) div 8") === k)
+            else s.range(1).select(lit(-1L).as("user_id"),
+              timestamp_micros(lit(maxUs + 864000000000L)).as("ts"))
+          val tmp = s"$base/tmp$k"
+          part.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val f = new java.io.File(tmp).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dst = new java.io.File(in, s"q$k.parquet")
+          java.nio.file.Files.move(f.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          // strictly increasing mtimes pin the batch order (the file
+          // stream source processes oldest-first)
+          dst.setLastModified(t0 + k * 60000L)
+        }
+        ready.createNewFile()
+      }
+      val src = s.readStream.schema("user_id LONG, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1").parquet(in)
+        .withWatermark("ts", "2 hours")
+        .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"))
+        .as[(Long, java.sql.Timestamp, Long)]
+      val out = src.groupByKey(_._1)
+        .transformWithState(new SessionTimerProcessor,
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          OutputMode.Append())
+        .toDF("user_id", "start_us", "end_us", "n_events")
+      withRocksDb(s) {
+        runToMemory(s, out, "append", s"timers_${System.nanoTime()}")
+      }
+        .orderBy(col("user_id"), col("start_us"))
     }),
 
     // transformWithState (Spark 4's arbitrary-state API, successor to
@@ -1269,6 +1388,26 @@ object EventStreams {
         |  CAST(SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) AS BIGINT)
         |    AS sum_vmicro
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // The sentinel advances the final watermark past every session's
+    // close time, so the timer path emits the COMPLETE session set:
+    // plain batch gap sessionization is exact.
+    "q_stream_timers" ->
+      """WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS m
+        |           FROM events),
+        |x AS (SELECT user_id, m,
+        |        CASE WHEN LAG(m) OVER w IS NULL
+        |               OR m - LAG(m) OVER w > 1800000000
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM e
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY m)),
+        |s AS (SELECT user_id, m,
+        |        SUM(brk) OVER (PARTITION BY user_id ORDER BY m) AS sid
+        |      FROM x)
+        |SELECT user_id, MIN(m) AS start_us, MAX(m) AS end_us,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin,
 
     "q_stream_foreach_batch" ->
       """SELECT event_type, COUNT(*) AS n,

@@ -181,6 +181,40 @@ class StreamingSpec extends AnyFunSuite {
       "both outer sides must actually flush on the fixture")
   }
 
+  test("timer sessions equal batch sessionization; both close paths fire") {
+    val got = SparkEntry.queries("q_stream_timers")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // in-memory gap sessionization over the raw events
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (uid, es) =>
+      val ts = es.map(_._2).sorted
+      val sessions = scala.collection.mutable.ListBuffer
+        .empty[(Long, Long, Long, Long)]
+      var (st, last, n) = (ts.head, ts.head, 1L)
+      ts.tail.foreach { t =>
+        if (t - last > 1800000000L) {
+          sessions += ((uid, st, last, n)); st = t; last = t; n = 1L
+        } else { n += 1L; last = t }
+      }
+      sessions += ((uid, st, last, n))
+      sessions
+    }.sortBy(t => (t._1, t._2))
+    assert(got == expected,
+      "timer-closed stream sessions must equal the batch replay")
+    // both close paths demonstrably ran: inline gap closures mean MORE
+    // sessions than users; timer closures mean every user's TAIL
+    // session is present (equality above would fail on exactly one
+    // missing session per user if timers never fired)
+    val users = ev.map(_._1).distinct.length
+    assert(got.length > users,
+      "fixture must contain multi-session users (inline close path)")
+    assert(got.map(_._1).distinct.length == users,
+      "every user's tail session must have been timer-flushed")
+  }
+
   test("stream-static enrichment join equals the batch join") {
     val stream = SparkEntry.queries("q_stream_static_join")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
