@@ -181,6 +181,69 @@ object TextAnalysis {
 
   val defs: Map[String, Q] = Map(
 
+    // TextRank keyword scoring (Mihalcea & Tarau 2004): weighted
+    // PageRank over the word CO-OCCURRENCE graph (window 2 — pairs at
+    // token distance 1 or 2), the graph-centrality keyword signal that
+    // raw frequency (heavy hitters), tf-idf, and RAKE's
+    // degree/frequency all approximate — a word ranks high when its
+    // NEIGHBORS rank high, recursively. All-integer nano-rank update
+    // (tele + (85 · Σ w(b,a)·r(b) div s(b)) div 100, the q_graph_pagerank
+    // discipline applied to a weighted graph with strength
+    // normalization), so five unrolled rounds replay exactly in SQL.
+    // Scale shape: both lead() offsets ride ONE per-doc window pass;
+    // the pair aggregate is keyed on a ≤ vocab² domain; the rank loop
+    // runs on the vocab-sized edge/strength tables (localCheckpointed
+    // once); top-10 is distributed TakeOrdered.
+    "q_text_textrank" -> ((s, d) => {
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      val shifted = toks
+        .withColumn("b1", lead(col("tok"), 1).over(wDoc))
+        .withColumn("b2", lead(col("tok"), 2).over(wDoc))
+      val allp = shifted
+        .select(col("tok").as("a"), col("b1").as("b"))
+        .where(col("b").isNotNull)
+        .unionAll(shifted.select(col("tok").as("a"), col("b2").as("b"))
+          .where(col("b").isNotNull))
+        .where(col("a") =!= col("b"))
+      val cw = allp
+        .groupBy(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+        .agg(count(lit(1)).as("w"))
+      val edges = cw.unionAll(
+        cw.select(col("b").as("a"), col("a").as("b"), col("w")))
+        .toDF("src", "dst", "w")
+        .localCheckpoint() // the 5 rank rounds + strength reuse it
+      val strength = edges.groupBy(col("src")).agg(sum(col("w")).as("s"))
+        .localCheckpoint()
+      val vocab = toks.select(col("tok")).distinct().localCheckpoint()
+      val n = vocab.count() // bounded driver scalar (vocab size)
+      val base = 1000000000L / n
+      val tele = 15L * base / 100L
+      var ranks = vocab.select(col("tok"), lit(base).as("r"))
+        .localCheckpoint()
+      for (_ <- 1 to 5) {
+        val mass = edges
+          .join(strength, "src")
+          .join(ranks.withColumnRenamed("tok", "src"), "src")
+          .select(col("dst"), expr("(r * w) div s").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("m"))
+        ranks = vocab
+          .join(mass, vocab("tok") === mass("dst"), "left")
+          .select(col("tok"),
+            expr(s"$tele + (85 * coalesce(m, 0L)) div 100").as("r"))
+          .localCheckpoint()
+      }
+      ranks
+        .join(strength, ranks("tok") === strength("src"), "left")
+        .select(col("tok"), col("r").as("rank_nn"),
+          coalesce(col("s"), lit(0L)).as("strength"))
+        .orderBy(col("rank_nn").desc, col("tok"))
+        .limit(10)
+    }),
+
     // Conjunctive (AND) keyword search answered FROM the inverted
     // index, never the corpus: the 3 rarest terms' posting lists are
     // read via bucket partition pruning ([[invertedProbe]]), and the
@@ -1004,6 +1067,54 @@ object TextAnalysis {
     "slow scan", "stream", "the line", "vector")
 
   val oracles: Map[String, String] = Map(
+
+    // Same window-2 pair construction (two shifted comprehensions),
+    // canonical-pair weights, and five unrolled weighted-PageRank
+    // rounds replaying the integer update exactly.
+    "q_text_textrank" -> {
+      val rounds = (1 to 5).map { k =>
+        s"""r$k AS MATERIALIZED (SELECT v.tok,
+           |  (SELECT tele FROM params)
+           |    + (85 * COALESCE(s2.m, 0)) // 100 AS r
+           |  FROM vocab v LEFT JOIN (
+           |    SELECT e.dst, CAST(SUM((r${k - 1}.r * e.w) // st.s)
+           |                       AS BIGINT) AS m
+           |    FROM edges e JOIN st USING (src)
+           |    JOIN r${k - 1} ON r${k - 1}.tok = e.src
+           |    GROUP BY e.dst) s2 ON s2.dst = v.tok)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+         |           FROM documents),
+         |p1 AS (SELECT UNNEST([{a: w[i], b: w[i+1]}
+         |                      for i in generate_series(1, len(w) - 1)],
+         |                     recursive := true)
+         |       FROM t WHERE len(w) >= 2),
+         |p2 AS (SELECT UNNEST([{a: w[i], b: w[i+2]}
+         |                      for i in generate_series(1, len(w) - 2)],
+         |                     recursive := true)
+         |       FROM t WHERE len(w) >= 3),
+         |allp AS (SELECT a, b FROM p1 UNION ALL SELECT a, b FROM p2),
+         |cw AS (SELECT LEAST(a, b) AS a, GREATEST(a, b) AS b,
+         |         CAST(COUNT(*) AS BIGINT) AS w
+         |       FROM allp WHERE a <> b GROUP BY 1, 2),
+         |edges AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst, w FROM cw
+         |  UNION ALL SELECT b, a, w FROM cw),
+         |st AS MATERIALIZED (
+         |  SELECT src, SUM(w) AS s FROM edges GROUP BY src),
+         |vocab AS (SELECT DISTINCT UNNEST(string_split(text, ' ')) AS tok
+         |          FROM documents),
+         |params AS (SELECT 1000000000 // COUNT(*) AS base,
+         |             (15 * (1000000000 // COUNT(*))) // 100 AS tele
+         |           FROM vocab),
+         |r0 AS (SELECT tok, (SELECT base FROM params) AS r FROM vocab),
+         |$rounds
+         |SELECT v.tok, CAST(r5.r AS BIGINT) AS rank_nn,
+         |  CAST(COALESCE(st.s, 0) AS BIGINT) AS strength
+         |FROM vocab v JOIN r5 ON r5.tok = v.tok
+         |LEFT JOIN st ON st.src = v.tok
+         |ORDER BY rank_nn DESC, v.tok LIMIT 10""".stripMargin
+    },
 
     // Brute-force twin: same df floor (max(5, max-df/100)) and
     // rarest-3 derivation (df asc, term asc), intersection by HAVING

@@ -1686,6 +1686,51 @@ object Extended {
     // fixture's gates agree WORSE than chance, ≈ −420 pm, which is
     // itself the finding: the two gates encode anti-correlated length
     // signals). One corpus scan, one 5-long aggregate row out.
+    // Poisson-bootstrap confidence interval for the per-type mean value
+    // — the uncertainty quantification every eval-metric pipeline owes
+    // its point estimates (is purchase value REALLY higher this week,
+    // or is that within resampling noise?). Poisson bootstrap because
+    // it's the one bootstrap that distributes: each row contributes to
+    // replicate r with weight ~ Poisson(1) drawn as a pure function of
+    // (event_id, r) — no resampling pass, no global n needed per draw,
+    // and the whole thing is ONE groupBy with 64 extra aggregate
+    // buffers (Σw, Σw·v per replicate) built map-side; the 32
+    // replicate means then sort INSIDE the row as an array. Ranks 2/31
+    // of 32 give a ~94% interval. Everything is integer-exact: v is
+    // micro-quantized, weights come from the engine-neutral Knuth
+    // permille hash against the Poisson(1) cdf (368/736/920/981/996),
+    // and means are truncating divisions of non-negative sums, so the
+    // oracle replays the interval bit-for-bit (its replicate axis is
+    // an explode — fine at oracle scale; the 32-buffer spelling is the
+    // 100 TB shape precisely because it AVOIDS the 32× fan-out).
+    "q_audit_bootstrap" -> ((s, d) => {
+      def u(r: Int) =
+        s"((event_id * 2654435761L + $r * 1540483477L) % 2147483648L) % 1000"
+      def w(r: Int) =
+        s"""(CASE WHEN ${u(r)} < 368 THEN 0 WHEN ${u(r)} < 736 THEN 1
+           |  WHEN ${u(r)} < 920 THEN 2 WHEN ${u(r)} < 981 THEN 3
+           |  WHEN ${u(r)} < 996 THEN 4 ELSE 5 END)""".stripMargin
+      val reps = (0 until 32).flatMap { r =>
+        Seq(sum(expr(w(r))).as(s"n_$r"),
+          sum(expr(s"${w(r)} * v")).as(s"s_$r"))
+      }
+      val means = (0 until 32)
+        .map(r => s"s_$r div n_$r").mkString("array(", ", ", ")")
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * lit(1e6)).cast("long").as("v"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("v")).as("sv") +: reps): _*)
+        .select(col("event_type"), col("n"),
+          expr("sv div n").as("mean_q"),
+          expr(s"sort_array($means)").as("ms"))
+        .select(col("event_type"), col("n"), col("mean_q"),
+          expr("element_at(ms, 2)").as("lo_q"),
+          expr("element_at(ms, 31)").as("hi_q"))
+        .orderBy(col("event_type"))
+    }),
+
     "q_audit_kappa" -> ((s, d) => {
       Tables.documents(s, d)
         .select(split(col("text"), " ").as("toks"))
@@ -2931,6 +2976,38 @@ object Extended {
         |  CAST(SUM(v_q) AS BIGINT) AS revenue_q
         |FROM t WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same permille hash → Poisson(1) cdf weights, replicate axis as an
+    // explicit generate_series explode (oracle scale), identical
+    // truncating divisions of non-negative sums.
+    "q_audit_bootstrap" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |             CAST(FLOOR(value * 1e6) AS BIGINT) AS v
+        |           FROM events),
+        |b AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |        SUM(v) AS sv FROM e GROUP BY 1),
+        |w AS (SELECT event_type, r.r,
+        |        CASE WHEN u < 368 THEN 0 WHEN u < 736 THEN 1
+        |             WHEN u < 920 THEN 2 WHEN u < 981 THEN 3
+        |             WHEN u < 996 THEN 4 ELSE 5 END AS w, v
+        |      FROM e CROSS JOIN generate_series(0, 31) AS r(r)
+        |      CROSS JOIN LATERAL (SELECT
+        |        ((event_id * 2654435761 + r.r * 1540483477)
+        |         % 2147483648) % 1000 AS u) t),
+        |rep AS (SELECT event_type, r,
+        |          CAST(SUM(w * v) // SUM(w) AS BIGINT) AS m
+        |        FROM w GROUP BY 1, 2),
+        |rk AS (SELECT event_type, m,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |                            ORDER BY m) AS k
+        |       FROM rep)
+        |SELECT b.event_type, b.n,
+        |  CAST(b.sv // b.n AS BIGINT) AS mean_q,
+        |  CAST(MAX(CASE WHEN k = 2 THEN m END) AS BIGINT) AS lo_q,
+        |  CAST(MAX(CASE WHEN k = 31 THEN m END) AS BIGINT) AS hi_q
+        |FROM rk JOIN b USING (event_type)
+        |GROUP BY b.event_type, b.n, b.sv
+        |ORDER BY b.event_type""".stripMargin,
 
     // Same one-scan shape: type totals re-aggregate from the cell
     // table; nonnegative integer floor divisions agree across engines.

@@ -2075,6 +2075,72 @@ class OperatorsSpec extends AnyFunSuite {
     assert(mod.forall { case (id, _, _, p) => p == (id % 8).toInt })
   }
 
+  test("bootstrap CI equals an in-memory Poisson-weight replay") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"),
+        floor(col("value") * lit(1e6)).cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def w(id: Long, r: Int): Long = {
+      val u = ((id * 2654435761L + r * 1540483477L) % 2147483648L) % 1000
+      if (u < 368) 0 else if (u < 736) 1 else if (u < 920) 2
+      else if (u < 981) 3 else if (u < 996) 4 else 5
+    }
+    val expected = ev.groupBy(_._1).toSeq.map { case (tpe, es) =>
+      val n = es.length.toLong
+      val mean = es.map(_._3).sum / n
+      val ms = (0 until 32).map { r =>
+        val (sw, swv) = es.foldLeft((0L, 0L)) { case ((a, b), e) =>
+          val k = w(e._2, r); (a + k, b + k * e._3)
+        }
+        swv / sw
+      }.sorted
+      (tpe, n, mean, ms(1), ms(30))
+    }.sortBy(_._1)
+    val got = q("q_audit_bootstrap").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected, "CI must equal the in-memory replay")
+    got.foreach { case (tpe, _, mean, lo, hi) =>
+      assert(lo < hi, s"$tpe: degenerate interval")
+      assert(lo <= mean && mean <= hi,
+        s"$tpe: point estimate outside its own ~94% interval")
+    }
+  }
+
+  test("TextRank equals an in-memory weighted PageRank replay") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("text")).collect().map(_.getString(0).split(" ").toSeq)
+    val pairs = docs.flatMap { ts =>
+      ts.sliding(2).filter(_.length == 2).map(p => (p(0), p(1))) ++
+        ts.sliding(3).filter(_.length == 3).map(p => (p(0), p(2)))
+    }.filter(p => p._1 != p._2)
+      .map(p => if (p._1 < p._2) p else p.swap)
+    val cw = pairs.groupBy(identity).map { case (p, o) =>
+      (p._1, p._2, o.length.toLong) }
+    val edges = cw.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+    val strength = edges.groupBy(_._1)
+      .map { case (a, es) => (a, es.map(_._3).sum) }
+    val vocab = docs.flatten.distinct.sorted
+    val base = 1000000000L / vocab.length
+    val tele = 15L * base / 100L
+    var r = vocab.map(_ -> base).toMap
+    for (_ <- 1 to 5) {
+      val mass = edges.groupBy(_._2).map { case (dst, es) =>
+        (dst, es.map { case (src, _, w) => r(src) * w / strength(src) }.sum)
+      }
+      r = vocab.map(t => t -> (tele + 85L * mass.getOrElse(t, 0L) / 100L))
+        .toMap
+    }
+    val expected = vocab
+      .map(t => (t, r(t), strength.getOrElse(t, 0L)))
+      .sortBy { case (t, rk, _) => (-rk, t) }.take(10).toSeq
+    val got = q("q_text_textrank").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(got == expected, "top-10 must equal the in-memory replay")
+    assert(got.map(_._2).distinct.length > 1,
+      "a flat rank vector would make centrality vacuous")
+  }
+
   test("event trigram mining equals an in-memory sequential count") {
     val ev = graft.sources.Tables.events(spark, sf)
       .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
