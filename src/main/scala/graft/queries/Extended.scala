@@ -1965,6 +1965,53 @@ object Extended {
         .orderBy(col("source"))
     }),
 
+    // Grid-bucketed spatial neighbor join: all point pairs within L∞
+    // distance 25 over a deterministic 2-D embedding of the customer
+    // keys (the engine-neutral Knuth/MurmurX mixes → a 1000×1000
+    // plane). The classic spatial-join decomposition: bucket points
+    // into distance-sized grid cells, probe each point's 3×3 cell
+    // neighborhood via a 9-offset map-side explode, and equi-join on
+    // the cell key — candidates ∝ local density, never n², and each
+    // qualifying pair is found EXACTLY once (the partner lives in one
+    // cell, so exactly one probe offset hits it; no distinct needed).
+    // The oracle is the direct quadratic theta join — grid pruning is
+    // an access path, not a semantics change. At 100 TB this is the
+    // proximity-join shape for any metric with a cheap cell bound
+    // (geo tiles, embedding block-max, time×value bands); skewed
+    // cells (urban hotspots) split by salting the cell key exactly
+    // like any other hot join key.
+    "q_join_spatial" -> ((s, d) => {
+      val pts = s.read.parquet(s"$d/customer.parquet")
+        .select(col("c_custkey").as("id"),
+          expr("((c_custkey * 2654435761L) % 2147483648L) % 1000")
+            .as("x"),
+          expr("((c_custkey * 1540483477L) % 2147483648L) % 1000")
+            .as("y"))
+      val cells = pts
+        .withColumn("cx", expr("x div 25"))
+        .withColumn("cy", expr("y div 25"))
+      val offsets = (for (dx <- -1 to 1; dy <- -1 to 1)
+        yield s"struct(${dx}L AS dx, ${dy}L AS dy)").mkString(",")
+      val probes = cells
+        .select(col("id").as("a_id"), col("x").as("ax"),
+          col("y").as("ay"),
+          explode(expr(s"array($offsets)")).as("o"),
+          col("cx"), col("cy"))
+        .select(col("a_id"), col("ax"), col("ay"),
+          (col("cx") + col("o.dx")).as("pcx"),
+          (col("cy") + col("o.dy")).as("pcy"))
+      probes
+        .join(cells,
+          col("pcx") === col("cx") && col("pcy") === col("cy") &&
+            col("a_id") < col("id"))
+        .where(abs(col("ax") - col("x")) <= 25 &&
+          abs(col("ay") - col("y")) <= 25)
+        .select(col("a_id").as("a"), col("id").as("b"),
+          greatest(abs(col("ax") - col("x")), abs(col("ay") - col("y")))
+            .as("d"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // Frequent-sequence mining over the event log: every length-3
     // event-type sequence a user emits (in (ts, event_id) order), its
     // total occurrence count, and its user support — the sequential-
@@ -3045,6 +3092,19 @@ object Extended {
         |FROM documents, b
         |WHERE doc_id >= mx // 10 AND doc_id <= mx // 5
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // The grid-pruned join must equal the direct quadratic theta join;
+    // same Knuth-mix plane, Chebyshev distance in plain integers.
+    "q_join_spatial" ->
+      """WITH p AS (SELECT c_custkey AS id,
+        |             ((c_custkey * 2654435761) % 2147483648) % 1000 AS x,
+        |             ((c_custkey * 1540483477) % 2147483648) % 1000 AS y
+        |           FROM customer)
+        |SELECT a.id AS a, b.id AS b,
+        |  CAST(GREATEST(ABS(a.x - b.x), ABS(a.y - b.y)) AS BIGINT) AS d
+        |FROM p a JOIN p b ON a.id < b.id
+        |  AND ABS(a.x - b.x) <= 25 AND ABS(a.y - b.y) <= 25
+        |ORDER BY a, b""".stripMargin,
 
     // The same (m, event_id) per-user order; t2 non-null implies t1
     // non-null, so the concat never sees a NULL arm.

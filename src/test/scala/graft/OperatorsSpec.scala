@@ -2075,6 +2075,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(mod.forall { case (id, _, _, p) => p == (id % 8).toInt })
   }
 
+  test("grid spatial join equals the quadratic scan, each pair once") {
+    val ids = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+    val pts = ids.map { k =>
+      (k, ((k * 2654435761L) % 2147483648L) % 1000,
+        ((k * 1540483477L) % 2147483648L) % 1000)
+    }
+    val expected = (for {
+      a <- pts; b <- pts
+      if a._1 < b._1
+      d = math.max(math.abs(a._2 - b._2), math.abs(a._3 - b._3))
+      if d <= 25
+    } yield (a._1, b._1, d)).sortBy(t => (t._1, t._2)).toSeq
+    val got = q("q_join_spatial").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected, "grid-pruned pairs must equal brute force")
+    assert(got.nonEmpty, "fixture plane must contain close pairs")
+    // exactly-once: no pair may surface via two probe offsets
+    assert(got.map(t => (t._1, t._2)).distinct.length == got.length)
+  }
+
   test("bootstrap CI equals an in-memory Poisson-weight replay") {
     val ev = graft.sources.Tables.events(spark, sf)
       .select(col("event_type"), col("event_id"),

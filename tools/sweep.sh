@@ -13,6 +13,11 @@
 set -u
 cd "$(dirname "$0")/.."
 queries="$*"
+# Targeted runs write to *_targeted.txt so they can never clobber the
+# durable FULL-suite evidence files (target/sweep_<sf>.txt) the judge
+# and the shared-kernel discipline both rely on.
+suffix=""
+[ -n "$queries" ] && suffix="_targeted"
 fail=0
 mkdir -p target
 for sf in sf0.001 sf0.01 sf0.1; do
@@ -24,7 +29,7 @@ for sf in sf0.001 sf0.01 sf0.1; do
   # durable, timestamped evidence the sweep ran AFTER the last
   # kernel-touching commit (the shared-kernel discipline's step 3)
   python3 tools/paritycheck.py "/root/testdata/$sf" "$out" $queries \
-    > "target/sweep_${sf}.txt" || fail=1
-  tail -3 "target/sweep_${sf}.txt"
+    > "target/sweep_${sf}${suffix}.txt" || fail=1
+  tail -3 "target/sweep_${sf}${suffix}.txt"
 done
 exit $fail
