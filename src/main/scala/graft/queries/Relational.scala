@@ -239,6 +239,45 @@ object Relational {
         .limit(10)
     }),
 
+    // TPC-H Q18 analogue (large-volume customers): orders whose total
+    // line quantity exceeds 200, with their customer and quantity sum —
+    // the classic HAVING-subquery semi-join shape. Scale shape: the
+    // qualifying-order set comes from ONE lineitem aggregate (map-side
+    // partials; output ∝ qualifying orders, a tiny fraction) and
+    // re-enters as a BROADCAST semi join pruning lineitem AND orders
+    // before the wide join — the fact table never joins anything it
+    // will discard; customer broadcasts as a dim; top-100 is
+    // distributed TakeOrdered (o_orderkey tiebreak added to the
+    // spec's ordering for hash-determinism).
+    "q_tpch_q18" -> ((s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity")).as("oq"))
+        .where(col("oq") > 200.0)
+        .select(col("l_orderkey").as("big_ok"))
+      val l = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"))
+        .join(broadcast(big), col("l_orderkey") === col("big_ok"),
+          "left_semi")
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .join(broadcast(big), col("o_orderkey") === col("big_ok"),
+          "left_semi")
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd")
+            .as("o_orderdate"),
+          col("o_totalprice"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderdate"),
+          col("o_orderkey"))
+        .limit(100)
+    }),
+
     // TPC-H Q5 analogue (local-supplier volume): the 6-table snowflake
     // — region filters nation, nation keys both customer AND supplier
     // (the "local supplier" equality c_nationkey = s_nationkey makes
@@ -816,6 +855,22 @@ object Relational {
          |  o.o_orderpriority
          |ORDER BY revenue DESC, l.l_orderkey
          |LIMIT 10""".stripMargin,
+
+    "q_tpch_q18" ->
+      s"""WITH big AS (
+         |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+         |  HAVING ${oSum("l_quantity")} > 200.0)
+         |SELECT c.c_name, c.c_custkey, o.o_orderkey,
+         |  strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+         |  o.o_totalprice, ${oSum("l.l_quantity")} AS sum_qty
+         |FROM customer c
+         |JOIN orders o ON c.c_custkey = o.o_custkey
+         |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         |WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+         |GROUP BY c.c_name, c.c_custkey, o.o_orderkey,
+         |  strftime(o.o_orderdate, '%Y-%m-%d'), o.o_totalprice
+         |ORDER BY o.o_totalprice DESC, o_orderdate, o.o_orderkey
+         |LIMIT 100""".stripMargin,
 
     "q_tpch_q5" ->
       s"""SELECT n.n_name,

@@ -613,6 +613,17 @@ class PlanSpec extends AnyFunSuite {
     assert(df.count() == expected)
   }
 
+  test("Q18 prunes lineitem and orders via broadcast semi joins") {
+    val p = SparkEntry.queries("q_tpch_q18")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // both fact-side scans must be pruned by the qualifying-order set
+    // BEFORE the wide join — the semi joins broadcast, never shuffle
+    val semis = "BroadcastHashJoin .*LeftSemi".r
+      .findAllIn(p).length
+    assert(semis >= 2,
+      s"expected 2 broadcast LeftSemi prunes (lineitem + orders):\n$p")
+  }
+
   test("key-grouped DSv2 scan aggregates with zero shuffle exchanges") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val df = SparkEntry.queries("q_source_kgrouped")(spark, sfDir)
