@@ -148,7 +148,14 @@ object Bench {
       "sedup" -> "q_stream_embed_dedup",
       "sdrift" -> "q_stream_drift",
       "sanom" -> "q_stream_anomaly",
-      "shh" -> "q_stream_heavy_hitters")
+      "shh" -> "q_stream_heavy_hitters",
+      "sfjoin" -> "q_stream_full_join",
+      "timers" -> "q_stream_timers",
+      "attrib" -> "q_stream_attribution",
+      "funnel" -> "q_stream_funnel",
+      "spattern" -> "q_stream_pattern",
+      "kmvdv" -> "q_stream_distinct",
+      "spipe" -> "q_stream_pipeline")
     // listener bus is async; block until the queued tail is dispatched
     org.apache.spark.sql.graftbridge.Bridge.waitListenerBus(spark, 10000)
     import scala.jdk.CollectionConverters._
