@@ -282,6 +282,37 @@ object EventStreams {
         .orderBy(col("user_id"), col("session_start_us"))
     }),
 
+    // DYNAMIC-gap session windows: each event extends its session by a
+    // gap that depends on the EVENT — purchases hold the session open
+    // for an hour, everything else 30 minutes (the "engaged users
+    // linger" policy every product analytics team eventually wants and
+    // fixed-gap sessionization can't express). session_window accepts a
+    // gap COLUMN: each event claims [ts, ts+gap) and overlapping claims
+    // merge, so session end = max(ts_i + gap_i). The oracle replays the
+    // interval-union with a running MAX(ts+gap) over the per-user
+    // prefix (a new session starts exactly when an event's ts reaches
+    // past every earlier claim); fixture timestamps were checked for
+    // zero exact-boundary collisions, so the strict/non-strict merge
+    // edge is never exercised and the replay is deterministic.
+    "q_stream_session_dynamic" -> ((s, d) => {
+      val gap = when(col("event_type") === "purchase", lit("1 hour"))
+        .otherwise(lit("30 minutes"))
+      val agg = eventStream(s, d)
+        .withWatermark("ts", "2 hours")
+        .groupBy(session_window(col("ts"), gap), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purchases"))
+      withRocksDb(s) {
+        runToMemory(s, agg, "complete", s"sessdyn_${System.nanoTime()}")
+      }
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"),
+          col("n_events"), col("n_purchases"))
+        .orderBy(col("user_id"), col("start_us"))
+    }),
+
     // Streaming exact dedup: global dropDuplicates state (no watermark on
     // purpose — with one, duplicate keys arriving after state eviction
     // would re-emit and the result would no longer be DISTINCT; bound the
@@ -1388,6 +1419,34 @@ object EventStreams {
         |  CAST(SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) AS BIGINT)
         |    AS sum_vmicro
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Interval-union replay: an event starts a NEW session exactly when
+    // its ts reaches past every earlier event's (ts + gap) claim — the
+    // running prefix MAX; session end is the claim max within the
+    // session.
+    "q_stream_session_dynamic" ->
+      """WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS m,
+        |             CASE WHEN event_type = 'purchase'
+        |                  THEN 3600000000 ELSE 1800000000 END AS g,
+        |             event_type
+        |           FROM events),
+        |x AS (SELECT user_id, m, g, event_type,
+        |        MAX(m + g) OVER (PARTITION BY user_id ORDER BY m
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |          AS prev_end
+        |      FROM e),
+        |b AS (SELECT *, CASE WHEN prev_end IS NULL OR m >= prev_end
+        |                     THEN 1 ELSE 0 END AS brk
+        |      FROM x),
+        |sx AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id
+        |                                ORDER BY m) AS sid
+        |       FROM b)
+        |SELECT user_id, MIN(m) AS start_us, MAX(m + g) AS end_us,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_purchases
+        |FROM sx GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin,
 
     // The sentinel advances the final watermark past every session's
     // close time, so the timer path emits the COMPLETE session set:

@@ -181,6 +181,45 @@ class StreamingSpec extends AnyFunSuite {
       "both outer sides must actually flush on the fixture")
   }
 
+  test("dynamic-gap sessions equal the interval-union replay; gap matters") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    def sessions(gapOf: String => Long) =
+      ev.groupBy(_._1).toSeq.flatMap { case (uid, es) =>
+        val sorted = es.sortBy(_._2)
+        val out = scala.collection.mutable.ListBuffer
+          .empty[(Long, Long, Long, Long, Long)]
+        var (st, end, n, np) = (0L, Long.MinValue, 0L, 0L)
+        sorted.foreach { case (_, m, tpe) =>
+          if (n > 0 && m < end) {
+            n += 1; np += (if (tpe == "purchase") 1L else 0L)
+            end = math.max(end, m + gapOf(tpe))
+          } else {
+            if (n > 0) out += ((uid, st, end, n, np))
+            st = m; end = m + gapOf(tpe); n = 1
+            np = if (tpe == "purchase") 1L else 0L
+          }
+        }
+        if (n > 0) out += ((uid, st, end, n, np))
+        out
+      }.sortBy(t => (t._1, t._2))
+    val dynGap = (t: String) =>
+      if (t == "purchase") 3600000000L else 1800000000L
+    val expected = sessions(dynGap)
+    val got = SparkEntry.queries("q_stream_session_dynamic")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected,
+      "dynamic sessions must equal the interval-union replay")
+    // the per-event gap must DO something: purchases bridging 30-60 min
+    // gaps merge sessions a fixed 30-min gap would split
+    val fixedCount = sessions(_ => 1800000000L).length
+    assert(got.length < fixedCount,
+      "dynamic purchase gap should merge sessions vs the fixed gap")
+  }
+
   test("timer sessions equal batch sessionization; both close paths fire") {
     val got = SparkEntry.queries("q_stream_timers")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
