@@ -155,7 +155,8 @@ object Bench {
       "funnel" -> "q_stream_funnel",
       "spattern" -> "q_stream_pattern",
       "kmvdv" -> "q_stream_distinct",
-      "spipe" -> "q_stream_pipeline")
+      "spipe" -> "q_stream_pipeline",
+      "sessdyn" -> "q_stream_session_dynamic")
     // listener bus is async; block until the queued tail is dispatched
     org.apache.spark.sql.graftbridge.Bridge.waitListenerBus(spark, 10000)
     import scala.jdk.CollectionConverters._
