@@ -172,28 +172,23 @@ object Bench {
       .mkString("{", ",", "}")
     val obsJson = observed.drainJson()
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"state":$state,"observed":$obsJson,"sf":"$sfDir"}"""
-    // The driver captures only the last ~2,000 chars of stdout; the full
-    // metrics line for a 149-query suite is ~10k (and even a min-only map
-    // is 3.5k — the query NAMES alone are 2.2k), so whatever is printed
-    // last must be a line that parses on its own under that cap. Persist
-    // the complete line (all queries, 3-rep arrays, state, observed) to
-    // target/bench.json, then print a compact tail line: suite total +
-    // the slowest queries that fit the budget + a pointer to the file.
+    // The driver captures only the last ~2,000 chars of stdout, and the
+    // sbt runner appends its own "[success] Total time: …" epilogue
+    // AFTER this program's last print — r5-r8's ~1,900-char compact line
+    // left no headroom, so it reached the driver truncated mid-JSON and
+    // BENCH_r{5..8}.json all carry "parsed": null. The stdout artifact
+    // is therefore a SHORT self-contained line (total + the 10 slowest
+    // queries, ≲ 700 chars — over 1,300 chars of epilogue headroom);
+    // the complete per-query map (all queries, 3-rep arrays, state,
+    // observed) lives exclusively in target/bench.json.
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
     val totalStr = f"$total%.1f"
-    val prefix = s"""{"metric":"total","value":$totalStr,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"full":"target/bench.json","queries":{"""
-    val suffix = "}}"
-    val budget = 1900 - prefix.length - suffix.length
-    val topEntries = results.sortBy(-_._2)
+    val top10 = results.sortBy(-_._2).take(10)
       .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.2f" }
-    val kept = new scala.collection.mutable.ListBuffer[String]
-    var used = 0
-    topEntries.foreach { e =>
-      if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
-    }
-    println(prefix + kept.mkString(",") + suffix)
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":$top10,"full":"target/bench.json"}""")
     spark.stop()
   }
 }

@@ -498,8 +498,14 @@ object Curation {
       val ref = sh.where(col("source") === "src0")
         .select(col("sh")).distinct()
       val nRef = ref.count() // bounded driver scalar: sizes the filter
-      val bits = math.max(12,
-        64 - java.lang.Long.numberOfLeadingZeros(8L * nRef - 1))
+      // clamp to the oracle's enumerated bit range [12, 26] — past 2^23
+      // reference shingles the two engines would otherwise diverge, and
+      // an unclamped Int shift overflows at bits >= 31; nRef == 0
+      // (empty reference) takes the floor instead of nlz(-1) = 64
+      val bits =
+        if (nRef == 0L) 12
+        else math.min(26, math.max(12,
+          64 - java.lang.Long.numberOfLeadingZeros(8L * nRef - 1)))
       val m = 1 << bits
       val filt = ref.agg(bloom_agg(col("sh"), m).as("bloom"))
       val hit = (0 until BloomFilterAgg.K).map { r =>

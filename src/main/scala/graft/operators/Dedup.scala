@@ -1090,7 +1090,8 @@ object Dedup {
       val docs = Tables.documents(s, d).select(col("doc_id"),
         substring(col("text"), 1, 48).as("h"),
         concat(element_at(split(col("text"), " "), 1), lit(" "),
-          element_at(split(col("text"), " "), 2)).as("blk"))
+          coalesce(try_element_at(split(col("text"), " "), lit(2)),
+            lit(""))).as("blk"))
       docs.select(col("doc_id").as("doc_a"), col("h").as("ha"), col("blk"))
         .join(docs.select(col("doc_id").as("doc_b"), col("h").as("hb"),
           col("blk")), "blk")
@@ -1112,7 +1113,8 @@ object Dedup {
       val docs = Tables.documents(s, d).select(col("doc_id"),
         substring(col("text"), 1, 48).as("h"),
         concat(element_at(split(col("text"), " "), 1), lit(" "),
-          element_at(split(col("text"), " "), 2)).as("blk"))
+          coalesce(try_element_at(split(col("text"), " "), lit(2)),
+            lit(""))).as("blk"))
       docs.select(col("doc_id").as("doc_a"), col("h").as("ha"), col("blk"))
         .join(docs.select(col("doc_id").as("doc_b"), col("h").as("hb"),
           col("blk")), "blk")
@@ -1137,7 +1139,8 @@ object Dedup {
       val docs = Tables.documents(s, d).select(col("doc_id"),
         substring(col("text"), 1, 48).as("h"),
         concat(element_at(split(col("text"), " "), 1), lit(" "),
-          element_at(split(col("text"), " "), 2)).as("blk"))
+          coalesce(try_element_at(split(col("text"), " "), lit(2)),
+            lit(""))).as("blk"))
       docs.select(col("doc_id").as("doc_a"), col("h").as("ha"), col("blk"))
         .join(docs.select(col("doc_id").as("doc_b"), col("h").as("hb"),
           col("blk")), "blk")

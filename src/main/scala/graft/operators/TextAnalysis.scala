@@ -117,13 +117,20 @@ object TextAnalysis {
           lit(1e4)).cast("long").as("bm25_q"))
   }
 
-  /** Per-(session, dataset) term-stats memo for the inverted index:
-    * one (term, df, bucket) row per VOCABULARY term (31 on the
-    * fixtures) — the stored term-statistics side table every search
-    * system keeps next to its postings. Bounded driver traffic: rows ∝
-    * vocabulary, never corpus. */
+  /** Per-(session, dataset) probe-plan memo for the inverted index:
+    * the 3 CHOSEN (term, df, bucket) rows — never the vocabulary. At
+    * 100 TB of text the vocabulary (hapaxes, IDs, typos) grows with the
+    * corpus, so term selection must stay distributed: the df floor is
+    * one scalar aggregate and the 3 rarest qualifying terms are a
+    * TakeOrdered(3); driver traffic is 3 rows + 1 scalar regardless of
+    * corpus or vocabulary size ([[TextAnalysisSpec]] asserts the memo
+    * is exactly 3 rows). */
   private val invIdxStats = new scala.collection.concurrent.TrieMap[
     (Int, String), Array[(String, Long, Int)]]
+
+  /** Test-only view of the memo so the spec can assert its row bound. */
+  private[graft] def invIdxStatsSizes: Iterable[Int] =
+    invIdxStats.values.map(_.length)
 
   /** Inverted-index layout, written once per (JVM, dataset): postings
     * (term, doc_id, tf) hash-partitioned into 16 term buckets
@@ -160,17 +167,25 @@ object TextAnalysis {
   private[graft] def invertedProbe(s: SparkSession, d: String)
       : (DataFrame, Array[String], Array[Int]) = {
     val base = invertedIndexPath(s, d)
-    val stats = invIdxStats.getOrElseUpdate(
+    val terms = invIdxStats.getOrElseUpdate(
       (System.identityHashCode(s), d), {
-        s.read.parquet(base)
+        val stats = s.read.parquet(base)
           .groupBy(col("tok"))
           .agg(count(lit(1)).as("df"), first(col("bkt")).as("bkt"))
+        // the df floor is ONE distributed scalar, never a vocab collect
+        val maxDf = stats.agg(max(col("df"))).head.getLong(0)
+        val floor = math.max(5L, maxDf / 100L)
+        stats.where(col("df") >= floor)
+          .orderBy(col("df"), col("tok"))
+          .limit(3) // TakeOrderedAndProject: 3 rows reach the driver
           .collect()
           .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
       })
-    val floor = math.max(5L, stats.map(_._2).max / 100L)
-    val terms = stats.filter(_._2 >= floor)
-      .sortBy { case (t, df, _) => (df, t) }.take(3)
+    // the oracle hardcodes HAVING COUNT(DISTINCT tok) = 3: a corpus
+    // where fewer than 3 terms clear the floor must fail loudly here,
+    // not silently diverge from the replay
+    require(terms.length == 3,
+      s"inverted-index probe needs 3 floor-clearing terms, got ${terms.length}")
     val toks = terms.map(_._1)
     val bkts = terms.map(_._3).distinct
     val probe = s.read.parquet(base)

@@ -212,11 +212,14 @@ object Extended {
       .orderBy(col("o_orderstatus"))
   }
 
-  /** Per-(layout path) zone-map manifests, built once per JVM — the
-    * in-memory stand-in for a table format's manifest file. Bounded:
-    * one (file, min, max) triple per layout file (8 here). */
+  /** Per-(layout path) zone-map manifests, built once per JVM — kept as
+    * a DataFrame (one (file, min, max) row per layout file,
+    * localCheckpointed onto the executors), NOT a driver array: at
+    * 100 TB (~10⁵-10⁶ files) the manifest is itself a table the planner
+    * filters, and only the files that can match a predicate should ever
+    * surface to the driver. */
   private val zmapManifests =
-    scala.collection.mutable.Map.empty[String, Array[(String, Long, Long)]]
+    scala.collection.mutable.Map.empty[String, DataFrame]
 
   /** Zone-map (min/max) file pruning — the manifest-consults-stats scan
     * every lake table format runs at 100 TB (Iceberg/Delta manifests,
@@ -246,16 +249,22 @@ object Extended {
         s.read.parquet(base)
           .groupBy(input_file_name().as("file"))
           .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
-          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .localCheckpoint() // the manifest TABLE: rows live on executors
       })
     }
-    val maxId = manifest.map(_._3).max
+    // the query range: one bounded scalar off the manifest table
+    val maxId = manifest.agg(max(col("mx"))).head.getLong(0)
     val (lo, hi) = (maxId / 10, maxId / 5)
-    val hit = manifest.filter { case (_, mn, mx) => mx >= lo && mn <= hi }
-      .map(_._1).sorted
+    // planning is a FILTER ON THE MANIFEST TABLE — only files whose
+    // [min, max] can intersect the predicate ever reach the driver, so
+    // the collected list is ∝ the predicate's selectivity, never the
+    // total file count (the Iceberg/Delta planner shape)
+    val hit = manifest.where(col("mx") >= lo && col("mn") <= hi)
+      .select(col("file")).collect().map(_.getString(0)).sorted
+    val total = manifest.count().toInt // bounded scalar: file count
     val df = s.read.parquet(hit.toIndexedSeq: _*)
       .where(col("doc_id") >= lo && col("doc_id") <= hi)
-    (df, hit.length, manifest.length)
+    (df, hit.length, total)
   }
 
   /** The join under q_join_runtime_filter, exposed so PlanSpec can

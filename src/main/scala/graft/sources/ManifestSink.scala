@@ -122,6 +122,19 @@ private[graft] class ManifestStreamingWrite(path: String,
     val out = fs.create(manifestPath, false)
     out.write(manifest.getBytes("UTF-8"))
     out.close()
+    // zombie-attempt hygiene: task attempts whose commit message never
+    // arrived (speculation, task retry after a kill) leave orphan temps
+    // that no later epoch touches — sweep THIS epoch's prefix now that
+    // its manifest is durable (batch commit deletes the whole _temp dir;
+    // a streaming epoch may share _temp with in-flight later epochs, so
+    // only its own prefix is safe to reap)
+    val tempDir = new Path(dir, "_temp")
+    if (fs.exists(tempDir)) {
+      val orphans = fs.listStatus(tempDir)
+        .filter(_.getPath.getName.startsWith(s"part-$epochId-"))
+      orphans.foreach(st => fs.delete(st.getPath, false))
+      if (fs.listStatus(tempDir).isEmpty) fs.delete(tempDir, true)
+    }
   }
 
   override def abort(epochId: Long,

@@ -671,6 +671,13 @@ class PlanSpec extends AnyFunSuite {
     assert(scans.nonEmpty)
     assert(scans.head.selectedPartitions.partitionCount == bkts.length,
       s"probe must open exactly the ${bkts.length} query buckets")
+    // the probe path must never collect the vocabulary: term selection
+    // is a distributed scalar (df floor) + TakeOrdered(3), so the memo
+    // holds exactly the 3 chosen rows no matter the corpus
+    assert(graft.operators.TextAnalysis.invIdxStatsSizes.nonEmpty &&
+      graft.operators.TextAnalysis.invIdxStatsSizes.forall(_ == 3),
+      "probe memo must hold the 3 chosen terms, not the vocabulary: " +
+        graft.operators.TextAnalysis.invIdxStatsSizes.mkString(","))
   }
 
   test("star join prunes fact partitions at runtime (DPP)") {
