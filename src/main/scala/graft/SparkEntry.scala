@@ -32,6 +32,8 @@ object SparkEntry {
       graft.operators.Multimodal.defs ++
       graft.operators.Curation.defs ++
       graft.operators.Bpe.defs ++
+      graft.operators.UnigramLm.defs ++
+      graft.operators.SubstringDedup.defs ++
       graft.streaming.EventStreams.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -48,5 +50,7 @@ object SparkEntry {
       graft.operators.Multimodal.oracles ++
       graft.operators.Curation.oracles ++
       graft.operators.Bpe.oracles ++
+      graft.operators.UnigramLm.oracles ++
+      graft.operators.SubstringDedup.oracles ++
       graft.streaming.EventStreams.oracles
 }

@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.QueryDefs.Q
+import graft.sources.Tables
+
+/** Suffix-array exact-substring deduplication (Lee et al. 2022,
+  * "Deduplicating Training Data Makes Language Models Better") — the
+  * remaining canonical dedup family beyond this library's span removal:
+  * q_text_despanned excises FIXED 8-gram spans and q_dedup_cdc catches
+  * shifted chunks, but neither reports MAXIMAL duplicated substrings.
+  * This operator finds, per document, the maximal token spans (≥
+  * [[MinLen]] tokens, maximality resolved up to [[MinLen]]+[[ExtLen]])
+  * whose text occurs at least once more anywhere in the corpus.
+  *
+  * The suffix-array construction, re-expressed for a shuffle engine:
+  *  1. every token position emits a TRUNCATED suffix — its [[MinLen]]-
+  *     gram (the sort key / bucket) plus the next [[ExtLen]] tokens
+  *     (the extension) — so per-position fan-out is bounded at
+  *     [[MinLen]]+[[ExtLen]] tokens, never whole-document suffixes;
+  *  2. suffixes sharing an exact [[MinLen]]-gram land in one hash
+  *     bucket (the groupBy shuffle IS the suffix sort's bucketing: a
+  *     position is duplicated at ≥ MinLen iff its bucket holds ≥ 2
+  *     members, exactly q_text_dup_spans' df test);
+  *  3. WITHIN a bucket, suffixes sort by extension and each compares to
+  *     its sorted neighbors only — the suffix-array LCP argument (the
+  *     longest common prefix of any pair is realized by an adjacent
+  *     pair in sorted order) makes two lag/lead comparisons per
+  *     position sufficient for the exact maximal extension, no
+  *     all-pairs. Token-level order and string order coincide because
+  *     the ' ' joiner sorts below every alphabet char;
+  *  4. per document, overlapping duplicated windows [p, p+dup_len)
+  *     union into maximal spans (the q_stream_session_dynamic
+  *     interval-union discipline: running max + gaps-and-islands).
+  *
+  * Scale shape: one corpus tokenize, one gram-keyed shuffle whose
+  * payload is (doc_id, pos, ≤ ExtLen-token extension) — text bodies
+  * never shuffle whole; windows are keyed by gram (bucket-local) and
+  * doc_id (document-local), never global; the output is one row per
+  * document. At 100 TB the gram key can be hashed to fixed width to
+  * shrink the sort key; kept as text here so the oracle replays it
+  * verbatim.
+  */
+object SubstringDedup {
+
+  /** Minimum duplicated-substring length, in tokens (matches the
+    * q_text_dup_spans / q_text_despanned 8-gram convention). */
+  private[graft] val MinLen = 8
+
+  /** Extension tokens carried past the gram — maximality is exact up
+    * to MinLen + ExtLen; longer duplicates are still found, reported
+    * at the cap (and typically re-merged by the interval union when
+    * consecutive positions extend them). */
+  private[graft] val ExtLen = 4
+
+  /** Token-level longest common prefix of two extension arrays; 0 when
+    * either is NULL (partition edge) or empty. The first-mismatch scan
+    * is a bounded ≤ [[ExtLen]]-element HOF, identical in both engines;
+    * array_min skips the NULL (= matched) slots. */
+  private def lcp(a: String, b: String): String =
+    s"""CASE WHEN $b IS NULL OR least(size($a), size($b)) <= 0 THEN 0
+       |ELSE coalesce(array_min(filter(transform(
+       |    sequence(1, least(size($a), size($b))),
+       |    i -> CASE WHEN element_at($a, i) != element_at($b, i)
+       |              THEN i - 1 END),
+       |  x -> x IS NOT NULL)), least(size($a), size($b))) END""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+
+    "q_dedup_substring" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sufs = docs
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .where(size(col("w")) >= MinLen)
+        .select(col("doc_id"), explode(expr(
+          s"""transform(sequence(1, size(w) - ${MinLen - 1}), p -> struct(
+             |  p AS p,
+             |  concat_ws(' ', slice(w, p, $MinLen)) AS gram,
+             |  slice(w, p + $MinLen, $ExtLen) AS ext,
+             |  concat_ws(' ', slice(w, p + $MinLen, $ExtLen)) AS ext_s))"""
+            .stripMargin)).as("x"))
+        .select(col("doc_id"), col("x.p").as("p"), col("x.gram").as("gram"),
+          col("x.ext").as("ext"), col("x.ext_s").as("ext_s"))
+      // the bucket-local suffix sort: a lone member has no neighbors
+      // (both NULL) and is not duplicated; dup_len = MinLen + the max
+      // extension shared with a sorted neighbor
+      val wOrd = Window.partitionBy(col("gram"))
+        .orderBy(col("ext_s"), col("doc_id"), col("p"))
+      val spans = sufs
+        .withColumn("pext", lag(col("ext"), 1).over(wOrd))
+        .withColumn("next_ext", lead(col("ext"), 1).over(wOrd))
+        .where(col("pext").isNotNull || col("next_ext").isNotNull)
+        .select(col("doc_id"), col("p").as("s0"),
+          (col("p") + lit(MinLen - 1) + greatest(
+            expr(lcp("ext", "pext")), expr(lcp("ext", "next_ext"))))
+            .as("e0"))
+      // interval union per document: overlapping windows merge into
+      // maximal spans (adjacent-but-disjoint spans stay separate — they
+      // are different duplicated substrings)
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("s0"), col("e0"))
+      val merged = spans
+        .withColumn("rm", max(col("e0"))
+          .over(wDoc.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("ng",
+          when(col("rm").isNull || col("s0") > col("rm"), 1L).otherwise(0L))
+        .withColumn("g", sum(col("ng"))
+          .over(wDoc.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("doc_id"), col("g"))
+        .agg(min(col("s0")).as("s"), max(col("e0")).as("e"))
+      val perDoc = merged.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("e") - col("s") + 1).as("dup_tokens"),
+          max(col("e") - col("s") + 1).cast("long").as("max_span"),
+          expr("array_join(transform(array_sort(collect_list(struct(s, e)))," +
+            " x -> concat(cast(x.s as string), '-', cast(x.e as string)))," +
+            " ',')").as("spans"))
+      docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+          coalesce(col("max_span"), lit(0L)).as("max_span"),
+          coalesce(col("spans"), lit("")).as("spans"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  /** The oracle replays the same truncated-suffix construction: DuckDB
+    * list slicing clamps like Spark's slice, LAG/LEAD over the
+    * gram-bucketed sort, the bounded first-mismatch LCP as a list
+    * comprehension, and the identical running-max interval union. */
+  private def lcpSql(a: String, b: String): String =
+    s"""CASE WHEN $b IS NULL OR LEAST(len($a), len($b)) <= 0 THEN 0
+       |ELSE COALESCE(list_min([CASE WHEN $a[i] <> $b[i] THEN i - 1 END
+       |    for i in generate_series(1, LEAST(len($a), len($b)))]),
+       |  LEAST(len($a), len($b))) END""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_substring" ->
+      s"""WITH t AS MATERIALIZED (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sufs AS MATERIALIZED (
+         |  SELECT doc_id, p,
+         |    array_to_string(w[p : p + ${MinLen - 1}], ' ') AS gram,
+         |    w[p + $MinLen : p + ${MinLen + ExtLen - 1}] AS ext,
+         |    array_to_string(w[p + $MinLen : p + ${MinLen + ExtLen - 1}], ' ')
+         |      AS ext_s
+         |  FROM (SELECT doc_id, w,
+         |      UNNEST(generate_series(1, len(w) - ${MinLen - 1})) AS p
+         |    FROM t)),
+         |nb AS (SELECT doc_id, p, ext,
+         |    LAG(ext)  OVER (PARTITION BY gram ORDER BY ext_s, doc_id, p)
+         |      AS pext,
+         |    LEAD(ext) OVER (PARTITION BY gram ORDER BY ext_s, doc_id, p)
+         |      AS next_ext
+         |  FROM sufs),
+         |sp AS (SELECT doc_id, p AS s0,
+         |    p + ${MinLen - 1} + GREATEST(${lcpSql("ext", "pext")},
+         |      ${lcpSql("ext", "next_ext")}) AS e0
+         |  FROM nb WHERE pext IS NOT NULL OR next_ext IS NOT NULL),
+         |g AS (SELECT doc_id, s0, e0,
+         |    SUM(CASE WHEN rm IS NULL OR s0 > rm THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY s0, e0
+         |            ROWS UNBOUNDED PRECEDING) AS grp
+         |  FROM (SELECT doc_id, s0, e0,
+         |      MAX(e0) OVER (PARTITION BY doc_id ORDER BY s0, e0
+         |                    ROWS BETWEEN UNBOUNDED PRECEDING
+         |                    AND 1 PRECEDING) AS rm
+         |    FROM sp)),
+         |m AS (SELECT doc_id, grp, MIN(s0) AS s, MAX(e0) AS e
+         |  FROM g GROUP BY doc_id, grp),
+         |pd AS (SELECT doc_id, COUNT(*) AS n_spans,
+         |    CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens,
+         |    CAST(MAX(e - s + 1) AS BIGINT) AS max_span,
+         |    string_agg(s || '-' || e, ',' ORDER BY s) AS spans
+         |  FROM m GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(COALESCE(pd.n_spans, 0) AS BIGINT) AS n_spans,
+         |  CAST(COALESCE(pd.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+         |  CAST(COALESCE(pd.max_span, 0) AS BIGINT) AS max_span,
+         |  COALESCE(pd.spans, '') AS spans
+         |FROM documents d LEFT JOIN pd USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+  )
+}

@@ -525,9 +525,10 @@ object ScaleProbe {
     // containment check proves the prefix filter's completeness bound
     // empirically: every J > 0.5 pair the inverted index finds must
     // also be a prefix-filter pair (whose τ test is the inclusive
-    // 3·inter ≥ sa + sb). ×100 excluded like the other pair-graph
-    // probes — ×1/×10 spans the structure the amplifier plants.
-    if (sections("prefix")) factors.filter(_ <= 10).foreach { f =>
+    // 3·inter ≥ sa + sb). ×100 included (round 9): the open question
+    // was whether prefix-filter candidate growth turns super-linear
+    // past the planted-structure scale — measured, not argued.
+    if (sections("prefix")) factors.foreach { f =>
       val dir = if (f == 1) sfDir else amplify(spark, sfDir, f, outBase)
       val nDocs = Tables.documents(spark, dir).count()
       val q = graft.SparkEntry.queries("q_dedup_prefix_filter")
@@ -573,7 +574,7 @@ object ScaleProbe {
     // ~linearly·F² ONLY inside those bounded families while the block
     // count grows linearly — the probe records both so the relation is
     // data, not argument.
-    if (sections("linkage")) factors.filter(_ <= 10).foreach { f =>
+    if (sections("linkage")) factors.foreach { f =>
       val dir = if (f == 1) sfDir else amplify(spark, sfDir, f, outBase)
       val nDocs = Tables.documents(spark, dir).count()
       val prof = Tables.documents(spark, dir)

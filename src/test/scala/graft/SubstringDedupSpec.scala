@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Brute-force replay of q_dedup_substring straight from the SEMANTIC
+  * definition — dup_len(p) = max l in [8, 12] such that the l-gram at p
+  * occurs at least twice corpus-wide — via in-memory l-gram count maps,
+  * with no suffix sorting and no neighbor-LCP trick. Equality proves
+  * the distributed construction (truncated-suffix buckets + sorted-
+  * neighbor LCP) implements the definition exactly, including the
+  * suffix-array adjacency argument it leans on.
+  */
+class SubstringDedupSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val MinLen = 8
+  private val Cap = 12 // MinLen + ExtLen
+
+  private lazy val docs: Seq[(Long, Array[String])] =
+    graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" "))).toSeq
+
+  /** Expected per-doc maximal dup spans from first principles. */
+  private lazy val expected: Map[Long, Seq[(Int, Int)]] = {
+    val counts: Map[Int, Map[Seq[String], Int]] =
+      (MinLen to Cap).map { l =>
+        l -> docs.flatMap { case (_, w) =>
+          (0 to w.length - l).map(i => w.slice(i, i + l).toSeq) }
+          .groupBy(identity).map { case (g, o) => (g, o.length) }
+      }.toMap
+    docs.map { case (id, w) =>
+      val windows = (0 to w.length - MinLen).flatMap { i =>
+        val dupLen = (MinLen to math.min(Cap, w.length - i)).reverse
+          .find(l => counts(l)(w.slice(i, i + l).toSeq) >= 2)
+        dupLen.map(l => (i + 1, i + l)) // 1-based inclusive
+      }
+      // interval union: merge overlapping windows
+      val spans = windows.sortBy(x => (x._1, x._2))
+        .foldLeft(List.empty[(Int, Int)]) {
+          case ((s, e) :: rest, (s2, e2)) if s2 <= e =>
+            (s, math.max(e, e2)) :: rest
+          case (acc, sp) => sp :: acc
+        }.reverse
+      (id, spans)
+    }.toMap
+  }
+
+  test("suffix-bucket construction matches the brute-force definition") {
+    val got = SparkEntry.queries("q_dedup_substring")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(got.length == docs.length)
+    got.foreach { case (id, nSpans, dupToks, maxSpan, spansStr) =>
+      val exp = expected(id)
+      assert(nSpans == exp.length.toLong, s"doc $id span count")
+      assert(dupToks == exp.map { case (s, e) => e - s + 1 }.sum.toLong,
+        s"doc $id dup token total")
+      assert(maxSpan ==
+        (if (exp.isEmpty) 0L
+         else exp.map { case (s, e) => e - s + 1 }.max.toLong),
+        s"doc $id max span")
+      val expStr = exp.map { case (s, e) => s"$s-$e" }.mkString(",")
+      assert(spansStr == expStr, s"doc $id spans")
+    }
+    // the fixture must exercise the operator: planted near-dups give
+    // long shared passages
+    assert(got.count(_._2 > 0) >= 10, "fixture should contain dup spans")
+    assert(got.exists(_._4 > MinLen.toLong),
+      "some span should extend past the minimum length")
+  }
+
+  test("every reported span's text really occurs twice in the corpus") {
+    val all = docs.flatMap { case (_, w) =>
+      (0 until w.length).map(i => w.drop(i).mkString(" ")) }
+    val got = SparkEntry.queries("q_dedup_substring")(spark, sf).collect()
+      .filter(_.getLong(1) > 0)
+    val byId = docs.toMap
+    got.take(40).foreach { r =>
+      val w = byId(r.getLong(0))
+      r.getString(4).split(",").foreach { sp =>
+        val Array(s, e) = sp.split("-").map(_.toInt)
+        // the first MinLen..Cap tokens of the span must appear at two
+        // distinct corpus positions (the span itself plus one more)
+        val probe = w.slice(s - 1, s - 1 + math.min(Cap, e - s + 1))
+          .mkString(" ")
+        val hits = all.count(suf =>
+          suf == probe || suf.startsWith(probe + " "))
+        assert(hits >= 2, s"span $sp of doc ${r.getLong(0)} not duplicated")
+      }
+    }
+  }
+}
