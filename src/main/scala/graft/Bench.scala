@@ -156,7 +156,8 @@ object Bench {
       "spattern" -> "q_stream_pattern",
       "kmvdv" -> "q_stream_distinct",
       "spipe" -> "q_stream_pipeline",
-      "sessdyn" -> "q_stream_session_dynamic")
+      "sessdyn" -> "q_stream_session_dynamic",
+      "sspan" -> "q_stream_dup_spans")
     // listener bus is async; block until the queued tail is dispatched
     org.apache.spark.sql.graftbridge.Bridge.waitListenerBus(spark, 10000)
     import scala.jdk.CollectionConverters._

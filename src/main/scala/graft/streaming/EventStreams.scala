@@ -986,6 +986,53 @@ object EventStreams {
         .orderBy(col("vec_id"))
     }),
 
+    // Streaming duplicated-PASSAGE admission gate — the online twin of
+    // q_text_dup_spans and the ingest-time shape of the round-9
+    // suffix-dedup family: newly-arriving documents (the top fifth of
+    // the doc_id space, streamed from the parquet drop zone) score each
+    // of their POSITIONAL word 8-grams against a static span index of
+    // the existing corpus (DISTINCT 8-grams of doc_id < cut, re-read
+    // per micro-batch — at scale that's the index picking up
+    // compactions between batches), and each arrival is admitted with
+    // its duplicated-passage statistics (span count, hits, per-mille).
+    // The static side is gram-DISTINCT so the stream-static LEFT join
+    // is multiplicity-free and the counts are exact; one stateful agg
+    // (per-doc counts) keeps the plan inside the single-aggregation
+    // streaming limit. Docs under 8 tokens gate on their whole text,
+    // the q_text_dup_spans convention.
+    "q_stream_dup_spans" -> ((s, d) => {
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType),
+        StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val all = s.read.parquet(s"$d/documents.parquet")
+      val cut = all.count() * 4 / 5 // footer-read count, SQL-replayable
+      val gramExpr = expr(
+        """CASE WHEN size(toks) >= 8 THEN
+          |  transform(sequence(1, size(toks) - 7),
+          |    i -> concat_ws(' ', slice(toks, i, 8)))
+          |ELSE array(array_join(toks, ' ')) END""".stripMargin)
+      val ref = all.where(col("doc_id") < cut)
+        .select(split(col("text"), " ").as("toks"))
+        .select(explode(gramExpr).as("gram")).distinct()
+        .withColumn("hit", lit(1L))
+      val arrivals = s.readStream.schema(docSchema)
+        .parquet(s"$d/documents*.parquet")
+        .where(col("doc_id") >= cut)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), explode(gramExpr).as("gram"))
+      val out = arrivals.join(ref, Seq("gram"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_dup_spans"))
+        .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+          expr("(1000 * n_dup_spans) div n_spans").as("dup_pm"))
+      runToMemory(s, out, "complete", s"sspan_${System.nanoTime()}")
+        .orderBy(col("doc_id"))
+    }),
+
     // Streaming end-to-end curation — the streaming twin of
     // q_pipeline_e2e, over a DOCUMENTS file stream (ingest-time shape: a
     // crawler drops parquet batches into a directory and curation runs
@@ -1346,6 +1393,30 @@ object EventStreams {
         |FROM n CROSS JOIN cp LEFT JOIN sc ON sc.arr = n.vec_id
         |WHERE n.vec_id >= cp.c
         |GROUP BY n.vec_id ORDER BY n.vec_id""".stripMargin,
+
+    // Batch replay of the passage gate: identical positional 8-grams
+    // (whole text for short docs), identical COUNT(*)-derived cutoff,
+    // DISTINCT reference grams so the LEFT join is multiplicity-free;
+    // div and // agree because both counts are non-negative.
+    "q_stream_dup_spans" ->
+      """WITH cutv AS (SELECT COUNT(*) * 4 // 5 AS c FROM documents),
+        |g AS (SELECT doc_id, UNNEST(CASE WHEN len(ws) >= 8 THEN
+        |        [array_to_string(ws[i : i + 7], ' ')
+        |         for i in generate_series(1, len(ws) - 7)]
+        |      ELSE [array_to_string(ws, ' ')] END) AS gram
+        |      FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        |            FROM documents)),
+        |ref AS (SELECT DISTINCT gram FROM g CROSS JOIN cutv
+        |        WHERE doc_id < c),
+        |arr AS (SELECT doc_id, gram FROM g CROSS JOIN cutv
+        |        WHERE doc_id >= c)
+        |SELECT a.doc_id, COUNT(*) AS n_spans,
+        |  CAST(SUM(CASE WHEN r.gram IS NOT NULL THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_dup_spans,
+        |  (1000 * CAST(SUM(CASE WHEN r.gram IS NOT NULL THEN 1 ELSE 0 END)
+        |          AS BIGINT)) // COUNT(*) AS dup_pm
+        |FROM arr a LEFT JOIN ref r ON r.gram = a.gram
+        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
 
     "q_stream_join" ->
       """SELECT c.event_id AS click_id, c.user_id,

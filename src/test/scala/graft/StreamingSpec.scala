@@ -305,6 +305,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming passage gate equals an in-memory gram replay") {
+    val rows = SparkEntry.queries("q_stream_dup_spans")(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    val cut = docs.length.toLong * 4 / 5
+    def grams(toks: Seq[String]): Seq[String] =
+      if (toks.length >= 8) toks.sliding(8).map(_.mkString(" ")).toSeq
+      else Seq(toks.mkString(" "))
+    val ref = docs.filter(_._1 < cut).flatMap(d => grams(d._2)).toSet
+    val expected = docs.filter(_._1 >= cut).map { case (id, toks) =>
+      val g = grams(toks)
+      val hits = g.count(ref.contains).toLong
+      (id, (g.length.toLong, hits, 1000L * hits / g.length))
+    }.toMap
+    assert(rows.length == expected.size, "one verdict row per arrival")
+    rows.foreach { r =>
+      assert(expected(r.getLong(0)) ==
+        ((r.getLong(1), r.getLong(2), r.getLong(3))),
+        s"arrival ${r.getLong(0)} gate stats")
+    }
+    // the gate must fire on this fixture, or it demonstrates nothing
+    assert(rows.count(_.getLong(2) > 0) > 0,
+      "fixture should contain cross-split duplicated passages")
+  }
+
   test("streaming CMS sketch equals the batch sketch, over-estimates only") {
     val stream = SparkEntry.queries("q_stream_heavy_hitters")(spark, sf)
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
