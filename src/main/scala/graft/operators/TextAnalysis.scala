@@ -411,6 +411,72 @@ object TextAnalysis {
         .orderBy(col("source"))
     }),
 
+    // Heaps'-law vocabulary-growth fit — q_text_zipf's canonical
+    // companion (V ≈ C·N^β): cumulative distinct-type counts at 20
+    // corpus checkpoints, then an integer OLS of ln V on ln N. The
+    // corpus-health number that sizes tokenizer vocabularies and
+    // catches ID/noise pollution (β near 1 = vocabulary growing as
+    // fast as the corpus = unbounded junk; natural text β ≈ 0.5;
+    // β → 0 = closed vocabulary). Types are word BIGRAMS — on the
+    // fixture's closed ~31-word soup the unigram curve saturates in
+    // the first bucket (β exactly 0, a degenerate fit), while the
+    // bigram space still grows across checkpoints, so the fit
+    // machinery is genuinely exercised; on natural text the same query
+    // reads as phrase-vocabulary growth. The cumulative-distinct trap
+    // is dodged the distributed way: a type's FIRST occurrence (one
+    // min() aggregate) pins the checkpoint where it enters the
+    // vocabulary, so cumulative V is a cumsum of per-bucket
+    // first-occurrence counts — never a per-prefix distinct. Both
+    // windows and the OLS run on the 20-row checkpoint table
+    // (census-whitelisted: bucket count is a constant, never corpus-
+    // sized); the corpus is scanned once. Checkpoint bucketing uses the
+    // dense doc_id space ((doc_id·20) div n — the same dense-id
+    // convention as the streaming split); x/y ride the zipf discipline
+    // (1e3-floor-quantized ln, exact integer sufficient statistics,
+    // explicit floor division).
+    "q_text_heaps" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val n = Tables.documents(s, d).count() // footer scalar, replayable
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .where(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(ws) - 1),
+            |  i -> concat(element_at(ws, i), ' ',
+            |              element_at(ws, i + 1)))""".stripMargin)).as("w"))
+      val tb = tok.select(expr(s"(doc_id * 20) div $n").as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("toks"))
+      val nb = tok.groupBy(col("w")).agg(min(col("doc_id")).as("fd"))
+        .select(expr(s"(fd * 20) div $n").as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("types"))
+      val wCum = Window.orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val ck = tb.join(nb, Seq("b"), "left")
+        .select(col("b"), col("toks"),
+          coalesce(col("types"), lit(0L)).as("types"))
+        .select(col("b"),
+          sum(col("toks")).over(wCum).as("cum_tokens"),
+          sum(col("types")).over(wCum).as("cum_types"))
+        .select(col("b"), col("cum_tokens"), col("cum_types"),
+          floor(log(col("cum_tokens").cast("double")) * 1000).cast("long")
+            .as("xq"),
+          floor(log(col("cum_types").cast("double")) * 1000).cast("long")
+            .as("yq"))
+      val fit = ck.agg(count(lit(1)).as("k"),
+          sum(col("xq")).as("sx"), sum(col("yq")).as("sy"),
+          sum(col("xq") * col("xq")).as("sxx"),
+          sum(col("xq") * col("yq")).as("sxy"))
+        .select((lit(1000) * (col("k") * col("sxy") - col("sx") * col("sy")))
+            .as("num"),
+          (col("k") * col("sxx") - col("sx") * col("sx")).as("den"))
+        .select(expr("""CASE WHEN den = 0 THEN NULL
+                       |ELSE (num - ((num % den + den) % den)) div den
+                       |END""".stripMargin).as("beta_pm"))
+      ck.select(col("b").as("bucket"), col("cum_tokens"), col("cum_types"))
+        .crossJoin(broadcast(fit))
+        .orderBy(col("bucket"))
+    }),
+
     // Tokenization: whitespace count vs a BPE-ish regex ([a-z]+ runs,
     // digit runs, single other glyphs) — the regex subset chosen to
     // behave identically under Java regex and RE2.
@@ -1195,6 +1261,45 @@ object TextAnalysis {
         |       ELSE (num - ((num % den + den) % den)) // den
         |  END AS slope_pm
         |FROM nd ORDER BY source""".stripMargin,
+
+    // Heaps replay: identical bigram types, COUNT(*)-derived bucket
+    // split, first-occurrence cumsum, 1e3-floor-quantized logs, and
+    // the zipf floor-division spelling for the slope.
+    "q_text_heaps" ->
+      """WITH nd AS (SELECT COUNT(*) AS n FROM documents),
+        |tok AS (SELECT doc_id, w FROM (
+        |    SELECT doc_id, UNNEST([ws[i] || ' ' || ws[i + 1]
+        |        for i in generate_series(1, len(ws) - 1)]) AS w
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        |          FROM documents))),
+        |tb AS (SELECT (doc_id * 20) // n AS b, COUNT(*) AS toks
+        |  FROM tok CROSS JOIN nd GROUP BY (doc_id * 20) // n),
+        |nb AS (SELECT (fd * 20) // n AS b, COUNT(*) AS types
+        |  FROM (SELECT w, MIN(doc_id) AS fd FROM tok GROUP BY w)
+        |  CROSS JOIN nd
+        |  GROUP BY (fd * 20) // n),
+        |ck AS (SELECT b,
+        |    CAST(SUM(toks) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)
+        |         AS BIGINT) AS cum_tokens,
+        |    CAST(SUM(types) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)
+        |         AS BIGINT) AS cum_types
+        |  FROM (SELECT tb.b, tb.toks, COALESCE(nb.types, 0) AS types
+        |        FROM tb LEFT JOIN nb ON nb.b = tb.b)),
+        |cq AS (SELECT b, cum_tokens, cum_types,
+        |    CAST(FLOOR(LN(CAST(cum_tokens AS DOUBLE)) * 1000) AS BIGINT)
+        |      AS xq,
+        |    CAST(FLOOR(LN(CAST(cum_types AS DOUBLE)) * 1000) AS BIGINT)
+        |      AS yq
+        |  FROM ck),
+        |fit AS (SELECT CAST(CASE WHEN den = 0 THEN NULL
+        |      ELSE (num - ((num % den + den) % den)) // den END AS BIGINT)
+        |    AS beta_pm
+        |  FROM (SELECT
+        |      1000 * (COUNT(*) * SUM(xq * yq) - SUM(xq) * SUM(yq)) AS num,
+        |      COUNT(*) * SUM(xq * xq) - SUM(xq) * SUM(xq) AS den
+        |    FROM cq))
+        |SELECT cq.b AS bucket, cum_tokens, cum_types, beta_pm
+        |FROM cq CROSS JOIN fit ORDER BY bucket""".stripMargin,
 
     // Byte-exact replay of RollingFingerprint.minWindowHash (window 16,
     // base 1000003, mod 2147483647): the recursion carries (h, min) per

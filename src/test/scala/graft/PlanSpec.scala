@@ -853,7 +853,10 @@ class PlanSpec extends AnyFunSuite {
     // decomposition that REPLACED the corpus-sized global window)
     "q_skyline",
     // stoplist rank over the vocab-sized token-frequency aggregate
-    "q_text_rake")
+    "q_text_rake",
+    // cumsum + OLS over the 20-row checkpoint table (bucket count is a
+    // query constant, never corpus-sized)
+    "q_text_heaps")
 
   test("census: no unfenced cartesian joins or global windows, any query") {
     import org.apache.spark.sql.execution.joins.{

@@ -92,3 +92,52 @@ class SubstringDedupSpec extends AnyFunSuite {
     }
   }
 }
+
+/** In-memory replay of q_text_heaps: bigram types enter the vocabulary
+  * at their first occurrence's checkpoint bucket, cumulative counts at
+  * 20 buckets, integer OLS on floor-quantized logs.
+  */
+class HeapsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val docs: Seq[(Long, Array[String])] =
+    graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" "))).toSeq
+
+  test("heaps checkpoint curve equals an in-memory first-occurrence replay") {
+    val n = docs.length.toLong
+    val bigrams = docs.flatMap { case (id, w) =>
+      w.sliding(2).filter(_.length == 2).map(p => (id, p.mkString(" "))) }
+    val bkt = (id: Long) => id * 20 / n
+    val toksPerB = bigrams.groupBy(x => bkt(x._1))
+      .map { case (b, o) => (b, o.size.toLong) }
+    val typesPerB = bigrams.groupBy(_._2)
+      .map { case (_, o) => bkt(o.map(_._1).min) }
+      .groupBy(identity).map { case (b, o) => (b, o.size.toLong) }
+    val buckets = toksPerB.keys.toSeq.sorted
+    var (ct, cv) = (0L, 0L)
+    val expected = buckets.map { b =>
+      ct += toksPerB(b); cv += typesPerB.getOrElse(b, 0L)
+      (b, ct, cv)
+    }
+    val xy = expected.map { case (_, t, v) =>
+      (math.floor(math.log(t.toDouble) * 1000).toLong,
+        math.floor(math.log(v.toDouble) * 1000).toLong) }
+    val k = xy.size.toLong
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val (sxx, sxy) = (xy.map(p => p._1 * p._1).sum,
+      xy.map(p => p._1 * p._2).sum)
+    val num = 1000L * (k * sxy - sx * sy)
+    val den = k * sxx - sx * sx
+    val beta = (num - ((num % den + den) % den)) / den
+    val got = SparkEntry.queries("q_text_heaps")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq == expected)
+    assert(got.forall(_._4 == beta))
+    // the curve must actually GROW across checkpoints, or the fit is
+    // the degenerate unigram case this query exists to avoid
+    assert(expected.last._3 > expected.head._3,
+      "bigram vocabulary should grow past the first checkpoint")
+  }
+}
