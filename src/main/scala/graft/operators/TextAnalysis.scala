@@ -776,6 +776,45 @@ object TextAnalysis {
     "q_text_bm25" -> ((s, d) =>
       bm25TermScores(s, d).orderBy(col("doc_id"), col("term"))),
 
+    // Dirichlet-smoothed query likelihood (Zhai & Lafferty 2001) — the
+    // third canonical lexical ranker after TF-IDF and BM25, and the one
+    // with a probabilistic reading: score(q,d) = Σ_w ln((tf + μ·P(w|C))
+    // / (dl + μ)), μ = 100 (sized to the fixture's ~100-token docs so
+    // the document signal isn't drowned; the knob is one literal in
+    // both engines). Unlike BM25's tf-gated sum, EVERY query term
+    // scores every document (smoothing gives absent terms mass from
+    // the collection model) — so the plan is docs × |q| via TWO
+    // broadcast scalar joins (collection stats) and a LEFT join for
+    // tf, never a corpus×vocab fan-out. Per-term lns are floor-1e4
+    // quantized then integer-summed (order-free), the established
+    // envelope. Query terms that miss the whole corpus drop out of
+    // the cf table in BOTH engines identically.
+    "q_text_ql" -> ((s, d) => {
+      val qterms = Seq("scan", "filter", "vector")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+          col("w"))
+      val tok = docs
+        .select(col("doc_id"), explode(col("w")).as("term"))
+      val ctot = tok.agg(count(lit(1)).as("ctot"))
+      val tf = tok.where(col("term").isin(qterms: _*))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val cf = tf.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+      docs.select(col("doc_id"), col("dl"))
+        .crossJoin(broadcast(cf)).crossJoin(broadcast(ctot))
+        .join(tf, Seq("doc_id", "term"), "left")
+        .select(col("doc_id"),
+          floor(log(
+            (coalesce(col("tf"), lit(0L)).cast("double") +
+              lit(100.0) * col("cf").cast("double") /
+                col("ctot").cast("double")) /
+            (col("dl").cast("double") + lit(100.0))) * lit(1e4))
+            .cast("long").as("t"))
+        .groupBy(col("doc_id")).agg(sum(col("t")).as("ql_q"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-source distinct-trigram cardinality two ways: exact
     // countDistinct (the baseline) and the K-Minimum-Values sketch
     // (native KmvAgg aggregate, K=64) — the mergeable distinct-count
@@ -1562,6 +1601,36 @@ object TextAnalysis {
         |FROM tf JOIN dlt USING (doc_id) JOIN df USING (term)
         |CROSS JOIN n
         |ORDER BY tf.doc_id, tf.term""".stripMargin,
+
+    // Query-likelihood replay: identical μ = 100 literal, collection
+    // stats as scalar cross joins, tf LEFT-joined (absent terms take
+    // the pure collection-model mass), per-term floor-1e4 ln summed as
+    // exact integers.
+    "q_text_ql" ->
+      """WITH dlt AS (
+        |  SELECT doc_id,
+        |    CAST(LEN(string_split(text, ' ')) AS BIGINT) AS dl
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |ct AS (SELECT COUNT(*) AS ctot FROM tok),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        |  WHERE term IN ('scan', 'filter', 'vector')
+        |  GROUP BY doc_id, term),
+        |cf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf
+        |       FROM tf GROUP BY term),
+        |sc AS (
+        |  SELECT dlt.doc_id,
+        |    CAST(FLOOR(LN(
+        |      (CAST(COALESCE(tf.tf, 0) AS DOUBLE)
+        |        + 100.0 * CAST(cf.cf AS DOUBLE) / CAST(ct.ctot AS DOUBLE))
+        |      / (CAST(dlt.dl AS DOUBLE) + 100.0)) * 1e4) AS BIGINT) AS t
+        |  FROM dlt CROSS JOIN cf CROSS JOIN ct
+        |  LEFT JOIN tf ON tf.doc_id = dlt.doc_id AND tf.term = cf.term)
+        |SELECT doc_id, CAST(SUM(t) AS BIGINT) AS ql_q
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Sketch rows = the 64 smallest distinct hashes per source; the
     // bottom-k union, membership flags, and both quantized Jaccards

@@ -141,3 +141,40 @@ class HeapsSpec extends AnyFunSuite {
       "bigram vocabulary should grow past the first checkpoint")
   }
 }
+
+/** In-memory replay of q_text_ql: Dirichlet-smoothed query likelihood,
+  * μ = 100, per-term floor-1e4 lns summed as integers — including the
+  * smoothing path for documents that lack a query term entirely.
+  */
+class QueryLikelihoodSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("dirichlet query likelihood equals the in-memory replay") {
+    val qterms = Seq("scan", "filter", "vector")
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    val ctot = docs.map(_._2.length.toLong).sum
+    val cf = qterms.map(t =>
+      (t, docs.map(_._2.count(_ == t).toLong).sum)).filter(_._2 > 0)
+    assert(cf.size == 3, "all query terms should occur in the fixture")
+    val expected = docs.map { case (id, w) =>
+      val dl = w.length.toLong
+      val score = cf.map { case (t, c) =>
+        val tf = w.count(_ == t).toLong
+        math.floor(math.log(
+          (tf.toDouble + 100.0 * c.toDouble / ctot.toDouble) /
+            (dl.toDouble + 100.0)) * 1e4).toLong
+      }.sum
+      (id, score)
+    }.toMap
+    val got = SparkEntry.queries("q_text_ql")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == docs.length, "one score per document")
+    got.foreach { case (id, s) =>
+      assert(s == expected(id), s"doc $id query-likelihood score") }
+    // smoothing must be live: some scored doc lacks some query term
+    assert(docs.exists { case (_, w) => qterms.exists(t => !w.contains(t)) },
+      "fixture should exercise the absent-term smoothing path")
+  }
+}
