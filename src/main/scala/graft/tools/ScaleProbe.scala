@@ -222,7 +222,7 @@ object ScaleProbe {
       .getOrElse(Set("pipeline", "cc_corpus", "cc_chain", "topk",
         "lsh", "semantic", "recall", "graph", "triangles", "cdc", "kcore",
         "prefix", "blocklist", "novelty", "linkage", "stream", "codec",
-        "kgrouped", "invidx"))
+        "kgrouped", "invidx", "substring", "unigram"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outBase = s"${sys.props("java.io.tmpdir")}/graft_scale"
@@ -591,6 +591,102 @@ object ScaleProbe {
         s""""blocks":${prof.getLong(0)},"max_block":${prof.getLong(1)},""" +
         s""""cand_pairs":${prof.getLong(2)},"matches":$matches,""" +
         s""""wall_s":${f"$w%.2f"},"shuffle_mb":${(sw + sr) / 1048576},""" +
+        s""""spill_mb":${sp / 1048576}}""")
+    }
+
+    // ---- substring: suffix-array dedup at growing corpus scale ------
+    // The round-9 family's scale claims made measurable: suffix count
+    // is bounded by token count (one truncated suffix per position,
+    // never whole-document fan-out), the 8-gram bucket skew is what
+    // the bucket-local window sort pays for, and wall must track
+    // suffix volume — never docs². Under the amplifier, fam-0 exact
+    // replicas duplicate whole documents (max bucket ∝ F, the planted
+    // duplication factor) while fams 3-9 rewrite every 3rd token so
+    // their suffixes stay unique — dup coverage rises with F, bucket
+    // skew stays O(F), and the probe records both so the relation is
+    // data, not argument.
+    if (sections("substring")) factors.foreach { f =>
+      val dir = if (f == 1) sfDir else amplify(spark, sfDir, f, outBase)
+      val nDocs = Tables.documents(spark, dir).count()
+      val prof = Tables.documents(spark, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .where(size(col("w")) >= 8)
+        .select(explode(expr(
+          "transform(sequence(1, size(w) - 7)," +
+            " p -> concat_ws(' ', slice(w, p, 8)))")).as("gram"))
+        .groupBy(col("gram")).count()
+        .agg(count(lit(1)).as("grams"), max(col("count")).as("max_bucket"),
+          sum(col("count")).as("suffixes"),
+          sum(when(col("count") >= 2, col("count")).otherwise(0L))
+            .as("dup_suffixes"))
+        .collect()(0)
+      val q = graft.SparkEntry.queries("q_dedup_substring")
+      val runs = Seq.fill(2) {
+        val r = measured(spark, agg) {
+          q(spark, dir)
+            .agg(sum((col("n_spans") > 0).cast("long")).as("docs_with_dups"),
+              sum(col("dup_tokens")).as("dup_tokens"))
+            .collect()(0)
+        }
+        spark.catalog.clearCache()
+        r
+      }
+      val (row, w, sw, sr, sp, _) = runs.minBy(_._2)
+      emit(s"""{"probe":"substring","factor":$f,"docs":$nDocs,""" +
+        s""""suffixes":${prof.getLong(2)},"grams":${prof.getLong(0)},""" +
+        s""""max_bucket":${prof.getLong(1)},""" +
+        s""""dup_suffixes":${prof.getLong(3)},""" +
+        s""""docs_with_dups":${row.getLong(0)},""" +
+        s""""dup_tokens":${row.getLong(1)},""" +
+        s""""wall_s":${f"$w%.2f"},"shuffle_mb":${(sw + sr) / 1048576},""" +
+        s""""spill_mb":${sp / 1048576}}""")
+    }
+
+    // ---- unigram: tokenizer-training cost vs corpus volume ----------
+    // The unigram trainer's scale claim made measurable: EM cost rides
+    // the VOCABULARY projection (distinct words × candidate
+    // segmentations), not the corpus. The corpus here is replicated
+    // VERBATIM ×F (new doc_ids, texts unchanged) — the tagged
+    // amplifier would both widen words past the composition bound and
+    // change the vocabulary, which is exactly what this experiment
+    // must hold fixed — so the distinct-word table is identical at
+    // every factor and only the word-counting shuffle grows. Reported:
+    // cold train wall (the memo key is the dataset dir, so rep 1 is a
+    // true cold run) and the memoized re-query wall (the amortized
+    // per-consumer cost the other tokenizer queries pay).
+    if (sections("unigram")) factors.foreach { f =>
+      val dir = if (f == 1) sfDir else {
+        val out = s"$outBase/rep_x$f"
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$out/documents.parquet/_SUCCESS")
+        if (!marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(marker)) {
+          val reps = spark.range(f).select(col("id").as("r"))
+          Tables.documents(spark, sfDir).crossJoin(reps)
+            .select((col("doc_id") * f + col("r")).as("doc_id"),
+              col("text"), col("lang"), col("source"), col("n_chars"))
+            .repartition(32)
+            .write.mode("overwrite").parquet(s"$out/documents.parquet")
+        }
+        out
+      }
+      val prof = Tables.documents(spark, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .where(col("w") =!= "")
+        .agg(count(lit(1)).as("toks"), countDistinct(col("w")).as("words"))
+        .collect()(0)
+      val q = graft.SparkEntry.queries("q_text_unigram_lm")
+      val (rows, wCold, sw, sr, sp, _) = measured(spark, agg) {
+        q(spark, dir).queryExecution.toRdd.count()
+      }
+      val (_, wMemo, _, _, _, _) = measured(spark, agg) {
+        q(spark, dir).queryExecution.toRdd.count()
+      }
+      emit(s"""{"probe":"unigram","factor":$f,"tokens":${prof.getLong(0)},""" +
+        s""""distinct_words":${prof.getLong(1)},"vocab_rows":$rows,""" +
+        s""""train_wall_s":${f"$wCold%.2f"},""" +
+        s""""memo_wall_s":${f"$wMemo%.2f"},""" +
+        s""""shuffle_mb":${(sw + sr) / 1048576},""" +
         s""""spill_mb":${sp / 1048576}}""")
     }
 
