@@ -401,9 +401,13 @@ object TextAnalysis {
             .as("num"),
           (col("n_types") * col("sxx") - col("sx") * col("sx")).as("den"))
         // FLOOR division: the numerator is negative (Zipf slopes are),
-        // and Spark's `div` truncates toward zero where DuckDB's `//`
-        // floors — (num - mod_floor) div den is exact and engine-equal
-        // (both engines' % is C-style truncated remainder)
+        // and integer-division conventions can't be trusted across
+        // engines (measured round 9: Spark's `div` AND DuckDB's `//`
+        // both truncate toward zero, contra this comment's original
+        // claim) — so the spelling sidesteps conventions entirely:
+        // (num - mod_floor) makes the numerator exactly divisible and
+        // the quotient IS the floor under any convention (both
+        // engines' % is C-style truncated remainder)
         .select(col("source"), col("n_types"), col("n_tokens"),
           expr("""CASE WHEN den = 0 THEN NULL
                  |ELSE (num - ((num % den + den) % den)) div den

@@ -1099,6 +1099,49 @@ object Extended {
         .orderBy(col("user_id"), col("m_us"), col("event_id"))
     }),
 
+    // Holt double-exponential smoothing (Holt 1957) — q_timeseries_ewma
+    // with a TREND state, the level/slope decomposition single
+    // smoothing lags behind on drifting series: l' = α·v + (1−α)(l+b),
+    // b' = β(l'−l) + (1−β)b, α = β = 1/4 as integer recurrences.
+    // The trend is legitimately NEGATIVE, where division conventions
+    // matter: measured head-on, Scala's / and DuckDB's // BOTH truncate
+    // toward zero (-7/4 = -1 in each), so the recurrence uses plain
+    // truncating division on both sides. (The floor-division spelling
+    // elsewhere — the (num - mod_floor) div den idiom — exists for
+    // SQL-vs-SQL parity where Spark SQL's div is in play; here the
+    // Scala fold and the DuckDB recursion already agree.)
+    // Init l₁ = v₁, b₁ = 0.
+    // Same scale shape as EWMA: the ordered per-key fold windows can't
+    // express, one user_id shuffle via the typed per-group pass, state
+    // two longs per key; the oracle replays as a per-rank recursive
+    // CTE with the level expression repeated inside the trend update.
+    "q_timeseries_holt" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("m"),
+          floor(col("value") * lit(1e6)).cast("long").as("v"))
+        .as[(Long, Long, Long, Long)]
+      e.groupByKey(_._1)
+        .flatMapGroups { (uid: Long, it: Iterator[(Long, Long, Long, Long)]) =>
+          val sorted = it.toSeq.sortBy(x => (x._3, x._2))
+          var l = 0L
+          var b = 0L
+          var first = true
+          sorted.iterator.map { case (_, eid, m, v) =>
+            if (first) { first = false; l = v; b = 0L }
+            else {
+              val l2 = (v + 3L * (l + b)) / 4L
+              b = ((l2 - l) + 3L * b) / 4L
+              l = l2
+            }
+            (uid, eid, m, v, l, b)
+          }
+        }
+        .toDF("user_id", "event_id", "m_us", "v_us", "level_us", "trend_us")
+        .orderBy(col("user_id"), col("m_us"), col("event_id"))
+    }),
+
     // Ordered conversion funnel view → click → purchase: per user, the
     // earliest view, the earliest click STRICTLY AFTER that view, and
     // the earliest purchase strictly after that click — sequential
@@ -2674,6 +2717,33 @@ object Extended {
         |  SELECT * FROM w)
         |SELECT user_id, event_id, m AS m_us, v AS v_us,
         |  CAST(y AS BIGINT) AS ewma_us
+        |FROM rec ORDER BY user_id, m_us, event_id""".stripMargin,
+
+    // Same per-rank recursion with two state columns; DuckDB's //
+    // truncates toward zero exactly like the Scala fold's /, including
+    // on the negative trend values. The level expression repeats inside
+    // the trend update because the recursive step can't name its own
+    // output column.
+    "q_timeseries_holt" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |             CAST(epoch_us(ts) AS BIGINT) AS m,
+        |             CAST(FLOOR(value * 1e6) AS BIGINT) AS v
+        |           FROM events),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |                                   ORDER BY m, event_id) AS rn
+        |      FROM e),
+        |rec AS (
+        |  WITH RECURSIVE w(user_id, event_id, m, v, rn, l, b) AS (
+        |    SELECT user_id, event_id, m, v, rn, v, CAST(0 AS BIGINT)
+        |    FROM r WHERE rn = 1
+        |    UNION ALL
+        |    SELECT r.user_id, r.event_id, r.m, r.v, r.rn,
+        |      (r.v + 3 * (w.l + w.b)) // 4,
+        |      (((r.v + 3 * (w.l + w.b)) // 4) - w.l + 3 * w.b) // 4
+        |    FROM w JOIN r ON r.user_id = w.user_id AND r.rn = w.rn + 1)
+        |  SELECT * FROM w)
+        |SELECT user_id, event_id, m AS m_us, v AS v_us,
+        |  CAST(l AS BIGINT) AS level_us, CAST(b AS BIGINT) AS trend_us
         |FROM rec ORDER BY user_id, m_us, event_id""".stripMargin,
 
     // Same conditional aggregates and anti-join counts, one row per

@@ -1495,6 +1495,41 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("Holt level/trend equals the in-memory truncating-div fold") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")),
+        floor(col("value") * lit(1e6)).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val exp = ev.groupBy(_._1).toSeq.flatMap { case (uid, xs) =>
+      var l = 0L
+      var b = 0L
+      var first = true
+      xs.sortBy(x => (x._3, x._2)).map { case (_, eid, m, v) =>
+        if (first) { first = false; l = v; b = 0L }
+        else {
+          val l2 = (v + 3L * (l + b)) / 4L
+          b = ((l2 - l) + 3L * b) / 4L
+          l = l2
+        }
+        (uid, eid, m, v, l, b)
+      }
+    }.sortBy(r => (r._1, r._3, r._2))
+    val got = q("q_timeseries_holt").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == exp)
+    // the trend must go negative somewhere on real data, or the
+    // negative-division agreement this operator pins (Scala / and
+    // DuckDB // both truncate toward zero) was never exercised
+    assert(got.exists(_._6 < 0L), "no negative trend — sign path idle")
+    // first event per user: level = value, trend = 0
+    got.groupBy(_._1).values.foreach { xs =>
+      val h = xs.minBy(x => (x._3, x._2))
+      assert(h._5 == h._4 && h._6 == 0L)
+    }
+  }
+
   test("TPC-H analogues return ranked, region-consistent rows") {
     val q3 = q("q_tpch_q3").collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
