@@ -1142,6 +1142,48 @@ object Extended {
         .orderBy(col("user_id"), col("m_us"), col("event_id"))
     }),
 
+    // One-sided CUSUM change detection (Page 1954) — the SEQUENTIAL
+    // drift detector that completes the drift family: PSI/KS compare
+    // whole distributions after the fact, CUSUM accumulates per-event
+    // deviations s ← max(0, s + v − target − slack) and alarms the
+    // moment sustained upward drift crosses h, resetting after each
+    // alarm. Reference = each user's own truncated mean (the offline
+    // audit form; online, target comes from a frozen in-control
+    // window like q_stream_anomaly's pre-split stats), slack =
+    // target/10, h = 4·target — all integer, all per-user. Scale
+    // shape: same typed per-key fold as EWMA/Holt (one user_id
+    // shuffle, 3 longs of state per key), output one row per user;
+    // the oracle replays the fold as a per-rank recursive CTE with
+    // the alarm/reset CASE repeated (a recursive step can't name its
+    // own output columns).
+    "q_drift_cusum" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("m"),
+          floor(col("value") * lit(1e6)).cast("long").as("v"))
+        .as[(Long, Long, Long, Long)]
+      e.groupByKey(_._1)
+        .mapGroups { (uid: Long, it: Iterator[(Long, Long, Long, Long)]) =>
+          val sorted = it.toSeq.sortBy(x => (x._3, x._2))
+          val n = sorted.length.toLong
+          val tgt = sorted.map(_._4).sum / n
+          val slack = tgt / 10L
+          val h = 4L * tgt
+          var sAcc = 0L
+          var alarms = 0L
+          var mx = 0L
+          sorted.foreach { case (_, _, _, v) =>
+            val s1 = math.max(0L, sAcc + v - tgt - slack)
+            mx = math.max(mx, s1)
+            if (s1 > h) { alarms += 1; sAcc = 0L } else sAcc = s1
+          }
+          (uid, n, tgt, alarms, mx)
+        }
+        .toDF("user_id", "n_events", "tgt", "n_alarms", "max_s")
+        .orderBy(col("user_id"))
+    }),
+
     // Ordered conversion funnel view → click → purchase: per user, the
     // earliest view, the earliest click STRICTLY AFTER that view, and
     // the earliest purchase strictly after that click — sequential
@@ -2745,6 +2787,50 @@ object Extended {
         |SELECT user_id, event_id, m AS m_us, v AS v_us,
         |  CAST(l AS BIGINT) AS level_us, CAST(b AS BIGINT) AS trend_us
         |FROM rec ORDER BY user_id, m_us, event_id""".stripMargin,
+
+    // Per-rank recursive replay of the CUSUM fold: the per-user
+    // truncated-mean target joins into the ranked rows, and the
+    // accumulate/alarm/reset CASE is repeated across the three state
+    // columns (s, alarms, running max).
+    "q_drift_cusum" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |             CAST(epoch_us(ts) AS BIGINT) AS m,
+        |             CAST(FLOOR(value * 1e6) AS BIGINT) AS v
+        |           FROM events),
+        |t AS (SELECT user_id,
+        |        CAST(CAST(SUM(v) AS BIGINT) // COUNT(*) AS BIGINT) AS tgt,
+        |        COUNT(*) AS n
+        |      FROM e GROUP BY user_id),
+        |r AS (SELECT e.*, t.tgt, t.n,
+        |        ROW_NUMBER() OVER (PARTITION BY e.user_id
+        |                           ORDER BY m, event_id) AS rn
+        |      FROM e JOIN t USING (user_id)),
+        |rec AS (
+        |  WITH RECURSIVE w(user_id, rn, tgt, n, s, alarms, mx) AS (
+        |    SELECT user_id, rn, tgt, n,
+        |      CASE WHEN GREATEST(0, v - tgt - tgt // 10) > 4 * tgt
+        |           THEN 0 ELSE GREATEST(0, v - tgt - tgt // 10) END,
+        |      CASE WHEN GREATEST(0, v - tgt - tgt // 10) > 4 * tgt
+        |           THEN 1 ELSE 0 END,
+        |      GREATEST(0, v - tgt - tgt // 10)
+        |    FROM r WHERE rn = 1
+        |    UNION ALL
+        |    SELECT r.user_id, r.rn, r.tgt, r.n,
+        |      CASE WHEN GREATEST(0, w.s + r.v - r.tgt - r.tgt // 10)
+        |                > 4 * r.tgt
+        |           THEN 0
+        |           ELSE GREATEST(0, w.s + r.v - r.tgt - r.tgt // 10) END,
+        |      w.alarms +
+        |      CASE WHEN GREATEST(0, w.s + r.v - r.tgt - r.tgt // 10)
+        |                > 4 * r.tgt
+        |           THEN 1 ELSE 0 END,
+        |      GREATEST(w.mx,
+        |        GREATEST(0, w.s + r.v - r.tgt - r.tgt // 10))
+        |    FROM w JOIN r ON r.user_id = w.user_id AND r.rn = w.rn + 1)
+        |  SELECT * FROM w)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_events, tgt,
+        |  CAST(alarms AS BIGINT) AS n_alarms, CAST(mx AS BIGINT) AS max_s
+        |FROM rec WHERE rn = n ORDER BY user_id""".stripMargin,
 
     // Same conditional aggregates and anti-join counts, one row per
     // check.

@@ -1530,6 +1530,41 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("CUSUM alarms equal the in-memory accumulate/alarm/reset fold") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")),
+        floor(col("value") * lit(1e6)).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val exp = ev.groupBy(_._1).map { case (uid, xs) =>
+      val vs = xs.sortBy(x => (x._3, x._2)).map(_._4)
+      val n = vs.length.toLong
+      val tgt = vs.sum / n
+      var sAcc = 0L
+      var alarms = 0L
+      var mx = 0L
+      vs.foreach { v =>
+        val s1 = math.max(0L, sAcc + v - tgt - tgt / 10L)
+        mx = math.max(mx, s1)
+        if (s1 > 4L * tgt) { alarms += 1; sAcc = 0L } else sAcc = s1
+      }
+      (uid, (n, tgt, alarms, mx))
+    }
+    val got = q("q_drift_cusum").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))))
+    assert(got.length == exp.size)
+    got.foreach { case (uid, row) =>
+      assert(row == exp(uid), s"user $uid cusum state") }
+    // the detector must fire on this fixture, and max_s must dominate
+    // the alarm threshold exactly when an alarm fired
+    assert(got.exists(_._2._3 > 0L), "no CUSUM alarms — detector idle")
+    got.foreach { case (uid, (_, tgt, alarms, mx)) =>
+      if (alarms > 0) assert(mx > 4L * tgt, s"user $uid alarm without peak")
+      else assert(mx <= 4L * tgt, s"user $uid peak without alarm")
+    }
+  }
+
   test("TPC-H analogues return ranked, region-consistent rows") {
     val q3 = q("q_tpch_q3").collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
