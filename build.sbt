@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output goes STRAIGHT to this process's stdout/stderr —
+// no sbt-logger "[info] "/"[error] " line prefixes. The driver parses
+// graft.Bench's final JSON line from captured stdout, and the logger
+// prefix defeated that parse five rounds running (BENCH_r{5..9}
+// "parsed": null); with StdoutOutput the line is bare.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -30,7 +30,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the k-row presentation windows legitimately log
+    // WindowExec single-partition warnings (census-whitelisted), and
+    // hundreds of those lines surround the final JSON in the driver's
+    // stdout capture — the r9 verdict fingered them as a parse hazard.
+    spark.sparkContext.setLogLevel("ERROR")
 
     // State-store observability: per-stream state metrics (rows held,
     // memory, commit latency) from every streaming query's progress
@@ -172,7 +176,12 @@ object Bench {
         s""""$q":{"rows":${v(0)},"mem_bytes":${v(1)},"commit_ms":${v(2)},"commit_last_ms":${v(3)},"batches":${v(4)}}""" }
       .mkString("{", ",", "}")
     val obsJson = observed.drainJson()
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"state":$state,"observed":$obsJson,"sf":"$sfDir"}"""
+    // memo hit/miss counters (r9 verdict item 5): a cost drift in a
+    // memo-consumer family now self-diagnoses — unchanged hits ⇒ host
+    // contention; unexpected misses ⇒ the shared table stopped carrying
+    // its family and every consumer is re-mining.
+    val memoJson = graft.MemoStats.json()
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"state":$state,"observed":$obsJson,"memo":$memoJson,"sf":"$sfDir"}"""
     // The driver captures only the last ~2,000 chars of stdout, and the
     // sbt runner appends its own "[success] Total time: …" epilogue
     // AFTER this program's last print — r5-r8's ~1,900-char compact line

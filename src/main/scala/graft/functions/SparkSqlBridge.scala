@@ -26,6 +26,13 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Stable per-session UUID (`private[sql]` on the classic
+    * SparkSession) — the memo key that replaces
+    * `System.identityHashCode(session)`, which can collide after GC
+    * and never evicts a stopped session's alias (ADVICE r9). */
+  def sessionUUID(s: org.apache.spark.sql.SparkSession): String =
+    s.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
+
   /** Block until the shared LiveListenerBus has dispatched every queued
     * event (QueryExecutionListener and StreamingQueryListener both ride
     * it), or `timeoutMs` elapses. Replaces fixed-sleep races when

@@ -163,11 +163,12 @@ object Dedup {
     * the jaccard scores, and is the one query whose COST should be the
     * mining itself). */
   private val pairsMemo = new scala.collection.concurrent.TrieMap[
-    (Int, String), DataFrame]
+    (String, String), DataFrame]
 
   private[graft] def ngramJaccardPairsMemo(s: SparkSession,
       d: String): DataFrame =
-    pairsMemo.getOrElseUpdate((System.identityHashCode(s), d),
+    graft.MemoStats.memoized("pair_table", pairsMemo,
+      (org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s), d))(
       ngramJaccardPairsRaw(s, d)
         .select(col("doc_a"), col("doc_b"))
         .localCheckpoint())
@@ -1192,6 +1193,58 @@ object Dedup {
         .orderBy(col("corpus_id"), col("eval_id"))
     }),
 
+    // SEMANTIC contamination (r9 verdict item 6): eval-set leakage in
+    // PARAPHRASED form — high cosine, low shingle overlap — which the
+    // exact check above provably misses (ContaminationSemanticSpec
+    // plants a reversed-word rewrite: zero shared trigrams, cos ≈ 1).
+    // Composition: the SRP band stage of q_dedup_embedding_lsh, made
+    // BIPARTITE — eval vectors (label 0, the benchmark embeddings) only
+    // ever join corpus vectors (label ≠ 0), so candidate volume is the
+    // band-collision rate times |eval|·|corpus|, never the corpus
+    // self-join — then the same decimal-exact rescore at τ = 0.35 (the
+    // paraphrase regime sits far above any isotropic tail; at cos 0.9
+    // band recall is 1−2e-5, see the LSH comment above). At 100 TB the
+    // eval side is tiny and effectively broadcast: the corpus is
+    // scanned once for signatures, and only colliding (band, bucket)
+    // cells ever pair. Same MaxSrpBucket skew fence, hot cells derived
+    // from the corpus side (the side that can degenerate).
+    "q_contamination_semantic" -> ((s, d) => {
+      import graft.functions.VectorFunctions.{decimal_dot, srp_band_keys}
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val bk = e
+        .select(col("vec_id"), col("label"),
+          posexplode(srp_band_keys(col("v"), Bands, Bits)))
+        .select(col("vec_id"), col("label"),
+          struct(col("pos").as("band"), col("col").as("bucket")).as("bk"))
+        .cache()
+      val hot = bk.where(col("label") =!= 0)
+        .groupBy(col("bk")).agg(count(lit(1)).as("bsz"))
+        .where(col("bsz") > MaxSrpBucket).select(col("bk"))
+      val corpBk = bk.where(col("label") =!= 0)
+        .join(hot, Seq("bk"), "left_anti")
+        .select(col("bk"), col("vec_id").as("corpus_id"))
+      val evalBk = bk.where(col("label") === 0)
+        .select(col("bk"), col("vec_id").as("eval_id"))
+      val cand = corpBk.join(evalBk, "bk")
+        .select(col("corpus_id"), col("eval_id"))
+        .distinct()
+      val n = e.select(col("vec_id"), col("v"),
+        decimal_dot(col("v"), col("v")).cast("double").as("nsq"))
+      cand
+        .join(n.select(col("vec_id").as("corpus_id"), col("v").as("va"),
+          col("nsq").as("na")), "corpus_id")
+        .join(n.select(col("vec_id").as("eval_id"), col("v").as("vb"),
+          col("nsq").as("nb")), "eval_id")
+        .where(cosine_sim(col("va"), col("vb")) > 0.349)
+        .select(col("corpus_id"), col("eval_id"),
+          (decimal_dot(col("va"), col("vb")).cast("double") /
+            sqrt(col("na") * col("nb"))).as("cos"))
+        .where(col("cos") > 0.35)
+        .orderBy(col("corpus_id"), col("eval_id"))
+    }),
+
     // ==================== FIXTURE-SCALE ONLY ====================
     // The candidate stage below is an all-pairs nested-loop join:
     // Ω(n²) comparisons. It exists ONLY as the exact ground-truth
@@ -1688,6 +1741,50 @@ object Dedup {
         |        ON a.source <> 'src0' AND b.source = 'src0')
         |SELECT corpus_id, eval_id, CAST(inter AS BIGINT) AS n_shared
         |FROM p WHERE inter >= 5
+        |ORDER BY corpus_id, eval_id""".stripMargin,
+
+    // The q_dedup_embedding_lsh SRP replay, bipartite: eval (label 0)
+    // signatures only ever join corpus (label ≠ 0) signatures; the
+    // decimal-exact rescore and the τ = 0.35 cut mirror the Spark plan.
+    "q_contamination_semantic" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |proj AS (
+        |  SELECT vec_id, p,
+        |    (SELECT SUM(v[j + 1] *
+        |        CASE WHEN (xor(h3, h3 >> 12) & 1) = 0
+        |             THEN 1.0 ELSE -1.0 END)
+        |     FROM (SELECT j,
+        |             (xor(h1, h1 >> 15) * 1540483477) % 2147483648 AS h3
+        |           FROM (SELECT j,
+        |                   ((p * 64 + j) * 2654435761) % 2147483648 AS h1
+        |                 FROM generate_series(0, 63) AS t(j)))) AS pr
+        |  FROM e CROSS JOIN generate_series(0, 767) AS pp(p)),
+        |bk AS (
+        |  SELECT vec_id, p // 12 AS band,
+        |    SUM(CASE WHEN pr > 0 THEN 1 << (11 - (p % 12)) ELSE 0 END)
+        |      AS bucket
+        |  FROM proj GROUP BY vec_id, p // 12),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS corpus_id, b.vec_id AS eval_id
+        |  FROM bk a
+        |  JOIN e ea ON ea.vec_id = a.vec_id AND ea.label <> 0
+        |  JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+        |  JOIN e eb ON eb.vec_id = b.vec_id AND eb.label = 0),
+        |n AS (SELECT vec_id, v,
+        |        (SELECT CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE)
+        |         FROM UNNEST(v) AS t(x)) AS nsq
+        |      FROM e),
+        |p2 AS (SELECT c.corpus_id, c.eval_id,
+        |        (SELECT CAST(SUM(CAST(a.v[i] * b.v[i] AS DECIMAL(30,12)))
+        |                AS DOUBLE)
+        |         FROM generate_series(1, 64) AS s(i)) AS dot,
+        |        a.nsq AS na, b.nsq AS nb
+        |       FROM cand c
+        |       JOIN n a ON a.vec_id = c.corpus_id
+        |       JOIN n b ON b.vec_id = c.eval_id)
+        |SELECT corpus_id, eval_id, dot / SQRT(na * nb) AS cos
+        |FROM p2 WHERE dot / SQRT(na * nb) > 0.35
         |ORDER BY corpus_id, eval_id""".stripMargin,
 
     // Identical oracle for both CC spellings: the stars variant must

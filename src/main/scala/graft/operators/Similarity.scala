@@ -111,7 +111,8 @@ object Similarity {
     // memoized per (session, dataset): same build-once / query-many
     // rationale as centMemo — the codebook is 8×4 cells of 8 doubles,
     // and both PQ consumers plus every bench rep share it.
-    val rows = pqMemo.getOrElseUpdate((System.identityHashCode(s), d), {
+    val rows = graft.MemoStats.memoized("pq_codebooks", pqMemo,
+      (org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s), d)) {
       val st = math.max(1L, n / 4)
       val seeds = subs.where(col("vec_id") % st === 0 &&
           col("vec_id") < st * 4)
@@ -126,14 +127,14 @@ object Similarity {
           col(s"m$i").cast("double") / col("n").cast("double")): _*).as("cv"))
         .collect().toSeq
         .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
-    })
+    }
     rows.toDF("s", "c", "cv")
   }
 
   /** Trained PQ codebooks per (session identity, dataset) — see the
     * memo comment in [[pqCodebooks]]. */
   private val pqMemo = new scala.collection.concurrent.TrieMap[
-    (Int, String), Seq[(Int, Long, Seq[Double])]]
+    (String, String), Seq[(Int, Long, Seq[Double])]]
 
   /** Corpus encoding: each (vec_id, s) → its nearest refined centroid. */
   private def pqCodes(subs: DataFrame, cents1: DataFrame): DataFrame =
@@ -166,12 +167,66 @@ object Similarity {
     * per pair: the VALUES are identical to the inline spelling (the
     * oracle mirrors SQRT(q.nsq * c.nsq)), this just stops recomputing a
     * per-row constant k times across the broadcast join. */
-  private[graft] def ivfAssigned(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  /** The (vec_id, v, nsq) embedding projection every IVF consumer reads;
+    * decimal norms computed once per vector (see the [[ivfAssigned]]
+    * comment). */
+  private def embWithNorms(s: SparkSession, d: String): DataFrame = {
     import graft.functions.VectorFunctions.decimal_dot
-    val e = Tables.embeddings(s, d)
+    Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nsq", decimal_dot(col("v"), col("v")).cast("double"))
+  }
+
+  /** Cosine-nearest assignment of `e` (vec_id, v, nsq) to a broadcast
+    * centroid table (cent_id, cv); ties → lowest centroid id. */
+  private def nearestCents(e: DataFrame, cents: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.decimal_dot
+    e.join(broadcast(cents.withColumn("cnsq",
+        decimal_dot(col("cv"), col("cv")).cast("double"))))
+      .select(col("vec_id"), col("v"), col("nsq"), col("cent_id"),
+        (decimal_dot(col("v"), col("cv")).cast("double") /
+          sqrt(col("nsq") * col("cnsq"))).as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("sim").desc, col("cent_id"))))
+      .where(col("rn") === 1)
+  }
+
+  /** Two deterministic Lloyd rounds over `train` (a (vec_id, v, nsq)
+    * table): stride-spread seeds, decimal-exact coordinate sums.
+    *
+    * Each round materializes the k×64-double centroid table to the
+    * driver and restarts from a local relation: leaving each round as a
+    * chained plan re-derives the whole k-means history inside every
+    * downstream branch (callers consume the assignment twice), which
+    * measured ~4× the query's cost. This is the one driver-side loop in
+    * the library, and it is bounded: k × dim doubles per round —
+    * k = ⌊√n⌋, so ~16 MB even at 10⁹ vectors — never data-sized. */
+  private def lloyd(s: SparkSession, train: DataFrame, k: Int,
+      stride: Long): Seq[(Long, Seq[Double])] = {
+    import s.implicits._
+    var cents = train.where(col("vec_id") % stride === 0 &&
+        col("vec_id") < stride * k)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    var collected: Seq[(Long, Seq[Double])] = Nil
+    for (_ <- 1 to 2) {
+      val sums = (0 until 64).map(i =>
+        sum(element_at(col("v"), i + 1).cast("decimal(30,12)")).as(s"s$i"))
+      val agg = nearestCents(train, cents).groupBy(col("cent_id"))
+        .agg(sums.head, sums.tail: _*)
+        .select(col("cent_id"),
+          array((0 until 64).map(i => col(s"s$i").cast("double")): _*)
+            .as("cv"))
+      collected = agg.collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      cents = collected.toDF("cent_id", "cv")
+    }
+    collected
+  }
+
+  private[graft] def ivfAssigned(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embWithNorms(s, d)
     val n = e.count()
     val k = s.conf.getOption("spark.graft.semantic.cells")
       .map(_.toInt).getOrElse(ivfCells(n))
@@ -183,60 +238,67 @@ object Similarity {
     // the clustering. Stride seeding is the deterministic, RNG-free,
     // SQL-replayable analogue of uniform seed sampling.
     val stride = math.max(1L, n / k)
-    def nearest(cents: DataFrame): DataFrame =
-      e.join(broadcast(cents.withColumn("cnsq",
-          decimal_dot(col("cv"), col("cv")).cast("double"))))
-        .select(col("vec_id"), col("v"), col("nsq"), col("cent_id"),
-          (decimal_dot(col("v"), col("cv")).cast("double") /
-            sqrt(col("nsq") * col("cnsq"))).as("sim"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("vec_id"))
-            .orderBy(col("sim").desc, col("cent_id"))))
-        .where(col("rn") === 1)
     // The trained centroid table is memoized per (session, dataset, k)
     // — the BPE-merge-table precedent: the index BUILD (two Lloyd
     // rounds, each an action) runs once per session; both consumers
     // (q_sim_ann_ivf, q_dedup_semantic) and every bench rep reuse it,
     // which is the production shape — a coarse index is built once and
     // queried many times. Bounded entries (k = ⌊√n⌋ rows × 64 doubles);
-    // sessions keyed by identity so a stopped session can't leak in.
-    val centRows = centMemo.getOrElseUpdate(
-      (System.identityHashCode(s), d, k), {
-        var cents = e.where(col("vec_id") % stride === 0 &&
-            col("vec_id") < stride * k)
-          .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-        var collected: Seq[(Long, Seq[Double])] = Nil
-        for (_ <- 1 to 2) {
-          val sums = (0 until 64).map(i =>
-            sum(element_at(col("v"), i + 1).cast("decimal(30,12)")).as(s"s$i"))
-          val agg = nearest(cents).groupBy(col("cent_id"))
-            .agg(sums.head, sums.tail: _*)
-            .select(col("cent_id"),
-              array((0 until 64).map(i => col(s"s$i").cast("double")): _*)
-                .as("cv"))
-          // materialize the k×64-double centroid table to the driver and
-          // restart the next round from a local relation: leaving each
-          // round as a chained plan re-derives the whole k-means history
-          // inside every downstream branch (callers consume `assigned`
-          // twice), which measured ~4× the query's cost. This is the one
-          // driver-side loop in the library, and it is bounded: k × dim
-          // doubles per round — k = ⌊√n⌋, so ~16 MB even at 10⁹ vectors —
-          // never data-sized.
-          collected = agg.collect().toSeq
-            .map(r => (r.getLong(0), r.getSeq[Double](1)))
-          cents = collected.toDF("cent_id", "cv")
-        }
-        collected
-      })
-    nearest(centRows.toDF("cent_id", "cv"))
+    // sessions keyed by their stable UUID (hit/miss counted in the
+    // bench `memo` block).
+    val centRows = graft.MemoStats.memoized("ivf_centroids", centMemo,
+      (org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s), d,
+        s"full$k"))(lloyd(s, e, k, stride))
+    nearestCents(e, centRows.toDF("cent_id", "cv"))
       .select(col("vec_id"), col("v"), col("nsq"), col("cent_id").as("cell"))
       .cache()
   }
 
-  /** Trained IVF centroids per (session identity, dataset, k) — see the
-    * memo comment in [[ivfAssigned]]. */
+  /** Incremental ANN index maintenance — the nightly-delta pattern
+    * (q_agg_incremental for algebra, q_dedup_clusters_incremental for
+    * graphs) lifted to the vector index (r9 verdict item 3): the corpus
+    * splits at a data-derived cut (last fifth of the id space = the
+    * delta batch); the STORED index is the IVF build over the existing
+    * 4/5 (its own k = ⌊√n_old⌋, its own Lloyd rounds — trained WITHOUT
+    * the delta), and the delta folds in as pure ASSIGNMENT to the
+    * stored centroids: no retraining, postings merged by union. Because
+    * per-vector assignment is stateless given the centroids, the merged
+    * index is row-for-row the one-shot assignment of the full corpus to
+    * those same centroids — [[annIncrementalParts]] exposes both paths
+    * and AnnIncrementalSpec asserts the equality, so the full-recompute
+    * DuckDB oracle hash-match is a real merge-equals-recompute proof.
+    * At 100 TB: centroids are a stored k×dim table, the nightly job
+    * scans ONLY the delta (one broadcast join), and cell ids keep
+    * partitioning the merged postings — the index never rebuilds until
+    * cell-size drift says so. Returns (stored, delta, oneShot,
+    * centroid ids, cut). */
+  private[graft] def annIncrementalParts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, Seq[Long], Long) = {
+    import s.implicits._
+    val e = embWithNorms(s, d)
+    // bounded driver scalar (the split point), oracle-replayed as
+    // (MAX(vec_id) * 4) // 5 — the q_dedup_clusters_incremental cut
+    val cut = e.agg((max(col("vec_id")) * 4).as("m")).head.getLong(0) / 5
+    val old = e.where(col("vec_id") < cut)
+    val nOld = old.count()
+    val k = ivfCells(nOld)
+    val stride = math.max(1L, nOld / k)
+    val centRows = graft.MemoStats.memoized("ivf_centroids", centMemo,
+      (org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s), d,
+        s"inc$k"))(lloyd(s, old, k, stride))
+    val cents = centRows.toDF("cent_id", "cv")
+    def assign(part: DataFrame): DataFrame =
+      nearestCents(part, cents)
+        .select(col("vec_id"), col("v"), col("nsq"),
+          col("cent_id").as("cell"))
+    (assign(old), assign(e.where(col("vec_id") >= cut)), assign(e),
+      centRows.map(_._1), cut)
+  }
+
+  /** Trained IVF centroids per (session UUID, dataset, variant) — see
+    * the memo comment in [[ivfAssigned]]. */
   private val centMemo = new scala.collection.concurrent.TrieMap[
-    (Int, String, Int), Seq[(Long, Seq[Double])]]
+    (String, String, String), Seq[(Long, Seq[Double])]]
 
   val defs: Map[String, Q] = centroidDefs ++ Map(
 
@@ -526,6 +588,38 @@ object Similarity {
         .orderBy(col("cos").desc, col("neighbor_id"))
       cand.withColumn("rn", row_number().over(w))
         .where(col("rn") <= 5)
+        .orderBy(col("query_id"), col("rn"))
+    }),
+
+    // Query over the INCREMENTALLY-MAINTAINED index (annIncrementalParts
+    // above): merged postings = stored index ∪ folded delta batch; probe
+    // the query's home cell, rank by decimal-exact cosine, emit the
+    // top-5 with each neighbor's delta-membership flag. The oracle is a
+    // one-shot recompute (assign the FULL corpus to the old-trained
+    // centroids in one pass), so the hash match — together with
+    // AnnIncrementalSpec's stored∪delta ≡ one-shot row equality — is the
+    // merge-equals-recompute proof for the vector index.
+    "q_sim_ann_incremental" -> ((s, d) => {
+      import graft.functions.VectorFunctions.decimal_dot
+      val (stored, delta, _, _, cut) = annIncrementalParts(s, d)
+      // cached: the merged posting table feeds both the query-side
+      // lookup and the candidate side; harness clears per query
+      val merged = stored.unionAll(delta).cache()
+      val q = merged.where(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nsq").as("qnsq"), col("cell"))
+      val cand = merged.where(col("vec_id") >= 3)
+        .join(broadcast(q), Seq("cell"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (decimal_dot(col("qv"), col("v")).cast("double") /
+            sqrt(col("qnsq") * col("nsq"))).as("cos"),
+          (col("vec_id") >= cut).as("is_new"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      cand.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("cos"),
+          col("rn"), col("is_new"))
         .orderBy(col("query_id"), col("rn"))
     }),
 
@@ -1014,21 +1108,30 @@ object Similarity {
     * WHERE b*b <= n), two Lloyd rounds with decimal-exact coordinate
     * sums, final cosine assignment (ties → lowest centroid id) —
     * ending in `w(vec_id, v, nsq, cell)`.
-    * Shared CTE prefix of the q_sim_ann_ivf and q_dedup_semantic oracles
-    * so the clustering replay exists exactly once. */
-  private val IvfCellsCtes: String =
-    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+    * Shared CTE prefix of the q_sim_ann_ivf, q_dedup_semantic, and
+    * q_sim_ann_incremental oracles so the clustering replay exists
+    * exactly once — parameterized over the TRAINING subset: seeds,
+    * Lloyd-round assignments (a0/a1) and centroid sums (s1/s2) range
+    * over `trainPred` rows only, while the final `cells`/`w` assignment
+    * (a2) covers the whole corpus. trainPred = TRUE degenerates to the
+    * r4–r9 full-corpus replay; the incremental oracle trains on the
+    * pre-cut ids, which makes its one-shot recompute exactly the stored
+    * index + folded delta. */
+  private def ivfCtesGen(extra: String, trainPred: String): String =
+    s"""${extra}e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
       |           FROM embeddings),
-      |kp AS (SELECT k, GREATEST(1, (SELECT COUNT(*) FROM e) // k)
+      |et AS (SELECT * FROM e WHERE $trainPred),
+      |kp AS (SELECT k, GREATEST(1, (SELECT COUNT(*) FROM et) // k)
       |         AS stride
       |       FROM (SELECT GREATEST(2, (SELECT MAX(b)
       |         FROM generate_series(1, 46341) AS g(b)
-      |         WHERE b * b <= (SELECT COUNT(*) FROM e))) AS k)),
+      |         WHERE b * b <= (SELECT COUNT(*) FROM et))) AS k)),
       |nv AS (SELECT vec_id, v,
       |        (SELECT CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE)
       |         FROM UNNEST(v) AS t(x)) AS nsq
       |       FROM e),
-      |c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e CROSS JOIN kp
+      |nt AS (SELECT * FROM nv WHERE $trainPred),
+      |c0 AS (SELECT vec_id AS cent_id, v AS cv FROM et CROSS JOIN kp
       |       WHERE vec_id % kp.stride = 0
       |         AND vec_id < kp.stride * kp.k),
       |a0 AS (SELECT q.vec_id, c.cent_id,
@@ -1038,7 +1141,7 @@ object Similarity {
       |          / SQRT(q.nsq *
       |            (SELECT CAST(SUM(CAST(x * x AS DECIMAL(30,12)))
       |                    AS DOUBLE) FROM UNNEST(c.cv) AS u(x))) AS sim
-      |       FROM nv q CROSS JOIN c0 c),
+      |       FROM nt q CROSS JOIN c0 c),
       |g0 AS (SELECT vec_id, cent_id FROM (
       |         SELECT vec_id, cent_id, ROW_NUMBER() OVER (
       |           PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
@@ -1057,7 +1160,7 @@ object Similarity {
       |          / SQRT(q.nsq *
       |            (SELECT CAST(SUM(CAST(x * x AS DECIMAL(30,12)))
       |                    AS DOUBLE) FROM UNNEST(c.cv) AS u(x))) AS sim
-      |       FROM nv q CROSS JOIN c1 c),
+      |       FROM nt q CROSS JOIN c1 c),
       |g1 AS (SELECT vec_id, cent_id FROM (
       |         SELECT vec_id, cent_id, ROW_NUMBER() OVER (
       |           PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
@@ -1083,6 +1186,8 @@ object Similarity {
       |         FROM a2) WHERE rn = 1),
       |w AS (SELECT nv.vec_id, nv.v, nv.nsq, cells.cell
       |      FROM nv JOIN cells USING (vec_id))""".stripMargin
+
+  private val IvfCellsCtes: String = ivfCtesGen("", "TRUE")
 
   /** DuckDB CTE pair `params(bits)` + `proj(vec_id, p, pr)` replaying
     * (a) [[lshBits]]'s integer-exact width derivation from COUNT(*) and
@@ -1429,6 +1534,29 @@ object Similarity {
         |                           ORDER BY cos DESC, neighbor_id) AS rn
         |      FROM sc)
         |SELECT query_id, neighbor_id, cos, rn FROM r
+        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin),
+
+    // The one-shot recompute: k-means trained on the PRE-CUT corpus only
+    // (et/nt under the cut predicate), every vector — old and delta —
+    // assigned to those centroids in a single pass, then the identical
+    // home-cell top-5. Hash-matching the Spark side's stored ∪ folded
+    // delta proves the incremental fold (see annIncrementalParts).
+    "q_sim_ann_incremental" -> (s"WITH ${ivfCtesGen(
+      "cutv AS (SELECT (MAX(vec_id) * 4) // 5 AS cut FROM embeddings),\n",
+      "vec_id < (SELECT cut FROM cutv)")},\n" +
+      """sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |        (SELECT CAST(SUM(CAST(q.v[i] * c.v[i] AS DECIMAL(30,12)))
+        |                AS DOUBLE)
+        |         FROM generate_series(1, 64) AS t(i))
+        |          / SQRT(q.nsq * c.nsq) AS cos,
+        |        c.vec_id >= (SELECT cut FROM cutv) AS is_new
+        |       FROM w q JOIN w c
+        |         ON q.cell = c.cell AND q.vec_id < 3 AND c.vec_id >= 3),
+        |r AS (SELECT query_id, neighbor_id, cos, is_new,
+        |        ROW_NUMBER() OVER (PARTITION BY query_id
+        |                           ORDER BY cos DESC, neighbor_id) AS rn
+        |      FROM sc)
+        |SELECT query_id, neighbor_id, cos, rn, is_new FROM r
         |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin),
 
     // Reuses the identical k-means replay, then marks each vector removed

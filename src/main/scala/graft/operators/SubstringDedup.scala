@@ -72,6 +72,18 @@ object SubstringDedup {
 
     "q_dedup_substring" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // The sorted-neighbor LCP maximality argument needs token order
+      // and string order to coincide, i.e. every token char collates
+      // ABOVE the ' ' joiner — assert it with one scalar aggregate (the
+      // corpus-min character) instead of assuming it (ADVICE r9); the
+      // same loud-failure contract as the unigram trainer's census.
+      val mn = docs.agg(min(expr(
+        "array_min(filter(split(text, ''), c -> c != '' AND c != ' '))"))).head
+      require(mn.isNullAt(0) || mn.getString(0) > " ",
+        "substring dedup needs token chars above U+0020 (the suffix " +
+          s"joiner); corpus min char is ${
+            if (mn.isNullAt(0)) "<none>"
+            else "U+%04X".format(mn.getString(0).codePointAt(0))}")
       val sufs = docs
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .where(size(col("w")) >= MinLen)
@@ -123,6 +135,65 @@ object SubstringDedup {
           coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
           coalesce(col("max_span"), lit(0L)).as("max_span"),
           coalesce(col("spans"), lit("")).as("spans"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Span REMOVAL composed onto the suffix machinery above — the
+    // production rebuild stage Lee et al. run after detection (r9
+    // verdict item 2): every [[MinLen]]-gram occurrence except the
+    // corpus-wide FIRST (lexicographic min (doc_id, position) — the
+    // occurrence-grain analogue of q_text_despanned's min-doc_id owner,
+    // so within-document repeats are excised too) marks its MinLen
+    // token positions for removal. A duplicated span of ANY length
+    // L ≥ MinLen is covered exactly: all of its L−MinLen+1 window
+    // starts are duplicated positions, so the marked windows tile the
+    // maximal span — removal needs no LCP extension, only detection
+    // does. The per-doc rebuild is q_text_despanned's RemoveTokensAt
+    // O(n + p) merge scan; n_spans counts the merged removal islands
+    // (the same gaps-and-islands arithmetic as the detection query, as
+    // one bounded array fold). Scale shape: ONE gram-keyed shuffle (the
+    // ownership window, the same key as detection), then (doc_id,
+    // position) pairs only; text bodies stay in their scan partitions
+    // until the final index-filtered rebuild (PlanSpec pins ≤2 corpus
+    // reads). Docs that own every span they contain pass through
+    // verbatim; a doc whose every token is someone else's replica
+    // rebuilds to the empty string (the edge both engines hit
+    // identically — SubstringRebuildSpec).
+    "q_dedup_substring_rebuild" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val pos = toks.where(size(col("w")) >= MinLen)
+        .select(col("doc_id"), explode(expr(
+          s"""transform(sequence(1, size(w) - ${MinLen - 1}), p -> struct(
+             |  p AS p, concat_ws(' ', slice(w, p, $MinLen)) AS gram))"""
+            .stripMargin)).as("x"))
+        .select(col("doc_id"), col("x.p").as("p"), col("x.gram").as("gram"))
+      val wOwn = Window.partitionBy(col("gram"))
+        .orderBy(col("doc_id"), col("p"))
+      // rn > 1 ⟺ duplicated AND not the owner (a lone occurrence is
+      // rn = 1 and survives by the same test — no df side-table needed)
+      val rm = pos
+        .withColumn("rn", row_number().over(wOwn))
+        .where(col("rn") > 1)
+        .select(col("doc_id"), explode(sequence(col("p"),
+          col("p") + lit(MinLen - 1))).as("q"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_set(col("q"))).as("ps"))
+      toks.join(rm, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("ps").isNull, concat_ws(" ", col("w")))
+            .otherwise(graft.functions.TextFunctions.remove_tokens_at(
+              col("w"), expr("transform(ps, x -> x - 1)")))
+            .as("clean_text"),
+          coalesce(size(col("ps")), lit(0)).cast("long").as("n_removed"),
+          // islands over the sorted distinct position array: 1 + the
+          // count of gaps. size(ps) ≥ MinLen whenever ps is non-null,
+          // so sequence(2, size) never hits Spark's descending-range
+          // edge; a null ps rides the coalesce to 0.
+          coalesce(expr(
+            s"""1 + size(filter(sequence(2, size(ps)),
+               |  j -> element_at(ps, j) != element_at(ps, j - 1) + 1))"""
+              .stripMargin), lit(0)).cast("long").as("n_spans"))
         .orderBy(col("doc_id"))
     })
   )
@@ -181,6 +252,50 @@ object SubstringDedup {
          |  CAST(COALESCE(pd.max_span, 0) AS BIGINT) AS max_span,
          |  COALESCE(pd.spans, '') AS spans
          |FROM documents d LEFT JOIN pd USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // Replays ownership (ROW_NUMBER over the gram bucket, (doc_id, p)
+    // order), the 8-position marking, the distinct-union, the island
+    // count (run-id = q − rank, constant per consecutive run), and the
+    // membership-filtered list-comprehension rebuild.
+    "q_dedup_substring_rebuild" ->
+      s"""WITH t AS MATERIALIZED (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |pos AS MATERIALIZED (
+         |  SELECT doc_id, p, array_to_string(w[p : p + ${MinLen - 1}], ' ')
+         |    AS gram
+         |  FROM (SELECT doc_id, w,
+         |      UNNEST(generate_series(1, len(w) - ${MinLen - 1})) AS p
+         |    FROM t WHERE len(w) >= $MinLen)),
+         |rep AS (SELECT doc_id, p FROM (
+         |    SELECT doc_id, p, ROW_NUMBER() OVER (
+         |      PARTITION BY gram ORDER BY doc_id, p) AS rn
+         |    FROM pos)
+         |  WHERE rn > 1),
+         |rmq AS (SELECT DISTINCT doc_id, q FROM (
+         |    SELECT doc_id, UNNEST(generate_series(p, p + ${MinLen - 1}))
+         |      AS q
+         |    FROM rep)),
+         |rm AS (SELECT doc_id, LIST(q ORDER BY q) AS ps,
+         |    COUNT(*) AS n_removed
+         |  FROM rmq GROUP BY doc_id),
+         |isl AS (SELECT doc_id, COUNT(DISTINCT q - rn) AS n_spans FROM (
+         |    SELECT doc_id, q, ROW_NUMBER() OVER (
+         |      PARTITION BY doc_id ORDER BY q) AS rn
+         |    FROM rmq)
+         |  GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  CASE WHEN rm.ps IS NULL THEN array_to_string(t.w, ' ')
+         |       -- COALESCE: DuckDB's array_to_string([]) is NULL, but a
+         |       -- fully-excised doc must rebuild to '' like Spark's
+         |       -- RemoveTokensAt merge
+         |       ELSE COALESCE(array_to_string([t.w[i]
+         |           for i in generate_series(1, len(t.w))
+         |           if NOT list_contains(rm.ps, i)], ' '), '')
+         |  END AS clean_text,
+         |  CAST(COALESCE(rm.n_removed, 0) AS BIGINT) AS n_removed,
+         |  CAST(COALESCE(isl.n_spans, 0) AS BIGINT) AS n_spans
+         |FROM t LEFT JOIN rm USING (doc_id) LEFT JOIN isl USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin
   )
 }

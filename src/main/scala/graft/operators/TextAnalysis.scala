@@ -28,10 +28,11 @@ object TextAnalysis {
     * consumers train the LM once per Verify/Bench pass, the BPE/IVF
     * memo pattern. Returns (doc_id, n_bigrams, score_q), unsorted. */
   private val lmMemo = new scala.collection.concurrent.TrieMap[
-    (Int, String), DataFrame]
+    (String, String), DataFrame]
 
   private[operators] def lmDocScores(s: SparkSession, d: String): DataFrame =
-    lmMemo.getOrElseUpdate((System.identityHashCode(s), d),
+    graft.MemoStats.memoized("lm_scores", lmMemo,
+      (org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s), d))(
       lmDocScoresImpl(s, d).localCheckpoint())
 
   // private[graft]: PlanSpec asserts the aggregation shape on THIS plan —
@@ -126,7 +127,7 @@ object TextAnalysis {
     * corpus or vocabulary size ([[TextAnalysisSpec]] asserts the memo
     * is exactly 3 rows). */
   private val invIdxStats = new scala.collection.concurrent.TrieMap[
-    (Int, String), Array[(String, Long, Int)]]
+    (String, String), Array[(String, Long, Int)]]
 
   /** Test-only view of the memo so the spec can assert its row bound. */
   private[graft] def invIdxStatsSizes: Iterable[Int] =
@@ -167,8 +168,8 @@ object TextAnalysis {
   private[graft] def invertedProbe(s: SparkSession, d: String)
       : (DataFrame, Array[String], Array[Int]) = {
     val base = invertedIndexPath(s, d)
-    val terms = invIdxStats.getOrElseUpdate(
-      (System.identityHashCode(s), d), {
+    val terms = graft.MemoStats.memoized("index_probe", invIdxStats,
+      (org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s), d)) {
         val stats = s.read.parquet(base)
           .groupBy(col("tok"))
           .agg(count(lit(1)).as("df"), first(col("bkt")).as("bkt"))
@@ -180,7 +181,7 @@ object TextAnalysis {
           .limit(3) // TakeOrderedAndProject: 3 rows reach the driver
           .collect()
           .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
-      })
+      }
     // the oracle hardcodes HAVING COUNT(DISTINCT tok) = 3: a corpus
     // where fewer than 3 terms clear the floor must fail loudly here,
     // not silently diverge from the replay

@@ -14,7 +14,11 @@ import graft.sources.Tables
   * segments each word by minimum total cost; EM alternates segmenting
   * (E) with re-estimating piece frequencies from the chosen
   * segmentations and pruning pieces whose loss contribution drops to
-  * zero (M). Like the reference's embedded engine, every step is
+  * zero (M). Words beyond [[MaxWordLen]] are skipped-and-counted on
+  * BOTH engines (the trainer's census scalar / the oracle's `w` CTE
+  * length filter), so real-corpus URLs and hashes degrade coverage
+  * instead of crashing training. Like the reference's embedded engine,
+  * every step is
   * replayed by the DuckDB oracle — the EM rounds unroll as CTE stages
   * exactly like [[Bpe.trainCtes]].
   *
@@ -45,11 +49,11 @@ import graft.sources.Tables
   * segmentations, broadcast-joined to the ≤ [[SeedK]]+alphabet piece
   * table), and driver traffic per round is one bounded piece-usage
   * table (≤ |vocab| rows — the k-means-centroid class, never
-  * corpus-sized). The composition table bounds word length at
-  * [[MaxWordLen]] (asserted against the corpus with one scalar
-  * aggregate — whitespace-tokenized text keeps words short; a corpus
-  * that trips it needs the table widened, a compile-time constant,
-  * or the DP spelling with a DP-consistent tie-break on both sides).
+  * corpus-sized). The composition table bounds segmentable word length
+  * at [[MaxWordLen]]; longer words are censused with one scalar
+  * aggregate and skipped (see [[TrainStats]]) — a corpus where they
+  * matter needs the table widened, a compile-time constant, or the DP
+  * spelling with a DP-consistent tie-break on both sides.
   */
 object UnigramLm {
 
@@ -88,14 +92,24 @@ object UnigramLm {
     compRows.toDF("len", "seg_id", "n_parts", "idx", "start", "plen")
   }
 
-  /** The corpus projection every round runs on: distinct words with
-    * counts — vocabulary-sized, one corpus shuffle (see [[Bpe]]). */
-  private def baseWords(s: SparkSession, d: String): DataFrame =
+  /** Distinct words with counts, UNBOUNDED length — the raw projection
+    * the trainer profiles for over-long words before filtering. */
+  private def rawWords(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("w"))
       .where(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
       .coalesce(4)
+
+  /** The corpus projection every round runs on: distinct words with
+    * counts — vocabulary-sized, one corpus shuffle (see [[Bpe]]).
+    * Words longer than [[MaxWordLen]] are SKIPPED (and counted by the
+    * trainer — see [[TrainStats]]), not fatal: the composition table
+    * cannot segment them, so they are excluded from the alphabet, the
+    * seeds, EM, and the encode passes alike, and the oracle's `w` CTE
+    * applies the identical length filter. */
+  private def baseWords(s: SparkSession, d: String): DataFrame =
+    rawWords(s, d).where(length(col("w")) <= MaxWordLen)
 
   /** Piece table with floor-quantized -ln costs; total is an exact
     * integer sum, the ln rides Spark's codegen'd log (the same
@@ -142,7 +156,12 @@ object UnigramLm {
     * always in the vocabulary. */
   private def greedySegs(s: SparkSession, words: DataFrame,
       vocab: Seq[String]): DataFrame = {
-    val mapLit = vocab.sorted.map(p => s"'$p','$p'")
+    // pieces are corpus-derived strings interpolated into SQL literals:
+    // escape backslash and quote or a token like "it's" breaks expr()
+    // parsing (ADVICE r9) — UnigramLmSpec round-trips both characters
+    def lit0(p: String): String =
+      "'" + p.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    val mapLit = vocab.sorted.map(p => s"${lit0(p)},${lit0(p)}")
       .mkString("map(", ",", ")")
     def pc(pos: String) = (MaxPieceLen to 1 by -1)
       .map(l => s"element_at($mapLit, substring(w, $pos, $l))")
@@ -156,23 +175,49 @@ object UnigramLm {
          |  acc -> substring(acc.seg, 2))""".stripMargin).as("seg"))
   }
 
-  /** Memoized final vocabulary (piece, freq) per (session, dataset) —
-    * bounded at ≤ [[SeedK]] + alphabet rows, the same bounded-scalar
-    * class as the BPE merge table. */
+  /** Trainer result + instrumentation: the final vocabulary (bounded at
+    * ≤ [[SeedK]] + alphabet rows), the skipped over-long-word counts
+    * (distinct types / weighted tokens), per-phase walls (seed stage vs
+    * EM rounds — the two costs that scale differently with |vocab|),
+    * and the largest per-round usage map (= the driver traffic bound,
+    * ≤ alphabet + SeedK rows by construction). The phase walls feed
+    * ScaleProbe's vocab-growth section (SCALE.md §22). */
+  private[graft] case class TrainStats(vocab: Seq[(String, Long)],
+      skippedTypes: Long, skippedTokens: Long,
+      seedWallS: Double, emWallS: Double, usageRowsMax: Long)
+
+  /** Memoized [[TrainStats]] per (session UUID, dataset). */
   private val memo = new scala.collection.concurrent.TrieMap[
-    (Int, String), Seq[(String, Long)]]
+    (String, String), TrainStats]
 
   private[graft] def train(s: SparkSession, d: String): Seq[(String, Long)] =
-    memo.getOrElseUpdate((System.identityHashCode(s), d), trainImpl(s, d))
+    stats(s, d).vocab
 
-  private def trainImpl(s: SparkSession, d: String): Seq[(String, Long)] = {
-    val words = baseWords(s, d).cache()
+  private[graft] def stats(s: SparkSession, d: String): TrainStats =
+    graft.MemoStats.memoized("unigram_vocab", memo,
+      (org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s), d))(
+      trainImpl(s, d))
+
+  private def trainImpl(s: SparkSession, d: String): TrainStats = {
+    val all = rawWords(s, d).cache()
     try {
-      // one scalar: the composition-table bound must hold, loudly
-      val mx = words.agg(max(length(col("w")))).head.getInt(0)
-      require(mx <= MaxWordLen,
-        s"unigram trainer's composition table covers words up to " +
-          s"$MaxWordLen chars; corpus has a $mx-char word")
+      // one scalar row: corpus non-emptiness (a NULL max would NPE
+      // opaquely — ADVICE r9) and the over-long-word census. Long words
+      // are SKIPPED AND COUNTED, not fatal: real corpora carry URLs and
+      // hashes the composition table was never meant to segment.
+      val prof = all.agg(
+        count(lit(1)).as("types"),
+        coalesce(sum(when(length(col("w")) > MaxWordLen, lit(1L))), lit(0L)),
+        coalesce(sum(when(length(col("w")) > MaxWordLen, col("n"))),
+          lit(0L))).head
+      require(prof.getLong(0) > 0L,
+        "unigram trainer: empty corpus (no non-empty words)")
+      val (skTypes, skToks) = (prof.getLong(1), prof.getLong(2))
+      require(prof.getLong(0) > skTypes,
+        s"unigram trainer: every word exceeds MaxWordLen=$MaxWordLen — " +
+          "nothing to train on")
+      val words = all.where(length(col("w")) <= MaxWordLen)
+      val t0 = System.nanoTime()
       // alphabet with weighted char frequencies — ≤ alphabet rows
       val chars = words
         .select(col("n"), explode(split(col("w"), "")).as("p"))
@@ -192,7 +237,10 @@ object UnigramLm {
         .where(col("freq") >= 2)
         .orderBy(col("freq").desc, col("p")).limit(SeedK)
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val seedWall = (System.nanoTime() - t0) / 1e9
       var vocab: Seq[(String, Long)] = chars ++ seedMulti
+      var usageMax = 0L
+      val t1 = System.nanoTime()
       for (_ <- 1 to Rounds) {
         // E: segment; M: piece usage (≤ |vocab| rows to the driver),
         // chars floored at 1, zero-usage multi pieces pruned
@@ -201,12 +249,14 @@ object UnigramLm {
             explode(split(expr("substring(best, 10)"), "~")).as("p"))
           .groupBy(col("p")).agg(sum(col("n")).as("u"))
           .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+        usageMax = math.max(usageMax, usage.size.toLong)
         vocab = chars.map { case (c, _) =>
             (c, math.max(usage.getOrElse(c, 0L), 1L)) } ++
           usage.toSeq.filter(_._1.length >= 2).sortBy(_._1)
       }
-      vocab
-    } finally words.unpersist()
+      TrainStats(vocab, skTypes, skToks, seedWall,
+        (System.nanoTime() - t1) / 1e9, usageMax)
+    } finally { all.unpersist(); () }
   }
 
   val defs: Map[String, Q] = Map(
@@ -314,7 +364,7 @@ object UnigramLm {
   private def baseCtes: String =
     s"""WITH w AS MATERIALIZED (SELECT w, COUNT(*) AS n FROM (
        |    SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
-       |  WHERE w <> '' GROUP BY w),
+       |  WHERE w <> '' AND LENGTH(w) <= $MaxWordLen GROUP BY w),
        |comp AS (SELECT * FROM (VALUES
        |$compValues) AS t(len, seg_id, n_parts, pls, sts)),
        |cp AS MATERIALIZED (SELECT len, seg_id, n_parts,

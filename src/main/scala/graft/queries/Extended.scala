@@ -245,6 +245,7 @@ object Extended {
       Tables.documents(s, d).repartitionByRange(8, col("doc_id"))
         .write.mode("overwrite").parquet(base)
     val manifest = zmapManifests.synchronized {
+      graft.MemoStats.record("zonemap_manifest", zmapManifests.contains(base))
       zmapManifests.getOrElseUpdate(base, {
         s.read.parquet(base)
           .groupBy(input_file_name().as("file"))

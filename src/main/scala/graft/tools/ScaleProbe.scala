@@ -222,7 +222,7 @@ object ScaleProbe {
       .getOrElse(Set("pipeline", "cc_corpus", "cc_chain", "topk",
         "lsh", "semantic", "recall", "graph", "triangles", "cdc", "kcore",
         "prefix", "blocklist", "novelty", "linkage", "stream", "codec",
-        "kgrouped", "invidx", "substring", "unigram"))
+        "kgrouped", "invidx", "substring", "unigram", "vocab"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outBase = s"${sys.props("java.io.tmpdir")}/graft_scale"
@@ -688,6 +688,78 @@ object ScaleProbe {
         s""""memo_wall_s":${f"$wMemo%.2f"},""" +
         s""""shuffle_mb":${(sw + sr) / 1048576},""" +
         s""""spill_mb":${sp / 1048576}}""")
+    }
+
+    // ---- vocab: tokenizer-training cost vs VOCABULARY size ----------
+    // The unigram probe above replicates the corpus VERBATIM, which
+    // pins distinct words at the fixture's 31 types — the one term the
+    // EM cost claim (O(|vocab| · segmentations · rounds) on the
+    // distinct-word projection) depends on was never grown (r9 verdict
+    // item 1). This section synthesizes corpora whose VOCABULARY is the
+    // scale axis: n hash-distinct 7-char words (within MaxWordLen — the
+    // tagged amplifier's 10-char tokens violate the composition bound,
+    // which is why the verbatim probe ducked this), packed 100 words
+    // per document, each type occurring once. Measured per |vocab|:
+    // the seed stage (substring explode → TakeOrdered(SeedK)), the EM
+    // rounds (the enumerate-and-min segmentation join), the max
+    // usage-map rows returned to the driver (the claim: bounded at
+    // alphabet + SeedK regardless of |vocab|), and the BPE trainer's
+    // 20-round wall on the same corpus for the family comparison.
+    if (sections("vocab")) {
+      val targets = Seq(10000, 100000) ++
+        (if (maxFactor >= 100) Seq(1000000) else Nil)
+      targets.foreach { n =>
+        val dir = s"$outBase/vocab_$n"
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$dir/documents.parquet/_SUCCESS")
+        if (!marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(marker)) {
+          // word(id) = 5 base-26 digits of id (distinctness) + 2 of a
+          // multiplicative hash (so prefixes don't dominate the seed
+          // stats); deterministic, RNG-free, 7 chars < MaxWordLen
+          val digits = (4 to 0 by -1).map(j =>
+            s"chr(97 + (id div ${Seq.fill(j)(26L).product}) % 26)")
+            .mkString(", ")
+          spark.range(n)
+            .withColumn("h", pmod(col("id") * 2654435761L, lit(676L)))
+            .select((col("id") / 100).cast("long").as("doc_id"),
+              pmod(col("id"), lit(100L)).cast("int").as("i"),
+              expr(s"concat($digits, chr(97 + (h div 26) % 26), " +
+                "chr(97 + h % 26))").as("w"))
+            .groupBy(col("doc_id"))
+            .agg(expr("array_join(transform(array_sort(" +
+              "collect_list(struct(i, w))), x -> x.w), ' ')").as("text"))
+            .select(col("doc_id"), col("text"), lit("en").as("lang"),
+              lit("synth").as("source"),
+              length(col("text")).cast("long").as("n_chars"))
+            .repartition(32)
+            .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        }
+        val prof = Tables.documents(spark, dir)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .where(col("w") =!= "")
+          .agg(count(lit(1)).as("toks"), countDistinct(col("w")).as("words"))
+          .collect()(0)
+        val t0 = System.nanoTime()
+        val st = graft.operators.UnigramLm.stats(spark, dir)
+        val trainWall = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        val t1 = System.nanoTime()
+        val (_, merges) = graft.operators.Bpe.train(spark, dir)
+        val bpeWall = (System.nanoTime() - t1) / 1e9
+        spark.catalog.clearCache()
+        emit(s"""{"probe":"unigram_vocab","types":$n,""" +
+          s""""distinct_words":${prof.getLong(1)},""" +
+          s""""tokens":${prof.getLong(0)},""" +
+          s""""train_wall_s":${f"$trainWall%.2f"},""" +
+          s""""seed_wall_s":${f"${st.seedWallS}%.2f"},""" +
+          s""""em_wall_s":${f"${st.emWallS}%.2f"},""" +
+          s""""usage_rows_max":${st.usageRowsMax},""" +
+          s""""vocab_rows":${st.vocab.size},""" +
+          s""""skipped_types":${st.skippedTypes},""" +
+          s""""bpe_rounds":${merges.length},""" +
+          s""""bpe_wall_s":${f"$bpeWall%.2f"}}""")
+      }
     }
 
     // ---- stream: stateful streaming state vs event volume -----------

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q_contamination_semantic — eval-set leakage in PARAPHRASED form.
+  *
+  * The planted-leak test is the reason this operator exists: a corpus
+  * document that is a high-cosine but zero-shingle-overlap rewrite of an
+  * eval document is provably invisible to the shingle-exact
+  * q_contamination (n_shared = 0 < 5) and must surface through the
+  * embedding path. The fixture-side test pins the SRP candidate stage
+  * to an exact bipartite rescore: every emitted pair must carry the
+  * decimal-exact cosine the brute-force join computes, and never a pair
+  * below the threshold.
+  */
+class ContaminationSemanticSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def q(n: String) = SparkEntry.queries(n)(spark, sf)
+
+  test("semantic pairs are an exact-rescored subset of the bipartite join") {
+    import graft.functions.VectorFunctions.decimal_dot
+    val e = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"),
+        decimal_dot(col("embedding").cast("array<double>"),
+          col("embedding").cast("array<double>")).cast("double").as("nsq"))
+    val exact = e.where(col("label") =!= 0).as("a")
+      .crossJoin(e.where(col("label") === 0).as("b"))
+      .select(col("a.vec_id").as("corpus_id"), col("b.vec_id").as("eval_id"),
+        (decimal_dot(col("a.v"), col("b.v")).cast("double") /
+          sqrt(col("a.nsq") * col("b.nsq"))).as("cos"))
+      .where(col("cos") > 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val got = q("q_contamination_semantic").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.nonEmpty, "banding should surface at least some pairs")
+    got.foreach { case (pair, cos) =>
+      assert(exact.get(pair).contains(cos),
+        s"$pair not in (or differs from) the exact bipartite baseline")
+    }
+  }
+
+  test("a paraphrased leak invisible to shingles surfaces semantically") {
+    import spark.implicits._
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_contam_plant"
+    // 20 distinct words; the paraphrase REVERSES them, so the two texts
+    // share zero trigram shingles but (by construction below) nearly
+    // identical embeddings — the high-cosine / low-Jaccard regime
+    val words = (0 until 20).map(i => s"w$i")
+    val evalTxt = words.mkString(" ")
+    val paraTxt = words.reverse.mkString(" ")
+    val fillers = (2 until 12).map(i =>
+      (i.toLong, (0 until 8).map(j => s"f${i}x$j").mkString(" "),
+        "en", s"src${1 + i % 3}"))
+    val docs = Seq(
+      (0L, evalTxt, "en", "src0"),
+      (1L, paraTxt, "en", "src1")) ++ fillers
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val base = Array.tabulate(64)(j => math.sin(j + 1.0).toFloat)
+    val para = base.clone(); para(0) = para(0) + 0.01f
+    val vecs = Seq((0L, base.toSeq, 0), (1L, para.toSeq, 1)) ++
+      (2 until 12).map { i =>
+        // one-hot fillers on distinct dims: pairwise orthogonal, and
+        // cos vs the planted pair ≤ 1/||base|| ≈ 0.18 < the 0.35 τ
+        val v = Array.fill(64)(0.0f); v((i * 5) % 64) = 1.0f
+        (i.toLong, v.toSeq, 1 + i % 4)
+      }
+    vecs.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+
+    // the shingle check provably misses the paraphrase...
+    val shingle = SparkEntry.queries("q_contamination")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!shingle.contains((1L, 0L)),
+      "reversed word order must defeat the trigram-shingle check")
+    // ...and the semantic check catches it, with near-unit cosine
+    val sem = SparkEntry.queries("q_contamination_semantic")(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val hit = sem.find(_._1 == ((1L, 0L)))
+    assert(hit.isDefined, s"planted paraphrase pair not found in $sem")
+    assert(hit.get._2 > 0.99, s"planted pair cosine ${hit.get._2}")
+    // no filler sneaks in
+    assert(sem.forall(_._1 == ((1L, 0L))), s"unexpected pairs: $sem")
+  }
+}

@@ -680,6 +680,27 @@ class PlanSpec extends AnyFunSuite {
         graft.operators.TextAnalysis.invIdxStatsSizes.mkString(","))
   }
 
+  test("substring rebuild derives removal AND rebuild from ≤2 corpus reads") {
+    val df = SparkEntry.queries("q_dedup_substring_rebuild")(spark, sfDir)
+    assert(fileReads(df, "documents.parquet") <= 2,
+      s"rebuild reads documents ${fileReads(df, "documents.parquet")} times")
+  }
+
+  test("incremental ANN folds the delta without retraining (2 bounded " +
+      "scalar broadcasts, no cartesian)") {
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val df = SparkEntry.queries("q_sim_ann_incremental")(spark, sfDir)
+    val nodes = walkPlan(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
+      "incremental ANN must never build a cross product")
+    // exactly the two k-row centroid broadcasts (stored-assign +
+    // delta-assign) may plan as nested loops — anything more means a
+    // data-sized relation leaked into the unconditioned join
+    val bnlj = nodes.count(_.isInstanceOf[BroadcastNestedLoopJoinExec])
+    assert(bnlj <= 2, s"expected ≤2 centroid-broadcast BNLJs, got $bnlj")
+  }
+
   test("star join prunes fact partitions at runtime (DPP)") {
     val p = graft.queries.Extended.dppStarJoin(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -155,4 +155,63 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(vocab.size <= SeedK + 26,
       s"vocabulary ${vocab.size} exceeds the bounded-memo contract")
   }
+
+  test("over-long words are skipped and counted, not fatal") {
+    import spark.implicits._
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_unigram_longword"
+    // 'z' appears ONLY inside the 15-char word — if the skip leaks, the
+    // alphabet (which is never pruned) would betray it
+    Seq(
+      (0L, "alpha beta gamma alpha beta", "en", "src1"),
+      (1L, "zzzzzzzzzzzzzzz beta gamma delta epsilon", "en", "src1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val st = graft.operators.UnigramLm.stats(spark, dir)
+    assert(st.skippedTypes == 1L && st.skippedTokens == 1L,
+      s"expected exactly the 15-char word skipped: $st")
+    assert(st.vocab.forall(p => !p._1.contains("z")),
+      s"skipped word leaked into the vocabulary: ${st.vocab}")
+    // the encode passes drop the skipped word but keep the document
+    val ids = SparkEntry.queries("q_text_unigram_ids")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(ids.length == 2, "both docs must still be emitted")
+    val vocabIds = st.vocab.sortBy { case (p, f) => (-f, p) }.zipWithIndex
+      .map { case ((p, _), i) => ((i + 1).toLong, p) }.toMap
+    val doc1 = ids.toMap.apply(1L).split("-")
+      .map(s => vocabIds(s.toLong)).mkString
+    assert(doc1 == "betagammadeltaepsilon",
+      s"doc 1 should encode only its in-bound words: $doc1")
+  }
+
+  test("vocab pieces with SQL metacharacters survive the greedy encode") {
+    import spark.implicits._
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_unigram_quotes"
+    // words containing a single quote and a backslash: both end up in
+    // the trained alphabet, so the wordpiece map literal must escape
+    // them or expr() parsing breaks (ADVICE r9)
+    Seq(
+      (0L, raw"it's can't it's a\b won't", "en", "src1"),
+      (1L, raw"it's a\b a\b can't quote", "en", "src1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q_text_wordpiece")(spark, dir).collect()
+    assert(rows.length == 2, "both docs must encode")
+    assert(rows.forall(_.getLong(1) > 0), "every doc gets some pieces")
+    // round-trip through the id table proves the lookups matched the
+    // REAL pieces, not a mangled escape
+    val st = graft.operators.UnigramLm.stats(spark, dir)
+    val vocabIds = st.vocab.sortBy { case (p, f) => (-f, p) }.zipWithIndex
+      .map { case ((p, _), i) => ((i + 1).toLong, p) }.toMap
+    rows.foreach { r =>
+      val decoded = r.getString(2).split("-")
+        .map(s => vocabIds(s.toLong)).mkString
+      val doc = if (r.getLong(0) == 0L) raw"it'scan'tit'sa\bwon't"
+                else raw"it'sa\ba\bcan'tquote"
+      assert(decoded == doc, s"doc ${r.getLong(0)} round-trip: $decoded")
+    }
+  }
 }
