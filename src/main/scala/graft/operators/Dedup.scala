@@ -1415,6 +1415,89 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // ================= THE END-TO-END PIPELINE, v2 ====================
+    // v1's stage order predates substring dedup (r9 verdict): the
+    // Lee-et-al. production order runs exact-substring SPAN REMOVAL on
+    // the deduplicated corpus — exact dedup FIRST (the measured ×100
+    // lesson: replica cliques both explode the suffix buckets and break
+    // df-capped shingles, SCALE.md §12), then the despan rebuild, and
+    // only then near-dup clustering, canonical selection, cap, and
+    // packing — all downstream stages consuming the CLEANED text:
+    // shingles, quality, and token counts are recomputed on the
+    // despanned arrays, so packing bins reflect the tokens a trainer
+    // would actually see. Stage shapes are the standalone operators'
+    // (q_dedup_substring_rebuild's ownership window + RemoveTokensAt;
+    // v1's CC/canonical/cap/pack); everything still derives from the
+    // ONE cached e2eExact projection (despan re-splits survivor text in
+    // a projection — no extra corpus read, PlanSpec pins ≤2), and the
+    // emitted rows carry the per-doc removed-token count so the despan
+    // stage's work is visible in the output.
+    "q_pipeline_e2e_v2" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val surv = e2eExact(s, d)
+        .select(col("doc_id"), col("source"), col("lang"),
+          split(col("text"), " ").as("w"))
+      // substring despan over the exact survivors (occurrence-grain
+      // ownership — the q_dedup_substring_rebuild stage verbatim)
+      val pos = surv.where(size(col("w")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(w) - 7), p -> struct(
+            |  p AS p, concat_ws(' ', slice(w, p, 8)) AS gram))"""
+            .stripMargin)).as("x"))
+        .select(col("doc_id"), col("x.p").as("p"), col("x.gram").as("gram"))
+      val rm = pos
+        .withColumn("rn", row_number().over(Window.partitionBy(col("gram"))
+          .orderBy(col("doc_id"), col("p"))))
+        .where(col("rn") > 1)
+        .select(col("doc_id"),
+          explode(sequence(col("p"), col("p") + lit(7))).as("q"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_set(col("q"))).as("ps"))
+      // rebuild + REFUNNEL: a despanned doc below the 30-token floor no
+      // longer carries enough signal to train on and exits the pipeline
+      val clean = surv.join(rm, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), col("lang"),
+          coalesce(size(col("ps")), lit(0)).cast("long").as("n_rm"),
+          when(col("ps").isNull, concat_ws(" ", col("w")))
+            .otherwise(graft.functions.TextFunctions.remove_tokens_at(
+              col("w"), expr("transform(ps, x -> x - 1)"))).as("ct"))
+        .select(col("doc_id"), col("source"), col("lang"), col("n_rm"),
+          split(col("ct"), " ").as("toks"))
+        .where(size(col("toks")) >= 30)
+      // near-dup clustering on the CLEANED shingles
+      val g2 = clean.select(col("doc_id"), expr(ShingleExpr).as("sh"))
+      val pairs = jaccardPairsFrom(g2)
+        .select(col("doc_a"), col("doc_b")).cache()
+      val edges = pairs.unionAll(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .toDF("src", "dst")
+      val docs = clean.select(col("doc_id"), col("source"), col("lang"),
+        col("n_rm"), size(col("toks")).cast("long").as("n_tok"),
+        size(array_distinct(col("toks"))).as("quality"),
+        col("doc_id").as("lbl"))
+      val (labels, _) = connectedComponents(docs, edges)
+      pairs.unpersist()
+      val wc = Window.partitionBy(col("lbl"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      val canon = labels.withColumn("rn", row_number().over(wc))
+        .where(col("rn") === 1)
+      val wd = Window.partitionBy(col("source"))
+        .orderBy(col("hs"), col("doc_id"))
+      val capped = canon
+        .withColumn("hs",
+          expr("shiftright((doc_id % 1048576) * 2654435761, 16)"))
+        .withColumn("rk", row_number().over(wd))
+        .where(col("rk") <= 10)
+      val wp = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      capped
+        .withColumn("cum", sum(col("n_tok")).over(wp))
+        .withColumn("bin", ((col("cum") - col("n_tok")) / 2048).cast("long"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_tok"),
+          col("n_rm"), col("bin"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact set-similarity self-join via PREFIX FILTERING (the PPJoin
     // family's core): trigram-shingle Jaccard ≥ 1/2 with NO false
     // negatives (unlike LSH) and NO df-cap compromise (unlike the
@@ -2265,6 +2348,91 @@ object Dedup {
         |     - n_tok) // 2048 AS bin
         |  FROM capped)
         |SELECT doc_id, lang, source, n_tok, bin FROM packed
+        |ORDER BY doc_id""".stripMargin,
+
+    // v1's funnel/exact CTEs, then the substring-rebuild replay over the
+    // exact survivors, the ≥30-token refunnel on CLEANED tokens, and
+    // v1's cluster/canonical/cap/pack chain recomputed on the cleaned
+    // arrays (shingles, quality, n_tok all post-despan).
+    "q_pipeline_e2e_v2" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, lang, text, string_split(text, ' ') AS w
+        |  FROM documents),
+        |f AS (
+        |  SELECT * FROM t
+        |  WHERE len(w) >= 30
+        |    AND CAST(len(list_distinct(w)) AS DOUBLE) / len(w) > 0.45
+        |    AND len(list_filter(w, x -> x = 'a' OR x = 'the')) > 0),
+        |e AS (
+        |  SELECT * FROM (
+        |    SELECT f.*, MIN(doc_id) OVER (PARTITION BY text) AS keep_id
+        |    FROM f)
+        |  WHERE doc_id = keep_id),
+        |pos2 AS MATERIALIZED (
+        |  SELECT doc_id, p, array_to_string(w[p : p + 7], ' ') AS gram
+        |  FROM (SELECT doc_id, w,
+        |      UNNEST(generate_series(1, len(w) - 7)) AS p
+        |    FROM e WHERE len(w) >= 8)),
+        |rep2 AS (SELECT doc_id, p FROM (
+        |    SELECT doc_id, p, ROW_NUMBER() OVER (
+        |      PARTITION BY gram ORDER BY doc_id, p) AS rn
+        |    FROM pos2)
+        |  WHERE rn > 1),
+        |rmq2 AS (SELECT DISTINCT doc_id, q FROM (
+        |    SELECT doc_id, UNNEST(generate_series(p, p + 7)) AS q
+        |    FROM rep2)),
+        |rm2 AS (SELECT doc_id, LIST(q ORDER BY q) AS ps FROM rmq2
+        |  GROUP BY doc_id),
+        |d2 AS MATERIALIZED (
+        |  SELECT e.doc_id, e.source, e.lang,
+        |    CAST(COALESCE(len(rm2.ps), 0) AS BIGINT) AS n_rm,
+        |    CASE WHEN rm2.ps IS NULL THEN e.w
+        |         ELSE [e.w[i] for i in generate_series(1, len(e.w))
+        |               if NOT list_contains(rm2.ps, i)] END AS w
+        |  FROM e LEFT JOIN rm2 USING (doc_id)),
+        |d3 AS (SELECT * FROM d2 WHERE len(w) >= 30),
+        |g AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                       for i in generate_series(1, len(w) - 2)])
+        |      ELSE [array_to_string(w, ' ')] END AS sh
+        |      FROM d3),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        len(list_intersect(a.sh, b.sh)) AS inter,
+        |        len(a.sh) AS na, len(b.sh) AS nb
+        |      FROM g a JOIN g b ON a.doc_id < b.doc_id),
+        |pairs AS (SELECT doc_a, doc_b FROM p
+        |          WHERE inter / (na + nb - inter) > 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |rec AS (
+        |  WITH RECURSIVE reach(id, lbl) AS (
+        |    SELECT doc_id, doc_id FROM d3
+        |    UNION
+        |    SELECT e2.dst, r.lbl FROM reach r JOIN edges e2 ON e2.src = r.id
+        |    WHERE r.lbl < e2.dst
+        |  ) SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+        |q AS (SELECT d.doc_id, d.source, d.lang, d.n_rm,
+        |        CAST(len(d.w) AS BIGINT) AS n_tok,
+        |        len(list_distinct(d.w)) AS quality, r.cluster_id
+        |      FROM d3 d JOIN rec r ON r.id = d.doc_id),
+        |canon AS (
+        |  SELECT * FROM (
+        |    SELECT q.*, ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |      ORDER BY quality DESC, doc_id) AS rn FROM q)
+        |  WHERE rn = 1),
+        |capped AS (
+        |  SELECT * FROM (
+        |    SELECT c.*, ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY ((doc_id % 1048576) * 2654435761 >> 16), doc_id) AS rk
+        |    FROM canon c)
+        |  WHERE rk <= 10),
+        |packed AS (
+        |  SELECT doc_id, lang, source, n_tok, n_rm,
+        |    (CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |     - n_tok) // 2048 AS bin
+        |  FROM capped)
+        |SELECT doc_id, lang, source, n_tok, n_rm, bin FROM packed
         |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_embedding_lsh" ->

@@ -736,6 +736,13 @@ class PlanSpec extends AnyFunSuite {
       s"full pipeline reads documents " +
         s"${fileReads(full, "documents.parquet")} times")
     spark.catalog.clearCache()
+    // v2 inserts the despan stage (a projection off the same cached
+    // survivors — re-splitting text costs no extra corpus read)
+    val v2 = SparkEntry.queries("q_pipeline_e2e_v2")(spark, sfDir)
+    assert(fileReads(v2, "documents.parquet") <= 2,
+      s"v2 pipeline reads documents " +
+        s"${fileReads(v2, "documents.parquet")} times")
+    spark.catalog.clearCache()
   }
 
   test("SCD2 merge is ONE join with map-side version emit, no union re-scan") {
