@@ -222,7 +222,7 @@ object ScaleProbe {
       .getOrElse(Set("pipeline", "cc_corpus", "cc_chain", "topk",
         "lsh", "semantic", "recall", "graph", "triangles", "cdc", "kcore",
         "prefix", "blocklist", "novelty", "linkage", "stream", "codec",
-        "kgrouped", "invidx", "substring", "unigram", "vocab"))
+        "kgrouped", "invidx", "substring", "unigram", "vocab", "ann_inc"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outBase = s"${sys.props("java.io.tmpdir")}/graft_scale"
@@ -640,6 +640,65 @@ object ScaleProbe {
         s""""dup_tokens":${row.getLong(1)},""" +
         s""""wall_s":${f"$w%.2f"},"shuffle_mb":${(sw + sr) / 1048576},""" +
         s""""spill_mb":${sp / 1048576}}""")
+      // the REBUILD stage on the same corpus: ownership window + the
+      // 8-position explode + per-doc RemoveTokensAt — the fam-0 replica
+      // cliques make virtually every window of a replica doc a repeat,
+      // so the marked-position volume is the worst case the interval
+      // machinery can see at each factor
+      val qr = graft.SparkEntry.queries("q_dedup_substring_rebuild")
+      val runs2 = Seq.fill(2) {
+        val r = measured(spark, agg) {
+          qr(spark, dir)
+            .agg(sum((col("n_removed") > 0).cast("long")).as("docs_touched"),
+              sum(col("n_removed")).as("removed_tokens"))
+            .collect()(0)
+        }
+        spark.catalog.clearCache()
+        r
+      }
+      val (row2, w2, sw2, sr2, sp2, _) = runs2.minBy(_._2)
+      emit(s"""{"probe":"substring_rebuild","factor":$f,"docs":$nDocs,""" +
+        s""""docs_touched":${row2.getLong(0)},""" +
+        s""""removed_tokens":${row2.getLong(1)},""" +
+        s""""wall_s":${f"$w2%.2f"},""" +
+        s""""shuffle_mb":${(sw2 + sr2) / 1048576},""" +
+        s""""spill_mb":${sp2 / 1048576}}""")
+    }
+
+    // ---- ann_inc: delta-fold cost vs full index build ----------------
+    // The incremental-ANN claim made measurable: folding a delta batch
+    // into the stored IVF index costs ONE broadcast-assignment job over
+    // the delta, independent of the stored corpus — vs the full build's
+    // two Lloyd rounds over everything. Both paths run on the amplified
+    // embeddings (fam-0 exact cliques, fam-1 near-dups, isotropic fill);
+    // recorded per factor: centroid-training wall (the stored-index
+    // build), the delta-only assignment wall, the full one-shot
+    // assignment wall (what a naive nightly rebuild would pay for
+    // assignment alone), and the row split.
+    if (sections("ann_inc")) factors.foreach { f =>
+      val dir = if (f == 1) sfDir
+        else amplifyEmbeddings(spark, sfDir, f, outBase)
+      val nVec = Tables.embeddings(spark, dir).count()
+      val t0 = System.nanoTime()
+      val (stored, delta, oneShot, cents, cut) =
+        graft.operators.Similarity.annIncrementalParts(spark, dir)
+      val trainWall = (System.nanoTime() - t0) / 1e9
+      val (deltaRows, wDelta, swD, srD, spD, _) =
+        measured(spark, agg) { delta.count() }
+      val (storedRows, wStored, _, _, _, _) =
+        measured(spark, agg) { stored.count() }
+      val (_, wFull, _, _, _, _) =
+        measured(spark, agg) { oneShot.count() }
+      emit(s"""{"probe":"ann_inc","factor":$f,"vectors":$nVec,""" +
+        s""""cut":$cut,"cells":${cents.size},""" +
+        s""""train_wall_s":${f"$trainWall%.2f"},""" +
+        s""""delta_rows":$deltaRows,"stored_rows":$storedRows,""" +
+        s""""delta_assign_wall_s":${f"$wDelta%.2f"},""" +
+        s""""stored_assign_wall_s":${f"$wStored%.2f"},""" +
+        s""""full_assign_wall_s":${f"$wFull%.2f"},""" +
+        s""""delta_shuffle_kb":${(swD + srD) / 1024},""" +
+        s""""spill_mb":${spD / 1048576}}""")
+      spark.catalog.clearCache()
     }
 
     // ---- unigram: tokenizer-training cost vs corpus volume ----------
