@@ -623,6 +623,44 @@ object Similarity {
         .orderBy(col("query_id"), col("rn"))
     }),
 
+    // The WHEN-to-retrain signal for the incrementally-maintained index
+    // (the production knob SCALE.md §23 leaves open): PSI between the
+    // stored index's cell-occupancy distribution and the delta batch's —
+    // the q_drift_psi kernel pointed at the index itself. A delta that
+    // concentrates in few cells (new data from a different manifold)
+    // shows up as a large positive PSI long before per-cell scan costs
+    // degrade; a delta that mirrors the stored distribution folds in
+    // indefinitely. Laplace-smoothed over the occupied-cell spine,
+    // per-cell terms 1e9-floor-quantized (the established ln envelope)
+    // so the oracle replays exactly. Scale shape: two k-row aggregates
+    // off the already-maintained posting counts + one 1-row broadcast —
+    // the monitor is free relative to the fold it governs.
+    "q_sim_ann_drift" -> ((s, d) => {
+      val (stored, delta, _, _, _) = annIncrementalParts(s, d)
+      val cs = stored.groupBy(col("cell")).agg(count(lit(1)).as("c_s"))
+      val cd = delta.groupBy(col("cell")).agg(count(lit(1)).as("c_d"))
+      // k-row occupancy table, materialized ONCE (localCheckpoint — the
+      // zone-map-manifest pattern): both consumers (the totals aggregate
+      // and the per-cell projection) would otherwise re-derive the two
+      // assignment broadcasts each
+      val cells = cs.join(cd, Seq("cell"), "full")
+        .select(col("cell"), coalesce(col("c_s"), lit(0L)).as("c_s"),
+          coalesce(col("c_d"), lit(0L)).as("c_d"))
+        .localCheckpoint()
+      val tot = cells.agg(sum(col("c_s")).as("n_s"),
+        sum(col("c_d")).as("n_d"), count(lit(1)).as("k"))
+      cells.join(broadcast(tot))
+        .withColumn("p_s", (col("c_s") + 1).cast("double") /
+          (col("n_s") + col("k")).cast("double"))
+        .withColumn("p_d", (col("c_d") + 1).cast("double") /
+          (col("n_d") + col("k")).cast("double"))
+        .select(col("cell"), col("c_s").as("n_stored"),
+          col("c_d").as("n_delta"),
+          floor((col("p_d") - col("p_s")) * log(col("p_d") / col("p_s"))
+            * lit(1e9)).cast("long").as("psi_term_nn"))
+        .orderBy(col("cell"))
+    }),
+
     // Product-quantization ANN (IVF-PQ's compression half): split the
     // 64-dim vector into 8 subspaces of 8 dims, learn a 4-centroid
     // codebook per subspace (stride-spread seed sub-vectors, one
@@ -1558,6 +1596,32 @@ object Similarity {
         |      FROM sc)
         |SELECT query_id, neighbor_id, cos, rn, is_new FROM r
         |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin),
+
+    // Same old-trained clustering replay; then per-cell stored/delta
+    // occupancy, the Laplace-smoothed PSI terms, 1e9-floor-quantized.
+    "q_sim_ann_drift" -> (s"WITH ${ivfCtesGen(
+      "cutv AS (SELECT (MAX(vec_id) * 4) // 5 AS cut FROM embeddings),\n",
+      "vec_id < (SELECT cut FROM cutv)")},\n" +
+      """cs AS (SELECT cell, COUNT(*) AS c_s FROM w CROSS JOIN cutv
+        |       WHERE vec_id < cutv.cut GROUP BY cell),
+        |cd AS (SELECT cell, COUNT(*) AS c_d FROM w CROSS JOIN cutv
+        |       WHERE vec_id >= cutv.cut GROUP BY cell),
+        |occ AS (SELECT cell, COALESCE(c_s, 0) AS c_s,
+        |          COALESCE(c_d, 0) AS c_d
+        |        FROM cs FULL JOIN cd USING (cell)),
+        |tot AS (SELECT CAST(SUM(c_s) AS BIGINT) AS n_s,
+        |          CAST(SUM(c_d) AS BIGINT) AS n_d,
+        |          COUNT(*) AS k
+        |        FROM occ)
+        |SELECT cell, CAST(c_s AS BIGINT) AS n_stored,
+        |  CAST(c_d AS BIGINT) AS n_delta,
+        |  CAST(FLOOR((CAST(c_d + 1 AS DOUBLE) / CAST(n_d + k AS DOUBLE)
+        |        - CAST(c_s + 1 AS DOUBLE) / CAST(n_s + k AS DOUBLE))
+        |      * LN((CAST(c_d + 1 AS DOUBLE) / CAST(n_d + k AS DOUBLE))
+        |          / (CAST(c_s + 1 AS DOUBLE) / CAST(n_s + k AS DOUBLE)))
+        |      * 1e9) AS BIGINT) AS psi_term_nn
+        |FROM occ CROSS JOIN tot
+        |ORDER BY cell""".stripMargin),
 
     // Reuses the identical k-means replay, then marks each vector removed
     // iff some LOWER-id cell-mate sits above the cosine threshold.

@@ -61,6 +61,29 @@ class AnnIncrementalSpec extends AnyFunSuite {
     assert(shared > 0, "some cell should hold both stored and delta rows")
   }
 
+  test("index-drift monitor equals the in-memory PSI replay") {
+    val (stored, delta, _, _, _) = parts
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("cell")).count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (cs, cd) = (counts(stored), counts(delta))
+    val cells = (cs.keySet ++ cd.keySet).toSeq.sorted
+    val (ns, nd, k) = (cs.values.sum, cd.values.sum, cells.size.toLong)
+    val expected = cells.map { c =>
+      val ps = (cs.getOrElse(c, 0L) + 1).toDouble / (ns + k).toDouble
+      val pd = (cd.getOrElse(c, 0L) + 1).toDouble / (nd + k).toDouble
+      (c, cs.getOrElse(c, 0L), cd.getOrElse(c, 0L),
+        math.floor((pd - ps) * math.log(pd / ps) * 1e9).toLong)
+    }
+    val got = SparkEntry.queries("q_sim_ann_drift")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+    // the monitor must be non-degenerate on the fixture: occupancy
+    // proportions differ somewhere, so some term is nonzero
+    assert(got.exists(_._4 != 0), "expected a nonzero PSI term")
+  }
+
   test("query output is the merged-index top-5 with delta flags") {
     val got = SparkEntry.queries("q_sim_ann_incremental")(spark, sf)
       .collect()
