@@ -161,7 +161,8 @@ object Bench {
       "kmvdv" -> "q_stream_distinct",
       "spipe" -> "q_stream_pipeline",
       "sessdyn" -> "q_stream_session_dynamic",
-      "sspan" -> "q_stream_dup_spans")
+      "sspan" -> "q_stream_dup_spans",
+      "sres" -> "q_stream_sample")
     // listener bus is async; block until the queued tail is dispatched
     org.apache.spark.sql.graftbridge.Bridge.waitListenerBus(spark, 10000)
     import scala.jdk.CollectionConverters._

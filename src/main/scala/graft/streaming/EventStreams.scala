@@ -131,6 +131,53 @@ object EventStreams {
     }
   }
 
+  /** q_stream_sample: per-language A-ES weighted reservoir. State is
+    * (n_seen, the ≤ K reservoir rows (key_q, doc_id, quality)) — BOUNDED
+    * at K entries per language no matter the stream volume, which is
+    * the whole point: a quality-weighted subcorpus draw that runs at
+    * ingest with O(K·|langs|) state. Because the A-ES key is a
+    * deterministic per-document expression, "top-K of everything seen"
+    * is batching-invariant — merging per-batch candidates into the kept
+    * reservoir is EXACT, not approximate, so the batch per-lang top-K
+    * is a true oracle (Efraimidis-Spirakis A-ES, the q_sample_weighted
+    * kernel made streaming). */
+  class ReservoirProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long, Long, Long),
+        (String, Long, Long, Long, Long, Long)] {
+    @transient private var res: org.apache.spark.sql.streaming.ValueState[
+      (Long, Seq[(Long, Long, Long)])] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      res = getHandle.getValueState[(Long, Seq[(Long, Long, Long)])](
+        "res",
+        org.apache.spark.sql.Encoders.product[
+          (Long, Seq[(Long, Long, Long)])],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long, Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(String, Long, Long, Long, Long, Long)] = {
+      val (n0, kept) = if (res.exists()) res.get() else (0L, Nil)
+      val batch = rows.map(r => (r._4, r._2, r._3)).toSeq // (key_q, id, q)
+      // exact merge: the kept reservoir ∪ batch, top-K by (key_q DESC,
+      // doc_id ASC) — K+|batch| rows sorted, never the history
+      val merged = (kept ++ batch)
+        .sortBy { case (kq, id, _) => (-kq, id) }.take(k)
+      val n = n0 + batch.size
+      res.update((n, merged))
+      // emit the whole current reservoir tagged with n_seen; the final
+      // state is the max-n_seen emission per language (n strictly
+      // increases on every batch that delivers rows)
+      merged.iterator.zipWithIndex.map { case ((kq, id, q), i) =>
+        (key, n, (i + 1).toLong, id, q, kq)
+      }
+    }
+  }
+
   private val rawSchema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", TimestampNTZType), // micros, no timezone (as stored)
@@ -1076,6 +1123,57 @@ object EventStreams {
         .orderBy(col("fp"))
     }),
 
+    // Streaming weighted reservoir (A-ES) — online training-data
+    // SELECTION under a per-language budget: documents arrive in four
+    // real micro-batches (maxFilesPerTrigger=1 over a repartition(4)
+    // landing zone) and each language maintains its quality-weighted
+    // top-50 reservoir as transformWithState on RocksDB. The A-ES key
+    // (⌊ln((h+1)/2^40)·1e4⌋ div quality — the q_sample_weighted scan
+    // expressions verbatim) is per-document deterministic, so top-K is
+    // batching-invariant and the BATCH per-language top-50 is an exact
+    // oracle; n_seen (emitted with every reservoir snapshot) must land
+    // on the language's total document count, proving the stream saw
+    // everything. State is K rows per language FOREVER — the bounded
+    // alternative to "sort the corpus by quality at the end of the
+    // month" that an ingest-time curation pipeline actually wants.
+    "q_stream_sample" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.VectorFunctions.neutral_hash40
+      val base = s"${sys.props("java.io.tmpdir")}/graft_sres_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+      val in = s"$base/in"
+      graft.sources.Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"))
+        .repartition(4).write.mode("overwrite").parquet(in)
+      val src = s.readStream
+        .schema("doc_id LONG, text STRING, lang STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in)
+        .select(col("lang"), col("doc_id"),
+          size(array_distinct(split(col("text"), " "))).cast("long")
+            .as("quality"),
+          neutral_hash40(col("doc_id").cast("string")).as("h"))
+        .select(col("lang"), col("doc_id"), col("quality"),
+          floor(log((col("h").cast("double") + lit(1.0)) /
+              lit(1099511627776.0)) * lit(1e4) /
+            col("quality").cast("double")).cast("long").as("key_q"))
+        .as[(String, Long, Long, Long)]
+      val out = src.groupByKey(_._1)
+        .transformWithState(new ReservoirProcessor(50),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .toDF("lang", "n_seen", "rk", "doc_id", "quality", "key_q")
+      val sink = withRocksDb(s) {
+        runToMemory(s, out, "update", s"sres_${System.nanoTime()}")
+      }
+      sink.withColumn("mx",
+          max(col("n_seen")).over(Window.partitionBy(col("lang"))))
+        .where(col("n_seen") === col("mx"))
+        .select(col("lang"), col("rk"), col("doc_id"), col("quality"),
+          col("key_q"), col("n_seen"))
+        .orderBy(col("lang"), col("rk"))
+    }),
+
     // Streaming heavy hitters: the mergeable Count-Min sketch as
     // STREAMING STATE — term counts over a documents ingest stream
     // accumulate in the 4×256-counter CMS (graft.functions.CountMinAgg)
@@ -1126,6 +1224,33 @@ object EventStreams {
     // end of stream — ONE oracle spelling, shared by reference (the
     // shared-kernel rule applied to a whole query).
     "q_stream_pattern" -> graft.queries.Extended.oracles("q_event_pattern"),
+
+    // Exact A-ES replay: the q_sample_weighted hash/key spelling with
+    // PARTITION BY lang; n_seen = the language's total document count
+    // (the reservoir's seen counter must land exactly there).
+    "q_stream_sample" ->
+      """WITH ks AS (SELECT doc_id, lang,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |      AS quality,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, c) -> (a * 1000003 + c) % 1099511627776) AS h
+        |  FROM documents),
+        |kq AS (SELECT doc_id, lang, quality,
+        |    CAST(FLOOR(LN((CAST(h AS DOUBLE) + 1.0) / 1099511627776.0)
+        |               * 1e4 / CAST(quality AS DOUBLE)) AS BIGINT)
+        |      AS key_q
+        |  FROM ks),
+        |r AS (SELECT lang, doc_id, quality, key_q,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |                       ORDER BY key_q DESC, doc_id) AS rk,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n_seen
+        |  FROM kq)
+        |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, quality, key_q,
+        |  CAST(n_seen AS BIGINT) AS n_seen
+        |FROM r WHERE rk <= 50
+        |ORDER BY lang, rk""".stripMargin,
 
     "q_stream_tumbling" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)

@@ -495,4 +495,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(est > K, s"estimator branch must engage (est=$est)")
     assert(math.abs(est - n) < n / 4, s"estimate $est too far from $n")
   }
+
+  test("streaming weighted reservoir equals the in-memory A-ES replay") {
+    // independent replay: fold the doc_id hash, the quantized-ln A-ES
+    // key, per-lang top-50 — plain Scala, no Spark expressions
+    def h40(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 1000003L + c.toLong) % 1099511627776L)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val keyed = docs.map { case (id, text, lang) =>
+      val q = text.split(" ").distinct.length.toLong
+      val key = math.floor(math.log((h40(id.toString).toDouble + 1.0) /
+        1099511627776.0) * 1e4 / q.toDouble).toLong
+      (lang, id, q, key)
+    }
+    val expected = keyed.groupBy(_._1).toSeq.flatMap { case (lang, g) =>
+      val n = g.length.toLong
+      g.sortBy { case (_, id, _, k) => (-k, id) }.take(50).zipWithIndex
+        .map { case ((_, id, q, k), i) =>
+          (lang, (i + 1).toLong, id, q, k, n) }
+    }.sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("q_stream_sample")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+    // n_seen == the language's full count proves all four micro-batches
+    // folded into the state (any single batch sees only ~a quarter);
+    // every reservoir is exactly K — the budget binds on each language
+    val langCounts = docs.groupBy(_._3).map { case (l, g) => (l, g.size) }
+    got.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.length == 50, s"$lang reservoir size ${rows.length}")
+      assert(rows.forall(_._6 == langCounts(lang).toLong),
+        s"$lang n_seen must equal the language's document count")
+    }
+  }
 }
