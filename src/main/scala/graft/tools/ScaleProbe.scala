@@ -219,7 +219,7 @@ object ScaleProbe {
     // lets a dev re-measure one axis without the full ~30 min sweep
     val sections = args.drop(1).headOption
       .map(_.split(",").toSet)
-      .getOrElse(Set("pipeline", "cc_corpus", "cc_chain", "topk",
+      .getOrElse(Set("pipeline", "pipeline_v2", "cc_corpus", "cc_chain", "topk",
         "lsh", "semantic", "recall", "graph", "triangles", "cdc", "kcore",
         "prefix", "blocklist", "novelty", "linkage", "stream", "codec",
         "kgrouped", "invidx", "substring", "unigram", "vocab", "ann_inc"))
@@ -246,6 +246,27 @@ object ScaleProbe {
         pipe(spark, dir).queryExecution.toRdd.count()
       }
       emit(s"""{"probe":"pipeline","factor":$f,"docs":$nDocs,""" +
+        s""""wall_s":${f"$wall%.2f"},"rows_out":$rows,""" +
+        s""""shuffle_write_mb":${sw / 1048576},""" +
+        s""""shuffle_read_mb":${sr / 1048576},"spill_mb":${sp / 1048576},""" +
+        s""""peak_task_mem_mb":${pk / 1048576}}""")
+      spark.catalog.clearCache()
+    }
+
+    // ---- 1b. pipeline v2 (with the substring-despan stage) ----------
+    // The Lee-et-al. order at scale: v2 adds the ownership window +
+    // rebuild + re-shingling over the exact survivors, and re-mines
+    // near-dup pairs from the CLEANED text. The amplified corpus is the
+    // stress: fam-0 replica cliques collapse in the exact stage, fam-2
+    // chains carry heavy cross-doc spans into the despan stage.
+    if (sections("pipeline_v2")) factors.foreach { f =>
+      val dir = if (f == 1) sfDir else amplify(spark, sfDir, f, outBase)
+      val nDocs = Tables.documents(spark, dir).count()
+      val pipe = graft.SparkEntry.queries("q_pipeline_e2e_v2")
+      val (rows, wall, sw, sr, sp, pk) = measured(spark, agg) {
+        pipe(spark, dir).queryExecution.toRdd.count()
+      }
+      emit(s"""{"probe":"pipeline_v2","factor":$f,"docs":$nDocs,""" +
         s""""wall_s":${f"$wall%.2f"},"rows_out":$rows,""" +
         s""""shuffle_write_mb":${sw / 1048576},""" +
         s""""shuffle_read_mb":${sr / 1048576},"spill_mb":${sp / 1048576},""" +
