@@ -701,6 +701,23 @@ class PlanSpec extends AnyFunSuite {
     assert(bnlj <= 2, s"expected ≤2 centroid-broadcast BNLJs, got $bnlj")
   }
 
+  test("semantic contamination candidates come from a band equi-join, " +
+      "never a cross product") {
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val df = SparkEntry.queries("q_contamination_semantic")(spark, sfDir)
+    val nodes = walkPlan(df.queryExecution.executedPlan)
+    // the eval × corpus pairing must be the SRP (band, bucket) equi-join
+    // — an all-pairs plan here would silently reintroduce the quadratic
+    // scan the SRP stage exists to avoid
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
+      "candidate stage must not build a cross product")
+    assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "candidate stage must not plan an unconditioned nested loop")
+    val joins = nodes.map(_.nodeName).filter(_.toLowerCase.contains("join"))
+    assert(joins.nonEmpty, "expected equi-joins in the plan")
+  }
+
   test("star join prunes fact partitions at runtime (DPP)") {
     val p = graft.queries.Extended.dppStarJoin(spark, sfDir)
       .queryExecution.executedPlan.toString
