@@ -354,7 +354,7 @@ case class DecimalSqDist(left: Expression, right: Expression)
   * xxhash64 (Spark-internal) never allows. 40 bits keeps every
   * intermediate product under 2^60, inside DuckDB's overflow-checked
   * BIGINT arithmetic. */
-case class NeutralHash40(child: Expression)
+case class NeutralHash40(child: Expression, mult: Long = 1000003L)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
@@ -366,7 +366,7 @@ case class NeutralHash40(child: Expression)
     var h = 0L
     var i = 0
     while (i < bytes.length) {
-      h = (h * 1000003L + (bytes(i) & 0xFF)) & 0xFFFFFFFFFFL
+      h = (h * mult + (bytes(i) & 0xFF)) & 0xFFFFFFFFFFL
       i += 1
     }
     java.lang.Long.valueOf(h)
@@ -481,6 +481,16 @@ object VectorFunctions {
   /** Engine-neutral 40-bit hash of a string column (compiled loop). */
   def neutral_hash40(c: Column): Column =
     Bridge.column(NeutralHash40(Bridge.expression(c)))
+
+  /** The INDEPENDENT second 40-bit fold (multiplier 999983, a different
+    * prime): `struct(neutral_hash40(s), neutral_hash40b(s))` is an
+    * 80-bit engine-neutral key whose collision envelope (n²/2^81 —
+    * ~2e-10 at the ×100 probe's 23M grams) makes it a drop-in
+    * fixed-width replacement for a long TEXT grouping key, while each
+    * fold stays inside DuckDB's overflow-checked BIGINT (h < 2^40,
+    * h·mult < 2^60). */
+  def neutral_hash40b(c: Column): Column =
+    Bridge.column(NeutralHash40(Bridge.expression(c), 999983L))
 
   /** Avalanche a [[NeutralHash40]] value down to a uniform 31-bit hash.
     *

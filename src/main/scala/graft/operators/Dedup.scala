@@ -31,7 +31,7 @@ object Dedup {
 
   /** Distinct word-trigram shingles from a `toks` array column, guarded
     * for texts shorter than 3 words (whole text as one shingle). */
-  private[operators] val ShingleExpr =
+  private[graft] val ShingleExpr =
     """CASE WHEN size(toks) >= 3 THEN
       |  array_distinct(transform(
       |    sequence(1, size(toks) - 2),
@@ -45,7 +45,7 @@ object Dedup {
     * Tokenization happens in its own projection: inlining `split(text)`
     * into the shingle lambda would re-split the text once per element
     * (O(words²) per doc — measured 2-3× on the whole query). */
-  private[operators] def withShingles(s: SparkSession, d: String,
+  private[graft] def withShingles(s: SparkSession, d: String,
       withQuality: Boolean = false): DataFrame = {
     val docs = Tables.documents(s, d)
     // The single-file fixture arrives as one input split, which would run
@@ -89,8 +89,46 @@ object Dedup {
     * and drops only features with no discriminative value. Measured on
     * the fixtures the max shingle df is 25 (sf0.1), so 64 drops nothing
     * at any tested SF and the capped Jaccard provably equals the full
-    * Jaccard there (which is what the full-set oracle checks). */
-  private val ShingleDfCap = 64
+    * Jaccard there (which is what the full-set oracle checks) — and
+    * [[assertDfCapInactive]] now ASSERTS that equality's precondition
+    * per (session, dataset) instead of leaving it argued in comments. */
+  private[graft] val ShingleDfCap = 64
+
+  /** r10 verdict item 2: every query whose DuckDB oracle replays the
+    * pair join with NO df cap (q_dedup_ngram_jaccard / containment /
+    * the pipeline despan+cluster stages / the pair-memo's seven graph
+    * consumers) silently diverges from its oracle the day any shingle's
+    * document frequency crosses [[ShingleDfCap]] — a confusing
+    * hash-mismatch instead of a loud precondition failure. This is the
+    * q_dedup_substring collation-guard pattern applied to the cap: ONE
+    * scalar aggregate (the max df over the exact feature set the pair
+    * join consumes) checked against the cap, memoized per (session,
+    * dataset, feature-set tag) like the other bounded training scalars
+    * so repeat constructions — bench reps 2-3, every memo-hit consumer
+    * — skip the scan entirely. The corpus-level entry also covers
+    * q_pipeline_e2e: its feature set is the SAME ShingleExpr over a
+    * SUBSET of documents, and dropping documents can only lower a
+    * shingle's df. v2's despanned text does NOT inherit that bound
+    * (token removal splices new trigrams into existence), so the v2
+    * pipeline guards its own cleaned-shingle table under its own tag. */
+  private val dfCapGuardMemo = new scala.collection.concurrent.TrieMap[
+    (String, String), Long]
+
+  private[graft] def assertDfCapInactive(s: SparkSession, tag: String,
+      g: DataFrame): Unit = {
+    val mx = graft.MemoStats.memoized("dfcap_guard", dfCapGuardMemo,
+      (org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s), tag)) {
+      val r = g.select(explode(col("sh")).as("shingle"))
+        .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .agg(max(col("df"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    require(mx <= ShingleDfCap,
+      s"stop-shingle df cap is ACTIVE for '$tag': max shingle df $mx > " +
+        s"$ShingleDfCap, so the capped pair join would diverge from the " +
+        "uncapped oracle replay — raise ShingleDfCap or route this " +
+        "corpus through q_dedup_prefix_filter (the lossless path)")
+  }
 
   /** Unrolled degree-peeling rounds for q_graph_kcore. Peeling a 2-core
     * removes every degree<2 vertex per round, so a dangling chain of
@@ -157,8 +195,9 @@ object Dedup {
     * materialization per session is bounded executor storage, and this
     * is the production shape: a 100 TB pipeline materializes the pair
     * graph ONCE and every downstream graph analysis reads that table,
-    * it never re-mines pairs per query. Sessions keyed by identity so
-    * a stopped session's entries can't leak into a new one. The
+    * it never re-mines pairs per query. Sessions keyed by their stable
+    * UUID; MemoStats clears all memo maps on ApplicationEnd, so a dead
+    * context's checkpointed plans don't pin driver memory. The
     * published q_dedup_ngram_jaccard stays on the raw path (it emits
     * the jaccard scores, and is the one query whose COST should be the
     * mining itself). */
@@ -166,12 +205,16 @@ object Dedup {
     (String, String), DataFrame]
 
   private[graft] def ngramJaccardPairsMemo(s: SparkSession,
-      d: String): DataFrame =
+      d: String): DataFrame = {
+    // guard BEFORE the memo body: the cluster-family oracles replay the
+    // pair join uncapped too, and the memoized table feeds all of them
+    assertDfCapInactive(s, s"$d#corpus", withShingles(s, d))
     graft.MemoStats.memoized("pair_table", pairsMemo,
       (org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s), d))(
       ngramJaccardPairsRaw(s, d)
         .select(col("doc_a"), col("doc_b"))
         .localCheckpoint())
+  }
 
   /** Shared near-dup cluster resolution (q_dedup_clusters,
     * q_dedup_report): pointer-jumping CC over the pair graph, labelled
@@ -478,7 +521,10 @@ object Dedup {
     }),
 
     // Exact n-gram Jaccard near-dup (ground truth for the LSH variant).
-    "q_dedup_ngram_jaccard" -> ((s, d) => ngramJaccardPairs(s, d)),
+    "q_dedup_ngram_jaccard" -> ((s, d) => {
+      assertDfCapInactive(s, s"$d#corpus", withShingles(s, d))
+      ngramJaccardPairs(s, d)
+    }),
 
     // Asymmetric n-gram CONTAINMENT (|A∩B| / |A|): catches quotation /
     // subset duplication that symmetric Jaccard structurally misses — a
@@ -492,6 +538,9 @@ object Dedup {
     // the family's 1e6-floor-quantized score.
     "q_dedup_containment" -> ((s, d) => {
       val g = withShingles(s, d)
+      // the oracle's na/nb are FULL set sizes; the cap would shrink both
+      // the intersection counts and the sizes — assert it is inactive
+      assertDfCapInactive(s, s"$d#corpus", g)
       val ex = g.select(col("doc_id"), explode(col("sh")).as("shingle"))
       val rare = ex.groupBy(col("shingle"))
         .agg(count(lit(1)).as("df"))
@@ -1376,6 +1425,11 @@ object Dedup {
       // exact fire with the label table's eager checkpoint, canonical +
       // capped with the final job (harvested by Verify/Bench's
       // QueryExecutionListener — no extra scan for any of the four)
+      // exact survivors are a document SUBSET under the same ShingleExpr,
+      // so the corpus-level df bound dominates this stage's feature set
+      // (dropping documents can only lower a shingle's df) — the guard
+      // entry is usually already warm from the dedup family
+      assertDfCapInactive(s, s"$d#corpus", withShingles(s, d))
       val exact = e2eExact(s, d, observed = true)
       // stage 3: near-dup pairs among the exact survivors
       val pairs = e2eCandidates(s, d)
@@ -1434,23 +1488,32 @@ object Dedup {
     // stage's work is visible in the output.
     "q_pipeline_e2e_v2" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
+      import graft.functions.VectorFunctions.{neutral_hash40, neutral_hash40b}
+      val ml = SubstringDedup.MinLen
       val surv = e2eExact(s, d)
         .select(col("doc_id"), col("source"), col("lang"),
           split(col("text"), " ").as("w"))
       // substring despan over the exact survivors (occurrence-grain
-      // ownership — the q_dedup_substring_rebuild stage verbatim)
-      val pos = surv.where(size(col("w")) >= 8)
+      // ownership — the q_dedup_substring_rebuild stage verbatim:
+      // SubstringDedup.MinLen interpolated, not hardcoded, so a window
+      // change there can't silently decouple this pipeline (ADVICE
+      // r10), and the ownership key is the same 80-bit hashed-gram pair
+      // so the position exchange never carries gram text)
+      val pos = surv.where(size(col("w")) >= ml)
         .select(col("doc_id"), explode(expr(
-          """transform(sequence(1, size(w) - 7), p -> struct(
-            |  p AS p, concat_ws(' ', slice(w, p, 8)) AS gram))"""
+          s"""transform(sequence(1, size(w) - ${ml - 1}), p -> struct(
+             |  p AS p, concat_ws(' ', slice(w, p, $ml)) AS gram))"""
             .stripMargin)).as("x"))
-        .select(col("doc_id"), col("x.p").as("p"), col("x.gram").as("gram"))
+        .select(col("doc_id"), col("x.p").as("p"),
+          neutral_hash40(col("x.gram")).as("h1"),
+          neutral_hash40b(col("x.gram")).as("h2"))
       val rm = pos
-        .withColumn("rn", row_number().over(Window.partitionBy(col("gram"))
-          .orderBy(col("doc_id"), col("p"))))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("h1"), col("h2"))
+            .orderBy(col("doc_id"), col("p"))))
         .where(col("rn") > 1)
         .select(col("doc_id"),
-          explode(sequence(col("p"), col("p") + lit(7))).as("q"))
+          explode(sequence(col("p"), col("p") + lit(ml - 1))).as("q"))
         .groupBy(col("doc_id"))
         .agg(sort_array(collect_set(col("q"))).as("ps"))
       // rebuild + REFUNNEL: a despanned doc below the 30-token floor no
@@ -1464,8 +1527,12 @@ object Dedup {
         .select(col("doc_id"), col("source"), col("lang"), col("n_rm"),
           split(col("ct"), " ").as("toks"))
         .where(size(col("toks")) >= 30)
-      // near-dup clustering on the CLEANED shingles
+      // near-dup clustering on the CLEANED shingles. Despanning can
+      // splice NEW trigrams into existence (tokens on either side of a
+      // removed span become adjacent), so the corpus-level df bound does
+      // NOT carry over — this stage guards its own feature set.
       val g2 = clean.select(col("doc_id"), expr(ShingleExpr).as("sh"))
+      assertDfCapInactive(s, s"$d#e2e_v2_clean", g2)
       val pairs = jaccardPairsFrom(g2)
         .select(col("doc_a"), col("doc_b")).cache()
       val edges = pairs.unionAll(
@@ -1661,9 +1728,10 @@ object Dedup {
 
     "q_dedup_ngram_jaccard" -> ngramOracle,
 
-    // Full-set containment replay (no df cap — provably lossless at
-    // fixture scale, same argument as the Jaccard oracle), both
-    // directions from one a<b pair table.
+    // Full-set containment replay (no df cap — the Spark side ASSERTS
+    // the cap is inactive via assertDfCapInactive, so capped ≡ uncapped
+    // is a checked precondition, not an argument), both directions from
+    // one a<b pair table.
     "q_dedup_containment" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
         |           FROM documents),
@@ -2355,7 +2423,7 @@ object Dedup {
     // v1's cluster/canonical/cap/pack chain recomputed on the cleaned
     // arrays (shingles, quality, n_tok all post-despan).
     "q_pipeline_e2e_v2" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id, source, lang, text, string_split(text, ' ') AS w
         |  FROM documents),
         |f AS (
@@ -2369,17 +2437,24 @@ object Dedup {
         |    FROM f)
         |  WHERE doc_id = keep_id),
         |pos2 AS MATERIALIZED (
-        |  SELECT doc_id, p, array_to_string(w[p : p + 7], ' ') AS gram
+        |  SELECT doc_id, p,
+        |    array_to_string(w[p : p + ${SubstringDedup.MinLen - 1}], ' ')
+        |      AS gram
         |  FROM (SELECT doc_id, w,
-        |      UNNEST(generate_series(1, len(w) - 7)) AS p
-        |    FROM e WHERE len(w) >= 8)),
+        |      UNNEST(generate_series(1, len(w) - ${SubstringDedup.MinLen - 1}))
+        |        AS p
+        |    FROM e WHERE len(w) >= ${SubstringDedup.MinLen})),
         |rep2 AS (SELECT doc_id, p FROM (
         |    SELECT doc_id, p, ROW_NUMBER() OVER (
-        |      PARTITION BY gram ORDER BY doc_id, p) AS rn
-        |    FROM pos2)
+        |      PARTITION BY h1, h2 ORDER BY doc_id, p) AS rn
+        |    FROM (SELECT doc_id, p,
+        |        ${SubstringDedup.fold40Sql("gram", SubstringDedup.FoldA)} AS h1,
+        |        ${SubstringDedup.fold40Sql("gram", SubstringDedup.FoldB)} AS h2
+        |      FROM pos2))
         |  WHERE rn > 1),
         |rmq2 AS (SELECT DISTINCT doc_id, q FROM (
-        |    SELECT doc_id, UNNEST(generate_series(p, p + 7)) AS q
+        |    SELECT doc_id,
+        |      UNNEST(generate_series(p, p + ${SubstringDedup.MinLen - 1})) AS q
         |    FROM rep2)),
         |rm2 AS (SELECT doc_id, LIST(q ORDER BY q) AS ps FROM rmq2
         |  GROUP BY doc_id),

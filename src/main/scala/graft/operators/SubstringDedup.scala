@@ -68,22 +68,38 @@ object SubstringDedup {
        |              THEN i - 1 END),
        |  x -> x IS NOT NULL)), least(size($a), size($b))) END""".stripMargin
 
+  /** The sorted-neighbor LCP maximality argument needs token order and
+    * string order to coincide, i.e. every token char collates ABOVE the
+    * ' ' joiner — assert it with one scalar aggregate (the corpus-min
+    * character) instead of assuming it (ADVICE r9), with the same
+    * loud-failure contract as the unigram trainer's census. The scan is
+    * a full corpus pass for a DATASET-STABLE invariant, so it is
+    * memoized per (session, dataset) like the other bounded training
+    * scalars (ADVICE r10) — repeat constructions (bench reps, the v2
+    * pipeline's despan stage) skip it entirely. */
+  private val collationMemo = new scala.collection.concurrent.TrieMap[
+    (String, String), Option[String]]
+
+  private[operators] def assertCollationSafe(s: SparkSession, d: String,
+      docs: DataFrame): Unit = {
+    val mn = graft.MemoStats.memoized("collation_guard", collationMemo,
+      (org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s), d)) {
+      val r = docs.agg(min(expr(
+        "array_min(filter(split(text, ''), c -> c != '' AND c != ' '))")))
+        .head()
+      if (r.isNullAt(0)) None else Some(r.getString(0))
+    }
+    require(mn.forall(_ > " "),
+      "substring dedup needs token chars above U+0020 (the suffix " +
+        s"joiner); corpus min char is ${
+          mn.fold("<none>")(c => "U+%04X".format(c.codePointAt(0)))}")
+  }
+
   val defs: Map[String, Q] = Map(
 
     "q_dedup_substring" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      // The sorted-neighbor LCP maximality argument needs token order
-      // and string order to coincide, i.e. every token char collates
-      // ABOVE the ' ' joiner — assert it with one scalar aggregate (the
-      // corpus-min character) instead of assuming it (ADVICE r9); the
-      // same loud-failure contract as the unigram trainer's census.
-      val mn = docs.agg(min(expr(
-        "array_min(filter(split(text, ''), c -> c != '' AND c != ' '))"))).head
-      require(mn.isNullAt(0) || mn.getString(0) > " ",
-        "substring dedup needs token chars above U+0020 (the suffix " +
-          s"joiner); corpus min char is ${
-            if (mn.isNullAt(0)) "<none>"
-            else "U+%04X".format(mn.getString(0).codePointAt(0))}")
+      assertCollationSafe(s, d, docs)
       val sufs = docs
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .where(size(col("w")) >= MinLen)
@@ -160,15 +176,29 @@ object SubstringDedup {
     // rebuilds to the empty string (the edge both engines hit
     // identically — SubstringRebuildSpec).
     "q_dedup_substring_rebuild" -> ((s, d) => {
+      import graft.functions.VectorFunctions.{neutral_hash40, neutral_hash40b}
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
+      // The ownership key is the HASHED gram, not the gram text (SCALE
+      // §20/§24's named knob, r10 verdict item 3): the ownership window
+      // shuffles every token position in the corpus, and an 8-token
+      // text key (~50 bytes) made that exchange's sort key dominate the
+      // v2 pipeline's ×100 cost. Grams are hashed in the scan stage, so
+      // the exchange carries (doc_id, p, h1, h2) — 16 fixed key bytes.
+      // Two INDEPENDENT 40-bit folds: one fold's 2^40 envelope yields
+      // ~240 expected gram collisions at the ×100 probe's 23M distinct
+      // grams (each wrongly despans ≤MinLen tokens of one doc); the
+      // 80-bit pair is ~2e-10 — collision-free in any realizable
+      // corpus. Both folds replay in DuckDB, so the oracle stays exact.
       val pos = toks.where(size(col("w")) >= MinLen)
         .select(col("doc_id"), explode(expr(
           s"""transform(sequence(1, size(w) - ${MinLen - 1}), p -> struct(
              |  p AS p, concat_ws(' ', slice(w, p, $MinLen)) AS gram))"""
             .stripMargin)).as("x"))
-        .select(col("doc_id"), col("x.p").as("p"), col("x.gram").as("gram"))
-      val wOwn = Window.partitionBy(col("gram"))
+        .select(col("doc_id"), col("x.p").as("p"),
+          neutral_hash40(col("x.gram")).as("h1"),
+          neutral_hash40b(col("x.gram")).as("h2"))
+      val wOwn = Window.partitionBy(col("h1"), col("h2"))
         .orderBy(col("doc_id"), col("p"))
       // rn > 1 ⟺ duplicated AND not the owner (a lone occurrence is
       // rn = 1 and survives by the same test — no df side-table needed)
@@ -202,6 +232,23 @@ object SubstringDedup {
     * list slicing clamps like Spark's slice, LAG/LEAD over the
     * gram-bucketed sort, the bounded first-mismatch LCP as a list
     * comprehension, and the identical running-max interval union. */
+  /** DuckDB replay of NeutralHash40's byte fold (ascii(c) ≡ the UTF-8
+    * byte on the ASCII fixture corpus — the equivalence every
+    * neutral-hash oracle in this library already stands on). Every
+    * intermediate h·mult + c stays under 2^60, inside DuckDB's
+    * overflow-checked BIGINT. Exposed to Dedup so the v2 pipeline's
+    * despan stage replays the identical ownership key. */
+  private[operators] def fold40Sql(e: String, mult: Long): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split($e, ''),
+       |        c -> CAST(ascii(c) AS BIGINT))),
+       |      (h, c) -> (h * $mult + c) % 1099511627776)""".stripMargin
+
+  /** The two ownership-fold multipliers (Spark: neutral_hash40 /
+    * neutral_hash40b; oracle: [[fold40Sql]]). */
+  private[operators] val FoldA = 1000003L
+  private[operators] val FoldB = 999983L
+
   private def lcpSql(a: String, b: String): String =
     s"""CASE WHEN $b IS NULL OR LEAST(len($a), len($b)) <= 0 THEN 0
        |ELSE COALESCE(list_min([CASE WHEN $a[i] <> $b[i] THEN i - 1 END
@@ -254,10 +301,11 @@ object SubstringDedup {
          |FROM documents d LEFT JOIN pd USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
 
-    // Replays ownership (ROW_NUMBER over the gram bucket, (doc_id, p)
-    // order), the 8-position marking, the distinct-union, the island
-    // count (run-id = q − rank, constant per consecutive run), and the
-    // membership-filtered list-comprehension rebuild.
+    // Replays ownership (ROW_NUMBER over the HASHED gram bucket —
+    // both 40-bit folds, the identical key Spark shuffles — in
+    // (doc_id, p) order), the 8-position marking, the distinct-union,
+    // the island count (run-id = q − rank, constant per consecutive
+    // run), and the membership-filtered list-comprehension rebuild.
     "q_dedup_substring_rebuild" ->
       s"""WITH t AS MATERIALIZED (
          |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -269,8 +317,11 @@ object SubstringDedup {
          |    FROM t WHERE len(w) >= $MinLen)),
          |rep AS (SELECT doc_id, p FROM (
          |    SELECT doc_id, p, ROW_NUMBER() OVER (
-         |      PARTITION BY gram ORDER BY doc_id, p) AS rn
-         |    FROM pos)
+         |      PARTITION BY h1, h2 ORDER BY doc_id, p) AS rn
+         |    FROM (SELECT doc_id, p,
+         |        ${fold40Sql("gram", FoldA)} AS h1,
+         |        ${fold40Sql("gram", FoldB)} AS h2
+         |      FROM pos))
          |  WHERE rn > 1),
          |rmq AS (SELECT DISTINCT doc_id, q FROM (
          |    SELECT doc_id, UNNEST(generate_series(p, p + ${MinLen - 1}))

@@ -43,6 +43,27 @@ class ContaminationSemanticSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus-side SRP cells stay 2x under the hot-cell fence") {
+    import graft.functions.VectorFunctions.srp_band_keys
+    // ADVICE r10: q_contamination_semantic fences only the CORPUS side
+    // (label != 0) while its oracle carries no cap, so oracle equality
+    // needs the fence provably inactive on THAT subset. The full-table
+    // assertion in OperatorsSpec dominates this one (dropping rows can
+    // only shrink a cell), but the subset margin is asserted explicitly
+    // so a future per-label fixture skew fails HERE, named, not as a
+    // confusing oracle hash mismatch. Same (Bands, Bits) = (64, 12) as
+    // the query; same 2x margin as the q_dedup_embedding_lsh check.
+    val maxCell = graft.sources.Tables.embeddings(spark, sf)
+      .where(col("label") =!= 0)
+      .select(posexplode(srp_band_keys(
+        col("embedding").cast("array<double>"), 64, 12)))
+      .groupBy(col("pos"), col("col")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    assert(maxCell * 2 <= graft.operators.Dedup.MaxSrpBucket,
+      s"corpus-side max SRP cell $maxCell too close to the " +
+        s"${graft.operators.Dedup.MaxSrpBucket} fence")
+  }
+
   test("a paraphrased leak invisible to shingles surfaces semantically") {
     import spark.implicits._
     val dir = s"${sys.props("java.io.tmpdir")}/graft_contam_plant"
