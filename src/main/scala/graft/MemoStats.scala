@@ -31,6 +31,37 @@ object MemoStats {
     ()
   }
 
+  /** Every memo map that ever passed through [[memoized]], so context
+    * teardown can drop all entries at once (see [[hookEviction]]). */
+  private val maps = ConcurrentHashMap.newKeySet[
+    scala.collection.concurrent.TrieMap[_, _]]()
+  private val hookedApps = ConcurrentHashMap.newKeySet[String]()
+
+  /** Session-UUID memo keys are never re-hit by a later session, so a
+    * stopped session's entries are pure leak — and for DATAFRAME-valued
+    * memos (the pair table, the Kneser-Ney score table) each leaked
+    * entry pins its localCheckpoint's RDD blocks for process lifetime
+    * (ADVICE r10). In classic (non-Connect) Spark a session cannot stop
+    * without stopping its SparkContext — SparkSession.stop IS
+    * sparkContext.stop — so the context's ApplicationEnd event is the
+    * session-end hook: clear every registered memo map, releasing the
+    * DataFrame references (their blocks die with the context; the map
+    * clear releases the driver-side plans for GC). One listener per
+    * application, registered lazily on the first memo use. */
+  private def hookEviction(): Unit =
+    for {
+      s <- org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      sc = s.sparkContext
+      if hookedApps.add(sc.applicationId)
+    } sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onApplicationEnd(
+          e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+        maps.forEach(m => m.clear())
+        hookedApps.clear()
+      }
+    })
+
   /** Instrumented TrieMap.getOrElseUpdate — the one-liner every memo
     * site wraps. `contains` then `getOrElseUpdate` can double-count a
     * miss under a race, which is fine for a diagnostic counter (the
@@ -39,6 +70,8 @@ object MemoStats {
   def memoized[K, V](name: String,
       m: scala.collection.concurrent.TrieMap[K, V], k: K)(v: => V): V = {
     record(name, m.contains(k))
+    maps.add(m)
+    hookEviction()
     m.getOrElseUpdate(k, v)
   }
 
