@@ -20,6 +20,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("cluster gate agrees with the full batch CC exactly where it can") {
+    // q_stream_clusters sees stored(old)-side edges only; the batch CC
+    // (q_dedup_clusters) additionally sees new-new edges. Three pinned
+    // relationships follow (proofs in the query's doc comment):
+    //  (1) monotonicity: the batch label can only be ≤ the gate label
+    //      (more edges only grow components, labels are component mins);
+    //  (2) consistency: a merged arrival and its gate target share a
+    //      batch component (the gate edge exists in the full graph);
+    //  (3) exactness: an arrival whose batch component holds no OTHER
+    //      new doc has NO new-new edges, so gate ≡ batch on it.
+    val cut = spark.read.parquet(s"$sf/documents.parquet").count() * 4 / 5
+    val gate = SparkEntry.queries("q_stream_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    val batch = SparkEntry.queries("q_dedup_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gate.nonEmpty && gate.keys.forall(_ >= cut))
+    val newPerComp = batch.collect { case (id, lbl) if id >= cut => lbl }
+      .groupBy(identity).map { case (l, xs) => l -> xs.size }
+    var exactHits = 0
+    gate.foreach { case (id, (keep, merged)) =>
+      assert(batch(id) <= keep, s"batch ${batch(id)} > gate $keep for $id")
+      if (merged)
+        assert(batch(id) == batch(keep),
+          s"arrival $id and gate target $keep in different batch components")
+      if (newPerComp(batch(id)) == 1) {
+        assert(keep == batch(id), s"delta-isolated $id: gate $keep != batch")
+        exactHits += 1
+      }
+    }
+    assert(exactHits > 0, "fixture should have delta-isolated arrivals")
+  }
+
   test("streaming dedup emits each key exactly once") {
     val out = SparkEntry.queries("q_stream_dedup")(spark, sf).collect()
     assert(out.length == out.map(r => (r.getLong(0), r.getString(1))).toSet.size)
