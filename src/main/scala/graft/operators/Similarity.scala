@@ -179,7 +179,7 @@ object Similarity {
 
   /** Cosine-nearest assignment of `e` (vec_id, v, nsq) to a broadcast
     * centroid table (cent_id, cv); ties → lowest centroid id. */
-  private def nearestCents(e: DataFrame, cents: DataFrame): DataFrame = {
+  private[graft] def nearestCents(e: DataFrame, cents: DataFrame): DataFrame = {
     import graft.functions.VectorFunctions.decimal_dot
     e.join(broadcast(cents.withColumn("cnsq",
         decimal_dot(col("cv"), col("cv")).cast("double"))))
@@ -202,7 +202,7 @@ object Similarity {
     * measured ~4× the query's cost. This is the one driver-side loop in
     * the library, and it is bounded: k × dim doubles per round —
     * k = ⌊√n⌋, so ~16 MB even at 10⁹ vectors — never data-sized. */
-  private def lloyd(s: SparkSession, train: DataFrame, k: Int,
+  private[graft] def lloyd(s: SparkSession, train: DataFrame, k: Int,
       stride: Long): Seq[(Long, Seq[Double])] = {
     import s.implicits._
     var cents = train.where(col("vec_id") % stride === 0 &&

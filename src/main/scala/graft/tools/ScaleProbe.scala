@@ -222,7 +222,8 @@ object ScaleProbe {
       .getOrElse(Set("pipeline", "pipeline_v2", "cc_corpus", "cc_chain", "topk",
         "lsh", "semantic", "recall", "graph", "triangles", "cdc", "kcore",
         "prefix", "blocklist", "novelty", "linkage", "stream", "codec",
-        "kgrouped", "invidx", "substring", "unigram", "vocab", "ann_inc"))
+        "kgrouped", "invidx", "substring", "unigram", "vocab", "ann_inc",
+        "drift_recall"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outBase = s"${sys.props("java.io.tmpdir")}/graft_scale"
@@ -719,6 +720,126 @@ object ScaleProbe {
         s""""full_assign_wall_s":${f"$wFull%.2f"},""" +
         s""""delta_shuffle_kb":${(swD + srD) / 1024},""" +
         s""""spill_mb":${spD / 1048576}}""")
+      spark.catalog.clearCache()
+    }
+
+    // ---- drift_recall: the retrain threshold as a MEASURED operating
+    // point (r10 verdict item 4). q_sim_ann_drift emits a PSI but
+    // nothing showed what a high-PSI delta DOES to the index — this
+    // section plants deltas at increasing manifold shift and measures,
+    // per shift level, the PSI alongside the probe-side consequences.
+    // Setup: stored corpus = 40k deterministic isotropic-ish vectors
+    // (sin pseudo-noise, energy spread over all 64 dims); the shifted
+    // manifold concentrates its energy in dims 0-7 (a "new data source"
+    // whose embeddings live elsewhere); a delta of 10k vectors mixes
+    // the two at shift α ∈ {0, ¼, ½, ¾, 1}. Centroids train on the
+    // STORED side only (ONCE — exactly the incremental-maintenance
+    // regime the signal governs), each delta folds in as assignment,
+    // and 20 delta-side queries probe their home cell. Reported per α:
+    // the drift PSI (the q_sim_ann_drift kernel verbatim), single-probe
+    // recall@5 vs exact over the merged corpus, the average fraction of
+    // the index a probe must scan, and the delta's worst cell
+    // concentration. The production reading: PSI tracks probe-cost
+    // blow-up — a concentrated delta crams into few cells, so the
+    // probed cell approaches delta-sized and per-query scan cost
+    // approaches |delta|/|index| — which turns "retrain at PSI ≥ τ"
+    // into a measured scan-cost budget rather than a convention.
+    if (sections("drift_recall")) {
+      import graft.functions.VectorFunctions.decimal_dot
+      import graft.operators.Similarity
+      import org.apache.spark.sql.expressions.Window
+      val nStored = 40000L
+      val nDelta = 10000L
+      val baseGen = "sin(CAST(id * 64 + j AS DOUBLE))"
+      val shiftGen = "(CASE WHEN j < 8 THEN 4.0 + sin(CAST(id * 64 + j " +
+        "AS DOUBLE)) ELSE 0.05 * sin(CAST(id * 64 + j AS DOUBLE)) END)"
+      def withNorm(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("nsq", decimal_dot(col("v"), col("v")).cast("double"))
+      val stored = withNorm(spark.range(nStored)
+        .select(col("id").as("vec_id"),
+          expr(s"transform(sequence(0, 63), j -> $baseGen)").as("v")))
+        .cache()
+      val k = Similarity.ivfCells(nStored)
+      val stride = math.max(1L, nStored / k)
+      val cents = Similarity.lloyd(spark, stored, k, stride)
+      import spark.implicits._
+      val centDf = cents.toDF("cent_id", "cv")
+      val storedA = Similarity.nearestCents(stored, centDf)
+        .select(col("vec_id"), col("v"), col("nsq"),
+          col("cent_id").as("cell")).cache()
+      Seq(0.0, 0.25, 0.375, 0.5, 0.625, 0.75, 1.0).foreach { a =>
+        val delta = withNorm(spark.range(nDelta)
+          .select((col("id") + nStored).as("vec_id"),
+            expr(s"transform(sequence(0, 63), j -> " +
+              s"(1.0 - $a) * $baseGen + $a * $shiftGen)").as("v")))
+        val deltaA = Similarity.nearestCents(delta, centDf)
+          .select(col("vec_id"), col("v"), col("nsq"),
+            col("cent_id").as("cell")).cache()
+        // PSI — the q_sim_ann_drift spelling (Laplace over the occupied
+        // spine), summed to the one scalar the monitor thresholds
+        val cs = storedA.groupBy(col("cell")).agg(count(lit(1)).as("c_s"))
+        val cd = deltaA.groupBy(col("cell")).agg(count(lit(1)).as("c_d"))
+        val cells = cs.join(cd, Seq("cell"), "full")
+          .select(coalesce(col("c_s"), lit(0L)).as("c_s"),
+            coalesce(col("c_d"), lit(0L)).as("c_d"))
+        val tot = cells.agg(sum(col("c_s")).as("n_s"),
+          sum(col("c_d")).as("n_d"), count(lit(1)).as("kk"))
+        val pd = (col("c_d") + 1).cast("double") /
+          (col("n_d") + col("kk")).cast("double")
+        val ps = (col("c_s") + 1).cast("double") /
+          (col("n_s") + col("kk")).cast("double")
+        val psi = cells.crossJoin(broadcast(tot))
+          .select(((pd - ps) * log(pd / ps)).as("t"))
+          .agg(sum(col("t"))).head.getDouble(0)
+        val merged = storedA.unionAll(deltaA).cache()
+        val nTotal = nStored + nDelta
+        val q = deltaA.where((col("vec_id") - nStored) %
+            (nDelta / 20) === 0)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("nsq").as("qnsq"), col("cell").as("qcell"))
+        def top5(cand: org.apache.spark.sql.DataFrame) = cand
+          .where(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            (decimal_dot(col("qv"), col("v")).cast("double") /
+              sqrt(col("qnsq") * col("nsq"))).as("cos"))
+          .withColumn("rn", row_number().over(Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("cos").desc, col("neighbor_id"))))
+          .where(col("rn") <= 5)
+          .select(col("query_id"), col("neighbor_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1).map { case (qq, xs) => qq -> xs.map(_._2).toSet }
+        val (exact, wExact) = {
+          val t0 = System.nanoTime()
+          val r = top5(merged.crossJoin(broadcast(q)))
+          (r, (System.nanoTime() - t0) / 1e9)
+        }
+        val (probed, wProbe) = {
+          val t0 = System.nanoTime()
+          val r = top5(merged.join(broadcast(q),
+            col("cell") === col("qcell")))
+          (r, (System.nanoTime() - t0) / 1e9)
+        }
+        val recall = exact.keys.toSeq.map { qq =>
+          (probed.getOrElse(qq, Set.empty[Long]) & exact(qq)).size / 5.0
+        }.sum / exact.size
+        val sizes = merged.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val probeFrac = q.select(col("qcell")).collect()
+          .map(r => sizes(r.getLong(0)).toDouble / nTotal)
+        val maxDeltaFrac = deltaA.groupBy(col("cell"))
+          .agg(count(lit(1)).as("n")).agg(max(col("n")))
+          .head.getLong(0).toDouble / nDelta
+        emit(s"""{"probe":"drift_recall","shift":$a,"cells":$k,""" +
+          s""""psi":${f"$psi%.4f"},"recall5_ivf":${f"$recall%.3f"},""" +
+          s""""avg_probe_frac":${f"${probeFrac.sum / probeFrac.length}%.4f"},""" +
+          s""""max_probe_frac":${f"${probeFrac.max}%.4f"},""" +
+          s""""max_delta_cell_frac":${f"$maxDeltaFrac%.3f"},""" +
+          s""""exact_wall_s":${f"$wExact%.2f"},""" +
+          s""""probe_wall_s":${f"$wProbe%.2f"}}""")
+        merged.unpersist(); deltaA.unpersist()
+      }
+      stored.unpersist(); storedA.unpersist()
       spark.catalog.clearCache()
     }
 
