@@ -116,6 +116,15 @@ object Dedup {
 
   private[graft] def assertDfCapInactive(s: SparkSession, tag: String,
       g: DataFrame): Unit = {
+    // The guard protects the ORACLE contract (capped ≡ uncapped), not
+    // production semantics — at real corpus scale the cap is SUPPOSED
+    // to fire (it is the skew fence), and the amplified probe corpora
+    // deliberately push stop-shingles past it (fam replica cliques hit
+    // df 70 at ×10). ScaleProbe runs with the fence active and this
+    // guard off, which also keeps probe walls comparable to earlier
+    // rounds (no extra max-df pass in the measured region); every
+    // oracle-replayed context (Verify, Bench, tests) leaves it on.
+    if (s.conf.get("spark.graft.dedup.dfCapGuard", "on") == "off") return
     val mx = graft.MemoStats.memoized("dfcap_guard", dfCapGuardMemo,
       (org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s), tag)) {
       val r = g.select(explode(col("sh")).as("shingle"))

@@ -223,7 +223,7 @@ object ScaleProbe {
         "lsh", "semantic", "recall", "graph", "triangles", "cdc", "kcore",
         "prefix", "blocklist", "novelty", "linkage", "stream", "codec",
         "kgrouped", "invidx", "substring", "unigram", "vocab", "ann_inc",
-        "drift_recall"))
+        "drift_recall", "despan_key"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outBase = s"${sys.props("java.io.tmpdir")}/graft_scale"
@@ -233,6 +233,11 @@ object ScaleProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // amplified corpora deliberately push stop-shingles past the df
+      // cap (the fence under test); the oracle-equality guard is an
+      // oracle-context contract, not a probe one — see
+      // Dedup.assertDfCapInactive
+      .config("spark.graft.dedup.dfCapGuard", "off")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val agg = new StageAgg
@@ -721,6 +726,57 @@ object ScaleProbe {
         s""""delta_shuffle_kb":${(swD + srD) / 1024},""" +
         s""""spill_mb":${spD / 1048576}}""")
       spark.catalog.clearCache()
+    }
+
+    // ---- despan_key: the ownership-sort key, text vs hashed, PAIRED.
+    // SCALE §20/§24 named "hash the gram to fixed width" as the v2
+    // despan scale knob; round 11 shipped it (two engine-neutral 40-bit
+    // folds — 16 fixed key bytes — replacing the ~50-byte 8-gram text
+    // through the position exchange). Cross-session end-to-end pipeline
+    // walls can't isolate the knob (host co-tenancy moved v1 and v2 in
+    // OPPOSITE directions between rounds), so this section measures the
+    // ownership STAGE alone, both variants interleaved A/B/A/B in one
+    // session on the same amplified corpus: the full positional 8-gram
+    // explode, the gram-keyed (resp. hash-keyed) ownership window, and
+    // the per-doc removal aggregate, reduced to one count. Reported per
+    // variant: min wall of 2 reps and the exchanged bytes — the key
+    // width shows up directly in shuffle volume.
+    if (sections("despan_key")) factors.filter(_ > 1).foreach { f =>
+      import graft.functions.VectorFunctions.{neutral_hash40, neutral_hash40b}
+      import org.apache.spark.sql.expressions.Window
+      val dir = amplify(spark, sfDir, f, outBase)
+      val ml = graft.operators.SubstringDedup.MinLen
+      val pos0 = Tables.documents(spark, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .where(size(col("w")) >= ml)
+        .select(col("doc_id"), explode(expr(
+          s"""transform(sequence(1, size(w) - ${ml - 1}), p -> struct(
+             |  p AS p, concat_ws(' ', slice(w, p, $ml)) AS gram))"""
+            .stripMargin)).as("x"))
+        .select(col("doc_id"), col("x.p").as("p"), col("x.gram").as("gram"))
+      val nPos = pos0.count()
+      def run(tag: String, pos: DataFrame, keys: Seq[String]): Unit = {
+        val (marked, wall, sw, sr, sp, _) = measured(spark, agg) {
+          pos.withColumn("rn", row_number().over(
+              Window.partitionBy(keys.map(col): _*)
+                .orderBy(col("doc_id"), col("p"))))
+            .where(col("rn") > 1)
+            .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+            .agg(sum(col("n"))).head.getLong(0)
+        }
+        emit(s"""{"probe":"despan_key","factor":$f,"variant":"$tag",""" +
+          s""""positions":$nPos,"marked":$marked,""" +
+          s""""wall_s":${f"$wall%.2f"},""" +
+          s""""shuffle_write_mb":${sw / 1048576},""" +
+          s""""shuffle_read_mb":${sr / 1048576},"spill_mb":${sp / 1048576}}""")
+      }
+      val hashed = pos0.select(col("doc_id"), col("p"),
+        neutral_hash40(col("gram")).as("h1"),
+        neutral_hash40b(col("gram")).as("h2"))
+      (1 to 2).foreach { _ =>
+        run("text", pos0, Seq("gram"))
+        run("hash", hashed, Seq("h1", "h2"))
+      }
     }
 
     // ---- drift_recall: the retrain threshold as a MEASURED operating

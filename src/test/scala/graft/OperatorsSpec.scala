@@ -61,6 +61,32 @@ class OperatorsSpec extends AnyFunSuite {
       s"max SRP cell $maxCell too close to cap ${graft.operators.Dedup.MaxSrpBucket}")
   }
 
+  test("the df-cap guard fires loudly when a stop shingle crosses the cap") {
+    import spark.implicits._
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_dfcap_guard"
+    // 70 docs sharing one trigram (df 70 > ShingleDfCap 64) — exactly
+    // the corpus where the capped pair join would silently diverge from
+    // the uncapped oracle replay; the guard must turn that into a named
+    // precondition failure, not a hash mismatch
+    (0 until 70).map(i =>
+        (i.toLong, s"common stop phrase tail$i x$i y$i", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val e = intercept[IllegalArgumentException] {
+      SparkEntry.queries("q_dedup_ngram_jaccard")(spark, dir)
+    }
+    assert(e.getMessage.contains("df cap is ACTIVE"),
+      s"unexpected message: ${e.getMessage}")
+    // the probe escape hatch: with the guard off the capped join both
+    // constructs and runs (the fence itself stays active)
+    spark.conf.set("spark.graft.dedup.dfCapGuard", "off")
+    try assert(
+      SparkEntry.queries("q_dedup_ngram_jaccard")(spark, dir).count() >= 0)
+    finally spark.conf.unset("spark.graft.dedup.dfCapGuard")
+  }
+
   test("exact dedup keeps every distinct text exactly once") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val distinctTexts = docs.select("text").distinct().count()
