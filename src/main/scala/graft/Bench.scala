@@ -176,7 +176,8 @@ object Bench {
       "sessdyn" -> "q_stream_session_dynamic",
       "sspan" -> "q_stream_dup_spans",
       "sres" -> "q_stream_sample",
-      "sclus" -> "q_stream_clusters")
+      "sclus" -> "q_stream_clusters",
+      "sadr" -> "q_stream_ann_drift")
     // listener bus is async; block until the queued tail is dispatched
     org.apache.spark.sql.graftbridge.Bridge.waitListenerBus(spark, 10000)
     import scala.jdk.CollectionConverters._

@@ -272,9 +272,13 @@ object Similarity {
     * partitioning the merged postings — the index never rebuilds until
     * cell-size drift says so. Returns (stored, delta, oneShot,
     * centroid ids, cut). */
-  private[graft] def annIncrementalParts(s: SparkSession, d: String)
-      : (DataFrame, DataFrame, DataFrame, Seq[Long], Long) = {
-    import s.implicits._
+  /** The stored-index centroids and the delta cut — the two things
+    * every consumer of the incrementally-maintained index shares
+    * (batch maintenance, the drift monitor, and its streaming twin).
+    * Memoized per session under the SAME key the batch path uses, so a
+    * streaming monitor watches the IDENTICAL index its fold maintains. */
+  private[graft] def incCentroids(s: SparkSession, d: String)
+      : (Seq[(Long, Seq[Double])], Long) = {
     val e = embWithNorms(s, d)
     // bounded driver scalar (the split point), oracle-replayed as
     // (MAX(vec_id) * 4) // 5 — the q_dedup_clusters_incremental cut
@@ -286,12 +290,26 @@ object Similarity {
     val centRows = graft.MemoStats.memoized("ivf_centroids", centMemo,
       (org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s), d,
         s"inc$k"))(lloyd(s, old, k, stride))
+    (centRows, cut)
+  }
+
+  /** (vec_id, v, nsq) of the full embeddings table — the projection the
+    * streaming drift twin re-derives per micro-batch on its static side. */
+  private[graft] def embProjection(s: SparkSession, d: String): DataFrame =
+    embWithNorms(s, d)
+
+  private[graft] def annIncrementalParts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, Seq[Long], Long) = {
+    import s.implicits._
+    val e = embWithNorms(s, d)
+    val (centRows, cut) = incCentroids(s, d)
     val cents = centRows.toDF("cent_id", "cv")
     def assign(part: DataFrame): DataFrame =
       nearestCents(part, cents)
         .select(col("vec_id"), col("v"), col("nsq"),
           col("cent_id").as("cell"))
-    (assign(old), assign(e.where(col("vec_id") >= cut)), assign(e),
+    (assign(e.where(col("vec_id") < cut)),
+      assign(e.where(col("vec_id") >= cut)), assign(e),
       centRows.map(_._1), cut)
   }
 

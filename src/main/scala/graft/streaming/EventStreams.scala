@@ -1298,6 +1298,72 @@ object EventStreams {
         col("m").isNotNull.as("is_merge"))
       runToMemory(s, out, "complete", s"sclus_${System.nanoTime()}")
         .orderBy(col("doc_id"))
+    }),
+
+    // Streaming ANN-index DRIFT MONITOR — the online twin of
+    // q_sim_ann_drift, closing the incremental-index loop end to end:
+    // the FOLD is a per-arrival assignment (q_sim_ann_incremental), so
+    // its governing signal should be computable on the same ingest
+    // stream, not as a nightly batch afterthought. Arriving vectors
+    // (vec_id ≥ cut) assign to the STORED centroids per row — the
+    // centroid table (k = ⌊√n_old⌋ rows, trained once per session
+    // under the SAME memo key the batch family uses, so this monitor
+    // watches the identical index) rides along as a broadcast literal,
+    // and the argmax is one array_sort over a transform() of per-
+    // centroid (−cos, cent_id) structs: decimal-exact dots, the exact
+    // nearestCents tie order (sim desc, centroid id asc), NO window
+    // and NO extra aggregation, so the single streaming agg is the
+    // thing that must be state: the delta's cell-occupancy counts
+    // (k rows forever, complete mode). The PSI arithmetic then runs
+    // post-sink against the stored side's occupancy — the
+    // q_sim_ann_drift spelling verbatim — and the oracle IS
+    // q_sim_ann_drift's (one spelling, shared), because count
+    // accumulation over micro-batches is order-free: the monitor's
+    // trajectory is batching-invariant by construction.
+    "q_stream_ann_drift" -> ((s, d) => {
+      import graft.functions.VectorFunctions.decimal_dot
+      import graft.operators.Similarity
+      import s.implicits._
+      val embSchema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType)))
+      val (centRows, cut) = Similarity.incCentroids(s, d)
+      val centsLit = typedLit(centRows)
+      val arrivals = s.readStream.schema(embSchema)
+        .parquet(s"$d/embeddings*.parquet")
+        .where(col("vec_id") >= cut)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nsq", decimal_dot(col("v"), col("v")).cast("double"))
+      val cell = element_at(array_sort(transform(centsLit, c =>
+        struct(negate(decimal_dot(col("v"), c.getField("_2")).cast("double") /
+            sqrt(col("nsq") * decimal_dot(c.getField("_2"), c.getField("_2"))
+              .cast("double"))).as("neg_sim"),
+          c.getField("_1").as("cent_id")))), 1).getField("cent_id")
+      val occ = arrivals.select(cell.as("cell"))
+        .groupBy(col("cell")).agg(count(lit(1)).as("c_d"))
+      val sink = runToMemory(s, occ, "complete", s"sadr_${System.nanoTime()}")
+      val stored = Similarity.nearestCents(
+          Similarity.embProjection(s, d).where(col("vec_id") < cut),
+          centRows.toDF("cent_id", "cv"))
+        .select(col("cent_id").as("cell"))
+        .groupBy(col("cell")).agg(count(lit(1)).as("c_s"))
+      val cells = stored.join(sink, Seq("cell"), "full")
+        .select(col("cell"), coalesce(col("c_s"), lit(0L)).as("c_s"),
+          coalesce(col("c_d"), lit(0L)).as("c_d"))
+        .localCheckpoint()
+      val tot = cells.agg(sum(col("c_s")).as("n_s"),
+        sum(col("c_d")).as("n_d"), count(lit(1)).as("k"))
+      cells.join(broadcast(tot))
+        .withColumn("p_s", (col("c_s") + 1).cast("double") /
+          (col("n_s") + col("k")).cast("double"))
+        .withColumn("p_d", (col("c_d") + 1).cast("double") /
+          (col("n_d") + col("k")).cast("double"))
+        .select(col("cell"), col("c_s").as("n_stored"),
+          col("c_d").as("n_delta"),
+          floor((col("p_d") - col("p_s")) * log(col("p_d") / col("p_s"))
+            * lit(1e9)).cast("long").as("psi_term_nn"))
+        .orderBy(col("cell"))
     })
   )
 
@@ -1624,6 +1690,13 @@ object EventStreams {
         |          AS BIGINT)) // COUNT(*) AS dup_pm
         |FROM arr a LEFT JOIN ref r ON r.gram = a.gram
         |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
+
+    // One oracle spelling shared with the batch monitor (the
+    // q_stream_pattern precedent): the streaming occupancy counts are
+    // order-free sums, so end-of-stream state equals the batch
+    // assignment exactly.
+    "q_stream_ann_drift" ->
+      graft.operators.Similarity.oracles("q_sim_ann_drift"),
 
     // Full replay of the ingest gate: stored labels = recursive-CTE CC
     // over OLD-OLD exact-Jaccard edges (the q_dedup_clusters

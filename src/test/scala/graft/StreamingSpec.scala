@@ -53,6 +53,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(exactHits > 0, "fixture should have delta-isolated arrivals")
   }
 
+  test("streaming drift monitor equals the batch drift signal row-for-row") {
+    // the per-row argmax assignment (array_sort over (-cos, cent_id)
+    // structs) must reproduce nearestCents' window tie order exactly,
+    // and complete-mode count accumulation is order-free — so the
+    // whole monitor trajectory must land on the batch table
+    val stream = SparkEntry.queries("q_stream_ann_drift")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val batch = SparkEntry.queries("q_sim_ann_drift")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(stream.nonEmpty && stream == batch)
+  }
+
   test("streaming dedup emits each key exactly once") {
     val out = SparkEntry.queries("q_stream_dedup")(spark, sf).collect()
     assert(out.length == out.map(r => (r.getLong(0), r.getString(1))).toSet.size)
