@@ -1364,6 +1364,58 @@ object EventStreams {
           floor((col("p_d") - col("p_s")) * log(col("p_d") / col("p_s"))
             * lit(1e9)).cast("long").as("psi_term_nn"))
         .orderBy(col("cell"))
+    }),
+
+    // Streaming TOKENIZER-DRIFT monitor — the vocabulary analogue of
+    // the index-drift monitor above, and the signal that tells a
+    // training pipeline its tokenizer no longer fits the ingest mix:
+    // the STORED tokenizer is the BPE merge table trained on the
+    // existing 4/5 of the corpus ONLY (Bpe.train's cut-bounded
+    // variant, its own memo key), and arriving documents are encoded
+    // under it word by word through a stream-static LEFT join against
+    // the stored encoded-vocabulary table. In-vocabulary words carry
+    // their trained subword count; OUT-of-vocabulary words — words the
+    // stored tokenizer has never seen — are charged at character count
+    // (byte-fallback, what a production encoder does). One
+    // complete-mode per-language aggregation emits the two retrain
+    // signals: the OOV rate (per-mille) and the realized fertility
+    // (subwords per word incl. fallback, 1e4-quantized). Encoding is
+    // stateless given the merge table, sums are order-free, so the
+    // trajectory is batching-invariant and replays as a batch oracle
+    // (the training CTEs parameterized over the cut corpus).
+    "q_stream_tokenizer_drift" -> ((s, d) => {
+      import graft.operators.Bpe
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType),
+        StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val all = s.read.parquet(s"$d/documents.parquet")
+      val cut = all.count() * 4 / 5 // footer-read count, SQL-replayable
+      val (seqs, _) = Bpe.train(s, d, cut)
+      val wordTok = seqs.select(col("w"),
+        expr(Bpe.NSubExpr).cast("long").as("n_sub"))
+      val arrivals = s.readStream.schema(docSchema)
+        .parquet(s"$d/documents*.parquet")
+        .where(col("doc_id") >= cut)
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .where(col("w") =!= "")
+      arrivals.join(wordTok, Seq("w"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(when(col("n_sub").isNull, 1L).otherwise(0L)).as("n_oov"),
+          sum(coalesce(col("n_sub"), length(col("w")).cast("long")))
+            .as("n_subwords"))
+        .select(col("lang"), col("n_words"), col("n_oov"),
+          col("n_subwords"),
+          floor(col("n_subwords").cast("double") /
+            col("n_words").cast("double") * lit(1e4)).cast("long")
+            .as("fertility_q"),
+          expr("(1000 * n_oov) div n_words").as("oov_pm"))
+        .transform(df =>
+          runToMemory(s, df, "complete", s"stok_${System.nanoTime()}"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -1697,6 +1749,30 @@ object EventStreams {
     // assignment exactly.
     "q_stream_ann_drift" ->
       graft.operators.Similarity.oracles("q_sim_ann_drift"),
+
+    // The full tokenizer-drift replay: BPE training CTEs parameterized
+    // over the CUT corpus (the stored tokenizer sees doc_id < cut
+    // only), then the arrival side LEFT-joins the trained vocabulary —
+    // OOV words charged at LENGTH(w), the byte-fallback convention.
+    "q_stream_tokenizer_drift" ->
+      (graft.operators.Bpe.trainCtes(
+        "cutv AS (SELECT COUNT(*) * 4 // 5 AS c FROM documents),",
+        "CROSS JOIN cutv WHERE doc_id < c") +
+        graft.operators.Bpe.wtCte + """,
+        |dw AS (SELECT lang, UNNEST(string_split(text, ' ')) AS w
+        |       FROM documents CROSS JOIN cutv WHERE doc_id >= c)
+        |SELECT d.lang, COUNT(*) AS n_words,
+        |  CAST(SUM(CASE WHEN wt.n_sub IS NULL THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_oov,
+        |  CAST(SUM(COALESCE(wt.n_sub, LENGTH(d.w))) AS BIGINT)
+        |    AS n_subwords,
+        |  CAST(FLOOR(CAST(SUM(COALESCE(wt.n_sub, LENGTH(d.w))) AS DOUBLE)
+        |             / CAST(COUNT(*) AS DOUBLE) * 1e4) AS BIGINT)
+        |    AS fertility_q,
+        |  (1000 * CAST(SUM(CASE WHEN wt.n_sub IS NULL THEN 1 ELSE 0 END)
+        |          AS BIGINT)) // COUNT(*) AS oov_pm
+        |FROM (SELECT * FROM dw WHERE w <> '') d LEFT JOIN wt ON wt.w = d.w
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin),
 
     // Full replay of the ingest gate: stored labels = recursive-CTE CC
     // over OLD-OLD exact-Jaccard edges (the q_dedup_clusters

@@ -67,6 +67,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream.nonEmpty && stream == batch)
   }
 
+  test("tokenizer drift monitor charges unseen words at byte fallback") {
+    import spark.implicits._
+    // the fixture delta has NO unseen words (n_oov = 0 at every SF), so
+    // the OOV/fallback arm is oracle-covered but never EXERCISED there
+    // — plant a corpus whose delta carries genuinely new vocabulary
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_tokdrift_plant"
+    val stored = (0L until 8L).map(i => (i, "aaa bbb", "en", "s"))
+    val delta = Seq((8L, "aaa qq zzzz", "en", "s"),
+      (9L, "aaa qq zzzz", "en", "s"))
+    (stored ++ delta).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    // cut = 10*4/5 = 8: the stored tokenizer trains on docs 0-7 only,
+    // so qq (2 chars) and zzzz (4 chars) are OOV and must be charged
+    // at character count; aaa is in-vocabulary at its trained n_sub
+    val rows = SparkEntry.queries("q_stream_tokenizer_drift")(spark, dir)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getString(0) == "en")
+    assert(r.getLong(1) == 6, s"n_words ${r.getLong(1)}") // 2 docs x 3
+    assert(r.getLong(2) == 4, s"n_oov ${r.getLong(2)}")   // qq,zzzz x 2
+    val aaaSub = graft.operators.Bpe.train(spark, dir, 8L)._1
+      .where(col("w") === "aaa")
+      .select(expr(graft.operators.Bpe.NSubExpr).cast("long"))
+      .head().getLong(0)
+    assert(r.getLong(3) == 2 * aaaSub + 2 * (2 + 4),
+      s"n_subwords ${r.getLong(3)} vs aaa=$aaaSub")
+  }
+
   test("streaming dedup emits each key exactly once") {
     val out = SparkEntry.queries("q_stream_dedup")(spark, sf).collect()
     assert(out.length == out.map(r => (r.getLong(0), r.getString(1))).toSet.size)
