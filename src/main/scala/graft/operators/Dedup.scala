@@ -1251,6 +1251,66 @@ object Dedup {
         .orderBy(col("corpus_id"), col("eval_id"))
     }),
 
+    // SPAN-level contamination — the Lee/Brown-style decontamination
+    // report (GPT-3/PaLM's "remove any ≥N-gram overlap with the evals"
+    // pass, at this library's MinLen = 8 window): where q_contamination
+    // counts SHARED SHINGLES per (corpus, eval) pair — good for "which
+    // eval leaked where" — this query answers the operational question
+    // "which TOKENS of which corpus docs must be excised", by pointing
+    // the substring-dedup machinery at a bipartite corpus. Corpus-side
+    // positional 8-grams hit the DISTINCT eval gram set (source 'src0'
+    // = the benchmark slice) through a semi join on the same 80-bit
+    // hashed-gram pair the despan family shuffles (16 key bytes; the
+    // eval set broadcasts as hashes, never text); hit windows tile the
+    // maximal contaminated span exactly (every window start inside a
+    // ≥8-token overlap is itself a hit — the q_dedup_substring_rebuild
+    // tiling argument), so the per-doc interval union emits the true
+    // spans with no extension pass. Output: every non-eval doc with its
+    // contaminated span count, token mass, and longest span — zeros
+    // kept, so the table is the decontamination WORKLIST.
+    "q_contamination_spans" -> ((s, d) => {
+      import graft.functions.VectorFunctions.{neutral_hash40, neutral_hash40b}
+      import org.apache.spark.sql.expressions.Window
+      val ml = SubstringDedup.MinLen
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      def grams(df: DataFrame): DataFrame = df.where(size(col("w")) >= ml)
+        .select(col("doc_id"), explode(expr(
+          s"""transform(sequence(1, size(w) - ${ml - 1}), p -> struct(
+             |  p AS p, concat_ws(' ', slice(w, p, $ml)) AS gram))"""
+            .stripMargin)).as("x"))
+        .select(col("doc_id"), col("x.p").as("p"),
+          neutral_hash40(col("x.gram")).as("h1"),
+          neutral_hash40b(col("x.gram")).as("h2"))
+      val evalG = grams(toks.where(col("source") === "src0"))
+        .select(col("h1"), col("h2")).distinct()
+      val marked = grams(toks.where(col("source") =!= "src0"))
+        .join(evalG, Seq("h1", "h2"), "left_semi")
+        .select(col("doc_id"), col("p").as("s0"),
+          (col("p") + lit(ml - 1)).as("e0"))
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("s0"), col("e0"))
+      val merged = marked
+        .withColumn("rm", max(col("e0"))
+          .over(wDoc.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("ng",
+          when(col("rm").isNull || col("s0") > col("rm"), 1L).otherwise(0L))
+        .withColumn("g", sum(col("ng"))
+          .over(wDoc.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("doc_id"), col("g"))
+        .agg(min(col("s0")).as("s"), max(col("e0")).as("e"))
+      val perDoc = merged.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("e") - col("s") + 1).cast("long").as("contam_tokens"),
+          max(col("e") - col("s") + 1).cast("long").as("max_span"))
+      toks.where(col("source") =!= "src0").select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("contam_tokens"), lit(0L)).as("contam_tokens"),
+          coalesce(col("max_span"), lit(0L)).as("max_span"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SEMANTIC contamination (r9 verdict item 6): eval-set leakage in
     // PARAPHRASED form — high cosine, low shingle overlap — which the
     // exact check above provably misses (ContaminationSemanticSpec
@@ -1902,6 +1962,56 @@ object Dedup {
         |SELECT corpus_id, eval_id, CAST(inter AS BIGINT) AS n_shared
         |FROM p WHERE inter >= 5
         |ORDER BY corpus_id, eval_id""".stripMargin,
+
+    // Span-level replay: corpus positional 8-grams (hashed with both
+    // ownership folds) EXISTS-probe the distinct eval gram-hash set;
+    // then the q_dedup_substring running-max interval union and the
+    // per-doc span aggregate, zeros kept via the final LEFT join.
+    "q_contamination_spans" ->
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
+         |           FROM documents),
+         |pos AS MATERIALIZED (
+         |  SELECT doc_id, source, p,
+         |    array_to_string(w[p : p + ${SubstringDedup.MinLen - 1}], ' ')
+         |      AS gram
+         |  FROM (SELECT doc_id, source, w,
+         |      UNNEST(generate_series(1, len(w) - ${SubstringDedup.MinLen - 1}))
+         |        AS p
+         |    FROM t WHERE len(w) >= ${SubstringDedup.MinLen})),
+         |ph AS MATERIALIZED (
+         |  SELECT doc_id, source, p,
+         |    ${SubstringDedup.fold40Sql("gram", SubstringDedup.FoldA)} AS h1,
+         |    ${SubstringDedup.fold40Sql("gram", SubstringDedup.FoldB)} AS h2
+         |  FROM pos),
+         |ev AS MATERIALIZED (
+         |  SELECT DISTINCT h1, h2 FROM ph WHERE source = 'src0'),
+         |mk AS (SELECT doc_id, p AS s0,
+         |    p + ${SubstringDedup.MinLen - 1} AS e0
+         |  FROM ph WHERE source <> 'src0'
+         |    AND EXISTS (SELECT 1 FROM ev
+         |                WHERE ev.h1 = ph.h1 AND ev.h2 = ph.h2)),
+         |g AS (SELECT doc_id, s0, e0,
+         |    SUM(CASE WHEN rm IS NULL OR s0 > rm THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY s0, e0
+         |            ROWS UNBOUNDED PRECEDING) AS grp
+         |  FROM (SELECT doc_id, s0, e0,
+         |      MAX(e0) OVER (PARTITION BY doc_id ORDER BY s0, e0
+         |                    ROWS BETWEEN UNBOUNDED PRECEDING
+         |                    AND 1 PRECEDING) AS rm
+         |    FROM mk)),
+         |m AS (SELECT doc_id, grp, MIN(s0) AS s, MAX(e0) AS e
+         |  FROM g GROUP BY doc_id, grp),
+         |pd AS (SELECT doc_id, COUNT(*) AS n_spans,
+         |    CAST(SUM(e - s + 1) AS BIGINT) AS contam_tokens,
+         |    CAST(MAX(e - s + 1) AS BIGINT) AS max_span
+         |  FROM m GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(pd.n_spans, 0) AS BIGINT) AS n_spans,
+         |  CAST(COALESCE(pd.contam_tokens, 0) AS BIGINT) AS contam_tokens,
+         |  CAST(COALESCE(pd.max_span, 0) AS BIGINT) AS max_span
+         |FROM documents d LEFT JOIN pd USING (doc_id)
+         |WHERE d.source <> 'src0'
+         |ORDER BY d.doc_id""".stripMargin,
 
     // The q_dedup_embedding_lsh SRP replay, bipartite: eval (label 0)
     // signatures only ever join corpus (label ≠ 0) signatures; the

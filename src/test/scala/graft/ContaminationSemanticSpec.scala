@@ -64,6 +64,49 @@ class ContaminationSemanticSpec extends AnyFunSuite {
         s"${graft.operators.Dedup.MaxSrpBucket} fence")
   }
 
+  test("contamination spans match a first-principles token-level replay") {
+    // brute-force ground truth in plain Scala: a corpus token position
+    // q is contaminated iff SOME 8-window covering it appears verbatim
+    // in some eval doc; spans are maximal runs of contaminated
+    // positions. Asserting against this (not the window/interval-union
+    // spelling) proves the tiling argument end to end.
+    val ml = graft.operators.SubstringDedup.MinLen
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ")))
+    val evalGrams = docs.filter(_._2 == "src0").flatMap { case (_, _, w) =>
+      w.sliding(ml).filter(_.length == ml).map(_.mkString(" "))
+    }.toSet
+    val expected = docs.filter(_._2 != "src0").map { case (id, _, w) =>
+      val hit = Array.fill(w.length)(false)
+      if (w.length >= ml)
+        (0 to w.length - ml).foreach { i =>
+          if (evalGrams(w.slice(i, i + ml).mkString(" ")))
+            (i until i + ml).foreach(hit(_) = true)
+        }
+      // maximal runs of contaminated positions
+      val spans = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var run = 0
+      hit.foreach { h =>
+        if (h) run += 1
+        else if (run > 0) { spans += run; run = 0 }
+      }
+      if (run > 0) spans += run
+      id -> ((spans.size.toLong, spans.sum.toLong,
+        if (spans.isEmpty) 0L else spans.max.toLong))
+    }.toMap
+    val got = SparkEntry.queries("q_contamination_spans")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, v) =>
+      assert(v == expected(id), s"doc $id: got $v expected ${expected(id)}")
+    }
+    assert(expected.values.exists(_._1 > 0),
+      "fixture should contain at least one contaminated doc")
+  }
+
   test("a paraphrased leak invisible to shingles surfaces semantically") {
     import spark.implicits._
     val dir = s"${sys.props("java.io.tmpdir")}/graft_contam_plant"
