@@ -178,7 +178,8 @@ object Bench {
       "sres" -> "q_stream_sample",
       "sclus" -> "q_stream_clusters",
       "sadr" -> "q_stream_ann_drift",
-      "stok" -> "q_stream_tokenizer_drift")
+      "stok" -> "q_stream_tokenizer_drift",
+      "scont" -> "q_stream_contamination")
     // listener bus is async; block until the queued tail is dispatched
     org.apache.spark.sql.graftbridge.Bridge.waitListenerBus(spark, 10000)
     import scala.jdk.CollectionConverters._

@@ -40,9 +40,11 @@ import graft.sources.Tables
   * payload is (doc_id, pos, ≤ ExtLen-token extension) — text bodies
   * never shuffle whole; windows are keyed by gram (bucket-local) and
   * doc_id (document-local), never global; the output is one row per
-  * document. At 100 TB the gram key can be hashed to fixed width to
-  * shrink the sort key; kept as text here so the oracle replays it
-  * verbatim.
+  * document. The DETECTION query keeps the text gram key (its LCP
+  * extension needs the token arrays in-bucket anyway); the REBUILD
+  * query and every despan/decontamination consumer shuffle the 80-bit
+  * hashed-gram pair instead (r11 — SCALE §25: −45% exchange volume,
+  * bit-identical result, both folds oracle-replayed via [[fold40Sql]]).
   */
 object SubstringDedup {
 
@@ -238,7 +240,7 @@ object SubstringDedup {
     * intermediate h·mult + c stays under 2^60, inside DuckDB's
     * overflow-checked BIGINT. Exposed to Dedup so the v2 pipeline's
     * despan stage replays the identical ownership key. */
-  private[operators] def fold40Sql(e: String, mult: Long): String =
+  private[graft] def fold40Sql(e: String, mult: Long): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
        |      list_transform(string_split($e, ''),
        |        c -> CAST(ascii(c) AS BIGINT))),
@@ -246,8 +248,8 @@ object SubstringDedup {
 
   /** The two ownership-fold multipliers (Spark: neutral_hash40 /
     * neutral_hash40b; oracle: [[fold40Sql]]). */
-  private[operators] val FoldA = 1000003L
-  private[operators] val FoldB = 999983L
+  private[graft] val FoldA = 1000003L
+  private[graft] val FoldB = 999983L
 
   private def lcpSql(a: String, b: String): String =
     s"""CASE WHEN $b IS NULL OR LEAST(len($a), len($b)) <= 0 THEN 0

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
+import graft.operators.SubstringDedup
 import graft.queries.QueryDefs.Q
 
 /** Structured Streaming slices over the `events` fixture (SURVEY.md §2b
@@ -1416,6 +1417,91 @@ object EventStreams {
         .transform(df =>
           runToMemory(s, df, "complete", s"stok_${System.nanoTime()}"))
         .orderBy(col("lang"))
+    }),
+
+    // Streaming SPAN-level decontamination gate — q_contamination_spans
+    // at ingest time: every arriving document is admitted with its
+    // eval-overlap span statistics, so contaminated spans are excised
+    // (or the doc held) BEFORE it enters the curated corpus, not in a
+    // nightly sweep. The eval gram-hash set (source 'src0', the same
+    // 80-bit hashed-gram pair, 16 bytes per gram) is the static side of
+    // a stream-static LEFT join over the arrival's positional 8-grams —
+    // LEFT + explode_outer, not semi, so a clean doc still emits its
+    // zero row. The batch operator's interval union is a window (not
+    // available under streaming); the same spans are recovered from ONE
+    // complete-mode aggregation instead: collect_set of the hit-covered
+    // token positions (state per doc ≤ its token count — bounded), then
+    // the island arithmetic runs post-agg as bounded array folds — the
+    // q_dedup_substring_rebuild island-count spelling plus a run-length
+    // fold for the longest span. Set union is order-free, so the
+    // trajectory is batching-invariant and replays as a batch oracle.
+    // size(ps) is never 1 (a hit covers MinLen ≥ 8 positions), so the
+    // sequence(2, size) folds never hit the descending-range edge; the
+    // empty case routes through the CASE guard.
+    "q_stream_contamination" -> ((s, d) => {
+      import graft.functions.VectorFunctions.{neutral_hash40, neutral_hash40b}
+      import graft.operators.SubstringDedup
+      val ml = SubstringDedup.MinLen
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType),
+        StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val all = s.read.parquet(s"$d/documents.parquet")
+      val cut = all.count() * 4 / 5 // footer-read count, SQL-replayable
+      val evalG = all.where(col("source") === "src0")
+        .select(split(col("text"), " ").as("w"))
+        .where(size(col("w")) >= ml)
+        .select(explode(expr(
+          s"""transform(sequence(1, size(w) - ${ml - 1}),
+             |  p -> concat_ws(' ', slice(w, p, $ml)))""".stripMargin))
+          .as("gram"))
+        .select(neutral_hash40(col("gram")).as("h1"),
+          neutral_hash40b(col("gram")).as("h2"))
+        .distinct()
+        .withColumn("hit", lit(1))
+      val arrivals = s.readStream.schema(docSchema)
+        .parquet(s"$d/documents*.parquet")
+        .where(col("doc_id") >= cut && col("source") =!= "src0")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), size(col("w")).cast("long").as("n_tok"),
+          explode_outer(expr(
+            s"""CASE WHEN size(w) >= $ml THEN
+               |  transform(sequence(1, size(w) - ${ml - 1}), p -> struct(
+               |    p AS p, concat_ws(' ', slice(w, p, $ml)) AS gram))
+               |ELSE CAST(array() AS array<struct<p:int,gram:string>>)
+               |END""".stripMargin)).as("x"))
+        .select(col("doc_id"), col("n_tok"), col("x.p").as("p"),
+          neutral_hash40(col("x.gram")).as("h1"),
+          neutral_hash40b(col("x.gram")).as("h2"))
+      val covered = arrivals.join(evalG, Seq("h1", "h2"), "left")
+        .select(col("doc_id"), col("n_tok"),
+          explode_outer(when(col("hit") === 1,
+            sequence(col("p"), col("p") + lit(ml - 1)))).as("q"))
+      val gated = covered.groupBy(col("doc_id"))
+        .agg(max(col("n_tok")).as("n_tok"),
+          sort_array(collect_set(col("q"))).as("ps"))
+      val out = gated.select(col("doc_id"), col("n_tok"),
+        size(col("ps")).cast("long").as("contam_tokens"),
+        coalesce(expr(
+          s"""CASE WHEN size(ps) = 0 THEN CAST(0 AS BIGINT) ELSE
+             |  CAST(1 + size(filter(sequence(2, size(ps)),
+             |    j -> element_at(ps, j) != element_at(ps, j - 1) + 1))
+             |  AS BIGINT) END""".stripMargin), lit(0L)).as("n_spans"),
+        expr(
+          s"""CASE WHEN size(ps) = 0 THEN CAST(0 AS BIGINT) ELSE
+             |  CAST(aggregate(sequence(2, size(ps)),
+             |    named_struct('cur', 1, 'mx', 1),
+             |    (a, j) -> CASE
+             |      WHEN element_at(ps, j) = element_at(ps, j - 1) + 1
+             |      THEN named_struct('cur', a.cur + 1,
+             |                        'mx', greatest(a.mx, a.cur + 1))
+             |      ELSE named_struct('cur', 1, 'mx', a.mx) END,
+             |    a -> a.mx) AS BIGINT) END""".stripMargin).as("max_span"),
+        expr("(1000 * size(ps)) div n_tok").as("contam_pm"))
+      runToMemory(s, out, "complete", s"scont_${System.nanoTime()}")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1773,6 +1859,63 @@ object EventStreams {
         |          AS BIGINT)) // COUNT(*) AS oov_pm
         |FROM (SELECT * FROM dw WHERE w <> '') d LEFT JOIN wt ON wt.w = d.w
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin),
+
+    // Span-decontamination gate replay: eval gram hashes, arrival
+    // positional gram hashes, EXISTS probe, DISTINCT covered positions,
+    // islands via the q - rank run id (count = spans, size = token
+    // mass, max = longest span), zeros kept through the LEFT join.
+    "q_stream_contamination" ->
+      s"""WITH cutv AS (SELECT COUNT(*) * 4 // 5 AS c FROM documents),
+         |t AS (SELECT doc_id, source, string_split(text, ' ') AS w
+         |      FROM documents),
+         |ev AS MATERIALIZED (SELECT DISTINCT
+         |    ${SubstringDedup.fold40Sql("gram", SubstringDedup.FoldA)} AS h1,
+         |    ${SubstringDedup.fold40Sql("gram", SubstringDedup.FoldB)} AS h2
+         |  FROM (SELECT
+         |      array_to_string(w[p : p + ${SubstringDedup.MinLen - 1}], ' ')
+         |        AS gram
+         |    FROM (SELECT w,
+         |        UNNEST(generate_series(1,
+         |          len(w) - ${SubstringDedup.MinLen - 1})) AS p
+         |      FROM t
+         |      WHERE source = 'src0'
+         |        AND len(w) >= ${SubstringDedup.MinLen}))),
+         |arr AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok, w
+         |  FROM t CROSS JOIN cutv
+         |  WHERE doc_id >= c AND source <> 'src0'),
+         |ph AS (SELECT doc_id, p,
+         |    ${SubstringDedup.fold40Sql("gram", SubstringDedup.FoldA)} AS h1,
+         |    ${SubstringDedup.fold40Sql("gram", SubstringDedup.FoldB)} AS h2
+         |  FROM (SELECT doc_id, p,
+         |      array_to_string(w[p : p + ${SubstringDedup.MinLen - 1}], ' ')
+         |        AS gram
+         |    FROM (SELECT doc_id, w,
+         |        UNNEST(generate_series(1,
+         |          len(w) - ${SubstringDedup.MinLen - 1})) AS p
+         |      FROM arr WHERE len(w) >= ${SubstringDedup.MinLen}))),
+         |mk AS (SELECT doc_id, p FROM ph
+         |  WHERE EXISTS (SELECT 1 FROM ev
+         |                WHERE ev.h1 = ph.h1 AND ev.h2 = ph.h2)),
+         |rq AS (SELECT DISTINCT doc_id, q FROM (
+         |    SELECT doc_id,
+         |      UNNEST(generate_series(p, p + ${SubstringDedup.MinLen - 1}))
+         |        AS q
+         |    FROM mk)),
+         |r AS (SELECT doc_id, q, ROW_NUMBER() OVER (
+         |    PARTITION BY doc_id ORDER BY q) AS rn FROM rq),
+         |il AS (SELECT doc_id, q - rn AS run_id, COUNT(*) AS len
+         |  FROM r GROUP BY doc_id, q - rn),
+         |pd AS (SELECT doc_id, CAST(SUM(len) AS BIGINT) AS contam_tokens,
+         |    COUNT(*) AS n_spans, CAST(MAX(len) AS BIGINT) AS max_span
+         |  FROM il GROUP BY doc_id)
+         |SELECT a.doc_id, a.n_tok,
+         |  CAST(COALESCE(pd.contam_tokens, 0) AS BIGINT) AS contam_tokens,
+         |  CAST(COALESCE(pd.n_spans, 0) AS BIGINT) AS n_spans,
+         |  CAST(COALESCE(pd.max_span, 0) AS BIGINT) AS max_span,
+         |  (1000 * CAST(COALESCE(pd.contam_tokens, 0) AS BIGINT)) // a.n_tok
+         |    AS contam_pm
+         |FROM arr a LEFT JOIN pd USING (doc_id)
+         |ORDER BY a.doc_id""".stripMargin,
 
     // Full replay of the ingest gate: stored labels = recursive-CTE CC
     // over OLD-OLD exact-Jaccard edges (the q_dedup_clusters

@@ -98,6 +98,37 @@ class StreamingSpec extends AnyFunSuite {
       s"n_subwords ${r.getLong(3)} vs aaa=$aaaSub")
   }
 
+  test("streaming decontamination gate measures planted eval overlaps") {
+    import spark.implicits._
+    // the fixture arrivals carry zero eval overlap at every SF (the
+    // contaminated docs all sit in the stored 4/5), so the gate's hit
+    // arm — covered-position union, island count, longest run — is
+    // oracle-covered but never exercised there; plant both shapes
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_scont_plant"
+    val ev = (1 to 12).map(i => s"e$i")
+    val oneSpan = Seq("x1", "x2") ++ ev.take(10) ++ Seq("y1", "y2")
+    val twoSpans = ev.take(8) ++ Seq("z1", "z2", "z3") ++ ev.drop(4)
+    val docs = Seq((0L, ev.mkString(" "), "src0")) ++
+      (1L to 7L).map(i => (i, (0 until 9).map(j => s"f${i}w$j")
+        .mkString(" "), "src1")) ++
+      Seq((8L, oneSpan.mkString(" "), "src1"),
+        (9L, twoSpans.mkString(" "), "src2"))
+    docs.map { case (id, t, src) => (id, t, "en", src) }
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    // cut = 10*4/5 = 8: arrivals are docs 8 and 9
+    val got = SparkEntry.queries("q_stream_contamination")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    // doc 8: e1..e10 = positions 3-12 covered → 1 span of 10 tokens
+    assert(got(8L) == ((14L, 10L, 1L, 10L, 1000L * 10 / 14)), s"${got(8L)}")
+    // doc 9: e1..e8 at p=1 and e5..e12 at p=12 → spans 1-8 and 12-19
+    assert(got(9L) == ((19L, 16L, 2L, 8L, 1000L * 16 / 19)), s"${got(9L)}")
+  }
+
   test("streaming dedup emits each key exactly once") {
     val out = SparkEntry.queries("q_stream_dedup")(spark, sf).collect()
     assert(out.length == out.map(r => (r.getLong(0), r.getString(1))).toSet.size)
