@@ -225,6 +225,34 @@ object Dedup {
         .localCheckpoint())
   }
 
+  /** STORED cluster-label table per (session, dataset, cut) — the
+    * incremental family's other shared materialization: both the batch
+    * nightly merge (q_dedup_clusters_incremental) and the streaming
+    * ingest gate (q_stream_clusters) read "labels over the existing
+    * corpus", and at 100 TB that IS a stored table, not a per-query CC
+    * run. One pointer-jumping CC over the old-old edge subgraph per
+    * (session, dataset, cut), localCheckpointed (corpus-count rows of
+    * two longs — bounded); keyed by the cut VALUE so the two cut
+    * conventions in the family (max·4/5 vs count·4/5) coexist without
+    * colliding. */
+  private val storedLabelsMemo = new scala.collection.concurrent.TrieMap[
+    (String, String, Long), DataFrame]
+
+  private[graft] def storedClusterLabels(s: SparkSession, d: String,
+      cut: Long): DataFrame =
+    graft.MemoStats.memoized("stored_labels", storedLabelsMemo,
+      (org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s), d, cut)) {
+      val pairs = ngramJaccardPairsMemo(s, d)
+        .where(col("doc_a") < cut && col("doc_b") < cut)
+      val edges = pairs.unionAll(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .toDF("src", "dst")
+      val docs = Tables.documents(s, d).where(col("doc_id") < cut)
+        .select(col("doc_id"), col("doc_id").as("lbl"))
+      val (labels, _) = connectedComponents(docs, edges)
+      labels.select(col("doc_id"), col("lbl")).localCheckpoint()
+    }
+
   /** Shared near-dup cluster resolution (q_dedup_clusters,
     * q_dedup_report): pointer-jumping CC over the pair graph, labelled
     * by cluster-minimum doc_id. Raw (unsorted) pairs: the edge list
@@ -687,14 +715,11 @@ object Dedup {
       // count; oracle replays it as (MAX(doc_id)*4)//5
       val cut = docs.agg((max(col("doc_id")) * 4).as("m"))
         .head.getLong(0) / 5
-      // stored state: labels over the existing corpus only
-      val oldDocs = docs.where(col("doc_id") < cut)
-        .select(col("doc_id"), col("doc_id").as("lbl"))
-      val oldEdges = edges.where(col("src") < cut && col("dst") < cut)
-      val (oldLabels, _) = connectedComponents(oldDocs, oldEdges)
+      // stored state: labels over the existing corpus only — the shared
+      // memoized stored-label table (checkpointed there)
+      val oldLabels = storedClusterLabels(s, d, cut)
       val mapOld = oldLabels
         .select(col("doc_id").as("m_id"), col("lbl").as("m_lbl"))
-        .localCheckpoint()
       // delta: edges touching any new doc, endpoints contracted to the
       // stored label (new endpoints stand for themselves)
       val delta = edges.where(col("src") >= cut || col("dst") >= cut)

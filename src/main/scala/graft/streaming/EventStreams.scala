@@ -1260,15 +1260,9 @@ object EventStreams {
       val cut = all.count() * 4 / 5 // footer-read count, SQL-replayable
       val g = Dedup.withShingles(s, d)
       Dedup.assertDfCapInactive(s, s"$d#corpus", g)
-      // stored labels: CC over old-old edges from the shared pair memo
-      val pairs = Dedup.ngramJaccardPairsMemo(s, d)
-        .where(col("doc_a") < cut && col("doc_b") < cut)
-      val oldEdges = pairs.unionAll(
-        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .toDF("src", "dst")
-      val oldDocs = all.where(col("doc_id") < cut)
-        .select(col("doc_id"), col("doc_id").as("lbl"))
-      val (oldLabels, _) = Dedup.connectedComponents(oldDocs, oldEdges)
+      // stored labels: the shared memoized stored-label table (one CC
+      // over old-old edges per session — at scale this IS a table)
+      val oldLabels = Dedup.storedClusterLabels(s, d, cut)
       // static probe side: rare-shingle posting list carrying the full
       // shingle set and the stored label per posting
       val ex = g.where(col("doc_id") < cut)
