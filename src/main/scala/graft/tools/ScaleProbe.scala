@@ -223,7 +223,7 @@ object ScaleProbe {
         "lsh", "semantic", "recall", "graph", "triangles", "cdc", "kcore",
         "prefix", "blocklist", "novelty", "linkage", "stream", "codec",
         "kgrouped", "invidx", "substring", "unigram", "vocab", "ann_inc",
-        "drift_recall", "despan_key"))
+        "drift_recall", "despan_key", "stream_gates"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outBase = s"${sys.props("java.io.tmpdir")}/graft_scale"
@@ -1082,6 +1082,71 @@ object ScaleProbe {
             s""""state_mem_mb":${st(1) / 1048576},"commit_ms":${st(2)},""" +
             s""""batches":${st(3)},"shuffle_mb":${(sw + sr) / 1048576},""" +
             s""""spill_mb":${sp / 1048576}}""")
+        }
+      }
+      spark.streams.removeListener(lst)
+    }
+
+    // ---- stream_gates: the r11 ingest gates on an amplified corpus --
+    // The document-stream counterparts of the `stream` section above:
+    // the cluster-membership gate, the span-decontamination gate, and
+    // the tokenizer-drift monitor ride a DOCUMENTS drop zone, so their
+    // scale axis is the amplified corpus (fam replica cliques stress
+    // the stored posting list and the eval gram set), not the events
+    // table. Recorded per factor: wall, end state rows/bytes (complete
+    // mode ⇒ state is the gate's output table — per-arrival rows for
+    // the cluster gate, per-doc position sets for the decontamination
+    // gate, k language rows for the drift monitor), commit time, and
+    // shuffle volume.
+    if (sections("stream_gates")) {
+      val picks = Seq(
+        ("q_stream_clusters", "sclus"),
+        ("q_stream_contamination", "scont"),
+        ("q_stream_tokenizer_drift", "stok"))
+      val stateAgg =
+        new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+      val lst = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryProgressEvent): Unit = {
+          val p = e.progress
+          val ops = p.stateOperators
+          if (p.name != null && ops != null && ops.nonEmpty) {
+            val cur = stateAgg.computeIfAbsent(p.name.takeWhile(_ != '_'),
+              _ => Array(0L, 0L, 0L, 0L))
+            cur.synchronized {
+              cur(0) = math.max(cur(0), ops.map(_.numRowsTotal).sum)
+              cur(1) = math.max(cur(1), ops.map(_.memoryUsedBytes).sum)
+              cur(2) += ops.map(_.commitTimeMs).sum
+              cur(3) += 1L
+            }
+          }
+        }
+      }
+      spark.streams.addListener(lst)
+      factors.filter(_ <= 10).foreach { f =>
+        val dir = if (f == 1) sfDir else amplify(spark, sfDir, f, outBase)
+        val nDocs = Tables.documents(spark, dir).count()
+        picks.foreach { case (qn, prefix) =>
+          stateAgg.clear()
+          val q = graft.SparkEntry.queries(qn)
+          val (rows, w, sw, sr, sp, _) =
+            measured(spark, agg) { q(spark, dir).count() }
+          org.apache.spark.sql.graftbridge.Bridge.waitListenerBus(spark, 10000)
+          val st = Option(stateAgg.get(prefix)).getOrElse(Array(0L, 0L, 0L, 0L))
+          emit(s"""{"probe":"stream_gates","factor":$f,"query":"$qn",""" +
+            s""""docs":$nDocs,"out_rows":$rows,"wall_s":${f"$w%.2f"},""" +
+            s""""state_rows":${st(0)},""" +
+            s""""state_mem_mb":${st(1) / 1048576},"commit_ms":${st(2)},""" +
+            s""""batches":${st(3)},"shuffle_mb":${(sw + sr) / 1048576},""" +
+            s""""spill_mb":${sp / 1048576}}""")
+          spark.catalog.clearCache()
         }
       }
       spark.streams.removeListener(lst)
