@@ -1325,8 +1325,19 @@ object EventStreams {
         StructField("label", IntegerType)))
       val (centRows, cut) = Similarity.incCentroids(s, d)
       val centsLit = typedLit(centRows)
+      // stage the corpus into a 4-file drop zone (the q_stream_sample
+      // pattern) so AvailableNow + maxFilesPerTrigger=1 runs FOUR real
+      // micro-batches — the complete-mode occupancy counts must FOLD
+      // across batches, not be handed one batch that happens to be
+      // everything (the single-file fixture would otherwise make the
+      // multi-batch claim vacuous)
+      val zone = s"${sys.props("java.io.tmpdir")}/graft_sadr_" +
+        d.replaceAll("[^0-9a-zA-Z]", "_")
+      graft.sources.Tables.embeddings(s, d)
+        .repartition(4).write.mode("overwrite").parquet(zone)
       val arrivals = s.readStream.schema(embSchema)
-        .parquet(s"$d/embeddings*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(zone)
         .where(col("vec_id") >= cut)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("nsq", decimal_dot(col("v"), col("v")).cast("double"))
@@ -1391,8 +1402,13 @@ object EventStreams {
       val (seqs, _) = Bpe.train(s, d, cut)
       val wordTok = seqs.select(col("w"),
         expr(Bpe.NSubExpr).cast("long").as("n_sub"))
+      // 4-file drop zone → four REAL micro-batches (see q_stream_ann_drift)
+      val zone = s"${sys.props("java.io.tmpdir")}/graft_stok_" +
+        d.replaceAll("[^0-9a-zA-Z]", "_")
+      all.repartition(4).write.mode("overwrite").parquet(zone)
       val arrivals = s.readStream.schema(docSchema)
-        .parquet(s"$d/documents*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(zone)
         .where(col("doc_id") >= cut)
         .select(col("lang"), explode(split(col("text"), " ")).as("w"))
         .where(col("w") =!= "")
@@ -1455,8 +1471,17 @@ object EventStreams {
           neutral_hash40b(col("gram")).as("h2"))
         .distinct()
         .withColumn("hit", lit(1))
+      // 4-file drop zone → four REAL micro-batches: each batch's docs
+      // enter the per-doc state table and every earlier batch's rows
+      // must survive the complete-mode re-emission (a doc's own
+      // positions arrive together — one source row — so the cross-batch
+      // claim here is state RETENTION, not within-doc union)
+      val zone = s"${sys.props("java.io.tmpdir")}/graft_scont_" +
+        d.replaceAll("[^0-9a-zA-Z]", "_")
+      all.repartition(4).write.mode("overwrite").parquet(zone)
       val arrivals = s.readStream.schema(docSchema)
-        .parquet(s"$d/documents*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(zone)
         .where(col("doc_id") >= cut && col("source") =!= "src0")
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .select(col("doc_id"), size(col("w")).cast("long").as("n_tok"),
