@@ -1275,8 +1275,17 @@ object EventStreams {
       val statSide = ex.join(rare, Seq("shingle"))
         .join(oldLabels.select(col("doc_id").as("idx_id"),
           col("lbl").as("idx_lbl")), Seq("idx_id"))
+      // 4-file drop zone → four REAL micro-batches (the
+      // q_stream_sample pattern): arrivals land across batches and the
+      // complete-mode per-doc min() state must RETAIN earlier batches'
+      // rows through every re-emission — the single-file fixture would
+      // otherwise make the multi-batch claim vacuous
+      val zone = s"${sys.props("java.io.tmpdir")}/graft_sclus_" +
+        d.replaceAll("[^0-9a-zA-Z]", "_")
+      all.repartition(4).write.mode("overwrite").parquet(zone)
       val arrivals = s.readStream.schema(docSchema)
-        .parquet(s"$d/documents*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(zone)
         .where(col("doc_id") >= cut)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .select(col("doc_id"), expr(Dedup.ShingleExpr).as("sh"))
