@@ -1290,7 +1290,13 @@ object Dedup {
     // maximal contaminated span exactly (every window start inside a
     // ≥8-token overlap is itself a hit — the q_dedup_substring_rebuild
     // tiling argument), so the per-doc interval union emits the true
-    // spans with no extension pass. Output: every non-eval doc with its
+    // spans with no extension pass. The union merges ADJACENT intervals
+    // too (new span only when s0 > rm + 1): two abutting 8-token hits
+    // at p and p+8 cover positions p..p+15 with no gap, ONE maximal
+    // contaminated run of 16 — the same semantics as the streaming
+    // gate's position-set islands and the first-principles token-level
+    // replay in ContaminationSemanticSpec. (Strict s0 > rm would split
+    // that run in two; ADVICE r11.) Output: every non-eval doc with its
     // contaminated span count, token mass, and longest span — zeros
     // kept, so the table is the decontamination WORKLIST.
     "q_contamination_spans" -> ((s, d) => {
@@ -1318,7 +1324,8 @@ object Dedup {
         .withColumn("rm", max(col("e0"))
           .over(wDoc.rowsBetween(Window.unboundedPreceding, -1)))
         .withColumn("ng",
-          when(col("rm").isNull || col("s0") > col("rm"), 1L).otherwise(0L))
+          when(col("rm").isNull || col("s0") > col("rm") + 1, 1L)
+            .otherwise(0L))
         .withColumn("g", sum(col("ng"))
           .over(wDoc.rowsBetween(Window.unboundedPreceding, 0)))
         .groupBy(col("doc_id"), col("g"))
@@ -1990,8 +1997,10 @@ object Dedup {
 
     // Span-level replay: corpus positional 8-grams (hashed with both
     // ownership folds) EXISTS-probe the distinct eval gram-hash set;
-    // then the q_dedup_substring running-max interval union and the
-    // per-doc span aggregate, zeros kept via the final LEFT join.
+    // then the running-max interval union — merging ADJACENT intervals
+    // (s0 > rm + 1 starts a span, mirroring the Spark side's
+    // maximal-contaminated-run semantics) — and the per-doc span
+    // aggregate, zeros kept via the final LEFT join.
     "q_contamination_spans" ->
       s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
          |           FROM documents),
@@ -2016,7 +2025,7 @@ object Dedup {
          |    AND EXISTS (SELECT 1 FROM ev
          |                WHERE ev.h1 = ph.h1 AND ev.h2 = ph.h2)),
          |g AS (SELECT doc_id, s0, e0,
-         |    SUM(CASE WHEN rm IS NULL OR s0 > rm THEN 1 ELSE 0 END)
+         |    SUM(CASE WHEN rm IS NULL OR s0 > rm + 1 THEN 1 ELSE 0 END)
          |      OVER (PARTITION BY doc_id ORDER BY s0, e0
          |            ROWS UNBOUNDED PRECEDING) AS grp
          |  FROM (SELECT doc_id, s0, e0,

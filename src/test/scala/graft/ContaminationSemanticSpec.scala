@@ -107,6 +107,40 @@ class ContaminationSemanticSpec extends AnyFunSuite {
       "fixture should contain at least one contaminated doc")
   }
 
+  test("abutting disjoint eval-gram matches merge into one maximal run") {
+    // ADVICE r11: two 8-token eval matches hitting a corpus doc at p and
+    // p+8 — with NO straddling hit — cover positions p..p+15 with no
+    // gap. Maximal-run semantics (the streaming gate, the brute-force
+    // replay above) say ONE span of 16; the old strict interval union
+    // (new span when s0 > rm) said two spans of 8. The sf fixtures
+    // never contain this shape, so it is planted here explicitly.
+    import spark.implicits._
+    val ml = graft.operators.SubstringDedup.MinLen
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_contam_abut"
+    val aG = (0 until ml).map(i => s"a$i")   // eval gram A, exactly 8 tokens
+    val bG = (0 until ml).map(i => s"b$i")   // eval gram B, exactly 8 tokens
+    // corpus doc: filler, then A immediately followed by B, then filler.
+    // Straddling windows mix a*/b*/f* tokens and exist in no eval doc.
+    val corpusTxt = (Seq("f0", "f1") ++ aG ++ bG ++ Seq("f2", "f3"))
+      .mkString(" ")
+    val docs = Seq(
+      (0L, aG.mkString(" "), "en", "src0"),
+      (1L, bG.mkString(" "), "en", "src0"),
+      (2L, corpusTxt, "en", "src1"),
+      (3L, (0 until ml).map(i => s"c$i").mkString(" "), "en", "src2"))
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q_contamination_spans")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(2L) == ((1L, 16L, 16L)),
+      s"abutting hits must merge into one 16-token run, got ${got(2L)}")
+    assert(got(3L) == ((0L, 0L, 0L)), "clean doc must stay zero")
+  }
+
   test("a paraphrased leak invisible to shingles surfaces semantically") {
     import spark.implicits._
     val dir = s"${sys.props("java.io.tmpdir")}/graft_contam_plant"
