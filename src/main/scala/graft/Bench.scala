@@ -29,6 +29,9 @@ object Bench {
       .config("spark.sql.warehouse.dir", "/root/repo/target/warehouse")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // oracle-replayed context: assert capped ≡ uncapped like Verify
+      // (default is off for production constructions — ADVICE r11)
+      .config("spark.graft.dedup.dfCapGuard", "on")
       .getOrCreate()
     // ERROR, not WARN: the k-row presentation windows legitimately log
     // WindowExec single-partition warnings (census-whitelisted), and
@@ -44,10 +47,31 @@ object Bench {
     // final JSON line). Benign here — the accumulators belong to a
     // finished, already-measured rep — but it is exactly the class of
     // interleaved-output noise that defeated the driver's parse for
-    // five rounds, so the bench process silences that single logger.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.scheduler.DAGScheduler",
-      org.apache.logging.log4j.Level.FATAL)
+    // five rounds. Suppression is a MESSAGE filter on that one logger,
+    // not a level cut (ADVICE r11: raising the whole logger to FATAL
+    // would also hide a genuine scheduler failure): only events whose
+    // text carries the unregistered-accumulator signature are denied,
+    // every other DAGScheduler ERROR still reaches stderr.
+    locally {
+      import org.apache.logging.log4j.core.{Filter, LogEvent}
+      val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+        .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+      val cfg = ctx.getConfiguration
+      val name = "org.apache.spark.scheduler.DAGScheduler"
+      val lc = new org.apache.logging.log4j.core.config.LoggerConfig(
+        name, org.apache.logging.log4j.Level.ERROR, true)
+      lc.addFilter(new org.apache.logging.log4j.core.filter.AbstractFilter() {
+        override def filter(event: LogEvent): Filter.Result =
+          if (event.getMessage != null &&
+              event.getMessage.getFormattedMessage != null &&
+              event.getMessage.getFormattedMessage
+                .contains("non-existent accumulator"))
+            Filter.Result.DENY
+          else Filter.Result.NEUTRAL
+      })
+      cfg.addLogger(name, lc)
+      ctx.updateLoggers()
+    }
 
     // State-store observability: per-stream state metrics (rows held,
     // memory, commit latency) from every streaming query's progress
@@ -179,7 +203,8 @@ object Bench {
       "sclus" -> "q_stream_clusters",
       "sadr" -> "q_stream_ann_drift",
       "stok" -> "q_stream_tokenizer_drift",
-      "scont" -> "q_stream_contamination")
+      "scont" -> "q_stream_contamination",
+      "spv2" -> "q_stream_pipeline_v2")
     // listener bus is async; block until the queued tail is dispatched
     org.apache.spark.sql.graftbridge.Bridge.waitListenerBus(spark, 10000)
     import scala.jdk.CollectionConverters._

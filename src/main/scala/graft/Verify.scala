@@ -22,6 +22,10 @@ object Verify {
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.warehouse.dir", "/root/repo/target/warehouse")
       .config("spark.ui.enabled", "false")
+      // oracle-replayed context: assert capped ≡ uncapped (the DuckDB
+      // twins replay the shingle pair join with NO df cap) — default
+      // is off for production constructions (ADVICE r11)
+      .config("spark.graft.dedup.dfCapGuard", "on")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -118,13 +118,18 @@ object Dedup {
       g: DataFrame): Unit = {
     // The guard protects the ORACLE contract (capped ≡ uncapped), not
     // production semantics — at real corpus scale the cap is SUPPOSED
-    // to fire (it is the skew fence), and the amplified probe corpora
-    // deliberately push stop-shingles past it (fam replica cliques hit
-    // df 70 at ×10). ScaleProbe runs with the fence active and this
-    // guard off, which also keeps probe walls comparable to earlier
-    // rounds (no extra max-df pass in the measured region); every
-    // oracle-replayed context (Verify, Bench, tests) leaves it on.
-    if (s.conf.get("spark.graft.dedup.dfCapGuard", "on") == "off") return
+    // to fire (it is the skew fence), so a default-on guard would make
+    // every production construction of the jaccard/containment/
+    // pipeline/cluster families pay a corpus pre-scan and then throw
+    // (ADVICE r11). Default is therefore OFF (production: capped join,
+    // no pre-scan, no hard failure); the oracle-replayed contexts —
+    // Verify, Bench, SparkTestSession — OPT IN via session conf
+    // `spark.graft.dedup.dfCapGuard=on`, where capped ≡ uncapped must
+    // be a checked precondition because the DuckDB twins replay the
+    // pair join uncapped. ScaleProbe stays off explicitly: its
+    // amplified corpora push stop-shingles past the cap by design
+    // (fam replica cliques hit df 70 at ×10).
+    if (s.conf.get("spark.graft.dedup.dfCapGuard", "off") != "on") return
     val mx = graft.MemoStats.memoized("dfcap_guard", dfCapGuardMemo,
       (org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s), tag)) {
       val r = g.select(explode(col("sh")).as("shingle"))

@@ -131,6 +131,16 @@ object Similarity {
     rows.toDF("s", "c", "cv")
   }
 
+  /** Retrain trigger for the ANN index-drift monitors, in the 1e9-
+    * quantized PSI domain (1e7 ≡ PSI 0.01). A MEASURED operating
+    * point, not a convention: ScaleProbe's drift_recall probe (SCALE.md
+    * §24) found recall@5 over the incrementally-maintained index
+    * bottoms out (0.91) at PSI ≈ 0.014 — 18× below the textbook 0.25
+    * banding rule — and is NON-monotone in drift, so the trigger sits
+    * just under the measured knee. q_sim_ann_drift and
+    * q_stream_ann_drift ship this verdict as a `retrain` column. */
+  private[graft] val RetrainPsiNn = 10000000L
+
   /** Trained PQ codebooks per (session identity, dataset) — see the
     * memo comment in [[pqCodebooks]]. */
   private val pqMemo = new scala.collection.concurrent.TrieMap[
@@ -653,6 +663,16 @@ object Similarity {
     // so the oracle replays exactly. Scale shape: two k-row aggregates
     // off the already-maintained posting counts + one 1-row broadcast —
     // the monitor is free relative to the fold it governs.
+    //
+    // r12 (r11 verdict item 7): the operator ships its DECISION, not
+    // just its evidence — psi_total_nn (the exact sum of the quantized
+    // per-cell terms, so Spark and the oracle agree bit-for-bit) and a
+    // `retrain` boolean at the MEASURED operating point
+    // [[RetrainPsiNn]] (PSI ≥ 0.01; SCALE.md §24's drift_recall probe
+    // put the recall@5 floor at PSI ≈ 0.014, 18× below the textbook
+    // 0.25, so the trigger sits just under the measured knee). The
+    // total rides every row via a 1-row broadcast join — never a
+    // global window, which the plan census bans corpus-wide.
     "q_sim_ann_drift" -> ((s, d) => {
       val (stored, delta, _, _, _) = annIncrementalParts(s, d)
       val cs = stored.groupBy(col("cell")).agg(count(lit(1)).as("c_s"))
@@ -667,7 +687,7 @@ object Similarity {
         .localCheckpoint()
       val tot = cells.agg(sum(col("c_s")).as("n_s"),
         sum(col("c_d")).as("n_d"), count(lit(1)).as("k"))
-      cells.join(broadcast(tot))
+      val terms = cells.join(broadcast(tot))
         .withColumn("p_s", (col("c_s") + 1).cast("double") /
           (col("n_s") + col("k")).cast("double"))
         .withColumn("p_d", (col("c_d") + 1).cast("double") /
@@ -676,6 +696,10 @@ object Similarity {
           col("c_d").as("n_delta"),
           floor((col("p_d") - col("p_s")) * log(col("p_d") / col("p_s"))
             * lit(1e9)).cast("long").as("psi_term_nn"))
+        .localCheckpoint() // k rows; total + projection share one pass
+      val psiTot = terms.agg(sum(col("psi_term_nn")).as("psi_total_nn"))
+      terms.join(broadcast(psiTot))
+        .withColumn("retrain", col("psi_total_nn") >= lit(RetrainPsiNn))
         .orderBy(col("cell"))
     }),
 
@@ -1616,11 +1640,13 @@ object Similarity {
         |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin),
 
     // Same old-trained clustering replay; then per-cell stored/delta
-    // occupancy, the Laplace-smoothed PSI terms, 1e9-floor-quantized.
+    // occupancy, the Laplace-smoothed PSI terms, 1e9-floor-quantized;
+    // the total and the retrain verdict are a window-SUM over the
+    // ALREADY-quantized terms, so the decision replays exactly.
     "q_sim_ann_drift" -> (s"WITH ${ivfCtesGen(
       "cutv AS (SELECT (MAX(vec_id) * 4) // 5 AS cut FROM embeddings),\n",
       "vec_id < (SELECT cut FROM cutv)")},\n" +
-      """cs AS (SELECT cell, COUNT(*) AS c_s FROM w CROSS JOIN cutv
+      s"""cs AS (SELECT cell, COUNT(*) AS c_s FROM w CROSS JOIN cutv
         |       WHERE vec_id < cutv.cut GROUP BY cell),
         |cd AS (SELECT cell, COUNT(*) AS c_d FROM w CROSS JOIN cutv
         |       WHERE vec_id >= cutv.cut GROUP BY cell),
@@ -1630,15 +1656,20 @@ object Similarity {
         |tot AS (SELECT CAST(SUM(c_s) AS BIGINT) AS n_s,
         |          CAST(SUM(c_d) AS BIGINT) AS n_d,
         |          COUNT(*) AS k
-        |        FROM occ)
-        |SELECT cell, CAST(c_s AS BIGINT) AS n_stored,
+        |        FROM occ),
+        |terms AS (SELECT cell, CAST(c_s AS BIGINT) AS n_stored,
         |  CAST(c_d AS BIGINT) AS n_delta,
         |  CAST(FLOOR((CAST(c_d + 1 AS DOUBLE) / CAST(n_d + k AS DOUBLE)
         |        - CAST(c_s + 1 AS DOUBLE) / CAST(n_s + k AS DOUBLE))
         |      * LN((CAST(c_d + 1 AS DOUBLE) / CAST(n_d + k AS DOUBLE))
         |          / (CAST(c_s + 1 AS DOUBLE) / CAST(n_s + k AS DOUBLE)))
         |      * 1e9) AS BIGINT) AS psi_term_nn
-        |FROM occ CROSS JOIN tot
+        |FROM occ CROSS JOIN tot)
+        |SELECT cell, n_stored, n_delta, psi_term_nn,
+        |  CAST(SUM(psi_term_nn) OVER () AS BIGINT) AS psi_total_nn,
+        |  CAST(SUM(psi_term_nn) OVER () AS BIGINT) >= $RetrainPsiNn
+        |    AS retrain
+        |FROM terms
         |ORDER BY cell""".stripMargin),
 
     // Reuses the identical k-means replay, then marks each vector removed

@@ -264,6 +264,113 @@ object EventStreams {
       v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
   }
 
+  /** Stage a gate's 4-file parquet drop zone ONCE per (JVM, dataset) —
+    * the q_join_dpp layout memo applied to the ingest fixtures (r11
+    * verdict "what's wrong" #3): the `_SUCCESS` marker proves a
+    * complete prior write, so bench reps 2–3 measure the GATE's
+    * trigger cost, not two parquet re-stagings of the same
+    * deterministic content. 4 files × maxFilesPerTrigger=1 is what
+    * makes the gates' multi-batch claims real. */
+  private def stagedZone(s: SparkSession, name: String, d: String)
+      (build: => DataFrame): String = {
+    val zone = s"${sys.props("java.io.tmpdir")}/graft_${name}_" +
+      d.replaceAll("[^0-9a-zA-Z]", "_")
+    val marker = new org.apache.hadoop.fs.Path(s"$zone/_SUCCESS")
+    if (!marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .exists(marker))
+      build.repartition(4).write.mode("overwrite").parquet(zone)
+    zone
+  }
+
+  /** The cluster gate's static probe side, built once per (session,
+    * dataset, cut) and localCheckpointed: a stream-static join
+    * re-executes its static side's plan on EVERY micro-batch, so
+    * without this the 4-trigger fixture paid 4 posting builds (the
+    * r11 bench's heaviest row). Two tables: the hash-keyed posting
+    * list (h, idx_id, idx_lbl — 24 bytes/row, NO arrays) and the
+    * per-stored-doc shingle-hash array table (idx_id, idx_h — one row
+    * per DOC, not per posting). At 100 TB these are the stored shingle
+    * index a production gate READS, not a per-query derivation.
+    * MemoStats clears the map on ApplicationEnd like every other
+    * DataFrame-valued memo. */
+  private val clusterPostingsMemo = new scala.collection.concurrent
+    .TrieMap[(String, String, Long),
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
+
+  /** 63-bit shingle ownership fold: the two independent 40-bit text
+    * folds (neutral_hash40 / neutral_hash40b — the hashed-despan-key
+    * pair, SubstringDedup) packed into ONE non-negative BIGINT,
+    * h1·2²³ + (h2 mod 2²³), max (2⁴⁰−1)·2²³ + 2²³−1 = 2⁶³−1: no
+    * overflow on either engine (DuckDB BIGINT throws on overflow, so
+    * the pack deliberately tops out at Long.MaxValue). The gate
+    * shuffles and intersects THESE instead of shingle strings — 8
+    * bytes/element vs ~25 — and the oracle replays the identical fold
+    * ([[fold63Sql]]), so hash collisions cannot cause a parity
+    * mismatch; they could only deviate from STRING ground truth, at
+    * the analyzed envelope ≤ (candidate pairs)·s²/2⁶³ ≈ 1e10/9e18 ≈
+    * 1e-9 at the ×100 probe — the q_pipeline_e2e_v2 despan-key trade,
+    * re-applied. */
+  private def fold63(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import graft.functions.VectorFunctions.{neutral_hash40, neutral_hash40b}
+    neutral_hash40(c) * lit(8388608L) + neutral_hash40b(c) % lit(8388608L)
+  }
+
+  /** DuckDB replay of [[fold63]] for a lambda/column expression `e`. */
+  private def fold63Sql(e: String): String = {
+    import graft.operators.SubstringDedup.{fold40Sql, FoldA, FoldB}
+    s"(${fold40Sql(e, FoldA)} * 8388608 + ${fold40Sql(e, FoldB)} % 8388608)"
+  }
+
+  /** Build (or memo-hit) the cluster gate's stored index pair — see
+    * [[clusterPostingsMemo]]. Shared by q_stream_clusters and
+    * q_stream_pipeline_v2 under ONE memo entry (same cut convention,
+    * same tables). */
+  private def clusterIndex(s: SparkSession, d: String, cut: Long,
+      g: DataFrame, oldLabels: DataFrame): (DataFrame, DataFrame) =
+    graft.MemoStats.memoized("cluster_postings", clusterPostingsMemo,
+        (org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s), d, cut)) {
+      val stored = g.where(col("doc_id") < cut)
+        .select(col("doc_id").as("idx_id"),
+          transform(col("sh"), x => fold63(x)).as("idx_h"))
+      val ex = stored.select(col("idx_id"), explode(col("idx_h")).as("h"))
+      val rare = ex.groupBy(col("h"))
+        .agg(count(lit(1)).as("df"))
+        .where(col("df") <= graft.operators.Dedup.ShingleDfCap)
+        .select(col("h"))
+      val postings = ex.join(rare, Seq("h"))
+        .join(oldLabels.select(col("doc_id").as("idx_id"),
+          col("lbl").as("idx_lbl")), Seq("idx_id"))
+        .localCheckpoint()
+      (postings, stored.localCheckpoint())
+    }
+
+  /** Stage the prefix-enriched 4-file document drop zone shared by the
+    * ingest gates that probe the cluster index — each document carries
+    * `pfx`, its ⌊s/2⌋+1 rarest shingle-fold hashes by STORED-side df
+    * (unseen first), the lossless probe prefix the streaming plan
+    * cannot rank for itself (see the q_stream_clusters doc comment). */
+  private def clusterZone(s: SparkSession, d: String, cut: Long,
+      g: DataFrame, all: DataFrame): String = {
+    import org.apache.spark.sql.expressions.Window
+    stagedZone(s, "sclus3", d) {
+      val exh = g.select(col("doc_id"),
+        explode(transform(col("sh"), x => fold63(x))).as("h"))
+      val dfT = exh.where(col("doc_id") < cut)
+        .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      val wD = Window.partitionBy(col("doc_id"))
+      val pfxT = exh.where(col("doc_id") >= cut)
+        .join(dfT, Seq("h"), "left")
+        .withColumn("sz", count(lit(1)).over(wD).cast("long"))
+        .withColumn("rn", row_number().over(
+          wD.orderBy(coalesce(col("df"), lit(0L)), col("h"))))
+        .where(col("rn") <= expr("sz div 2 + 1"))
+        .groupBy(col("doc_id"))
+        .agg(collect_list(col("h")).as("pfx"))
+      all.join(pfxT, Seq("doc_id"), "left")
+    }
+  }
+
   val defs: Map[String, Q] = Map(
 
     // Tumbling-window aggregation with a watermark. Complete output mode
@@ -1225,76 +1332,128 @@ object EventStreams {
     // maintenance loop that had no streaming twin). The STORED state is
     // the batch CC label table over the existing 4/5 of the corpus
     // (old-old edges filtered from the SAME memoized pair table the
-    // batch graph family shares, so stored labels here ≡ stored labels
-    // there); arriving documents (doc_id ≥ cut, streamed from the
-    // parquet drop zone) explode their trigram shingles and probe the
-    // stored corpus through a stream-static LEFT equi-join on the
+    // batch graph family shares — and since r12 the cut is the batch
+    // family's max·4/5 convention, so the memo ENTRY is literally the
+    // one q_dedup_clusters_incremental reads, not a sibling under a
+    // different cut key; ADVICE r11). Arriving documents (doc_id ≥
+    // cut, streamed from the parquet drop zone) probe the stored
+    // posting index through a stream-static LEFT equi-join on the
     // shingle — candidates carry both shingle ARRAYS so the exact
     // Jaccard verify is computable PER JOIN ROW (the verifiedJaccard
-    // shape; arrays travel only for shingle-sharing pairs), which keeps
-    // the whole plan inside the single-aggregation streaming limit:
-    // one complete-mode groupBy(doc_id) whose min/max are
-    // duplicate-idempotent, so shared-shingle multiplicity never skews
-    // the result. Each arrival lands in the lowest-labelled stored
-    // cluster it near-duplicates (J > 1/2), or founds its own
+    // shape), which keeps the whole plan inside the single-aggregation
+    // streaming limit: one complete-mode groupBy(doc_id) whose min/max
+    // are duplicate-idempotent, so shared-shingle multiplicity never
+    // skews the result. Each arrival lands in the lowest-labelled
+    // stored cluster it near-duplicates (J > 1/2), or founds its own
     // (keep_id = doc_id). Per-key state is one (min, max) row per
-    // arrival — bounded. What the gate deliberately does NOT do is
-    // merge arrivals with EACH OTHER — that is the batch incremental
-    // CC's contraction (delta-delta edges need a global view); the
-    // StreamingSpec pins the exact relationship: gate ≡ batch CC on
-    // every arrival whose component holds no other new doc, and the
-    // gate's target always sits in the arrival's batch component.
-    // Deterministic per arrival (stored side is static), so the full
-    // trajectory replays as a batch oracle. The df cap on the stored
-    // probe side is asserted inactive (assertDfCapInactive), making
-    // capped ≡ the oracle's uncapped pair join a checked precondition.
+    // arrival — bounded.
+    //
+    // Scale shape (r11 verdict items 1–2, SCALE.md §26's named
+    // mitigations, now CODE):
+    //  • PREFIX-FILTERED probe: an arrival with s shingles probes with
+    //    only its ⌊s/2⌋+1 RAREST (stored-side df order) — J > 1/2
+    //    forces a shared count i > s/2 (J = i/(s+b−i) > 1/2 with b ≥ i
+    //    ⟹ 3i > s+i), and the excluded ⌈s/2⌉−1-element suffix cannot
+    //    hold all ⌊s/2⌋+1 shared shingles, so ≥ 1 shared shingle sits
+    //    in the prefix and the filter is LOSSLESS for ANY fixed
+    //    per-doc order (the q_dedup_prefix_filter pigeonhole, one-sided
+    //    because the posting side keeps ALL its shingles). Rarity
+    //    order is the COST choice: rare shingles have short posting
+    //    lists, and unseen shingles (df 0, no postings at all) sort
+    //    first. The per-doc rank needs a window, which streaming
+    //    cannot run — so the prefix is computed BATCH-SIDE during
+    //    drop-zone staging and shipped as a `pfx` column, exactly what
+    //    a production ingest writer does against the published df
+    //    table.
+    //  • HASH DOMAIN end to end ([[fold63]]): probe keys, prefixes,
+    //    and the intersected arrays are 8-byte shingle folds, never
+    //    strings — and the per-row exact-Jaccard arrays DON'T ride the
+    //    probe join at all: postings carry (h, idx_id, idx_lbl) only,
+    //    and each candidate picks up the stored doc's hash array from
+    //    a broadcast of the one-row-per-DOC table. The arrival's own
+    //    array is computed in-stream (map-side). Net: the only
+    //    pre-aggregation exchange is the arrival prefix rows (8-byte
+    //    keys) meeting the slim postings — the r11 plan's 5.8 GB
+    //    array-carriage shuffle at ×10 becomes ~0.2 GB, zero spill
+    //    (SCALE.md §27, measured).
+    //  • MEMOIZED posting index: the static probe side (slim postings
+    //    + the doc-array table) is built ONCE per (session, dataset,
+    //    cut) and localCheckpointed — a stream-static join re-executes
+    //    its static side EVERY micro-batch, so the unmemoized plan
+    //    paid the posting build per trigger (4× in the 4-batch
+    //    fixture; at scale this side IS a stored index table, read
+    //    not derived).
+    //  • MEMOIZED drop zone (_SUCCESS marker, the q_join_dpp layout
+    //    memo): bench reps measure the gate, not fixture staging.
+    //
+    // What the gate deliberately does NOT do is merge arrivals with
+    // EACH OTHER — that is the batch incremental CC's contraction
+    // (delta-delta edges need a global view); the StreamingSpec pins
+    // the exact relationship: gate ≡ batch CC on every arrival whose
+    // component holds no other new doc, and the gate's target always
+    // sits in the arrival's batch component. Deterministic per arrival
+    // (stored side is static), so the full trajectory replays as a
+    // batch oracle. The df cap on the stored probe side is asserted
+    // inactive (assertDfCapInactive), making capped ≡ the oracle's
+    // uncapped pair join a checked precondition.
     "q_stream_clusters" -> ((s, d) => {
       import graft.operators.Dedup
+      import org.apache.spark.sql.expressions.Window
       val docSchema = StructType(Seq(
         StructField("doc_id", LongType),
         StructField("text", StringType),
         StructField("lang", StringType),
         StructField("source", StringType),
-        StructField("n_chars", LongType)))
+        StructField("n_chars", LongType),
+        StructField("pfx", ArrayType(LongType))))
       val all = s.read.parquet(s"$d/documents.parquet")
-      val cut = all.count() * 4 / 5 // footer-read count, SQL-replayable
+      // the batch family's bounded driver scalar, replayed by the
+      // oracle as (MAX(doc_id)*4)//5 — ONE cut convention family-wide
+      val cut = all.agg((max(col("doc_id")) * 4).as("m"))
+        .head.getLong(0) / 5
       val g = Dedup.withShingles(s, d)
       Dedup.assertDfCapInactive(s, s"$d#corpus", g)
       // stored labels: the shared memoized stored-label table (one CC
       // over old-old edges per session — at scale this IS a table)
       val oldLabels = Dedup.storedClusterLabels(s, d, cut)
-      // static probe side: rare-shingle posting list carrying the full
-      // shingle set and the stored label per posting
-      val ex = g.where(col("doc_id") < cut)
-        .select(col("doc_id").as("idx_id"), col("sh").as("idx_sh"),
-          explode(col("sh")).as("shingle"))
-      val rare = ex.groupBy(col("shingle"))
-        .agg(count(lit(1)).as("df"))
-        .where(col("df") <= Dedup.ShingleDfCap)
-        .select(col("shingle"))
-      val statSide = ex.join(rare, Seq("shingle"))
-        .join(oldLabels.select(col("doc_id").as("idx_id"),
-          col("lbl").as("idx_lbl")), Seq("idx_id"))
+      // static probe side (hash domain, fold63): the 24-byte/row
+      // posting list and the per-DOC shingle-hash array table — built
+      // once per (session, dataset, cut) and checkpointed, NOT
+      // re-derived per micro-batch trigger. Splitting postings from
+      // arrays is the array-carriage fix: the r11 plan carried the
+      // full shingle-string array on EVERY posting row, so the probe
+      // join shuffled 5.8 GB at ×10 (and a naive checkpoint of that
+      // table spilled 18 GB); here the shuffle moves 8-byte keys and
+      // the arrays ride a BROADCAST of the doc-level table (one array
+      // per stored doc — 40k rows ≈ 19 MB at ×10; at corpus scale
+      // this becomes a bucketed co-located join against the stored
+      // index, the same shape).
+      val (statSide, idxArr) = clusterIndex(s, d, cut, g, oldLabels)
       // 4-file drop zone → four REAL micro-batches (the
       // q_stream_sample pattern): arrivals land across batches and the
       // complete-mode per-doc min() state must RETAIN earlier batches'
-      // rows through every re-emission — the single-file fixture would
-      // otherwise make the multi-batch claim vacuous
-      val zone = s"${sys.props("java.io.tmpdir")}/graft_sclus_" +
-        d.replaceAll("[^0-9a-zA-Z]", "_")
-      all.repartition(4).write.mode("overwrite").parquet(zone)
+      // rows through every re-emission. Staged ONCE per (JVM, dataset);
+      // the staging job also attaches each arrival's rarity-ordered
+      // probe prefix (the batch-side window the streaming plan cannot
+      // run) — `sz div 2 + 1` is the q_dedup_prefix_filter cut, df
+      // from the STORED side only, unseen shingles (no postings, so
+      // zero candidates) first — already in the hash domain.
+      val zone = clusterZone(s, d, cut, g, all)
       val arrivals = s.readStream.schema(docSchema)
         .option("maxFilesPerTrigger", "1")
         .parquet(zone)
         .where(col("doc_id") >= cut)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"), expr(Dedup.ShingleExpr).as("sh"))
-        .select(col("doc_id"), col("sh"), explode(col("sh")).as("shingle"))
-      val scored = arrivals.join(statSide, Seq("shingle"), "left")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"),
+          col("pfx"))
+        .select(col("doc_id"),
+          transform(expr(Dedup.ShingleExpr), x => fold63(x)).as("sh_h"),
+          explode_outer(col("pfx")).as("h"))
+      val scored = arrivals.join(statSide, Seq("h"), "left")
+        .join(broadcast(idxArr), Seq("idx_id"), "left")
         .withColumn("inter",
-          size(array_intersect(col("sh"), col("idx_sh"))).cast("double"))
+          size(array_intersect(col("sh_h"), col("idx_h"))).cast("double"))
         .withColumn("jac", col("inter") /
-          (size(col("sh")) + size(col("idx_sh")) - col("inter")))
+          (size(col("sh_h")) + size(col("idx_h")) - col("inter")))
       val gated = scored.groupBy(col("doc_id"))
         .agg(min(when(col("jac") > 0.5, col("idx_lbl"))).as("m"))
       val out = gated.select(col("doc_id"),
@@ -1334,16 +1493,12 @@ object EventStreams {
         StructField("label", IntegerType)))
       val (centRows, cut) = Similarity.incCentroids(s, d)
       val centsLit = typedLit(centRows)
-      // stage the corpus into a 4-file drop zone (the q_stream_sample
-      // pattern) so AvailableNow + maxFilesPerTrigger=1 runs FOUR real
-      // micro-batches — the complete-mode occupancy counts must FOLD
-      // across batches, not be handed one batch that happens to be
-      // everything (the single-file fixture would otherwise make the
-      // multi-batch claim vacuous)
-      val zone = s"${sys.props("java.io.tmpdir")}/graft_sadr_" +
-        d.replaceAll("[^0-9a-zA-Z]", "_")
-      graft.sources.Tables.embeddings(s, d)
-        .repartition(4).write.mode("overwrite").parquet(zone)
+      // 4-file drop zone → four REAL micro-batches — the complete-mode
+      // occupancy counts must FOLD across batches, not be handed one
+      // batch that happens to be everything. Staged once per (JVM,
+      // dataset), so bench reps measure the monitor, not the staging.
+      val zone = stagedZone(s, "sadr", d)(
+        graft.sources.Tables.embeddings(s, d))
       val arrivals = s.readStream.schema(embSchema)
         .option("maxFilesPerTrigger", "1")
         .parquet(zone)
@@ -1369,7 +1524,7 @@ object EventStreams {
         .localCheckpoint()
       val tot = cells.agg(sum(col("c_s")).as("n_s"),
         sum(col("c_d")).as("n_d"), count(lit(1)).as("k"))
-      cells.join(broadcast(tot))
+      val terms = cells.join(broadcast(tot))
         .withColumn("p_s", (col("c_s") + 1).cast("double") /
           (col("n_s") + col("k")).cast("double"))
         .withColumn("p_d", (col("c_d") + 1).cast("double") /
@@ -1378,6 +1533,14 @@ object EventStreams {
           col("c_d").as("n_delta"),
           floor((col("p_d") - col("p_s")) * log(col("p_d") / col("p_s"))
             * lit(1e9)).cast("long").as("psi_term_nn"))
+        .localCheckpoint() // k rows; the verdict shares one pass
+      // the retrain VERDICT at the measured PSI ≥ 0.01 operating point
+      // (Similarity.RetrainPsiNn, SCALE.md §24) — exact: the total sums
+      // the already-quantized terms, batch-side post-sink
+      val psiTot = terms.agg(sum(col("psi_term_nn")).as("psi_total_nn"))
+      terms.join(broadcast(psiTot))
+        .withColumn("retrain",
+          col("psi_total_nn") >= lit(Similarity.RetrainPsiNn))
         .orderBy(col("cell"))
     }),
 
@@ -1411,10 +1574,9 @@ object EventStreams {
       val (seqs, _) = Bpe.train(s, d, cut)
       val wordTok = seqs.select(col("w"),
         expr(Bpe.NSubExpr).cast("long").as("n_sub"))
-      // 4-file drop zone → four REAL micro-batches (see q_stream_ann_drift)
-      val zone = s"${sys.props("java.io.tmpdir")}/graft_stok_" +
-        d.replaceAll("[^0-9a-zA-Z]", "_")
-      all.repartition(4).write.mode("overwrite").parquet(zone)
+      // 4-file drop zone → four REAL micro-batches (see
+      // q_stream_ann_drift), staged once per (JVM, dataset)
+      val zone = stagedZone(s, "stok", d)(all)
       val arrivals = s.readStream.schema(docSchema)
         .option("maxFilesPerTrigger", "1")
         .parquet(zone)
@@ -1484,10 +1646,9 @@ object EventStreams {
       // enter the per-doc state table and every earlier batch's rows
       // must survive the complete-mode re-emission (a doc's own
       // positions arrive together — one source row — so the cross-batch
-      // claim here is state RETENTION, not within-doc union)
-      val zone = s"${sys.props("java.io.tmpdir")}/graft_scont_" +
-        d.replaceAll("[^0-9a-zA-Z]", "_")
-      all.repartition(4).write.mode("overwrite").parquet(zone)
+      // claim here is state RETENTION, not within-doc union). Staged
+      // once per (JVM, dataset).
+      val zone = stagedZone(s, "scont", d)(all)
       val arrivals = s.readStream.schema(docSchema)
         .option("maxFilesPerTrigger", "1")
         .parquet(zone)
@@ -1530,6 +1691,160 @@ object EventStreams {
         expr("(1000 * size(ps)) div n_tok").as("contam_pm"))
       runToMemory(s, out, "complete", s"scont_${System.nanoTime()}")
         .orderBy(col("doc_id"))
+    }),
+
+    // Streaming curation pipeline v2 — the r11 ingest gates COMPOSED
+    // over ONE drop-zone stream in the admit-after-exact-dedup order
+    // (SCALE.md §26's first mitigation, measured here): exact dedup
+    // FIRST (streaming dropDuplicates on text — replica mass dies
+    // before any probe runs, so the expensive cluster probe never sees
+    // a second copy of anything), then span decontamination, the
+    // duplicated-passage gate, and cluster membership as a SINGLE
+    // linear probe pipeline — one explode of a combined probe array
+    // (positional 8-gram structs + the rarity-ordered prefix hashes
+    // from the staged zone), four stream-static LEFT joins (eval gram
+    // set, stored dup-gram set — both on the 80-bit gram-hash pair —
+    // then the slim hash postings and the broadcast doc-array table,
+    // the q_stream_clusters plan), and ONE complete-mode aggregation.
+    // That single-agg squeeze forces the same spellings the individual
+    // gates proved: covered positions via collect_set (islands fold
+    // post-agg), dup windows via collect_set of window starts (count
+    // DISTINCT is not a streaming agg; window count is n_tok−7
+    // arithmetic), cluster label via duplicate-idempotent min. Output
+    // is CONTENT-ADDRESSED (fp = 40-bit text fold): streaming
+    // keep-first picks an arbitrary arrival among equal texts, so
+    // doc_id would be run-order-dependent — every emitted column is a
+    // function of the text and the static stored state alone, which is
+    // what makes the full trajectory replay as a batch oracle (the
+    // q_stream_pipeline precedent). State: dedup keys + one bounded
+    // row per distinct text (positions ≤ token count, one min label).
+    "q_stream_pipeline_v2" -> ((s, d) => {
+      import graft.operators.Dedup
+      import graft.functions.VectorFunctions.{neutral_hash40, neutral_hash40b}
+      val ml = graft.operators.SubstringDedup.MinLen
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType),
+        StructField("source", StringType),
+        StructField("n_chars", LongType),
+        StructField("pfx", ArrayType(LongType))))
+      val all = s.read.parquet(s"$d/documents.parquet")
+      val cut = all.agg((max(col("doc_id")) * 4).as("m"))
+        .head.getLong(0) / 5
+      val g = Dedup.withShingles(s, d)
+      Dedup.assertDfCapInactive(s, s"$d#corpus", g)
+      val oldLabels = Dedup.storedClusterLabels(s, d, cut)
+      val (statSide, idxArr) = clusterIndex(s, d, cut, g, oldLabels)
+      // static gram sets, both as the 80-bit hash pair: the eval
+      // benchmark slice (decontamination) and the stored corpus's
+      // distinct passages (dup gate, q_stream_dup_spans' convention —
+      // short docs contribute their whole text)
+      val gramOnly = expr(
+        s"""CASE WHEN size(toks) >= $ml THEN
+           |  transform(sequence(1, size(toks) - ${ml - 1}),
+           |    i -> concat_ws(' ', slice(toks, i, $ml)))
+           |ELSE array(array_join(toks, ' ')) END""".stripMargin)
+      val evalG = all.where(col("source") === "src0")
+        .select(split(col("text"), " ").as("w"))
+        .where(size(col("w")) >= ml)
+        .select(explode(expr(
+          s"""transform(sequence(1, size(w) - ${ml - 1}),
+             |  p -> concat_ws(' ', slice(w, p, $ml)))""".stripMargin))
+          .as("gram"))
+        .select(neutral_hash40(col("gram")).as("gh1"),
+          neutral_hash40b(col("gram")).as("gh2"))
+        .distinct().withColumn("ehit", lit(1))
+      val dupG = all.where(col("doc_id") < cut)
+        .select(split(col("text"), " ").as("toks"))
+        .select(explode(gramOnly).as("gram")).distinct()
+        .select(neutral_hash40(col("gram")).as("gh1"),
+          neutral_hash40b(col("gram")).as("gh2"))
+        .withColumn("dhit", lit(1))
+      val zone = clusterZone(s, d, cut, g, all)
+      // admit-after-exact-dedup: replicas die at the dedup store,
+      // BEFORE the probe array is even built
+      val admitted = s.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(zone)
+        .where(col("doc_id") >= cut)
+        .dropDuplicates("text")
+        .select(col("text"), col("pfx"), split(col("text"), " ").as("toks"))
+        .select(neutral_hash40(col("text")).as("fp"),
+          size(col("toks")).cast("long").as("n_tok"),
+          transform(expr(Dedup.ShingleExpr), x => fold63(x)).as("sh_h"),
+          col("pfx"),
+          expr(
+            s"""CASE WHEN size(toks) >= $ml THEN
+               |  transform(sequence(1, size(toks) - ${ml - 1}), p ->
+               |    struct(p AS p, concat_ws(' ', slice(toks, p, $ml))
+               |           AS gram))
+               |ELSE array(struct(1 AS p, array_join(toks, ' ') AS gram))
+               |END""".stripMargin).as("grams"))
+      val probes = admitted.select(col("fp"), col("n_tok"), col("sh_h"),
+          explode(concat(
+            transform(col("grams"), x =>
+              struct(lit("g").as("kind"), x.getField("p").as("p"),
+                x.getField("gram").as("gram"),
+                lit(null).cast("long").as("h"))),
+            transform(col("pfx"), e =>
+              struct(lit("k").as("kind"), lit(null).cast("int").as("p"),
+                lit(null).cast("string").as("gram"), e.as("h")))))
+            .as("x"))
+        .select(col("fp"), col("n_tok"),
+          when(col("x.kind") === "k", col("sh_h")).as("sh_h"),
+          col("x.p").as("p"),
+          when(col("x.kind") === "g", neutral_hash40(col("x.gram")))
+            .as("gh1"),
+          when(col("x.kind") === "g", neutral_hash40b(col("x.gram")))
+            .as("gh2"),
+          col("x.h").as("h"))
+      val scored = probes
+        .join(broadcast(evalG), Seq("gh1", "gh2"), "left")
+        .join(dupG, Seq("gh1", "gh2"), "left")
+        .join(statSide, Seq("h"), "left")
+        .join(broadcast(idxArr), Seq("idx_id"), "left")
+        .withColumn("inter",
+          size(array_intersect(col("sh_h"), col("idx_h"))).cast("double"))
+        .withColumn("jac", col("inter") /
+          (size(col("sh_h")) + size(col("idx_h")) - col("inter")))
+        .select(col("fp"), col("n_tok"), col("p"), col("dhit"),
+          when(col("jac") > 0.5, col("idx_lbl")).as("glbl"),
+          explode_outer(when(col("ehit") === 1,
+            sequence(col("p"), col("p") + lit(ml - 1)))).as("q"))
+      val gated = scored.groupBy(col("fp"))
+        .agg(max(col("n_tok")).as("n_tok"),
+          sort_array(collect_set(col("q"))).as("ps"),
+          collect_set(when(col("dhit") === 1, col("p"))).as("dps"),
+          min(col("glbl")).as("m"))
+      val sink = runToMemory(s, gated, "complete",
+        s"spv2_${System.nanoTime()}")
+      sink
+        .withColumn("n_windows", when(col("n_tok") >= ml,
+          col("n_tok") - lit(ml - 1)).otherwise(lit(1L)).cast("long"))
+        .select(col("fp"), col("n_tok"), col("n_windows"),
+          size(col("dps")).cast("long").as("n_dup_windows"),
+          expr(s"(1000 * size(dps)) div n_windows").as("dup_pm"),
+          size(col("ps")).cast("long").as("contam_tokens"),
+          coalesce(expr(
+            s"""CASE WHEN size(ps) = 0 THEN CAST(0 AS BIGINT) ELSE
+               |  CAST(1 + size(filter(sequence(2, size(ps)),
+               |    j -> element_at(ps, j) != element_at(ps, j - 1) + 1))
+               |  AS BIGINT) END""".stripMargin), lit(0L)).as("n_spans"),
+          expr(
+            s"""CASE WHEN size(ps) = 0 THEN CAST(0 AS BIGINT) ELSE
+               |  CAST(aggregate(sequence(2, size(ps)),
+               |    named_struct('cur', 1, 'mx', 1),
+               |    (a, j) -> CASE
+               |      WHEN element_at(ps, j) = element_at(ps, j - 1) + 1
+               |      THEN named_struct('cur', a.cur + 1,
+               |                        'mx', greatest(a.mx, a.cur + 1))
+               |      ELSE named_struct('cur', 1, 'mx', a.mx) END,
+               |    a -> a.mx) AS BIGINT) END""".stripMargin)
+            .as("max_span"),
+          col("m").as("merge_lbl"),
+          col("m").isNotNull.as("is_merge"))
+        .orderBy(col("fp"))
     })
   )
 
@@ -1953,14 +2268,17 @@ object EventStreams {
     // the Spark side's asserted precondition) and takes the MIN stored
     // label, or founds its own cluster.
     "q_stream_clusters" ->
-      """WITH cutv AS (SELECT COUNT(*) * 4 // 5 AS c FROM documents),
+      s"""WITH cutv AS (SELECT (MAX(doc_id) * 4) // 5 AS c FROM documents),
         |t AS (SELECT doc_id, string_split(text, ' ') AS w
         |      FROM documents),
-        |g AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |gs AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN
         |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
         |                       for i in generate_series(1, len(w) - 2)])
         |      ELSE [array_to_string(w, ' ')] END AS sh
         |      FROM t),
+        |g AS MATERIALIZED (SELECT doc_id,
+        |      [${fold63Sql("x")} for x in sh] AS sh
+        |      FROM gs),
         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |        len(list_intersect(a.sh, b.sh)) AS inter,
         |        len(a.sh) AS na, len(b.sh) AS nb
@@ -1992,6 +2310,128 @@ object EventStreams {
         |FROM documents d CROSS JOIN cutv LEFT JOIN m USING (doc_id)
         |WHERE d.doc_id >= c
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Composed-pipeline replay, per DISTINCT admitted text (streaming
+    // keep-first ⇒ content-addressed output): the q_stream_clusters
+    // stored-CC CTEs verbatim (hash domain), the scont eval-gram
+    // islands per text, the dup_spans window stats per text, all
+    // LEFT-joined onto the admitted-text spine.
+    "q_stream_pipeline_v2" ->
+      s"""WITH cutv AS (SELECT (MAX(doc_id) * 4) // 5 AS c FROM documents),
+        |t AS (SELECT doc_id, source, string_split(text, ' ') AS w
+        |      FROM documents),
+        |gs AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                       for i in generate_series(1, len(w) - 2)])
+        |      ELSE [array_to_string(w, ' ')] END AS sh
+        |      FROM t),
+        |g AS MATERIALIZED (SELECT doc_id,
+        |      [${fold63Sql("x")} for x in sh] AS sh
+        |      FROM gs),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        len(list_intersect(a.sh, b.sh)) AS inter,
+        |        len(a.sh) AS na, len(b.sh) AS nb
+        |      FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |      CROSS JOIN cutv WHERE b.doc_id < c),
+        |pairs AS (SELECT doc_a, doc_b FROM p
+        |          WHERE inter / (na + nb - inter) > 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |rec AS (
+        |  WITH RECURSIVE reach(id, lbl) AS (
+        |    SELECT doc_id, doc_id FROM documents CROSS JOIN cutv
+        |    WHERE doc_id < c
+        |    UNION
+        |    SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+        |    WHERE r.lbl < e.dst
+        |  ) SELECT id, MIN(lbl) AS lbl FROM reach GROUP BY id),
+        |arr AS (SELECT DISTINCT text FROM documents CROSS JOIN cutv
+        |        WHERE doc_id >= c),
+        |a AS MATERIALIZED (SELECT text,
+        |      ${SubstringDedup.fold40Sql("text", SubstringDedup.FoldA)}
+        |        AS fp,
+        |      string_split(text, ' ') AS w
+        |      FROM arr),
+        |ash AS (SELECT text, CASE WHEN len(w) >= 3 THEN
+        |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                       for i in generate_series(1, len(w) - 2)])
+        |      ELSE [array_to_string(w, ' ')] END AS sh0
+        |      FROM a),
+        |ah AS MATERIALIZED (SELECT text,
+        |      [${fold63Sql("x")} for x in sh0] AS sh
+        |      FROM ash),
+        |mm AS (SELECT n.text, MIN(r.lbl) AS mlbl
+        |      FROM ah n CROSS JOIN cutv
+        |      JOIN g o ON o.doc_id < c
+        |        AND len(list_intersect(n.sh, o.sh))
+        |            / (len(n.sh) + len(o.sh)
+        |               - len(list_intersect(n.sh, o.sh))) > 0.5
+        |      JOIN rec r ON r.id = o.doc_id
+        |      GROUP BY n.text),
+        |win AS MATERIALIZED (
+        |  SELECT text, p, array_to_string(w[p : p + 7], ' ') AS gram
+        |  FROM (SELECT text, w, UNNEST(generate_series(1, len(w) - 7))
+        |          AS p
+        |        FROM a WHERE len(w) >= 8)
+        |  UNION ALL
+        |  SELECT text, 1 AS p, array_to_string(w, ' ') AS gram
+        |  FROM a WHERE len(w) < 8),
+        |wh AS MATERIALIZED (SELECT text, p,
+        |    ${SubstringDedup.fold40Sql("gram", SubstringDedup.FoldA)}
+        |      AS gh1,
+        |    ${SubstringDedup.fold40Sql("gram", SubstringDedup.FoldB)}
+        |      AS gh2
+        |  FROM win),
+        |ev AS MATERIALIZED (SELECT DISTINCT
+        |    ${SubstringDedup.fold40Sql("gram", SubstringDedup.FoldA)}
+        |      AS gh1,
+        |    ${SubstringDedup.fold40Sql("gram", SubstringDedup.FoldB)}
+        |      AS gh2
+        |  FROM (SELECT array_to_string(w[p : p + 7], ' ') AS gram
+        |    FROM (SELECT w, UNNEST(generate_series(1, len(w) - 7)) AS p
+        |          FROM t WHERE source = 'src0' AND len(w) >= 8))),
+        |dg AS MATERIALIZED (SELECT DISTINCT
+        |    ${SubstringDedup.fold40Sql("gram", SubstringDedup.FoldA)}
+        |      AS gh1,
+        |    ${SubstringDedup.fold40Sql("gram", SubstringDedup.FoldB)}
+        |      AS gh2
+        |  FROM (
+        |    SELECT array_to_string(w[p : p + 7], ' ') AS gram
+        |    FROM (SELECT w, UNNEST(generate_series(1, len(w) - 7)) AS p
+        |          FROM t CROSS JOIN cutv
+        |          WHERE doc_id < c AND len(w) >= 8)
+        |    UNION ALL
+        |    SELECT array_to_string(w, ' ') AS gram
+        |    FROM t CROSS JOIN cutv WHERE doc_id < c AND len(w) < 8)),
+        |cov AS (SELECT DISTINCT text, q FROM (
+        |    SELECT text, UNNEST(generate_series(p, p + 7)) AS q
+        |    FROM wh WHERE EXISTS (SELECT 1 FROM ev
+        |                          WHERE ev.gh1 = wh.gh1
+        |                            AND ev.gh2 = wh.gh2))),
+        |r2 AS (SELECT text, q, ROW_NUMBER() OVER (
+        |    PARTITION BY text ORDER BY q) AS rn FROM cov),
+        |il AS (SELECT text, q - rn AS run_id, COUNT(*) AS len
+        |  FROM r2 GROUP BY text, q - rn),
+        |pd AS (SELECT text, CAST(SUM(len) AS BIGINT) AS contam_tokens,
+        |    COUNT(*) AS n_spans, CAST(MAX(len) AS BIGINT) AS max_span
+        |  FROM il GROUP BY text),
+        |dw AS (SELECT wh.text, COUNT(DISTINCT wh.p) AS n_dup
+        |  FROM wh JOIN dg USING (gh1, gh2) GROUP BY wh.text)
+        |SELECT a.fp, CAST(len(a.w) AS BIGINT) AS n_tok,
+        |  CAST(CASE WHEN len(a.w) >= 8 THEN len(a.w) - 7 ELSE 1 END
+        |       AS BIGINT) AS n_windows,
+        |  CAST(COALESCE(dw.n_dup, 0) AS BIGINT) AS n_dup_windows,
+        |  (1000 * CAST(COALESCE(dw.n_dup, 0) AS BIGINT))
+        |    // CAST(CASE WHEN len(a.w) >= 8 THEN len(a.w) - 7 ELSE 1 END
+        |            AS BIGINT) AS dup_pm,
+        |  CAST(COALESCE(pd.contam_tokens, 0) AS BIGINT) AS contam_tokens,
+        |  CAST(COALESCE(pd.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(COALESCE(pd.max_span, 0) AS BIGINT) AS max_span,
+        |  mm.mlbl AS merge_lbl,
+        |  (mm.mlbl IS NOT NULL) AS is_merge
+        |FROM a LEFT JOIN pd USING (text) LEFT JOIN dw USING (text)
+        |LEFT JOIN mm USING (text)
+        |ORDER BY fp""".stripMargin,
 
     "q_stream_join" ->
       """SELECT c.event_id AS click_id, c.user_id,

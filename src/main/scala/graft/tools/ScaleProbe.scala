@@ -1134,19 +1134,30 @@ object ScaleProbe {
         val dir = if (f == 1) sfDir else amplify(spark, sfDir, f, outBase)
         val nDocs = Tables.documents(spark, dir).count()
         picks.foreach { case (qn, prefix) =>
-          stateAgg.clear()
-          val q = graft.SparkEntry.queries(qn)
-          val (rows, w, sw, sr, sp, _) =
-            measured(spark, agg) { q(spark, dir).count() }
-          org.apache.spark.sql.graftbridge.Bridge.waitListenerBus(spark, 10000)
-          val st = Option(stateAgg.get(prefix)).getOrElse(Array(0L, 0L, 0L, 0L))
-          emit(s"""{"probe":"stream_gates","factor":$f,"query":"$qn",""" +
-            s""""docs":$nDocs,"out_rows":$rows,"wall_s":${f"$w%.2f"},""" +
-            s""""state_rows":${st(0)},""" +
-            s""""state_mem_mb":${st(1) / 1048576},"commit_ms":${st(2)},""" +
-            s""""batches":${st(3)},"shuffle_mb":${(sw + sr) / 1048576},""" +
-            s""""spill_mb":${sp / 1048576}}""")
-          spark.catalog.clearCache()
+          // run 1 = COLD (drop-zone staging + posting/index build land
+          // inside the measured body); run 2 = WARM (zone `_SUCCESS`
+          // memo + checkpointed postings hit) — the warm row is the
+          // gate's steady-state per-trigger cost, the delta is the
+          // one-time staging the memos amortize (r12: the cluster
+          // gate's prefix staging and posting checkpoint)
+          (1 to 2).foreach { run =>
+            stateAgg.clear()
+            val q = graft.SparkEntry.queries(qn)
+            val (rows, w, sw, sr, sp, _) =
+              measured(spark, agg) { q(spark, dir).count() }
+            org.apache.spark.sql.graftbridge.Bridge
+              .waitListenerBus(spark, 10000)
+            val st = Option(stateAgg.get(prefix))
+              .getOrElse(Array(0L, 0L, 0L, 0L))
+            emit(s"""{"probe":"stream_gates","factor":$f,"query":"$qn",""" +
+              s""""run":$run,""" +
+              s""""docs":$nDocs,"out_rows":$rows,"wall_s":${f"$w%.2f"},""" +
+              s""""state_rows":${st(0)},""" +
+              s""""state_mem_mb":${st(1) / 1048576},"commit_ms":${st(2)},""" +
+              s""""batches":${st(3)},"shuffle_mb":${(sw + sr) / 1048576},""" +
+              s""""spill_mb":${sp / 1048576}}""")
+            spark.catalog.clearCache()
+          }
         }
       }
       spark.streams.removeListener(lst)

@@ -79,12 +79,14 @@ class OperatorsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("df cap is ACTIVE"),
       s"unexpected message: ${e.getMessage}")
-    // the probe escape hatch: with the guard off the capped join both
-    // constructs and runs (the fence itself stays active)
+    // the production default (guard off — ADVICE r11): the capped join
+    // both constructs and runs (the fence itself stays active). Restore
+    // the test session's explicit opt-in afterwards — unset would fall
+    // back to the off DEFAULT, silently disarming every later suite.
     spark.conf.set("spark.graft.dedup.dfCapGuard", "off")
     try assert(
       SparkEntry.queries("q_dedup_ngram_jaccard")(spark, dir).count() >= 0)
-    finally spark.conf.unset("spark.graft.dedup.dfCapGuard")
+    finally spark.conf.set("spark.graft.dedup.dfCapGuard", "on")
   }
 
   test("exact dedup keeps every distinct text exactly once") {

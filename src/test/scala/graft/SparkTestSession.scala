@@ -17,6 +17,9 @@ object SparkTestSession {
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.warehouse.dir", "/root/repo/target/warehouse")
       .config("spark.ui.enabled", "false")
+      // oracle-replayed context (specs assert oracle twins): assert
+      // capped ≡ uncapped; default is off for production (ADVICE r11)
+      .config("spark.graft.dedup.dfCapGuard", "on")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -30,7 +30,9 @@ class StreamingSpec extends AnyFunSuite {
     //      batch component (the gate edge exists in the full graph);
     //  (3) exactness: an arrival whose batch component holds no OTHER
     //      new doc has NO new-new edges, so gate ≡ batch on it.
-    val cut = spark.read.parquet(s"$sf/documents.parquet").count() * 4 / 5
+    // the batch family's max·4/5 cut convention (shared since r12)
+    val cut = spark.read.parquet(s"$sf/documents.parquet")
+      .agg((max(col("doc_id")) * 4).as("m")).head.getLong(0) / 5
     val gate = SparkEntry.queries("q_stream_clusters")(spark, sf)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
       .toMap
@@ -53,6 +55,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(exactHits > 0, "fixture should have delta-isolated arrivals")
   }
 
+  test("composed pipeline v2 agrees with its constituent gates per text") {
+    import graft.functions.VectorFunctions.neutral_hash40
+    val cut = spark.read.parquet(s"$sf/documents.parquet")
+      .agg((max(col("doc_id")) * 4).as("m")).head.getLong(0) / 5
+    val arrivals = Tables.documents(spark, sf)
+      .where(col("doc_id") >= cut)
+      .select(col("doc_id"), col("source"),
+        neutral_hash40(col("text")).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val v2 = SparkEntry.queries("q_stream_pipeline_v2")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // content-addressed: one row per DISTINCT admitted text
+    assert(v2.keySet == arrivals.map(_._3).toSet)
+    // cluster leg ≡ q_stream_clusters (same cut, same stored index):
+    // per arrival doc, merged-ness and target label must agree through
+    // the fp indirection — both are pure functions of the text
+    val gate = SparkEntry.queries("q_stream_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    arrivals.foreach { case (id, _, fp) =>
+      val row = v2(fp)
+      val (keep, merged) = gate(id)
+      assert(row.getBoolean(9) == merged, s"is_merge mismatch for doc $id")
+      if (merged) assert(row.getLong(8) == keep,
+        s"merge target mismatch for doc $id: ${row.getLong(8)} != $keep")
+    }
+    // decontamination leg ≡ the batch span worklist (maximal-run
+    // semantics both sides; q_contamination_spans covers every
+    // non-src0 doc, so compare on non-src0 arrivals)
+    val spans = SparkEntry.queries("q_contamination_spans")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    arrivals.filter(_._2 != "src0").foreach { case (id, _, fp) =>
+      val row = v2(fp)
+      val got = (row.getLong(6), row.getLong(5), row.getLong(7))
+      assert(got == spans(id), s"span stats mismatch for doc $id")
+    }
+    // the decon leg must fire somewhere: at this SF the contaminated
+    // arrivals are the src0 docs themselves (their grams ARE the eval
+    // set — an arriving benchmark copy reports fully contaminated,
+    // which is exactly what the gate should hold back)
+    assert(v2.values.exists(_.getLong(5) > 0), "no contamination found")
+    // the dup gate must actually fire somewhere (the fixture plants
+    // duplicated passages in the arrival fifth)
+    assert(v2.values.exists(_.getLong(3) > 0), "no dup windows found")
+  }
+
   test("streaming drift monitor equals the batch drift signal row-for-row") {
     // the per-row argmax assignment (array_sort over (-cos, cent_id)
     // structs) must reproduce nearestCents' window tie order exactly,
@@ -60,11 +109,19 @@ class StreamingSpec extends AnyFunSuite {
     // whole monitor trajectory must land on the batch table
     val stream = SparkEntry.queries("q_stream_ann_drift")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getLong(3))).toSeq
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).toSeq
     val batch = SparkEntry.queries("q_sim_ann_drift")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getLong(3))).toSeq
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).toSeq
     assert(stream.nonEmpty && stream == batch)
+    // the verdict column is exactly the quantized-term sum vs the
+    // measured PSI >= 0.01 operating point
+    val tot = stream.head._5
+    assert(stream.forall(_._5 == tot), "psi_total_nn must ride every row")
+    assert(stream.map(_._4).sum == tot,
+      "psi_total_nn must be the exact sum of the quantized terms")
+    assert(stream.forall(_._6 ==
+      (tot >= graft.operators.Similarity.RetrainPsiNn)))
   }
 
   test("tokenizer drift monitor charges unseen words at byte fallback") {
