@@ -179,32 +179,8 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // map the memory-sink name prefixes back to library query names
-    val sinkToQuery = Map(
-      "tumbling" -> "q_stream_tumbling", "session" -> "q_stream_session",
-      "stateful" -> "q_stream_stateful", "dedup" -> "q_stream_dedup",
-      "sliding" -> "q_stream_sliding", "dedupw" -> "q_stream_dedup_watermark",
-      "sjoin" -> "q_stream_join", "sljoin" -> "q_stream_left_join",
-      "tws" -> "q_stream_transform_state",
-      "ssjoin" -> "q_stream_static_join",
-      "sedup" -> "q_stream_embed_dedup",
-      "sdrift" -> "q_stream_drift",
-      "sanom" -> "q_stream_anomaly",
-      "shh" -> "q_stream_heavy_hitters",
-      "sfjoin" -> "q_stream_full_join",
-      "timers" -> "q_stream_timers",
-      "attrib" -> "q_stream_attribution",
-      "funnel" -> "q_stream_funnel",
-      "spattern" -> "q_stream_pattern",
-      "kmvdv" -> "q_stream_distinct",
-      "spipe" -> "q_stream_pipeline",
-      "sessdyn" -> "q_stream_session_dynamic",
-      "sspan" -> "q_stream_dup_spans",
-      "sres" -> "q_stream_sample",
-      "sclus" -> "q_stream_clusters",
-      "sadr" -> "q_stream_ann_drift",
-      "stok" -> "q_stream_tokenizer_drift",
-      "scont" -> "q_stream_contamination",
-      "spv2" -> "q_stream_pipeline_v2")
+    // one definition, shared with the streaming plan census
+    val sinkToQuery = graft.streaming.EventStreams.sinkToQuery
     // listener bus is async; block until the queued tail is dispatched
     org.apache.spark.sql.graftbridge.Bridge.waitListenerBus(spark, 10000)
     import scala.jdk.CollectionConverters._

@@ -42,6 +42,19 @@ object Bridge {
     try spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
     catch { case _: java.util.concurrent.TimeoutException => () }
 
+  /** The physical plan of a StreamingQuery's LAST executed micro-batch
+    * (IncrementalExecution.executedPlan), or None before the first
+    * trigger completes. This is what the streaming plan census walks:
+    * per-trigger plans are the only place a streaming query's join
+    * strategies and exchanges are visible. */
+  def lastMicroBatchPlan(q: org.apache.spark.sql.streaming.StreamingQuery)
+      : Option[org.apache.spark.sql.execution.SparkPlan] = q match {
+    case w: org.apache.spark.sql.execution.streaming.runtime
+        .StreamingQueryWrapper =>
+      Option(w.streamingQuery.lastExecution).map(_.executedPlan)
+    case _ => None
+  }
+
   /** Stream `df` to `out` as an Arrow IPC stream (schema header + one
     * record batch per partition batch). Batches are serialized
     * DISTRIBUTED (`toArrowBatchRdd`, the same path `collectAsArrowToPython`

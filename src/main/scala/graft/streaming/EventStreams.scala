@@ -224,10 +224,55 @@ object EventStreams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // streaming plan census feed: the LAST micro-batch's physical
+      // plan, keyed by sink name (PlanSpec maps the prefix back to the
+      // query) — per-trigger plans are where a streaming query's join
+      // strategies and exchanges actually live
+      org.apache.spark.sql.graftbridge.Bridge.lastMicroBatchPlan(q)
+        .foreach(p => lastPlans.put(name, p))
     } finally prev.foreach { case (k, v) =>
       v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
     s.table(name)
   }
+
+  /** Last micro-batch physical plan per memory-sink name, fed by
+    * [[runToMemory]] (and the foreachBatch sink) for the streaming
+    * plan census — the batch census (PlanSpec) walks executedPlan
+    * directly, but a streaming query's plan only exists per trigger. */
+  private[graft] val lastPlans = new scala.collection.concurrent.TrieMap[
+    String, org.apache.spark.sql.execution.SparkPlan]
+
+  /** Memory-sink name prefix → streaming query name: Bench's state
+    * attribution AND the streaming plan census both key on this (ONE
+    * definition — a sink added without a row here fails the census's
+    * completeness assertion, which is the point). */
+  private[graft] val sinkToQuery = Map(
+    "tumbling" -> "q_stream_tumbling", "session" -> "q_stream_session",
+    "stateful" -> "q_stream_stateful", "dedup" -> "q_stream_dedup",
+    "sliding" -> "q_stream_sliding", "dedupw" -> "q_stream_dedup_watermark",
+    "sjoin" -> "q_stream_join", "sljoin" -> "q_stream_left_join",
+    "tws" -> "q_stream_transform_state",
+    "ssjoin" -> "q_stream_static_join",
+    "sedup" -> "q_stream_embed_dedup",
+    "sdrift" -> "q_stream_drift",
+    "sanom" -> "q_stream_anomaly",
+    "shh" -> "q_stream_heavy_hitters",
+    "sfjoin" -> "q_stream_full_join",
+    "timers" -> "q_stream_timers",
+    "attrib" -> "q_stream_attribution",
+    "funnel" -> "q_stream_funnel",
+    "spattern" -> "q_stream_pattern",
+    "kmvdv" -> "q_stream_distinct",
+    "spipe" -> "q_stream_pipeline",
+    "sessdyn" -> "q_stream_session_dynamic",
+    "sspan" -> "q_stream_dup_spans",
+    "sres" -> "q_stream_sample",
+    "sclus" -> "q_stream_clusters",
+    "sadr" -> "q_stream_ann_drift",
+    "stok" -> "q_stream_tokenizer_drift",
+    "scont" -> "q_stream_contamination",
+    "spv2" -> "q_stream_pipeline_v2",
+    "sfb" -> "q_stream_foreach_batch")
 
   /** Run `body` with the RocksDB state-store provider + changelog
     * checkpointing pinned (restored after — execution completes inside
@@ -954,6 +999,8 @@ object EventStreams {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        org.apache.spark.sql.graftbridge.Bridge.lastMicroBatchPlan(q)
+          .foreach(p => lastPlans.put(s"sfb_${System.nanoTime()}", p))
       } finally s.conf.set(key, prev)
       s.read.parquet(out).orderBy(col("event_type"))
     }),

