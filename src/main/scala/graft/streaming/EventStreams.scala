@@ -1421,8 +1421,8 @@ object EventStreams {
     //    array is computed in-stream (map-side). Net: the only
     //    pre-aggregation exchange is the arrival prefix rows (8-byte
     //    keys) meeting the slim postings — the r11 plan's 5.8 GB
-    //    array-carriage shuffle at ×10 becomes ~0.2 GB, zero spill
-    //    (SCALE.md §27, measured).
+    //    array-carriage shuffle at ×10 becomes 0.29 GB warm (0.9 GB
+    //    cold, incl. staging), zero spill (SCALE.md §27, measured).
     //  • MEMOIZED posting index: the static probe side (slim postings
     //    + the doc-array table) is built ONCE per (session, dataset,
     //    cut) and localCheckpointed — a stream-static join re-executes
@@ -1802,12 +1802,17 @@ object EventStreams {
         .select(neutral_hash40(col("gram")).as("gh1"),
           neutral_hash40b(col("gram")).as("gh2"))
         .distinct().withColumn("ehit", lit(1))
+        // a stream-static join re-executes its static side per trigger
+        // (the q_stream_clusters lesson): both gram-hash sets are
+        // bounded 16-byte-key tables — materialize once per invocation
+        .localCheckpoint()
       val dupG = all.where(col("doc_id") < cut)
         .select(split(col("text"), " ").as("toks"))
         .select(explode(gramOnly).as("gram")).distinct()
         .select(neutral_hash40(col("gram")).as("gh1"),
           neutral_hash40b(col("gram")).as("gh2"))
         .withColumn("dhit", lit(1))
+        .localCheckpoint()
       val zone = clusterZone(s, d, cut, g, all)
       // admit-after-exact-dedup: replicas die at the dedup store,
       // BEFORE the probe array is even built

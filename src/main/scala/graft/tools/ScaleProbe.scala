@@ -1102,7 +1102,12 @@ object ScaleProbe {
       val picks = Seq(
         ("q_stream_clusters", "sclus"),
         ("q_stream_contamination", "scont"),
-        ("q_stream_tokenizer_drift", "stok"))
+        ("q_stream_tokenizer_drift", "stok"),
+        // the composed gate: the amplifier's fam-0 cliques replicate
+        // with IDENTICAL text, so the admit-after-exact-dedup claim is
+        // directly measurable — out_rows = distinct texts < docs, and
+        // the cluster probe never sees a second clique member
+        ("q_stream_pipeline_v2", "spv2"))
       val stateAgg =
         new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
       val lst = new org.apache.spark.sql.streaming.StreamingQueryListener {
