@@ -118,6 +118,78 @@ object TextAnalysis {
           lit(1e4)).cast("long").as("bm25_q"))
   }
 
+  /** The fixed public query-term set the BM25 family scores (sorted —
+    * the output tables ORDER BY term). */
+  private[graft] val IndexQueryTerms = Seq("filter", "scan", "vector")
+
+  /** One side's contribution to the BM25 index statistics, as (k, cnt,
+    * dls) rows: k = a query term (cnt = its document frequency — input
+    * is per-doc DISTINCT terms, so COUNT(rows) counts documents) or the
+    * '__corpus__' sentinel (cnt = doc count, dls = total token length).
+    * ONE aggregation over one explode — deliberately inside the
+    * single-aggregation streaming limit, so the ingest twin
+    * (q_stream_index_stats) runs this EXACT shape as its complete-mode
+    * state: ≤ |query terms| + 1 rows forever. */
+  private[graft] def indexDeltaRows(docs: DataFrame): DataFrame =
+    docs.select(col("dl"),
+        explode(concat(
+          filter(array_distinct(col("w")),
+            t => IndexQueryTerms.map(q => t === q).reduce(_ || _)),
+          array(lit("__corpus__")))).as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("k") === "__corpus__", col("dl"))
+          .otherwise(lit(0L))).as("dls"))
+
+  /** Fold a delta side's (k, cnt, dls) rows onto the STORED side's
+    * (doc_id < cut) and emit the merged BM25 index statistics — the
+    * retrieval family's incremental-maintenance merge, shared verbatim
+    * by the batch fold (q_retrieval_incremental) and the ingest twin
+    * (q_stream_index_stats): per query term, stored/delta/merged df,
+    * plus the merged corpus size, avgdl (floor-1e4), and the BM25 idf
+    * under the MERGED stats (the q_text_bm25 idf spelling, floor-1e4).
+    * df/N/Σdl are all sums, so merged ≡ from-scratch is an algebraic
+    * identity — and the ORACLE computes the from-scratch side, making
+    * the hash match the merge-equals-recompute proof (the
+    * q_dedup_clusters_incremental pattern applied to the index). The
+    * FULL join keeps terms present in only one side (df 0 on the
+    * other); the corpus scalars ride a 1-row broadcast, never a global
+    * window. */
+  private[graft] def mergedIndexStats(s: SparkSession, d: String,
+      cut: Long, deltaRows: DataFrame): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+        col("w"))
+    val storedRows = indexDeltaRows(docs.where(col("doc_id") < cut))
+      .select(col("k"), col("cnt").as("cnt_s"), col("dls").as("dls_s"))
+    val both = storedRows.join(
+        deltaRows.select(col("k"), col("cnt").as("cnt_d"),
+          col("dls").as("dls_d")), Seq("k"), "full")
+      .select(col("k"),
+        coalesce(col("cnt_s"), lit(0L)).as("cnt_s"),
+        coalesce(col("cnt_d"), lit(0L)).as("cnt_d"),
+        coalesce(col("dls_s"), lit(0L)).as("dls_s"),
+        coalesce(col("dls_d"), lit(0L)).as("dls_d"))
+      .localCheckpoint() // ≤ |query terms| + 1 rows; two consumers
+    val corp = both.where(col("k") === "__corpus__")
+      .select((col("cnt_s") + col("cnt_d")).as("n_docs"),
+        (col("dls_s") + col("dls_d")).as("dlsum"))
+    both.where(col("k") =!= "__corpus__")
+      .crossJoin(broadcast(corp))
+      .select(col("k").as("term"),
+        col("cnt_s").as("df_stored"), col("cnt_d").as("df_delta"),
+        (col("cnt_s") + col("cnt_d")).as("df"),
+        col("n_docs"),
+        floor(col("dlsum").cast("double") * lit(1e4) /
+          col("n_docs").cast("double")).cast("long").as("avgdl_q"),
+        floor(log((col("n_docs").cast("double") -
+            (col("cnt_s") + col("cnt_d")).cast("double") + lit(0.5)) /
+          ((col("cnt_s") + col("cnt_d")).cast("double") + lit(0.5)) +
+          lit(1.0)) * lit(1e4)).cast("long").as("idf_q"))
+      .orderBy(col("term"))
+  }
+
   /** Per-(session, dataset) probe-plan memo for the inverted index:
     * the 3 CHOSEN (term, df, bucket) rows — never the vocabulary. At
     * 100 TB of text the vocabulary (hapaxes, IDs, typos) grows with the
@@ -780,6 +852,31 @@ object TextAnalysis {
     // q_text_lm_score).
     "q_text_bm25" -> ((s, d) =>
       bm25TermScores(s, d).orderBy(col("doc_id"), col("term"))),
+
+    // INCREMENTAL BM25 index-stats maintenance — the retrieval family's
+    // nightly fold (q_agg_incremental's pattern applied to the search
+    // index): a production index refresh does not rescan the corpus for
+    // df/N/avgdl, it folds the delta segment's statistics onto the
+    // stored ones. The corpus splits at the family's max·4/5 cut; the
+    // delta's (df, doc-count, length-sum) rows come from ONE
+    // aggregation over the new docs and merge onto the stored side's by
+    // pure addition — and because the oracle computes the FROM-SCRATCH
+    // statistics over the whole corpus, the hash match IS the
+    // merge-equals-recompute proof. Emits, per query term: stored /
+    // delta / merged df, merged corpus size, merged avgdl, and the
+    // BM25 idf the next scoring run would use. The ingest-time twin is
+    // q_stream_index_stats (same delta shape as streaming state, same
+    // merge, ONE shared oracle).
+    "q_retrieval_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+          col("w"))
+      val cut = docs.agg((max(col("doc_id")) * 4).as("m"))
+        .head.getLong(0) / 5
+      mergedIndexStats(s, d, cut,
+        indexDeltaRows(docs.where(col("doc_id") >= cut)))
+    }),
 
     // Dirichlet-smoothed query likelihood (Zhai & Lafferty 2001) — the
     // third canonical lexical ranker after TF-IDF and BM25, and the one
@@ -1606,6 +1703,50 @@ object TextAnalysis {
         |FROM tf JOIN dlt USING (doc_id) JOIN df USING (term)
         |CROSS JOIN n
         |ORDER BY tf.doc_id, tf.term""".stripMargin,
+
+    // Incremental index-stats replay — FROM SCRATCH over the whole
+    // corpus (split into stored/delta halves at the max·4/5 cut), so
+    // the hash match proves the Spark side's stored+delta fold equals
+    // a recompute: per-term df counts DISTINCT docs (list_distinct),
+    // avgdl floor-1e4 over merged totals, the q_text_bm25 idf spelling.
+    // Shared verbatim by q_stream_index_stats (order-free sums ⇒ the
+    // streaming trajectory is batching-invariant).
+    "q_retrieval_incremental" ->
+      """WITH cutv AS (SELECT (MAX(doc_id) * 4) // 5 AS c FROM documents),
+        |d AS (SELECT doc_id,
+        |    CAST(LEN(string_split(text, ' ')) AS BIGINT) AS dl,
+        |    string_split(text, ' ') AS w
+        |  FROM documents),
+        |n AS (SELECT
+        |    CAST(SUM(CASE WHEN doc_id < c THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_s,
+        |    CAST(SUM(CASE WHEN doc_id >= c THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_d,
+        |    CAST(SUM(CASE WHEN doc_id < c THEN dl ELSE 0 END) AS BIGINT)
+        |      AS dls_s,
+        |    CAST(SUM(CASE WHEN doc_id >= c THEN dl ELSE 0 END) AS BIGINT)
+        |      AS dls_d
+        |  FROM d CROSS JOIN cutv),
+        |tf AS (SELECT doc_id, term FROM
+        |    (SELECT doc_id, UNNEST(list_distinct(w)) AS term FROM d)
+        |  WHERE term IN ('scan', 'filter', 'vector')),
+        |dfs AS (SELECT term,
+        |    CAST(SUM(CASE WHEN doc_id < c THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS df_s,
+        |    CAST(SUM(CASE WHEN doc_id >= c THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS df_d
+        |  FROM tf CROSS JOIN cutv GROUP BY term)
+        |SELECT term, df_s AS df_stored, df_d AS df_delta,
+        |  df_s + df_d AS df,
+        |  n.n_s + n.n_d AS n_docs,
+        |  CAST(FLOOR(CAST(n.dls_s + n.dls_d AS DOUBLE) * 1e4 /
+        |       CAST(n.n_s + n.n_d AS DOUBLE)) AS BIGINT) AS avgdl_q,
+        |  CAST(FLOOR(LN((CAST(n.n_s + n.n_d AS DOUBLE)
+        |        - CAST(df_s + df_d AS DOUBLE) + 0.5)
+        |      / (CAST(df_s + df_d AS DOUBLE) + 0.5) + 1.0) * 1e4)
+        |    AS BIGINT) AS idf_q
+        |FROM dfs CROSS JOIN n
+        |ORDER BY term""".stripMargin,
 
     // Query-likelihood replay: identical μ = 100 literal, collection
     // stats as scalar cross joins, tf LEFT-joined (absent terms take

@@ -272,6 +272,7 @@ object EventStreams {
     "stok" -> "q_stream_tokenizer_drift",
     "scont" -> "q_stream_contamination",
     "spv2" -> "q_stream_pipeline_v2",
+    "sidx" -> "q_stream_index_stats",
     "sfb" -> "q_stream_foreach_batch")
 
   /** Run `body` with the RocksDB state-store provider + changelog
@@ -1740,6 +1741,44 @@ object EventStreams {
         .orderBy(col("doc_id"))
     }),
 
+    // Streaming BM25 index-stats maintenance — the retrieval family's
+    // ingest twin (the fifth maintenance loop to get its online half,
+    // after aggregates, cluster labels, the ANN index, and the
+    // tokenizer): a live index's df/N/avgdl roll forward AS DOCUMENTS
+    // ARRIVE, not in a nightly rescan. The streaming state is exactly
+    // the batch fold's delta shape (TextAnalysis.indexDeltaRows — one
+    // aggregation over one explode, ≤ |query terms| + 1 rows of state
+    // FOREVER: per-term df counts plus the '__corpus__' (doc count,
+    // length sum) sentinel row), and the merge onto the stored side is
+    // the SHARED TextAnalysis.mergedIndexStats — so the oracle is
+    // q_retrieval_incremental's spelling verbatim, and the hash match
+    // is simultaneously the merge-equals-recompute proof and the
+    // batching-invariance proof (df/N/Σdl are order-free sums).
+    "q_stream_index_stats" -> ((s, d) => {
+      import graft.operators.TextAnalysis
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType),
+        StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val all = s.read.parquet(s"$d/documents.parquet")
+      val cut = all.agg((max(col("doc_id")) * 4).as("m"))
+        .head.getLong(0) / 5
+      // the plain 4-file corpus drop zone, shared with the
+      // tokenizer-drift gate (same staged content, one _SUCCESS memo)
+      val zone = stagedZone(s, "stok", d)(all)
+      val arrivals = s.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(zone)
+        .where(col("doc_id") >= cut)
+        .select(split(col("text"), " ").as("w"))
+        .select(size(col("w")).cast("long").as("dl"), col("w"))
+      val sink = runToMemory(s, TextAnalysis.indexDeltaRows(arrivals),
+        "complete", s"sidx_${System.nanoTime()}")
+      TextAnalysis.mergedIndexStats(s, d, cut, sink)
+    }),
+
     // Streaming curation pipeline v2 — the r11 ingest gates COMPOSED
     // over ONE drop-zone stream in the admit-after-exact-dedup order
     // (SCALE.md §26's first mitigation, measured here): exact dedup
@@ -2230,6 +2269,11 @@ object EventStreams {
     // assignment exactly.
     "q_stream_ann_drift" ->
       graft.operators.Similarity.oracles("q_sim_ann_drift"),
+
+    // Same precedent for the index-stats twin: df/N/Σdl are order-free
+    // sums, so the streamed fold lands on the batch merge exactly.
+    "q_stream_index_stats" ->
+      graft.operators.TextAnalysis.oracles("q_retrieval_incremental"),
 
     // The full tokenizer-drift replay: BPE training CTEs parameterized
     // over the CUT corpus (the stored tokenizer sees doc_id < cut

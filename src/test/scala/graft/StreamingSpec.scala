@@ -124,6 +124,23 @@ class StreamingSpec extends AnyFunSuite {
       (tot >= graft.operators.Similarity.RetrainPsiNn)))
   }
 
+  test("streaming index-stats fold equals the batch merge row-for-row") {
+    // df/N/Σdl are order-free sums, so the end-of-stream state folded
+    // onto the stored side must land on the batch fold exactly — and
+    // the fixture delta must actually contribute (df_delta > 0
+    // somewhere), else the fold claim is vacuous
+    val stream = SparkEntry.queries("q_stream_index_stats")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    val batch = SparkEntry.queries("q_retrieval_incremental")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(stream.nonEmpty && stream == batch)
+    assert(stream.forall { case (_, dfS, dfD, df, _, _, _) =>
+      df == dfS + dfD })
+    assert(stream.exists(_._3 > 0), "delta must contribute df somewhere")
+  }
+
   test("tokenizer drift monitor charges unseen words at byte fallback") {
     import spark.implicits._
     // the fixture delta has NO unseen words (n_oov = 0 at every SF), so
