@@ -310,13 +310,17 @@ object EventStreams {
       v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
   }
 
-  /** Stage a gate's 4-file parquet drop zone ONCE per (JVM, dataset) —
-    * the q_join_dpp layout memo applied to the ingest fixtures (r11
+  /** Stage a 4-file parquet drop zone ONCE per (machine, dataset) —
+    * the q_join_dpp layout memo applied to the streaming fixtures (r11
     * verdict "what's wrong" #3): the `_SUCCESS` marker proves a
-    * complete prior write, so bench reps 2–3 measure the GATE's
+    * complete prior write, so bench reps 2–3 measure the stream's
     * trigger cost, not two parquet re-stagings of the same
-    * deterministic content. 4 files × maxFilesPerTrigger=1 is what
-    * makes the gates' multi-batch claims real. */
+    * deterministic content. The marker also removes a cross-JVM race
+    * the per-invocation overwrite had: two concurrent processes (a
+    * test run beside a Verify run) re-staging the same /tmp zone could
+    * make one of them stream a half-written corpus — write-once
+    * content can be read concurrently forever. 4 files ×
+    * maxFilesPerTrigger=1 is what makes the multi-batch claims real. */
   private def stagedZone(s: SparkSession, name: String, d: String)
       (build: => DataFrame): String = {
     val zone = s"${sys.props("java.io.tmpdir")}/graft_${name}_" +
@@ -931,12 +935,10 @@ object EventStreams {
     // projection the result would be single-batch-only by accident.
     "q_stream_transform_state" -> ((s, d) => {
       import s.implicits._
-      val base = s"${sys.props("java.io.tmpdir")}/graft_tws_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
-      val in = s"$base/in"
-      graft.sources.Tables.events(s, d)
-        .select(col("event_type"),
-          floor(col("value") * lit(1e6)).cast("long").as("vmicro"))
-        .repartition(4).write.mode("overwrite").parquet(in)
+      val in = stagedZone(s, "tws", d)(
+        graft.sources.Tables.events(s, d)
+          .select(col("event_type"),
+            floor(col("value") * lit(1e6)).cast("long").as("vmicro")))
       val src = s.readStream
         .schema("event_type STRING, vmicro LONG")
         .option("maxFilesPerTrigger", "1")
@@ -977,10 +979,11 @@ object EventStreams {
     // the files were batched, which is exactly the idempotent-sink
     // contract foreachBatch exists to implement.
     "q_stream_foreach_batch" -> ((s, d) => {
-      val base = s"${sys.props("java.io.tmpdir")}/graft_fb_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
-      val (in, out) = (s"$base/in", s"$base/out")
-      graft.sources.Tables.events(s, d).select(col("event_type"), col("value"))
-        .repartition(4).write.mode("overwrite").parquet(in)
+      val in = stagedZone(s, "fbin", d)(
+        graft.sources.Tables.events(s, d)
+          .select(col("event_type"), col("value")))
+      val out = s"${sys.props("java.io.tmpdir")}/graft_fb_" +
+        s"${d.replaceAll("[^0-9a-zA-Z]", "_")}/out"
       val agg = s.readStream
         .schema("event_type STRING, value DOUBLE")
         .option("maxFilesPerTrigger", "1")
@@ -1296,11 +1299,9 @@ object EventStreams {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       import graft.functions.VectorFunctions.neutral_hash40
-      val base = s"${sys.props("java.io.tmpdir")}/graft_sres_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
-      val in = s"$base/in"
-      graft.sources.Tables.documents(s, d)
-        .select(col("doc_id"), col("text"), col("lang"))
-        .repartition(4).write.mode("overwrite").parquet(in)
+      val in = stagedZone(s, "sres", d)(
+        graft.sources.Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), col("lang")))
       val src = s.readStream
         .schema("doc_id LONG, text STRING, lang STRING")
         .option("maxFilesPerTrigger", "1")
