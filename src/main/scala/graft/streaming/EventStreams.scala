@@ -360,7 +360,7 @@ object EventStreams {
     * the analyzed envelope ≤ (candidate pairs)·s²/2⁶³ ≈ 1e10/9e18 ≈
     * 1e-9 at the ×100 probe — the q_pipeline_e2e_v2 despan-key trade,
     * re-applied. */
-  private def fold63(c: org.apache.spark.sql.Column)
+  private[graft] def fold63(c: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = {
     import graft.functions.VectorFunctions.{neutral_hash40, neutral_hash40b}
     neutral_hash40(c) * lit(8388608L) + neutral_hash40b(c) % lit(8388608L)

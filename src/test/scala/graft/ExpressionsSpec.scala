@@ -413,4 +413,35 @@ class ExpressionsSpec extends AnyFunSuite {
       .agg(KmvAgg.kmv_agg(col("h"))).head.getSeq[Long](0)
     assert(small.toSeq == (1L to 10L))
   }
+
+  test("fold63 packs the two 40-bit folds without signed-long overflow") {
+    // the cluster gate's shuffle key (EventStreams.fold63) claims
+    // h1·2²³ + (h2 mod 2²³) tops out at exactly Long.MaxValue — wrap
+    // would flip signs AND silently diverge from the DuckDB replay
+    // (which THROWS on BIGINT overflow instead). Check the BigInt
+    // identity and the bounds over random strings plus adversarial
+    // high-byte ones that push the byte folds toward their mod-2⁴⁰
+    // extremes.
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val strs = (1 to 200).map(_ =>
+      rng.alphanumeric.take(1 + rng.nextInt(40)).mkString) ++
+      Seq("", "" * 64, "~" * 100, "z" * 39 + " end") ++
+      (1 to 50).map(_ => Seq.fill(8)("w" + rng.nextInt(5)).mkString(" "))
+    val rows = strs.distinct.toDF("s")
+      .select(
+        graft.functions.VectorFunctions.neutral_hash40(col("s")).as("h1"),
+        graft.functions.VectorFunctions.neutral_hash40b(col("s")).as("h2"),
+        graft.streaming.EventStreams.fold63(col("s")).as("f"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (h1, h2, f) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(h1 >= 0 && h1 < (1L << 40) && h2 >= 0 && h2 < (1L << 40))
+      val ref = BigInt(h1) * BigInt(1L << 23) + BigInt(h2 % (1L << 23))
+      assert(ref <= BigInt(Long.MaxValue), s"pack exceeds Long for $r")
+      assert(BigInt(f) == ref, s"fold63 wrapped: $f != $ref")
+      assert(f >= 0L)
+    }
+  }
 }
