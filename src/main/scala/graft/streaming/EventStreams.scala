@@ -1244,8 +1244,9 @@ object EventStreams {
     // crawler drops parquet batches into a directory and curation runs
     // continuously instead of as a nightly batch): stateless quality
     // gates (the q_text_filter_funnel predicates) → stateful streaming
-    // exact-dedup on text (global state; the one stateful operator, so
-    // append mode emits every survivor immediately) → stream-static
+    // exact-dedup keyed by sha2-256+length content digest (global
+    // state, ~40 B/doc; the one stateful operator, so append mode
+    // emits every survivor immediately) → stream-static
     // LEFT ANTI join against a static contamination blocklist (the
     // doc_id % 50 eval slice, broadcast — re-read per micro-batch, which
     // at scale is how a slowly-changing blocklist propagates) → a
@@ -1274,7 +1275,20 @@ object EventStreams {
           size(array_distinct(toks)).cast("double") /
             col("n_tok").cast("double") > 0.45 &&
           size(filter(toks, t => t === "a" || t === "the")) > 0)
-        .dropDuplicates("text")
+        // Dedup state keyed by a CONTENT DIGEST, not the raw text:
+        // dropDuplicates("text") stores every distinct document's FULL
+        // TEXT in the state store forever — at 100 TB the dedup state IS
+        // a copy of the corpus. sha2-256 (unhexed: 32 bytes) + length is
+        // the q_multimodal_dedup key — NOT the 40-bit fold pair, because
+        // a dedup false-positive silently DROPS a unique document, and
+        // 2⁻²⁵⁶ is collision-safe at trillions of docs where 2⁻⁸⁰ is
+        // not. Same keep-first semantics (digest equality ≡ text
+        // equality; StreamingSpec pins the fixture has no digest
+        // collisions across distinct texts) at ~40 B/doc of state.
+        .withColumn("dg", unhex(sha2(col("text"), 256)))
+        .withColumn("dg_len", length(col("text")))
+        .dropDuplicates("dg", "dg_len")
+        .drop("dg", "dg_len")
         .join(broadcast(blocklist), Seq("text"), "left_anti")
         .select(graft.functions.VectorFunctions.neutral_hash40(col("text"))
           .as("fp"), col("n_tok"))
@@ -1783,9 +1797,11 @@ object EventStreams {
     // Streaming curation pipeline v2 — the r11 ingest gates COMPOSED
     // over ONE drop-zone stream in the admit-after-exact-dedup order
     // (SCALE.md §26's first mitigation, measured here): exact dedup
-    // FIRST (streaming dropDuplicates on text — replica mass dies
-    // before any probe runs, so the expensive cluster probe never sees
-    // a second copy of anything), then span decontamination, the
+    // FIRST (streaming dropDuplicates on the sha2-256+length content
+    // digest — replica mass dies before any probe runs, so the
+    // expensive cluster probe never sees a second copy of anything,
+    // and the dedup state holds ~40 B/doc, never the text), then span
+    // decontamination, the
     // duplicated-passage gate, and cluster membership as a SINGLE
     // linear probe pipeline — one explode of a combined probe array
     // (positional 8-gram structs + the rarity-ordered prefix hashes
@@ -1860,7 +1876,12 @@ object EventStreams {
         .option("maxFilesPerTrigger", "1")
         .parquet(zone)
         .where(col("doc_id") >= cut)
-        .dropDuplicates("text")
+        // digest-keyed dedup state (sha2-256 + length, the
+        // q_stream_pipeline / q_multimodal_dedup key): ~40 B/doc of
+        // state instead of the full text — see q_stream_pipeline.
+        .withColumn("dg", unhex(sha2(col("text"), 256)))
+        .withColumn("dg_len", length(col("text")))
+        .dropDuplicates("dg", "dg_len")
         .select(col("text"), col("pfx"), split(col("text"), " ").as("toks"))
         .select(neutral_hash40(col("text")).as("fp"),
           size(col("toks")).cast("long").as("n_tok"),

@@ -233,6 +233,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == batch)
   }
 
+  // The streaming pipelines dedup on (sha2-256, length) instead of the
+  // raw text so the state store holds ~40 B/doc, never the corpus. The
+  // key change is semantics-preserving iff digest equality ≡ text
+  // equality on the data; pin BOTH directions on the fixture corpus —
+  // distinct texts ↔ distinct digest keys — so any future digest
+  // collision (or a digest that ignores part of the text) fails loudly
+  // here rather than as a confusing oracle mismatch.
+  test("digest dedup key partitions the corpus exactly like raw text") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("text"),
+        unhex(sha2(col("text"), 256)).as("dg"),
+        length(col("text")).as("dg_len"))
+    val nText = docs.select("text").distinct().count()
+    val nKey = docs.select("dg", "dg_len").distinct().count()
+    val nBoth = docs.distinct().count()
+    assert(nText == nKey, s"digest keys ($nKey) != distinct texts ($nText)")
+    // a (text, key) pair count equal to both proves the key is a pure
+    // function of text AND injective on the fixture
+    assert(nBoth == nText, s"(text,key) pairs ($nBoth) != texts ($nText)")
+  }
+
   test("streaming drift monitor equals the batch PSI per day") {
     val stream = SparkEntry.queries("q_stream_drift")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1)) ->
