@@ -62,6 +62,18 @@ object MemoStats {
       }
     })
 
+  /** Register a map that is NOT populated through [[memoized]] for the
+    * same ApplicationEnd eviction — e.g. EventStreams.lastPlans, whose
+    * SparkPlan values pin broadcast relations (the cluster gate's
+    * doc-array broadcast) for as long as they stay reachable. Idempotent
+    * and cheap (a set add + a hooked-app check), so callers may invoke
+    * it on every write. */
+  def registerForEviction(
+      m: scala.collection.concurrent.TrieMap[_, _]): Unit = {
+    maps.add(m)
+    hookEviction()
+  }
+
   /** Instrumented TrieMap.getOrElseUpdate — the one-liner every memo
     * site wraps. `contains` then `getOrElseUpdate` can double-count a
     * miss under a race, which is fine for a diagnostic counter (the

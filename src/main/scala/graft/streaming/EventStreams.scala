@@ -225,20 +225,31 @@ object EventStreams {
         .start()
       q.awaitTermination()
       // streaming plan census feed: the LAST micro-batch's physical
-      // plan, keyed by sink name (PlanSpec maps the prefix back to the
-      // query) — per-trigger plans are where a streaming query's join
-      // strategies and exchanges actually live
+      // plan, keyed by the STABLE sink prefix (the query identity
+      // PlanSpec and Bench both key on) — per-trigger plans are where
+      // a streaming query's join strategies and exchanges actually
+      // live. Keying by prefix, not the nanotime-unique sink name,
+      // retains ONE plan per query: a retained SparkPlan pins its
+      // broadcast relations, so name-keyed entries across Bench's 6
+      // reps × ~31 streams were an unbounded driver leak (ADVICE r12).
       org.apache.spark.sql.graftbridge.Bridge.lastMicroBatchPlan(q)
-        .foreach(p => lastPlans.put(name, p))
+        .foreach { p =>
+          graft.MemoStats.registerForEviction(lastPlans)
+          lastPlans.put(name.takeWhile(_ != '_'), p)
+        }
     } finally prev.foreach { case (k, v) =>
       v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
     s.table(name)
   }
 
-  /** Last micro-batch physical plan per memory-sink name, fed by
-    * [[runToMemory]] (and the foreachBatch sink) for the streaming
-    * plan census — the batch census (PlanSpec) walks executedPlan
-    * directly, but a streaming query's plan only exists per trigger. */
+  /** Last micro-batch physical plan per SINK PREFIX (= per streaming
+    * query — [[sinkToQuery]]'s key), fed by [[runToMemory]] (and the
+    * foreachBatch sink) for the streaming plan census — the batch
+    * census (PlanSpec) walks executedPlan directly, but a streaming
+    * query's plan only exists per trigger. Bounded at one retained
+    * plan per query (later runs overwrite) and cleared with the other
+    * memos on ApplicationEnd, because each retained plan pins its
+    * broadcast relations in driver memory. */
   private[graft] val lastPlans = new scala.collection.concurrent.TrieMap[
     String, org.apache.spark.sql.execution.SparkPlan]
 
@@ -310,25 +321,51 @@ object EventStreams {
       v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
   }
 
-  /** Stage a 4-file parquet drop zone ONCE per (machine, dataset) —
-    * the q_join_dpp layout memo applied to the streaming fixtures (r11
-    * verdict "what's wrong" #3): the `_SUCCESS` marker proves a
-    * complete prior write, so bench reps 2–3 measure the stream's
-    * trigger cost, not two parquet re-stagings of the same
-    * deterministic content. The marker also removes a cross-JVM race
-    * the per-invocation overwrite had: two concurrent processes (a
-    * test run beside a Verify run) re-staging the same /tmp zone could
-    * make one of them stream a half-written corpus — write-once
-    * content can be read concurrently forever. 4 files ×
-    * maxFilesPerTrigger=1 is what makes the multi-batch claims real. */
+  /** Stage a 4-file parquet drop zone ONCE per (machine, dataset,
+    * schema) — the q_join_dpp layout memo applied to the streaming
+    * fixtures (r11 verdict "what's wrong" #3): the `_SUCCESS` marker
+    * proves a complete prior write, so bench reps 2–3 measure the
+    * stream's trigger cost, not two parquet re-stagings of the same
+    * deterministic content. 4 files × maxFilesPerTrigger=1 is what
+    * makes the multi-batch claims real.
+    *
+    * Concurrency (ADVICE r12): the write goes to a private temp
+    * directory and is EXPOSED by a filesystem rename, so a reader can
+    * never observe a half-written zone — a marked zone is always a
+    * completely-written one. Two cold JVMs staging the same zone
+    * concurrently each write their own temp dir and race on the
+    * rename; the loser (rename onto an existing path fails on every
+    * Hadoop FS) deletes its temp copy and reads the winner's. The only
+    * remaining non-atomic step is reclaiming an UNMARKED zone left by
+    * a crashed writer, which is inherently a repair, not the hot path.
+    *
+    * Staleness (ADVICE r12): the zone name carries a version hash of
+    * the staged SCHEMA, so changing a build lambda's output shape
+    * (the r12 `pfx` column) restages under a fresh name instead of
+    * silently streaming stale warm-/tmp content. A content change that
+    * keeps the schema still needs a manual version bump (rename the
+    * zone) — hashing content would defeat the memo. */
   private def stagedZone(s: SparkSession, name: String, d: String)
       (build: => DataFrame): String = {
-    val zone = s"${sys.props("java.io.tmpdir")}/graft_${name}_" +
+    val df = build // plan construction only; nothing executes until write
+    val ver = java.lang.Integer.toHexString(
+      df.schema.catalogString.hashCode)
+    val zone = s"${sys.props("java.io.tmpdir")}/graft_${name}_v${ver}_" +
       d.replaceAll("[^0-9a-zA-Z]", "_")
+    val fs = new org.apache.hadoop.fs.Path(zone)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(s"$zone/_SUCCESS")
-    if (!marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-        .exists(marker))
-      build.repartition(4).write.mode("overwrite").parquet(zone)
+    if (!fs.exists(marker)) {
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"${zone}.tmp_${java.util.UUID.randomUUID}")
+      df.repartition(4).write.mode("overwrite").parquet(tmp.toString)
+      val dest = new org.apache.hadoop.fs.Path(zone)
+      // reclaim an unmarked (crashed-writer) destination before the
+      // atomic expose; losing the rename race means another JVM just
+      // published the same deterministic content — use theirs
+      if (fs.exists(dest) && !fs.exists(marker)) fs.delete(dest, true)
+      if (!fs.rename(tmp, dest)) fs.delete(tmp, true)
+    }
     zone
   }
 
@@ -344,8 +381,38 @@ object EventStreams {
     * MemoStats clears the map on ApplicationEnd like every other
     * DataFrame-valued memo. */
   private val clusterPostingsMemo = new scala.collection.concurrent
-    .TrieMap[(String, String, Long),
+    .TrieMap[(String, String, Long, String),
       (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
+
+  /** How the cluster gates attach the per-stored-doc shingle-hash array
+    * to each candidate (`spark.graft.cluster.docarray`):
+    *
+    *  - `broadcast` (default): the one-row-per-doc array table rides a
+    *    broadcast — zero shuffle on the array side, right while the
+    *    stored corpus fits executor memory (19 MB at ×10, ~240 MB at
+    *    ×100 on the sf0.1 fixture; SCALE.md §28 measures the actual
+    *    ceiling).
+    *  - `bucketed`: the array table is hash-partitioned by `idx_id`
+    *    ONCE at index build (inside the localCheckpoint, so the
+    *    partitioning persists across triggers — the expressible
+    *    stand-in for a bucketed stored-index table) and each trigger's
+    *    candidates shuffle TO it (shuffle ∝ candidates, not corpus) via
+    *    a shuffled-hash join. This is the 100 TB shape: no executor
+    *    ever holds more than its bucket of the stored index.
+    *
+    * Same rows either way (PlanSpec pins both the equivalence and the
+    * no-broadcast plan shape in bucketed mode). */
+  private[graft] def docArrayMode(s: SparkSession): String =
+    s.conf.get("spark.graft.cluster.docarray", "broadcast")
+
+  /** Join per-candidate rows to the stored doc-array table in the
+    * configured [[docArrayMode]]. `idxArr` comes out of [[clusterIndex]]
+    * already partitioned for the mode. */
+  private def joinDocArrays(s: SparkSession, cand: DataFrame,
+      idxArr: DataFrame): DataFrame =
+    if (docArrayMode(s) == "bucketed")
+      cand.join(idxArr.hint("shuffle_hash"), Seq("idx_id"), "left")
+    else cand.join(broadcast(idxArr), Seq("idx_id"), "left")
 
   /** 63-bit shingle ownership fold: the two independent 40-bit text
     * folds (neutral_hash40 / neutral_hash40b — the hashed-despan-key
@@ -377,9 +444,11 @@ object EventStreams {
     * q_stream_pipeline_v2 under ONE memo entry (same cut convention,
     * same tables). */
   private def clusterIndex(s: SparkSession, d: String, cut: Long,
-      g: DataFrame, oldLabels: DataFrame): (DataFrame, DataFrame) =
+      g: DataFrame, oldLabels: DataFrame): (DataFrame, DataFrame) = {
+    val mode = docArrayMode(s)
     graft.MemoStats.memoized("cluster_postings", clusterPostingsMemo,
-        (org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s), d, cut)) {
+        (org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s), d, cut,
+          mode)) {
       val stored = g.where(col("doc_id") < cut)
         .select(col("doc_id").as("idx_id"),
           transform(col("sh"), x => fold63(x)).as("idx_h"))
@@ -392,8 +461,14 @@ object EventStreams {
         .join(oldLabels.select(col("doc_id").as("idx_id"),
           col("lbl").as("idx_lbl")), Seq("idx_id"))
         .localCheckpoint()
-      (postings, stored.localCheckpoint())
+      // bucketed mode: bake the idx_id hash-partitioning INTO the
+      // checkpoint (LogicalRDD keeps outputPartitioning), so triggers
+      // shuffle candidates to the index, never the index to candidates
+      val arr = if (mode == "bucketed")
+        stored.repartition(col("idx_id")) else stored
+      (postings, arr.localCheckpoint())
     }
+  }
 
   /** Stage the prefix-enriched 4-file document drop zone shared by the
     * ingest gates that probe the cluster index — each document carries
@@ -1004,7 +1079,10 @@ object EventStreams {
           .start()
         q.awaitTermination()
         org.apache.spark.sql.graftbridge.Bridge.lastMicroBatchPlan(q)
-          .foreach(p => lastPlans.put(s"sfb_${System.nanoTime()}", p))
+          .foreach { p =>
+            graft.MemoStats.registerForEviction(lastPlans)
+            lastPlans.put("sfb", p)
+          }
       } finally s.conf.set(key, prev)
       s.read.parquet(out).orderBy(col("event_type"))
     }),
@@ -1511,8 +1589,8 @@ object EventStreams {
         .select(col("doc_id"),
           transform(expr(Dedup.ShingleExpr), x => fold63(x)).as("sh_h"),
           explode_outer(col("pfx")).as("h"))
-      val scored = arrivals.join(statSide, Seq("h"), "left")
-        .join(broadcast(idxArr), Seq("idx_id"), "left")
+      val scored = joinDocArrays(s,
+          arrivals.join(statSide, Seq("h"), "left"), idxArr)
         .withColumn("inter",
           size(array_intersect(col("sh_h"), col("idx_h"))).cast("double"))
         .withColumn("jac", col("inter") /
@@ -1912,11 +1990,10 @@ object EventStreams {
           when(col("x.kind") === "g", neutral_hash40b(col("x.gram")))
             .as("gh2"),
           col("x.h").as("h"))
-      val scored = probes
+      val scored = joinDocArrays(s, probes
         .join(broadcast(evalG), Seq("gh1", "gh2"), "left")
         .join(dupG, Seq("gh1", "gh2"), "left")
-        .join(statSide, Seq("h"), "left")
-        .join(broadcast(idxArr), Seq("idx_id"), "left")
+        .join(statSide, Seq("h"), "left"), idxArr)
         .withColumn("inter",
           size(array_intersect(col("sh_h"), col("idx_h"))).cast("double"))
         .withColumn("jac", col("inter") /

@@ -1039,6 +1039,44 @@ class PlanSpec extends AnyFunSuite {
     assert(rows.size >= 30, s"census should cover the streams: ${rows.size}")
   }
 
+  // The cluster gates' per-stored-doc array table joins in two modes
+  // (spark.graft.cluster.docarray): broadcast (default — zero shuffle
+  // while the stored corpus fits executor memory) and bucketed (the
+  // 100 TB shape: the table is hash-partitioned by idx_id inside its
+  // localCheckpoint and candidates shuffle TO it). Pin both halves of
+  // the contract: identical rows, and the bucketed plan really does
+  // drop the array-table broadcast for a shuffled-hash join.
+  test("cluster gate doc-array modes: same rows, bucketed drops the broadcast") {
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastHashJoinExec, ShuffledHashJoinExec}
+    val key = "spark.graft.cluster.docarray"
+    def hasIdxArr(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.output.exists(_.name == "idx_h")
+    def run(q: String): Seq[Seq[Any]] =
+      SparkEntry.queries(q)(spark, sfDir).collect().toSeq.map(_.toSeq)
+    def gatePlan(prefix: String) = walkPlan(
+      graft.streaming.EventStreams.lastPlans(prefix))
+    val bRows = run("q_stream_clusters")
+    assert(gatePlan("sclus").exists {
+      case j: BroadcastHashJoinExec => hasIdxArr(j); case _ => false },
+      "broadcast mode should broadcast the doc-array table")
+    val bV2 = run("q_stream_pipeline_v2")
+    spark.conf.set(key, "bucketed")
+    try {
+      assert(run("q_stream_clusters") == bRows,
+        "bucketed mode must emit the broadcast mode's exact rows")
+      val nodes = gatePlan("sclus")
+      assert(!nodes.exists {
+        case j: BroadcastHashJoinExec => hasIdxArr(j); case _ => false },
+        "bucketed mode must not broadcast the doc-array table")
+      assert(nodes.exists {
+        case j: ShuffledHashJoinExec => hasIdxArr(j); case _ => false },
+        "bucketed mode should shuffled-hash join the doc-array table")
+      assert(run("q_stream_pipeline_v2") == bV2,
+        "composed pipeline must be mode-invariant too")
+    } finally spark.conf.unset(key)
+  }
+
   test("dynamic partition overwrite leaves untouched partitions' files intact") {
     val rows = SparkEntry.queries("q_layout_incremental")(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap

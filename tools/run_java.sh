@@ -15,8 +15,12 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
+# GRAFT_JAVA_OPTS: extra -D flags (e.g. a spark.graft.* conf — SparkConf
+# picks up spark.* system properties, so this switches library modes
+# without code changes: GRAFT_JAVA_OPTS=-Dspark.graft.cluster.docarray=bucketed)
 exec java $ADD_OPENS \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
+  ${GRAFT_JAVA_OPTS:-} \
   -cp "$CLASSES:/opt/spark/jars/*" "$@"
