@@ -1135,17 +1135,55 @@ object ScaleProbe {
         }
       }
       spark.streams.addListener(lst)
-      factors.filter(_ <= 10).foreach { f =>
+      val modeKey = "spark.graft.cluster.docarray"
+      factors.foreach { f =>
         val dir = if (f == 1) sfDir else amplify(spark, sfDir, f, outBase)
         val nDocs = Tables.documents(spark, dir).count()
-        picks.foreach { case (qn, prefix) =>
-          // run 1 = COLD (drop-zone staging + posting/index build land
-          // inside the measured body); run 2 = WARM (zone `_SUCCESS`
-          // memo + checkpointed postings hit) — the warm row is the
-          // gate's steady-state per-trigger cost, the delta is the
-          // one-time staging the memos amortize (r12: the cluster
-          // gate's prefix staging and posting checkpoint)
-          (1 to 2).foreach { run =>
+        // the two cluster-probing gates run in BOTH doc-array join
+        // modes (broadcast = default, bucketed = the corpus-scale
+        // fallback — SCALE.md §28 is the measured comparison); the
+        // gram-set gates don't touch the doc-array table. At ×100 only
+        // the cluster gates run: they are the scale question (stored
+        // index 80× the ×1 corpus); the gram gates' ×10 rows already
+        // extrapolate linearly.
+        val gateRuns = picks
+          .filter { case (_, p) => f < 100 || p == "sclus" || p == "spv2" }
+          .flatMap { case (qn, p) =>
+            if (p == "sclus" || p == "spv2")
+              Seq((qn, p, "broadcast"), (qn, p, "bucketed"))
+            else Seq((qn, p, "broadcast")) }
+        // one-off doc-array table size row per factor: the thing the
+        // broadcast ceiling is ABOUT (row bytes ≈ 8·|shingles| + key)
+        locally {
+          import graft.operators.Dedup
+          val all = spark.read.parquet(s"$dir/documents.parquet")
+          val cut = all.agg((max(col("doc_id")) * 4).as("m"))
+            .head.getLong(0) / 5
+          val r = Dedup.withShingles(spark, dir)
+            .where(col("doc_id") < cut)
+            .agg(count(lit(1)), coalesce(sum(size(col("sh"))), lit(0L)))
+            .head
+          emit(s"""{"probe":"stream_gates","factor":$f,""" +
+            s""""docarray_rows":${r.getLong(0)},""" +
+            s""""docarray_mb":${(r.getLong(1) * 8 + r.getLong(0) * 16) /
+              1048576}}""")
+        }
+        gateRuns.foreach { case (qn, prefix, mode) =>
+          // run 1 = COLD for whatever this (gate, mode) still has to
+          // build; run 2 = WARM (all memos hit) — the warm row is the
+          // gate's steady-state per-trigger cost. Sharing makes run-1
+          // labels differ per row (ADVICE r12): each gate stages its
+          // own drop zone once per factor EXCEPT spv2, which inherits
+          // sclus's (same zone name); the posting/doc-array index
+          // builds once per (factor, MODE) and sclus/spv2 share the
+          // memo entry. `builds` names what run 1 actually pays (on a
+          // warm /tmp even "zone" is already staged — upper bound).
+          val builds =
+            (if (mode == "broadcast" && prefix != "spv2") Seq("zone")
+             else Nil) ++
+            (if (prefix == "sclus") Seq("index") else Nil)
+          spark.conf.set(modeKey, mode)
+          try (1 to 2).foreach { run =>
             stateAgg.clear()
             val q = graft.SparkEntry.queries(qn)
             val (rows, w, sw, sr, sp, _) =
@@ -1154,15 +1192,16 @@ object ScaleProbe {
               .waitListenerBus(spark, 10000)
             val st = Option(stateAgg.get(prefix))
               .getOrElse(Array(0L, 0L, 0L, 0L))
+            val b = if (run == 1) builds.mkString("+") else ""
             emit(s"""{"probe":"stream_gates","factor":$f,"query":"$qn",""" +
-              s""""run":$run,""" +
+              s""""mode":"$mode","run":$run,"builds":"$b",""" +
               s""""docs":$nDocs,"out_rows":$rows,"wall_s":${f"$w%.2f"},""" +
               s""""state_rows":${st(0)},""" +
               s""""state_mem_mb":${st(1) / 1048576},"commit_ms":${st(2)},""" +
               s""""batches":${st(3)},"shuffle_mb":${(sw + sr) / 1048576},""" +
               s""""spill_mb":${sp / 1048576}}""")
             spark.catalog.clearCache()
-          }
+          } finally spark.conf.unset(modeKey)
         }
       }
       spark.streams.removeListener(lst)
