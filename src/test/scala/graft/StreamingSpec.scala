@@ -233,6 +233,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == batch)
   }
 
+  // One gate, two sink disciplines: the update-mode keyed-upsert
+  // publication (foreachBatch + dynamic partition overwrite) must land
+  // on exactly the complete-mode memory sink's table — same rows, no
+  // duplicates from re-emission, no rows lost to partition rewrites.
+  test("published cluster table equals the complete-mode gate exactly") {
+    def rows(q: String) = SparkEntry.queries(q)(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(rows("q_stream_cluster_publish") == rows("q_stream_clusters"))
+  }
+
   // The streaming pipelines dedup on (sha2-256, length) instead of the
   // raw text so the state store holds ~40 B/doc, never the corpus. The
   // key change is semantics-preserving iff digest equality ≡ text
