@@ -886,14 +886,50 @@ object ScaleProbe {
         val maxDeltaFrac = deltaA.groupBy(col("cell"))
           .agg(count(lit(1)).as("n")).agg(max(col("n")))
           .head.getLong(0).toDouble / nDelta
+        // RETRAIN EXECUTION (r12 verdict item 6): the monitor's firing
+        // verdict triggers a maintenance action — retrain centroids on
+        // stored+delta (the q_sim_ann_retrain operator) and re-assign.
+        // Execute it at every drift point and measure what it buys:
+        // recall@5 of the same single-probe queries under the
+        // RETRAINED index, and the probe cost it restores.
+        val kR = Similarity.ivfCells(nTotal)
+        val base = merged.select(col("vec_id"), col("v"), col("nsq"))
+        val centsR = Similarity.lloyd(spark, base, kR,
+          math.max(1L, nTotal / kR))
+        val mergedR = Similarity.nearestCents(base,
+            centsR.toDF("cent_id", "cv"))
+          .select(col("vec_id"), col("v"), col("nsq"),
+            col("cent_id").as("cell")).cache()
+        val qR = mergedR.where(col("vec_id") >= nStored &&
+            (col("vec_id") - nStored) % (nDelta / 20) === 0)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("nsq").as("qnsq"), col("cell").as("qcell"))
+        val (probedR, wProbeR) = {
+          val t0 = System.nanoTime()
+          val r = top5(mergedR.join(broadcast(qR),
+            col("cell") === col("qcell")))
+          (r, (System.nanoTime() - t0) / 1e9)
+        }
+        val recallR = exact.keys.toSeq.map { qq =>
+          (probedR.getOrElse(qq, Set.empty[Long]) & exact(qq)).size / 5.0
+        }.sum / exact.size
+        val sizesR = mergedR.groupBy(col("cell"))
+          .agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val probeFracR = qR.select(col("qcell")).collect()
+          .map(r => sizesR(r.getLong(0)).toDouble / nTotal)
         emit(s"""{"probe":"drift_recall","shift":$a,"cells":$k,""" +
           s""""psi":${f"$psi%.4f"},"recall5_ivf":${f"$recall%.3f"},""" +
           s""""avg_probe_frac":${f"${probeFrac.sum / probeFrac.length}%.4f"},""" +
           s""""max_probe_frac":${f"${probeFrac.max}%.4f"},""" +
           s""""max_delta_cell_frac":${f"$maxDeltaFrac%.3f"},""" +
           s""""exact_wall_s":${f"$wExact%.2f"},""" +
-          s""""probe_wall_s":${f"$wProbe%.2f"}}""")
-        merged.unpersist(); deltaA.unpersist()
+          s""""probe_wall_s":${f"$wProbe%.2f"},""" +
+          s""""recall5_retrained":${f"$recallR%.3f"},""" +
+          s""""avg_probe_frac_retrained":${
+            f"${probeFracR.sum / probeFracR.length}%.4f"},""" +
+          s""""probe_wall_retrained_s":${f"$wProbeR%.2f"}}""")
+        mergedR.unpersist(); merged.unpersist(); deltaA.unpersist()
       }
       stored.unpersist(); storedA.unpersist()
       spark.catalog.clearCache()
