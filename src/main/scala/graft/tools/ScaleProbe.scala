@@ -900,6 +900,10 @@ object ScaleProbe {
             centsR.toDF("cent_id", "cv"))
           .select(col("vec_id"), col("v"), col("nsq"),
             col("cent_id").as("cell")).cache()
+        // materialize the retrained assignment BEFORE timing the probe,
+        // so probe_wall_retrained_s is the steady-state query cost (the
+        // index build is the retrain's one-time price, not the probe's)
+        mergedR.count()
         val qR = mergedR.where(col("vec_id") >= nStored &&
             (col("vec_id") - nStored) % (nDelta / 20) === 0)
           .select(col("vec_id").as("query_id"), col("v").as("qv"),
