@@ -958,7 +958,14 @@ class PlanSpec extends AnyFunSuite {
     // k-row domain table); a query suddenly planning MORE nested-loop
     // joins is a plan regression this pin surfaces (raise only with
     // justification)
-    val bnljBudget = Map("q_mix_waterfill" -> 3).withDefaultValue(2)
+    // q_sim_ann_retrain runs TWO index builds' worth of bounded
+    // broadcasts in one plan: three centroid-assignment BNLJs (stored,
+    // delta — the q_sim_ann_incremental pair — plus the full-corpus
+    // re-assignment; each build side ≤ k×64 doubles) and three 1-row
+    // scalar broadcasts (occupancy totals, the PSI scalar, and the
+    // cells full-join's totals side). All bounded, never data-sized.
+    val bnljBudget = Map("q_mix_waterfill" -> 3,
+      "q_sim_ann_retrain" -> 6).withDefaultValue(2)
     val bnljBad = rows.collect {
       case ((n, _, b, _), _)
         if b > bnljBudget(n) && !allPairsWhitelist.contains(n) => (n, b) }
