@@ -1653,13 +1653,20 @@ object EventStreams {
             } else {
               // keyed upsert: rows in touched partitions that the
               // batch does NOT replace survive; batch rows win.
-              // localCheckpoint breaks the read-path lineage so the
-              // dynamic overwrite may rewrite the files it read —
-              // at scale this is the read-affected-buckets-and-
-              // rewrite compaction a MERGE executes anyway.
+              // The touched-partition set is a bounded driver scalar
+              // (≤ 8 bucket ids), applied as a STATIC isin filter so
+              // the read scans ONLY the touched buckets (plan-level
+              // partition pruning — a semi join would leave pruning
+              // to runtime DPP, a silent full-table read if it
+              // doesn't fire). localCheckpoint breaks the read-path
+              // lineage so the dynamic overwrite may rewrite the
+              // files it read — at scale this is the read-affected-
+              // buckets-and-rewrite compaction a MERGE executes
+              // anyway.
               val touched = bp.select(col("pb")).distinct()
+                .collect().map(_.getLong(0)).toSeq
               val keep = s.read.parquet(out)
-                .join(touched, Seq("pb"), "left_semi")
+                .where(col("pb").isin(touched: _*))
                 .join(bp.select(col("doc_id")), Seq("doc_id"),
                   "left_anti")
                 .select(bp.columns.map(col).toIndexedSeq: _*)
