@@ -1147,7 +1147,12 @@ object ScaleProbe {
         // with IDENTICAL text, so the admit-after-exact-dedup claim is
         // directly measurable — out_rows = distinct texts < docs, and
         // the cluster probe never sees a second clique member
-        ("q_stream_pipeline_v2", "spv2"))
+        ("q_stream_pipeline_v2", "spv2"),
+        // the published (update-mode keyed-upsert) gate: prices the
+        // production sink at scale — the gate plan plus four
+        // touched-bucket parquet rewrites; shares sclus's zone and
+        // same-mode index memo, so run 1 builds nothing
+        ("q_stream_cluster_publish", "scpub"))
       val stateAgg =
         new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
       val lst = new org.apache.spark.sql.streaming.StreamingQueryListener {
@@ -1186,10 +1191,11 @@ object ScaleProbe {
         // the cluster gates run: they are the scale question (stored
         // index 80× the ×1 corpus); the gram gates' ×10 rows already
         // extrapolate linearly.
+        val clusterGates = Set("sclus", "spv2", "scpub")
         val gateRuns = picks
-          .filter { case (_, p) => f < 100 || p == "sclus" || p == "spv2" }
+          .filter { case (_, p) => f < 100 || clusterGates(p) }
           .flatMap { case (qn, p) =>
-            if (p == "sclus" || p == "spv2")
+            if (clusterGates(p))
               Seq((qn, p, "broadcast"), (qn, p, "bucketed"))
             else Seq((qn, p, "broadcast")) }
         // one-off doc-array table size row per factor: the thing the
@@ -1219,8 +1225,8 @@ object ScaleProbe {
           // memo entry. `builds` names what run 1 actually pays (on a
           // warm /tmp even "zone" is already staged — upper bound).
           val builds =
-            (if (mode == "broadcast" && prefix != "spv2") Seq("zone")
-             else Nil) ++
+            (if (mode == "broadcast" && !Set("spv2", "scpub")(prefix))
+               Seq("zone") else Nil) ++
             (if (prefix == "sclus") Seq("index") else Nil)
           spark.conf.set(modeKey, mode)
           try (1 to 2).foreach { run =>
