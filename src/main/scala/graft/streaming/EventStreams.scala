@@ -330,13 +330,21 @@ object EventStreams {
     * deterministic content. 4 files × maxFilesPerTrigger=1 is what
     * makes the multi-batch claims real.
     *
-    * Concurrency (ADVICE r12): the write goes to a private temp
-    * directory and is EXPOSED by a filesystem rename, so a reader can
-    * never observe a half-written zone — a marked zone is always a
-    * completely-written one. Two cold JVMs staging the same zone
-    * concurrently each write their own temp dir and race on the
-    * rename; the loser (rename onto an existing path fails on every
-    * Hadoop FS) deletes its temp copy and reads the winner's. The only
+    * Concurrency (ADVICE r12, hardened r14): the write goes to a
+    * private temp directory and is EXPOSED by a filesystem rename, so
+    * a reader can never observe a half-written zone — a marked zone is
+    * always a completely-written one. Two cold JVMs staging the same
+    * zone concurrently each write their own temp dir and race on the
+    * rename. The expose uses FileContext.rename(…, Rename.NONE), which
+    * is ATOMIC and throws FileAlreadyExistsException when dest exists —
+    * unlike FileSystem.rename on RawLocalFileSystem, which falls back
+    * to FileUtil.copy(deleteSource=true) when File.renameTo fails and
+    * NESTS the loser's copy inside the winner's zone (ADVICE r13
+    * medium: the nested dir would be silently read as data, streaming
+    * every document twice forever). The loser catches the exception,
+    * deletes its temp copy, and reads the winner's. As a repair for
+    * zones staged by older code, a marked zone is scrubbed of any
+    * nested `*.tmp_*` subdirectory before being trusted. The only
     * remaining non-atomic step is reclaiming an UNMARKED zone left by
     * a crashed writer, which is inherently a repair, not the hot path.
     *
@@ -346,7 +354,7 @@ object EventStreams {
     * silently streaming stale warm-/tmp content. A content change that
     * keeps the schema still needs a manual version bump (rename the
     * zone) — hashing content would defeat the memo. */
-  private def stagedZone(s: SparkSession, name: String, d: String)
+  private[graft] def stagedZone(s: SparkSession, name: String, d: String)
       (build: => DataFrame): String = {
     val df = build // plan construction only; nothing executes until write
     val ver = java.lang.Integer.toHexString(
@@ -365,7 +373,28 @@ object EventStreams {
       // atomic expose; losing the rename race means another JVM just
       // published the same deterministic content — use theirs
       if (fs.exists(dest) && !fs.exists(marker)) fs.delete(dest, true)
-      if (!fs.rename(tmp, dest)) fs.delete(tmp, true)
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        dest.toUri, s.sparkContext.hadoopConfiguration)
+      try fc.rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.NONE)
+      catch { case _: java.io.IOException =>
+        // lost the race (FileAlreadyExistsException and friends all
+        // extend IOException; dest appeared between the reclaim check
+        // and the rename) — the winner's content is identical; discard
+        // ours. A genuine rename failure also lands here: the zone
+        // stays unmarked and the next call restages, never corrupts.
+        fs.delete(tmp, true)
+      }
+    }
+    // repair: a zone staged by pre-r14 code that lost a cold-JVM race on
+    // RawLocalFileSystem can hold the loser's copy NESTED as a
+    // `*.tmp_*` subdirectory (FileUtil.copy fallback). Measured on this
+    // Spark the stream listing does NOT descend into it (StreamingSpec
+    // pins that), but scrub it anyway: the zone should never depend on
+    // a listing-mode detail to read correctly, or hold a junk copy
+    val zp = new org.apache.hadoop.fs.Path(zone)
+    if (fs.exists(zp)) fs.listStatus(zp).foreach { st =>
+      if (st.isDirectory && st.getPath.getName.contains(".tmp_"))
+        fs.delete(st.getPath, true)
     }
     zone
   }

@@ -744,4 +744,75 @@ class StreamingSpec extends AnyFunSuite {
         s"$lang n_seen must equal the language's document count")
     }
   }
+
+  // The drop-zone expose relies on an ATOMIC no-overwrite rename: Hadoop's
+  // FileSystem.rename on RawLocalFileSystem falls back to
+  // FileUtil.copy(deleteSource=true) when File.renameTo fails, which NESTS
+  // the loser's copy inside the winner's zone as a `*.tmp_*` subdirectory
+  // that Spark's recursive listing then reads as data — every document
+  // streamed twice, forever (ADVICE r13 medium). Pin the two defenses:
+  // the FileContext.rename(Rename.NONE) contract on the shipped Hadoop
+  // (throws, never copies, when dest exists), and the marked-zone scrub
+  // that repairs zones corrupted by pre-r14 code.
+  test("staged zone survives the rename race without nesting or doubling") {
+    import org.apache.hadoop.fs.{FileContext, Options, Path}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmp = sys.props("java.io.tmpdir")
+    // (1) the Hadoop contract this JVM actually ships: rename onto an
+    // existing dir with Rename.NONE must THROW, not copy-nest
+    val a = new Path(s"$tmp/graft_rttest_a_${java.util.UUID.randomUUID}")
+    val b = new Path(s"$tmp/graft_rttest_b_${java.util.UUID.randomUUID}")
+    val fs = a.getFileSystem(conf)
+    fs.mkdirs(a); fs.mkdirs(b)
+    val fc = FileContext.getFileContext(a.toUri, conf)
+    intercept[java.io.IOException] {
+      fc.rename(a, b, Options.Rename.NONE)
+    }
+    assert(fs.listStatus(b).isEmpty,
+      "a failed rename must leave nothing nested inside dest")
+    fs.delete(a, true); fs.delete(b, true)
+    // (2) end-to-end: stage a zone, corrupt it the way the old copy
+    // fallback did (a nested tmp_* dir holding a full duplicate), and
+    // assert the next stagedZone call scrubs the nest and the zone
+    // reads at the true row count
+    import spark.implicits._
+    def build = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    // count the zone the way every gate consumes it: a FileStreamSource
+    // scan (whose listing, unlike a batch read, descends into nested
+    // non-hidden directories)
+    def streamCount(zone: String): Long = {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType)))
+      val name = s"racecnt_${System.nanoTime()}"
+      val q = spark.readStream.schema(schema).parquet(zone)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name).count()
+    }
+    val ds = s"racespec_${java.util.UUID.randomUUID}"
+    val zone = graft.streaming.EventStreams.stagedZone(
+      spark, "spectest", ds)(build)
+    assert(streamCount(zone) == 3)
+    val nest = new Path(s"$zone/loser.tmp_deadbeef")
+    build.write.parquet(nest.toString)
+    // measured on this Spark: the FileStreamSource listing does NOT
+    // descend into the nested dir, so a pre-r14 corrupted zone reads
+    // correctly today — the scrub exists so that stays true under any
+    // future listing-mode change, and so the zone holds no junk copy
+    assert(streamCount(zone) == 3,
+      "this Spark's stream listing must not descend into the nest")
+    val again = graft.streaming.EventStreams.stagedZone(
+      spark, "spectest", ds)(build)
+    assert(again == zone)
+    assert(!fs.exists(nest), "marked-zone scrub must remove the nest")
+    assert(streamCount(zone) == 3,
+      "zone must stream at the true count after the scrub")
+    fs.delete(new Path(zone), true)
+  }
 }
