@@ -1323,12 +1323,26 @@ object Similarity {
     * full-trained one). A pure textual rename over the generator's
     * fixed CTE vocabulary — names are matched on word boundaries
     * (longest first), which cannot collide with the block's SQL
-    * keywords (uppercase) or its longer column names. */
-  private def ivfCtesPrefixed(p: String, extra: String,
-      trainPred: String): String =
+    * keywords (uppercase) or its longer column names.
+    *
+    * CONSTRAINT (ADVICE r13): the rename also runs over the spliced
+    * `extra`/`trainPred` text, so those must not use any vocabulary
+    * token (`e`, `w`, `cells`, …) as an identifier — asserted loudly
+    * here rather than emitting silently mangled SQL. */
+  private val IvfCteVocab =
+    "cells|e2|et|kp|nv|nt|c0|a0|g0|s1|c1|a1|g1|s2|c2|a2|e|w"
+
+  private[graft] def ivfCtesPrefixed(p: String, extra: String,
+      trainPred: String): String = {
+    Seq("extra" -> extra, "trainPred" -> trainPred).foreach {
+      case (arg, text) => require(
+        !s"\\b($IvfCteVocab)\\b".r.findFirstIn(text).isDefined,
+        s"ivfCtesPrefixed: $arg uses a CTE-vocabulary identifier " +
+          s"and would be silently renamed: $text")
+    }
     ivfCtesGen(extra, trainPred).replaceAll(
-      "\\b(cells|e2|et|kp|nv|nt|c0|a0|g0|s1|c1|a1|g1|s2|c2|a2|e|w)\\b",
-      p + "$1")
+      s"\\b($IvfCteVocab)\\b", p + "$1")
+  }
 
   /** DuckDB CTE pair `params(bits)` + `proj(vec_id, p, pr)` replaying
     * (a) [[lshBits]]'s integer-exact width derivation from COUNT(*) and

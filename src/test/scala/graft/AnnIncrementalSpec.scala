@@ -99,4 +99,24 @@ class AnnIncrementalSpec extends AnyFunSuite {
       assert(cs.zip(cs.drop(1)).forall { case (a, b) => a >= b })
     }
   }
+
+  // The CTE-prefix rename runs over the caller-supplied extra/trainPred
+  // text too, so an argument using a vocabulary identifier (e, w,
+  // cells, …) must fail LOUDLY instead of emitting silently mangled
+  // SQL (ADVICE r13). Current call sites (cutv/cut) must stay clean.
+  test("ivfCtesPrefixed rejects vocabulary identifiers in its arguments") {
+    import graft.operators.Similarity.ivfCtesPrefixed
+    // clean args pass and get a fully prefixed block
+    val ok = ivfCtesPrefixed("z",
+      "cutv AS (SELECT 1 AS cut),\n", "vec_id < (SELECT cut FROM cutv)")
+    assert(ok.contains("zcells") && ok.contains("znv") &&
+      !("\\b(cells|nv|nt)\\b".r.findFirstIn(ok).isDefined))
+    // a predicate that names the `w` CTE as its own identifier is a bug
+    intercept[IllegalArgumentException] {
+      ivfCtesPrefixed("z", "", "vec_id IN (SELECT vec_id FROM w)")
+    }
+    intercept[IllegalArgumentException] {
+      ivfCtesPrefixed("z", "cells AS (SELECT 1 AS x),\n", "TRUE")
+    }
+  }
 }
