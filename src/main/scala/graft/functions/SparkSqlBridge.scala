@@ -55,6 +55,17 @@ object Bridge {
     case _ => None
   }
 
+  /** Partition directories each file scan in `df`'s physical plan will
+    * read after STATIC partition pruning (selectedPartitions — before
+    * any runtime DPP), one entry per scan. The keyed-upsert publish
+    * sink records this against its touched-bucket set to prove the
+    * isin filter prunes at plan time, at any bucket count. */
+  def scannedPartitionDirs(df: DataFrame): Seq[Int] =
+    df.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+
   /** Stream `df` to `out` as an Arrow IPC stream (schema header + one
     * record batch per partition batch). Batches are serialized
     * DISTRIBUTED (`toArrowBatchRdd`, the same path `collectAsArrowToPython`
