@@ -284,6 +284,7 @@ object EventStreams {
     "stok" -> "q_stream_tokenizer_drift",
     "scont" -> "q_stream_contamination",
     "spv2" -> "q_stream_pipeline_v2",
+    "spv2pub" -> "q_stream_pipeline_publish",
     "sidx" -> "q_stream_index_stats",
     "sfb" -> "q_stream_foreach_batch")
 
@@ -2077,6 +2078,43 @@ object EventStreams {
     // q_stream_pipeline precedent). State: dedup keys + one bounded
     // row per distinct text (positions ≤ token count, one min label).
     "q_stream_pipeline_v2" -> ((s, d) => {
+      pipelineV2Finish(runToMemory(s, pipelineV2Plan(s, d), "complete",
+        s"spv2_${System.nanoTime()}"))
+        .orderBy(col("fp"))
+    }),
+
+    // PRODUCTION SINK for the composed pipeline (r13 verdict missing
+    // #1): the flagship four-gate plan ran complete-mode only — output
+    // ∝ corpus × triggers, the defect class r13 fixed for the single
+    // cluster gate. The SAME plan runs here in UPDATE mode through the
+    // keyed-upsert sink ([[publishKeyedUpsert]]), keyed on the
+    // content-address fp. Finalize-in-arrival-batch holds for the same
+    // reason it held for the cluster gate, one step earlier: after the
+    // exact-dedup stage, each distinct text survives as exactly ONE
+    // stream row (the keep-first arrival), every probe row a plan
+    // explodes from that row lands in the same micro-batch, and every
+    // probe side is STATIC — so an fp's aggregation state receives all
+    // of its input in the fp's arrival batch and update mode emits each
+    // fp exactly once (StreamingSpec sums the per-trigger emissions to
+    // prove it). The post-agg span/window arithmetic (pipelineV2Finish)
+    // runs batch-side on the emitted rows — safe exactly because each
+    // emitted row's state is final. The published table is
+    // batching-invariant and equals the batch pipeline replay — the
+    // q_stream_pipeline_v2 oracle verbatim.
+    "q_stream_pipeline_publish" -> ((s, d) => {
+      publishKeyedUpsert(s, pipelineV2Plan(s, d), "fp", "spv2pub", d,
+        pipelineV2Finish)
+        .orderBy(col("fp"))
+    })
+  )
+
+  /** The composed pipeline's streaming plan up to its single
+    * aggregation — shared VERBATIM by the complete-mode memory-sink
+    * flagship (q_stream_pipeline_v2) and the update-mode published
+    * variant (q_stream_pipeline_publish): one pipeline, two sink
+    * disciplines, one oracle. See the q_stream_pipeline_v2 doc comment
+    * above for the full design narrative. */
+  private def pipelineV2Plan(s: SparkSession, d: String): DataFrame = {
       import graft.operators.Dedup
       import graft.functions.VectorFunctions.{neutral_hash40, neutral_hash40b}
       val ml = graft.operators.SubstringDedup.MinLen
@@ -2179,14 +2217,21 @@ object EventStreams {
           when(col("jac") > 0.5, col("idx_lbl")).as("glbl"),
           explode_outer(when(col("ehit") === 1,
             sequence(col("p"), col("p") + lit(ml - 1)))).as("q"))
-      val gated = scored.groupBy(col("fp"))
+      scored.groupBy(col("fp"))
         .agg(max(col("n_tok")).as("n_tok"),
           sort_array(collect_set(col("q"))).as("ps"),
           collect_set(when(col("dhit") === 1, col("p"))).as("dps"),
           min(col("glbl")).as("m"))
-      val sink = runToMemory(s, gated, "complete",
-        s"spv2_${System.nanoTime()}")
-      sink
+  }
+
+  /** The composed pipeline's post-aggregation arithmetic — pure per-row
+    * derivations from the (fp, n_tok, ps, dps, m) aggregation state,
+    * shared by both sink disciplines (on the complete-mode sink read,
+    * and batch-side inside the publish sink's foreachBatch — legal
+    * there exactly because each emitted row's state is final). */
+  private def pipelineV2Finish(df: DataFrame): DataFrame = {
+      val ml = graft.operators.SubstringDedup.MinLen
+      df
         .withColumn("n_windows", when(col("n_tok") >= ml,
           col("n_tok") - lit(ml - 1)).otherwise(lit(1L)).cast("long"))
         .select(col("fp"), col("n_tok"), col("n_windows"),
@@ -2211,9 +2256,7 @@ object EventStreams {
             .as("max_span"),
           col("m").as("merge_lbl"),
           col("m").isNotNull.as("is_merge"))
-        .orderBy(col("fp"))
-    })
-  )
+  }
 
   /** Full DuckDB replay of the cluster ingest gate, shared by BOTH its
     * sink disciplines (q_stream_clusters / q_stream_cluster_publish):
@@ -2267,7 +2310,7 @@ object EventStreams {
       |WHERE d.doc_id >= c
       |ORDER BY d.doc_id""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     // The streaming CEP emits exactly the batch q_event_pattern rows at
     // end of stream — ONE oracle spelling, shared by reference (the
     // shared-kernel rule applied to a whole query).
@@ -2998,4 +3041,11 @@ object EventStreams {
         |  CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tok
         |FROM kept ORDER BY fp""".stripMargin
   )
+
+  /** One pipeline, two sink disciplines, ONE oracle: the published
+    * composed-pipeline table's contract is exactly the flagship's
+    * complete output (the q_stream_clusters / q_stream_cluster_publish
+    * pairing applied to q_stream_pipeline_v2). */
+  val oracles: Map[String, String] = oraclesBase +
+    ("q_stream_pipeline_publish" -> oraclesBase("q_stream_pipeline_v2"))
 }
