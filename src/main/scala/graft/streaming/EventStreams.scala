@@ -431,17 +431,55 @@ object EventStreams {
     *    a shuffled-hash join. This is the 100 TB shape: no executor
     *    ever holds more than its bucket of the stored index.
     *
-    * Same rows either way (PlanSpec pins both the equivalence and the
-    * no-broadcast plan shape in bucketed mode). */
+    *  - `auto` (default since r14): choose by MEASURED size — stored
+    *    doc count × [[DocArrayBytesPerDoc]] (the ~420 B/doc SCALE.md
+    *    §28 measured at ×100) against
+    *    `spark.graft.cluster.docarrayBudgetBytes` (default 2 GB, the
+    *    conservative end of §28's measured broadcast ceiling). Below
+    *    the budget auto ≡ broadcast; past it the gate degrades to the
+    *    bucketed co-located join instead of an executor OOM — the r13
+    *    verdict's "measured crossover as default behavior".
+    *
+    * Same rows in every mode (PlanSpec pins the equivalence, the
+    * no-broadcast plan shape in bucketed mode, and both auto
+    * resolutions). */
   private[graft] def docArrayMode(s: SparkSession): String =
-    s.conf.get("spark.graft.cluster.docarray", "broadcast")
+    s.conf.get("spark.graft.cluster.docarray", "auto")
+
+  /** Measured broadcast-side footprint per stored doc (SCALE.md §28:
+    * ~160 MB of in-plan doc-array broadcast + executor copies for 400k
+    * stored docs at ×100 ⇒ ~420 B/doc including the fold array). */
+  private[graft] val DocArrayBytesPerDoc = 420L
+
+  private val storedCountMemo = new scala.collection.concurrent
+    .TrieMap[(String, String, Long), Long]
+
+  /** Resolve [[docArrayMode]] to a concrete join mode. `auto` prices
+    * the doc-array table at the measured per-doc footprint using ONE
+    * memoized count of the stored side per (session, dataset, cut) —
+    * at 100 TB this is the stored index's row count, a catalog
+    * statistic, not a job. */
+  private[graft] def resolveDocArrayMode(s: SparkSession, d: String,
+      cut: Long, g: DataFrame): String = docArrayMode(s) match {
+    case "auto" =>
+      val n = graft.MemoStats.memoized("stored_doc_count",
+          storedCountMemo,
+          (org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s), d,
+            cut)) {
+        g.where(col("doc_id") < cut).count()
+      }
+      val budget = s.conf.get(
+        "spark.graft.cluster.docarrayBudgetBytes", "2000000000").toLong
+      if (n * DocArrayBytesPerDoc <= budget) "broadcast" else "bucketed"
+    case m => m
+  }
 
   /** Join per-candidate rows to the stored doc-array table in the
-    * configured [[docArrayMode]]. `idxArr` comes out of [[clusterIndex]]
-    * already partitioned for the mode. */
-  private def joinDocArrays(s: SparkSession, cand: DataFrame,
-      idxArr: DataFrame): DataFrame =
-    if (docArrayMode(s) == "bucketed")
+    * RESOLVED mode. `idxArr` comes out of [[clusterIndex]] already
+    * partitioned for the same mode. */
+  private def joinDocArrays(cand: DataFrame, idxArr: DataFrame,
+      mode: String): DataFrame =
+    if (mode == "bucketed")
       cand.join(idxArr.hint("shuffle_hash"), Seq("idx_id"), "left")
     else cand.join(broadcast(idxArr), Seq("idx_id"), "left")
 
@@ -475,8 +513,8 @@ object EventStreams {
     * q_stream_pipeline_v2 under ONE memo entry (same cut convention,
     * same tables). */
   private def clusterIndex(s: SparkSession, d: String, cut: Long,
-      g: DataFrame, oldLabels: DataFrame): (DataFrame, DataFrame) = {
-    val mode = docArrayMode(s)
+      g: DataFrame, oldLabels: DataFrame, mode: String)
+      : (DataFrame, DataFrame) = {
     graft.MemoStats.memoized("cluster_postings", clusterPostingsMemo,
         (org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s), d, cut,
           mode)) {
@@ -564,7 +602,8 @@ object EventStreams {
     // keys and the arrays ride a broadcast OR a bucketed co-located
     // join of the doc-level table (one array per stored doc — 40k
     // rows ≈ 19 MB at ×10) — see [[docArrayMode]].
-    val (statSide, idxArr) = clusterIndex(s, d, cut, g, oldLabels)
+    val daMode = resolveDocArrayMode(s, d, cut, g)
+    val (statSide, idxArr) = clusterIndex(s, d, cut, g, oldLabels, daMode)
     // 4-file drop zone → four REAL micro-batches (the
     // q_stream_sample pattern): arrivals land across batches and the
     // complete-mode per-doc min() state must RETAIN earlier batches'
@@ -584,8 +623,8 @@ object EventStreams {
       .select(col("doc_id"),
         transform(expr(Dedup.ShingleExpr), x => fold63(x)).as("sh_h"),
         explode_outer(col("pfx")).as("h"))
-    val scored = joinDocArrays(s,
-        arrivals.join(statSide, Seq("h"), "left"), idxArr)
+    val scored = joinDocArrays(
+        arrivals.join(statSide, Seq("h"), "left"), idxArr, daMode)
       .withColumn("inter",
         size(array_intersect(col("sh_h"), col("idx_h"))).cast("double"))
       .withColumn("jac", col("inter") /
@@ -2131,7 +2170,9 @@ object EventStreams {
       val g = Dedup.withShingles(s, d)
       Dedup.assertDfCapInactive(s, s"$d#corpus", g)
       val oldLabels = Dedup.storedClusterLabels(s, d, cut)
-      val (statSide, idxArr) = clusterIndex(s, d, cut, g, oldLabels)
+      val daMode = resolveDocArrayMode(s, d, cut, g)
+      val (statSide, idxArr) =
+        clusterIndex(s, d, cut, g, oldLabels, daMode)
       // static gram sets, both as the 80-bit hash pair: the eval
       // benchmark slice (decontamination) and the stored corpus's
       // distinct passages (dup gate, q_stream_dup_spans' convention —
@@ -2205,10 +2246,10 @@ object EventStreams {
           when(col("x.kind") === "g", neutral_hash40b(col("x.gram")))
             .as("gh2"),
           col("x.h").as("h"))
-      val scored = joinDocArrays(s, probes
+      val scored = joinDocArrays(probes
         .join(broadcast(evalG), Seq("gh1", "gh2"), "left")
         .join(dupG, Seq("gh1", "gh2"), "left")
-        .join(statSide, Seq("h"), "left"), idxArr)
+        .join(statSide, Seq("h"), "left"), idxArr, daMode)
         .withColumn("inter",
           size(array_intersect(col("sh_h"), col("idx_h"))).cast("double"))
         .withColumn("jac", col("inter") /

@@ -1081,6 +1081,28 @@ class PlanSpec extends AnyFunSuite {
         "bucketed mode should shuffled-hash join the doc-array table")
       assert(run("q_stream_pipeline_v2") == bV2,
         "composed pipeline must be mode-invariant too")
+      // auto (the r14 default) resolves by MEASURED size: stored docs ×
+      // the measured ~420 B/doc against the budget conf. The fixture
+      // fits the default 2 GB budget → the broadcast plan; a tiny
+      // budget forces the bucketed degradation instead of an OOM.
+      spark.conf.set(key, "auto")
+      assert(run("q_stream_clusters") == bRows,
+        "auto mode must emit the same rows")
+      assert(gatePlan("sclus").exists {
+        case j: BroadcastHashJoinExec => hasIdxArr(j); case _ => false },
+        "auto under the default budget must resolve to broadcast")
+      spark.conf.set("spark.graft.cluster.docarrayBudgetBytes", "1000")
+      try {
+        assert(run("q_stream_clusters") == bRows,
+          "auto-bucketed must emit the same rows")
+        assert(!gatePlan("sclus").exists {
+          case j: BroadcastHashJoinExec => hasIdxArr(j); case _ => false },
+          "auto past the budget must drop the doc-array broadcast")
+        assert(gatePlan("sclus").exists {
+          case j: ShuffledHashJoinExec => hasIdxArr(j); case _ => false },
+          "auto past the budget must resolve to the bucketed join")
+      } finally
+        spark.conf.unset("spark.graft.cluster.docarrayBudgetBytes")
     } finally spark.conf.unset(key)
   }
 
