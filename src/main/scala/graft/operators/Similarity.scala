@@ -328,6 +328,37 @@ object Similarity {
   private val centMemo = new scala.collection.concurrent.TrieMap[
     (String, String, String), Seq[(Long, Seq[Double])]]
 
+  /** Execute the retrain ACTION against the session's live index:
+    * retrain centroids on the FULL corpus (the q_sim_ann_retrain /
+    * [[ivfAssigned]] build — the same memoized table, so a session
+    * that already paid the full build pays nothing here) and SWAP the
+    * result in under the stored-index memo key that every consumer of
+    * the incrementally-maintained index reads ([[incCentroids]]) — the
+    * NEXT probe in this session runs against the retrained index.
+    * Returns (stale, retrained) centroid tables for observability.
+    *
+    * Deliberately NOT part of any `queries` entry: the oracle suite
+    * replays the STALE-index semantics by construction. This is the
+    * maintenance path the streaming drift monitor triggers when
+    * `spark.graft.ann.autoRetrain=on` (EventStreams.q_stream_ann_drift,
+    * r13 verdict item 6); AnnIncrementalSpec drives the full
+    * plant-drift → verdict-fires → swap → recall-recovers loop. */
+  private[graft] def swapRetrainedCentroids(s: SparkSession, d: String)
+      : (Seq[(Long, Seq[Double])], Seq[(Long, Seq[Double])]) = {
+    val e = embWithNorms(s, d)
+    val cut = e.agg((max(col("vec_id")) * 4).as("m")).head.getLong(0) / 5
+    val kInc = ivfCells(e.where(col("vec_id") < cut).count())
+    val incKey = (org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s),
+      d, s"inc$kInc")
+    val n = e.count()
+    val k = ivfCells(n)
+    val retrained = graft.MemoStats.memoized("ivf_centroids", centMemo,
+      (org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s), d,
+        s"full$k"))(lloyd(s, e, k, math.max(1L, n / k)))
+    val stale = centMemo.put(incKey, retrained)
+    (stale.getOrElse(Nil), retrained)
+  }
+
   val defs: Map[String, Q] = centroidDefs ++ Map(
 
     // Brute-force k-NN, decimal-exact scores (oracle-checked): queries =

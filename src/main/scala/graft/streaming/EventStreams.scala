@@ -1896,6 +1896,17 @@ object EventStreams {
       // (Similarity.RetrainPsiNn, SCALE.md §24) — exact: the total sums
       // the already-quantized terms, batch-side post-sink
       val psiTot = terms.agg(sum(col("psi_term_nn")).as("psi_total_nn"))
+      // TRIGGERED MAINTENANCE (r13 verdict item 6, default off so the
+      // oracle suite keeps its stale-index semantics): with
+      // spark.graft.ann.autoRetrain=on, a firing verdict — a 1-row
+      // driver scalar off the k-row terms table — EXECUTES the
+      // q_sim_ann_retrain rebuild and swaps the session's stored-index
+      // memo, so the next probe in this session queries the retrained
+      // index (Similarity.swapRetrainedCentroids). The monitor's own
+      // output still reports against the STALE index it measured.
+      if (s.conf.get("spark.graft.ann.autoRetrain", "off") == "on" &&
+          psiTot.head.getLong(0) >= Similarity.RetrainPsiNn)
+        Similarity.swapRetrainedCentroids(s, d)
       terms.join(broadcast(psiTot))
         .withColumn("retrain",
           col("psi_total_nn") >= lit(Similarity.RetrainPsiNn))
