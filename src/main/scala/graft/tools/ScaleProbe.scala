@@ -1148,11 +1148,12 @@ object ScaleProbe {
         // directly measurable — out_rows = distinct texts < docs, and
         // the cluster probe never sees a second clique member
         ("q_stream_pipeline_v2", "spv2"),
-        // the published (update-mode keyed-upsert) gate: prices the
+        // the published (update-mode keyed-upsert) gates: price the
         // production sink at scale — the gate plan plus four
-        // touched-bucket parquet rewrites; shares sclus's zone and
+        // touched-bucket parquet rewrites; share sclus's zone and
         // same-mode index memo, so run 1 builds nothing
-        ("q_stream_cluster_publish", "scpub"))
+        ("q_stream_cluster_publish", "scpub"),
+        ("q_stream_pipeline_publish", "spv2pub"))
       val stateAgg =
         new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
       val lst = new org.apache.spark.sql.streaming.StreamingQueryListener {
@@ -1191,13 +1192,21 @@ object ScaleProbe {
         // the cluster gates run: they are the scale question (stored
         // index 80× the ×1 corpus); the gram gates' ×10 rows already
         // extrapolate linearly.
-        val clusterGates = Set("sclus", "spv2", "scpub")
+        val clusterGates = Set("sclus", "spv2", "scpub", "spv2pub")
+        val publishGates = Set("scpub", "spv2pub")
         val gateRuns = picks
           .filter { case (_, p) => f < 100 || clusterGates(p) }
           .flatMap { case (qn, p) =>
-            if (clusterGates(p))
-              Seq((qn, p, "broadcast"), (qn, p, "bucketed"))
-            else Seq((qn, p, "broadcast")) }
+            val base = if (clusterGates(p))
+              Seq((qn, p, "broadcast", 8L), (qn, p, "bucketed", 8L))
+            else Seq((qn, p, "broadcast", 8L))
+            // bucket-count pricing of the keyed-upsert sink (r13
+            // verdict "what's wrong" #1): same gate and mode, finer
+            // published table — one row per bucket setting at ×10
+            val extra = if (publishGates(p) && f == 10)
+              Seq((qn, p, "broadcast", 64L), (qn, p, "broadcast", 256L))
+            else Nil
+            base ++ extra }
         // one-off doc-array table size row per factor: the thing the
         // broadcast ceiling is ABOUT (row bytes ≈ 8·|shingles| + key)
         locally {
@@ -1214,21 +1223,24 @@ object ScaleProbe {
             s""""docarray_mb":${(r.getLong(1) * 8 + r.getLong(0) * 16) /
               1048576}}""")
         }
-        gateRuns.foreach { case (qn, prefix, mode) =>
+        gateRuns.foreach { case (qn, prefix, mode, buckets) =>
           // run 1 = COLD for whatever this (gate, mode) still has to
           // build; run 2 = WARM (all memos hit) — the warm row is the
           // gate's steady-state per-trigger cost. Sharing makes run-1
           // labels differ per row (ADVICE r12): each gate stages its
-          // own drop zone once per factor EXCEPT spv2, which inherits
-          // sclus's (same zone name); the posting/doc-array index
-          // builds once per (factor, MODE) and sclus/spv2 share the
-          // memo entry. `builds` names what run 1 actually pays (on a
-          // warm /tmp even "zone" is already staged — upper bound).
+          // own drop zone once per factor EXCEPT spv2/the publish
+          // variants, which inherit sclus's (same zone name); the
+          // posting/doc-array index builds once per (factor, MODE) and
+          // all four cluster gates share the memo entry. `builds`
+          // names what run 1 actually pays (on a warm /tmp even
+          // "zone" is already staged — upper bound).
           val builds =
-            (if (mode == "broadcast" && !Set("spv2", "scpub")(prefix))
+            (if (mode == "broadcast" &&
+                 !Set("spv2", "scpub", "spv2pub")(prefix))
                Seq("zone") else Nil) ++
             (if (prefix == "sclus") Seq("index") else Nil)
           spark.conf.set(modeKey, mode)
+          spark.conf.set("spark.graft.publish.buckets", buckets.toString)
           try (1 to 2).foreach { run =>
             stateAgg.clear()
             val q = graft.SparkEntry.queries(qn)
@@ -1239,15 +1251,28 @@ object ScaleProbe {
             val st = Option(stateAgg.get(prefix))
               .getOrElse(Array(0L, 0L, 0L, 0L))
             val b = if (run == 1) builds.mkString("+") else ""
+            // publish sinks: per-invocation upsert telemetry — touched
+            // buckets vs partition dirs actually scanned across the
+            // upsert triggers (the plan-pruning receipt at this
+            // bucket count)
+            val pubStats = graft.streaming.EventStreams.publishScanStats
+              .get(prefix).filter(_ => publishGates(prefix))
+              .map { sc =>
+                s""""buckets":$buckets,"touched":${sc.map(_._1).sum},""" +
+                s""""scanned":${sc.map(_._3).sum},"""
+              }.getOrElse("")
             emit(s"""{"probe":"stream_gates","factor":$f,"query":"$qn",""" +
-              s""""mode":"$mode","run":$run,"builds":"$b",""" +
+              s""""mode":"$mode","run":$run,"builds":"$b",$pubStats""" +
               s""""docs":$nDocs,"out_rows":$rows,"wall_s":${f"$w%.2f"},""" +
               s""""state_rows":${st(0)},""" +
               s""""state_mem_mb":${st(1) / 1048576},"commit_ms":${st(2)},""" +
               s""""batches":${st(3)},"shuffle_mb":${(sw + sr) / 1048576},""" +
               s""""spill_mb":${sp / 1048576}}""")
             spark.catalog.clearCache()
-          } finally spark.conf.unset(modeKey)
+          } finally {
+            spark.conf.unset(modeKey)
+            spark.conf.unset("spark.graft.publish.buckets")
+          }
         }
       }
       spark.streams.removeListener(lst)
