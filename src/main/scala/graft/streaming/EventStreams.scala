@@ -1964,8 +1964,27 @@ object EventStreams {
             col("n_words").cast("double") * lit(1e4)).cast("long")
             .as("fertility_q"),
           expr("(1000 * n_oov) div n_words").as("oov_pm"))
-        .transform(df =>
-          runToMemory(s, df, "complete", s"stok_${System.nanoTime()}"))
+        .transform { df =>
+          val sink = runToMemory(s, df, "complete",
+            s"stok_${System.nanoTime()}")
+          // TRIGGERED MAINTENANCE (the q_stream_ann_drift wiring
+          // applied to the vocabulary loop; default off so the oracle
+          // suite keeps its stale-tokenizer semantics): a per-language
+          // OOV rate at/above spark.graft.bpe.retrainOovPm per-mille
+          // (default 100 — a tokenizer byte-fallbacking ≥10% of words;
+          // the fixture's closed vocabulary sits at 0) — a k-language
+          // driver scalar off the sink — executes the full-corpus BPE
+          // retrain and REPLACES the session's stored tokenizer
+          // (Bpe.swapRetrainedMerges), so the monitor's own next run
+          // encodes under the retrained vocabulary and merges. The
+          // emitted rows still report against the STALE tokenizer the
+          // monitor measured.
+          if (s.conf.get("spark.graft.bpe.autoRetrain", "off") == "on"
+              && sink.agg(max(col("oov_pm"))).head.getLong(0) >=
+                s.conf.get("spark.graft.bpe.retrainOovPm", "100").toLong)
+            Bpe.swapRetrainedMerges(s, d)
+          sink
+        }
         .orderBy(col("lang"))
     }),
 

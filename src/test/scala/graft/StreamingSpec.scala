@@ -172,6 +172,43 @@ class StreamingSpec extends AnyFunSuite {
       s"n_subwords ${r.getLong(3)} vs aaa=$aaaSub")
   }
 
+  // Monitor → action for the VOCABULARY loop (the r14 ANN wiring
+  // pattern applied to the tokenizer): on the planted new-vocab corpus
+  // the delta's OOV rate (666‰) crosses the retrain operating point
+  // (spark.graft.bpe.retrainOovPm, default 100‰), so with
+  // autoRetrain=on the monitor must execute the full-corpus BPE
+  // retrain and REPLACE the session's stored tokenizer — and its own
+  // NEXT run must measurably recover: OOV → 0 (the new words are in
+  // the retrained vocabulary) and the fallback fertility penalty gone.
+  test("firing tokenizer-drift verdict retrains; the next encode recovers") {
+    import spark.implicits._
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_tokretrain_plant"
+    val stored = (0L until 8L).map(i => (i, "aaa bbb", "en", "s"))
+    val delta = Seq((8L, "aaa qq zzzz", "en", "s"),
+      (9L, "aaa qq zzzz", "en", "s"))
+    (stored ++ delta).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    def monitor() = SparkEntry.queries("q_stream_tokenizer_drift")(
+      spark, dir).collect()(0)
+    spark.conf.set("spark.graft.bpe.autoRetrain", "on")
+    try {
+      val stale = monitor()
+      // the firing run reports against the STALE tokenizer it measured
+      assert(stale.getLong(2) == 4 && stale.getLong(5) == 666,
+        s"plant must fire the verdict: $stale")
+      // ... and the NEXT run encodes under the REPLACED tokenizer
+      val next = monitor()
+      assert(next.getLong(2) == 0,
+        s"retrained vocabulary must cover the delta words: $next")
+      assert(next.getLong(5) == 0)
+      assert(next.getLong(3) < stale.getLong(3),
+        "dropping the byte-fallback charge must reduce total subwords: " +
+          s"${stale.getLong(3)} -> ${next.getLong(3)}")
+    } finally spark.conf.unset("spark.graft.bpe.autoRetrain")
+  }
+
   test("streaming decontamination gate measures planted eval overlaps") {
     import spark.implicits._
     // the fixture arrivals carry zero eval overlap at every SF (the
