@@ -287,19 +287,30 @@ object Similarity {
     * (batch maintenance, the drift monitor, and its streaming twin).
     * Memoized per session under the SAME key the batch path uses, so a
     * streaming monitor watches the IDENTICAL index its fold maintains. */
-  private[graft] def incCentroids(s: SparkSession, d: String)
-      : (Seq[(Long, Seq[Double])], Long) = {
+  /** The stored-index coordinates every consumer of the incrementally-
+    * maintained index derives: (memo key, cut, n_old, k). Factored so
+    * [[incCentroids]] and [[swapRetrainedCentroids]] share ONE
+    * derivation (ADVICE r14: a re-derived inline copy could drift and
+    * leave the swap writing under a key no consumer reads). */
+  private def incIndexCoords(s: SparkSession, d: String)
+      : ((String, String, String), Long, Long, Int) = {
     val e = embWithNorms(s, d)
     // bounded driver scalar (the split point), oracle-replayed as
     // (MAX(vec_id) * 4) // 5 — the q_dedup_clusters_incremental cut
     val cut = e.agg((max(col("vec_id")) * 4).as("m")).head.getLong(0) / 5
-    val old = e.where(col("vec_id") < cut)
-    val nOld = old.count()
+    val nOld = e.where(col("vec_id") < cut).count()
     val k = ivfCells(nOld)
+    ((org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s), d,
+      s"inc$k"), cut, nOld, k)
+  }
+
+  private[graft] def incCentroids(s: SparkSession, d: String)
+      : (Seq[(Long, Seq[Double])], Long) = {
+    val (incKey, cut, nOld, k) = incIndexCoords(s, d)
+    val old = embWithNorms(s, d).where(col("vec_id") < cut)
     val stride = math.max(1L, nOld / k)
     val centRows = graft.MemoStats.memoized("ivf_centroids", centMemo,
-      (org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s), d,
-        s"inc$k"))(lloyd(s, old, k, stride))
+      incKey)(lloyd(s, old, k, stride))
     (centRows, cut)
   }
 
@@ -345,18 +356,55 @@ object Similarity {
     * plant-drift → verdict-fires → swap → recall-recovers loop. */
   private[graft] def swapRetrainedCentroids(s: SparkSession, d: String)
       : (Seq[(Long, Seq[Double])], Seq[(Long, Seq[Double])]) = {
+    val (incKey, _, _, _) = incIndexCoords(s, d)
     val e = embWithNorms(s, d)
-    val cut = e.agg((max(col("vec_id")) * 4).as("m")).head.getLong(0) / 5
-    val kInc = ivfCells(e.where(col("vec_id") < cut).count())
-    val incKey = (org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s),
-      d, s"inc$kInc")
     val n = e.count()
-    val k = ivfCells(n)
+    // honor spark.graft.semantic.cells exactly like ivfAssigned does
+    // (ADVICE r14): same k ⇒ same full-build memo key ⇒ a session that
+    // already paid the q_sim_ann_retrain build reuses it here
+    val k = s.conf.getOption("spark.graft.semantic.cells")
+      .map(_.toInt).getOrElse(ivfCells(n))
     val retrained = graft.MemoStats.memoized("ivf_centroids", centMemo,
       (org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s), d,
         s"full$k"))(lloyd(s, e, k, math.max(1L, n / k)))
     val stale = centMemo.put(incKey, retrained)
+    pendingRetrain.remove(incKey._1 -> d)
     (stale.getOrElse(Nil), retrained)
+  }
+
+  /** Retrain intents recorded by the DEFERRED maintenance mode
+    * (`spark.graft.ann.autoRetrain=deferred`, r14 verdict item 6): at
+    * corpus scale the full Lloyd rebuild is minutes-to-hours (SCALE.md
+    * §23 already pays 159 s at 200k vectors), so the streaming monitor
+    * must not execute it inline in its trigger path. The monitor
+    * records the intent here ([[recordPendingRetrain]] — a TrieMap put,
+    * zero jobs); the deployment's maintenance window drains it with
+    * [[runPendingRetrain]], after which the session-memo swap is
+    * exactly the `on`-mode one. Cleared with the other memos. */
+  private val pendingRetrain =
+    new scala.collection.concurrent.TrieMap[(String, String), Long]
+
+  private[graft] def recordPendingRetrain(s: SparkSession, d: String)
+      : Unit = {
+    graft.MemoStats.registerForEviction(pendingRetrain)
+    pendingRetrain.put(
+      (org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s), d),
+      System.currentTimeMillis())
+  }
+
+  private[graft] def pendingRetrainRecorded(s: SparkSession, d: String)
+      : Boolean = pendingRetrain.contains(
+    (org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s), d))
+
+  /** Execute (and clear) a recorded retrain intent; returns whether one
+    * was pending. The no-intent case is a cheap no-op so a maintenance
+    * window can call this unconditionally. */
+  private[graft] def runPendingRetrain(s: SparkSession, d: String)
+      : Boolean = {
+    val key = (org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s), d)
+    val was = pendingRetrain.contains(key)
+    if (was) swapRetrainedCentroids(s, d) // removes the intent itself
+    was
   }
 
   val defs: Map[String, Q] = centroidDefs ++ Map(

@@ -1194,19 +1194,41 @@ object ScaleProbe {
         // extrapolate linearly.
         val clusterGates = Set("sclus", "spv2", "scpub", "spv2pub")
         val publishGates = Set("scpub", "spv2pub")
+        // each leg: (query, prefix, docarray mode, publish buckets,
+        // zone slices). slices = drop-zone file count = trigger count;
+        // 4 is the fixture default where EVERY trigger touches every
+        // bucket (pure-overhead regime for fine bucketing). The
+        // pruning-WIN legs raise slices so a trigger's keys land in a
+        // SUBSET of the buckets — the regime the keyed-upsert sink
+        // exists for (r14 verdict missing #1): scanned ≪ touched-table,
+        // rewrite cost ∝ touched-partition bytes. Per-upsert
+        // bytes_rewritten/bytes_new receipts ride the emitted row.
         val gateRuns = picks
           .filter { case (_, p) => f < 100 || clusterGates(p) }
           .flatMap { case (qn, p) =>
             val base = if (clusterGates(p))
-              Seq((qn, p, "broadcast", 8L), (qn, p, "bucketed", 8L))
-            else Seq((qn, p, "broadcast", 8L))
+              Seq((qn, p, "broadcast", 8L, 4), (qn, p, "bucketed", 8L, 4))
+            else Seq((qn, p, "broadcast", 8L, 4))
             // bucket-count pricing of the keyed-upsert sink (r13
             // verdict "what's wrong" #1): same gate and mode, finer
             // published table — one row per bucket setting at ×10
             val extra = if (publishGates(p) && f == 10)
-              Seq((qn, p, "broadcast", 64L), (qn, p, "broadcast", 256L))
+              Seq((qn, p, "broadcast", 64L, 4), (qn, p, "broadcast", 256L, 4))
             else Nil
-            base ++ extra }
+            // pruning-WIN regime (scpub only — the sink is the probe
+            // subject; spv2pub shares its mechanics verbatim): ×10 at
+            // 64 slices ⇒ ~1/64 of the arrivals per trigger, buckets
+            // swept coarse→fine so the same narrow triggers price the
+            // whole-table rewrite vs the pruned one; ×100 at 256
+            // slices carries the winning setting to corpus scale
+            val win = if (p == "scpub" && f == 10)
+              Seq((qn, p, "broadcast", 8L, 64), (qn, p, "broadcast", 256L, 64),
+                (qn, p, "broadcast", 1024L, 64))
+            else if (p == "scpub" && f == 100)
+              Seq((qn, p, "broadcast", 8L, 256),
+                (qn, p, "broadcast", 1024L, 256))
+            else Nil
+            base ++ extra ++ win }
         // one-off doc-array table size row per factor: the thing the
         // broadcast ceiling is ABOUT (row bytes ≈ 8·|shingles| + key)
         locally {
@@ -1223,7 +1245,7 @@ object ScaleProbe {
             s""""docarray_mb":${(r.getLong(1) * 8 + r.getLong(0) * 16) /
               1048576}}""")
         }
-        gateRuns.foreach { case (qn, prefix, mode, buckets) =>
+        gateRuns.foreach { case (qn, prefix, mode, buckets, slices) =>
           // run 1 = COLD for whatever this (gate, mode) still has to
           // build; run 2 = WARM (all memos hit) — the warm row is the
           // gate's steady-state per-trigger cost. Sharing makes run-1
@@ -1235,12 +1257,14 @@ object ScaleProbe {
           // names what run 1 actually pays (on a warm /tmp even
           // "zone" is already staged — upper bound).
           val builds =
-            (if (mode == "broadcast" &&
-                 !Set("spv2", "scpub", "spv2pub")(prefix))
+            (if ((mode == "broadcast" &&
+                 !Set("spv2", "scpub", "spv2pub")(prefix)) ||
+                 slices != 4) // a fresh slice count stages its own zone
                Seq("zone") else Nil) ++
             (if (prefix == "sclus") Seq("index") else Nil)
           spark.conf.set(modeKey, mode)
           spark.conf.set("spark.graft.publish.buckets", buckets.toString)
+          spark.conf.set("spark.graft.cluster.zoneSlices", slices.toString)
           try (1 to 2).foreach { run =>
             stateAgg.clear()
             val q = graft.SparkEntry.queries(qn)
@@ -1258,8 +1282,11 @@ object ScaleProbe {
             val pubStats = graft.streaming.EventStreams.publishScanStats
               .get(prefix).filter(_ => publishGates(prefix))
               .map { sc =>
-                s""""buckets":$buckets,"touched":${sc.map(_._1).sum},""" +
-                s""""scanned":${sc.map(_._3).sum},"""
+                s""""buckets":$buckets,"slices":$slices,""" +
+                s""""touched":${sc.map(_._1).sum},""" +
+                s""""scanned":${sc.map(_._3).sum},""" +
+                s""""bytes_rewritten":${sc.map(_._4).sum},""" +
+                s""""bytes_new":${sc.map(_._5).sum},"""
               }.getOrElse("")
             emit(s"""{"probe":"stream_gates","factor":$f,"query":"$qn",""" +
               s""""mode":"$mode","run":$run,"builds":"$b",$pubStats""" +
@@ -1272,6 +1299,7 @@ object ScaleProbe {
           } finally {
             spark.conf.unset(modeKey)
             spark.conf.unset("spark.graft.publish.buckets")
+            spark.conf.unset("spark.graft.cluster.zoneSlices")
           }
         }
       }

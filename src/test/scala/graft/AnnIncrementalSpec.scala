@@ -203,4 +203,53 @@ class AnnIncrementalSpec extends AnyFunSuite {
       s"retrain must recover recall: $staleRecall -> $retrainedRecall")
     fs.delete(p, true)
   }
+
+  // DEFERRED maintenance (r14 verdict item 6): at corpus scale the
+  // full-corpus Lloyd rebuild is minutes-to-hours, so
+  // autoRetrain=deferred must only RECORD the firing verdict in the
+  // monitor's trigger path — the stored-index memo stays stale until
+  // the maintenance window drains the intent (runPendingRetrain),
+  // which executes the exact `on`-mode session swap.
+  test("deferred drift verdict: intent recorded, swap only on drain") {
+    import graft.operators.Similarity
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_driftplant_deferred"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    val nStored = 4000L; val nDelta = 1000L; val a = 0.5
+    val baseGen = "sin(CAST(id * 64 + j AS DOUBLE))"
+    val shiftGen = "(CASE WHEN j < 8 THEN 4.0 + sin(CAST(id * 64 + j " +
+      "AS DOUBLE)) ELSE 0.05 * sin(CAST(id * 64 + j AS DOUBLE)) END)"
+    val stored = spark.range(nStored).select(col("id").as("vec_id"),
+      expr(s"transform(sequence(0, 63), j -> CAST($baseGen AS FLOAT))")
+        .as("embedding"))
+    val delta = spark.range(nDelta)
+      .select((col("id") + nStored).as("vec_id"),
+        expr(s"transform(sequence(0, 63), j -> CAST((1.0 - $a) * " +
+          s"$baseGen + $a * $shiftGen AS FLOAT))").as("embedding"))
+    stored.unionAll(delta).withColumn("label", lit(0))
+      .repartition(4).write.parquet(s"$dir/embeddings.parquet")
+    spark.conf.set("spark.graft.ann.autoRetrain", "deferred")
+    try {
+      val monitor = SparkEntry.queries("q_stream_ann_drift")(spark, dir)
+        .collect()
+      assert(monitor.nonEmpty && monitor.forall(
+        r => r.getBoolean(r.fieldIndex("retrain"))),
+        "the planted drift must flip the monitor's verdict")
+      assert(Similarity.pendingRetrainRecorded(spark, dir),
+        "deferred mode must record the intent")
+      // the memo is UNtouched: the stored index still holds the stale
+      // k = ivfCells(n_stored) table
+      val (stale, _) = Similarity.incCentroids(spark, dir)
+      assert(stale.size == Similarity.ivfCells(nStored),
+        s"deferred must not swap inline: k=${stale.size}")
+      assert(Similarity.runPendingRetrain(spark, dir),
+        "the drain must find the recorded intent")
+      assert(!Similarity.pendingRetrainRecorded(spark, dir))
+      val (cents, _) = Similarity.incCentroids(spark, dir)
+      assert(cents.size == Similarity.ivfCells(nStored + nDelta),
+        s"the drained swap must install the retrain: k=${cents.size}")
+    } finally spark.conf.unset("spark.graft.ann.autoRetrain")
+    fs.delete(p, true)
+  }
 }

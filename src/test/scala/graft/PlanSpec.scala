@@ -1106,6 +1106,63 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.unset(key)
   }
 
+  // auto's footprint is CORPUS-derived (r14 verdict "what's wrong" #2):
+  // the broadcast side is dominated by the per-doc fold array, which
+  // scales with document LENGTH — a flat per-doc constant (r14's
+  // 420 B/doc) would price a long-document corpus at the fixture's
+  // width and answer "broadcast" right up to an executor OOM. Build a
+  // corpus of few-but-long documents whose measured footprint exceeds
+  // a budget the flat constant would call comfortable, and assert auto
+  // degrades to bucketed anyway.
+  test("docarray auto prices from the corpus, not a per-doc constant") {
+    import graft.streaming.EventStreams
+    import graft.operators.Dedup
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_longdoc_corpus"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    // 50 docs × 1200 words from a 500-word vocabulary: ~1198 distinct
+    // trigram shingles per doc ⇒ ~60k folds ⇒ ~490 KB measured
+    // footprint; the flat constant would price 50 docs at 21 KB
+    spark.range(50).selectExpr("id AS doc_id",
+      "array_join(transform(sequence(1, 1200), " +
+        "j -> concat('w', pmod(doc_id * 7 + j * 13, 500))), ' ') AS text",
+      "'en' AS lang", "'s' AS source")
+      .selectExpr("doc_id", "text", "lang", "source",
+        "CAST(length(text) AS LONG) AS n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val budget = 200000L // generous for 50 docs at 420 B; not for 60k folds
+    assert(50L * 420L <= budget,
+      "the budget must be one the r14 flat constant would accept")
+    spark.conf.set("spark.graft.cluster.docarrayBudgetBytes",
+      budget.toString)
+    try {
+      val mode = EventStreams.resolveDocArrayMode(spark, dir,
+        cut = 100L, g = Dedup.withShingles(spark, dir))
+      assert(mode == "bucketed",
+        s"long-doc corpus past the measured budget must degrade: $mode")
+    } finally
+      spark.conf.unset("spark.graft.cluster.docarrayBudgetBytes")
+    // control: the same doc count with short documents fits comfortably
+    val dir2 = s"${sys.props("java.io.tmpdir")}/graft_shortdoc_corpus"
+    fs.delete(new org.apache.hadoop.fs.Path(dir2), true)
+    spark.range(50).selectExpr("id AS doc_id",
+      "array_join(transform(sequence(1, 12), " +
+        "j -> concat('w', pmod(id * 7 + j * 13, 500))), ' ') AS text",
+      "'en' AS lang", "'s' AS source")
+      .selectExpr("doc_id", "text", "lang", "source",
+        "CAST(length(text) AS LONG) AS n_chars")
+      .coalesce(1).write.parquet(s"$dir2/documents.parquet")
+    spark.conf.set("spark.graft.cluster.docarrayBudgetBytes",
+      budget.toString)
+    try
+      assert(EventStreams.resolveDocArrayMode(spark, dir2,
+        cut = 100L, g = Dedup.withShingles(spark, dir2)) == "broadcast",
+        "a short-doc corpus of the same doc count must stay broadcast")
+    finally
+      spark.conf.unset("spark.graft.cluster.docarrayBudgetBytes")
+  }
+
   test("dynamic partition overwrite leaves untouched partitions' files intact") {
     val rows = SparkEntry.queries("q_layout_incremental")(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
