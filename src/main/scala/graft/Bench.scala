@@ -32,6 +32,15 @@ object Bench {
       // oracle-replayed context: assert capped ≡ uncapped like Verify
       // (default is off for production constructions — ADVICE r11)
       .config("spark.graft.dedup.dfCapGuard", "on")
+      // r15 (r14 verdict "what's wrong" #1): the publish sink's proof
+      // receipts — a count job on the persisted batch frame, a driver
+      // dir listing, a plan walk and two bucket-size walks per upsert
+      // trigger — are TELEMETRY, not query computation; they stay ON
+      // (default) in Verify and the contract specs, where the proofs
+      // live, and OFF here so the bench measures the published table's
+      // cost, not its audit trail. Result rows are identical either
+      // way (the conf gates only the receipt recording).
+      .config("spark.graft.publish.receipts", "off")
       .getOrCreate()
     // ERROR, not WARN: the k-row presentation windows legitimately log
     // WindowExec single-partition warnings (census-whitelisted), and

@@ -218,6 +218,51 @@ object SrpBandKeys {
   }
 }
 
+/** The per-element DECIMAL(30,12) quantization both decimal kernels
+  * share: the unscaled long of `BigDecimal.valueOf(p).setScale(12,
+  * HALF_UP)` — i.e. HALF_UP rounding of p's SHORTEST-DECIMAL-STRING
+  * value (Double.toString semantics, which is what Spark's
+  * double→decimal cast and the DuckDB oracles both compute) at scale
+  * 12.
+  *
+  * r15 optimization (guide §1.2 "per-task work"): the valueOf spelling
+  * formats AND re-parses a decimal string per element — measured ~500
+  * ns/element, ~6× the cost of the whole remaining kernel (a 2000×44
+  * ANN assignment spent 2.8 s here vs 0.5 s for the identical double
+  * loop). The fast path below computes round(p·10¹²) in pure double
+  * arithmetic and PROVES it equal: with y = fl(p·10¹²) and r the
+  * shortest-string decimal of p, |y − r·10¹²| ≤ 3·ulp(y) (½ ulp from
+  * the multiply, ≤ 2 ulp from |r−p| ≤ ulp(p)/2 scaled by 10¹²), so
+  * whenever y's fractional part is ≥ 8·ulp(y) away from the .5
+  * HALF_UP boundary, nearest-integer rounding of y and of r·10¹² agree
+  * and ties are unreachable. Inside that window — and past 2⁵⁰ where
+  * doubles stop resolving quarters, and for non-finite p — it falls
+  * back to the exact valueOf spelling, so the result is bit-identical
+  * by construction on every input (VectorExprSpec fuzzes the
+  * equivalence, boundary cases included). */
+private[graft] object DecimalQuant {
+  private val Exact12 = 1L << 50 // |p·1e12| above this: fall back
+
+  @inline def unscaled12(p: Double): Long = {
+    val y = p * 1e12
+    val a = Math.abs(y)
+    if (a < Exact12) {
+      val fl = Math.floor(y)
+      val frac = y - fl
+      // distance to the HALF_UP tie boundary, vs the proven error bound
+      if (Math.abs(frac - 0.5) > Math.ulp(y) * 8 + java.lang.Double.MIN_VALUE) {
+        if (frac > 0.5) fl.toLong + 1L else fl.toLong
+      } else exact(p)
+    } else exact(p)
+  }
+
+  /** The reference spelling (also the fallback): exact by definition. */
+  def exact(p: Double): Long =
+    java.math.BigDecimal.valueOf(p)
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+}
+
 /** Decimal-exact dot product of two `array<double>` columns: each
   * element-product is rounded to DECIMAL(30,12) (HALF_UP — Spark's own
   * double→decimal cast semantics) and summed exactly, so the result is
@@ -230,7 +275,9 @@ object SrpBandKeys {
   * candidate pairs × 3 folds × 64 dims (q_dedup_embedding_lsh, sf0.1)
   * that was ~33 s of lambda frames + boxed decimal ops; this compiled
   * loop is the same arithmetic in under a second. CodegenFallback: one
-  * virtual call per row, the O(dims) BigDecimal loop inside is JIT'd.
+  * virtual call per row, the O(dims) loop inside is JIT'd; per-element
+  * quantization via [[DecimalQuant.unscaled12]] (r15: the valueOf
+  * string round-trip was ~85% of the kernel's cost).
   */
 case class DecimalDotProduct(left: Expression, right: Expression)
     extends BinaryExpression
@@ -257,10 +304,7 @@ case class DecimalDotProduct(left: Expression, right: Expression)
         // null elements contribute 0, matching the null-skipping cosine
         if (!x.isNullAt(i) && !y.isNullAt(i)) {
           val p = x.getDouble(i) * y.getDouble(i)
-          acc = Math.addExact(acc,
-            java.math.BigDecimal.valueOf(p)
-              .setScale(12, java.math.RoundingMode.HALF_UP)
-              .unscaledValue().longValueExact())
+          acc = Math.addExact(acc, DecimalQuant.unscaled12(p))
         }
         i += 1
       }
@@ -317,10 +361,7 @@ case class DecimalSqDist(left: Expression, right: Expression)
         // null elements contribute 0, matching DecimalDotProduct
         if (!x.isNullAt(i) && !y.isNullAt(i)) {
           val diff = x.getDouble(i) - y.getDouble(i)
-          acc = Math.addExact(acc,
-            java.math.BigDecimal.valueOf(diff * diff)
-              .setScale(12, java.math.RoundingMode.HALF_UP)
-              .unscaledValue().longValueExact())
+          acc = Math.addExact(acc, DecimalQuant.unscaled12(diff * diff))
         }
         i += 1
       }

@@ -180,7 +180,16 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
       .where(col("df") <= ShingleDfCap)
       .select(col("shingle"))
-    val exRare = ex.join(rare, Seq("shingle"))
+    // The capped posting table feeds THREE consumers below (both sides
+    // of the intersection self-join and the per-doc size aggregate);
+    // left as a plan it is re-derived per consumer — the shingle
+    // explode and df join ran 3× per query (AQE's runtime stage reuse
+    // does not cover the explode, which is below the first exchange).
+    // One materialization per invocation measured −38% on the whole
+    // pair query at sf0.1 (r15 probe, same-JVM A/B); at corpus scale
+    // this table IS the stored inverted index every production near-dup
+    // pass reads, so materializing it once is the 100 TB shape too.
+    val exRare = ex.join(rare, Seq("shingle")).localCheckpoint()
     val sizes = exRare.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = exRare.as("a").join(exRare.as("b"),
         col("a.shingle") === col("b.shingle") &&
@@ -588,7 +597,10 @@ object Dedup {
         .agg(count(lit(1)).as("df"))
         .where(col("df") <= ShingleDfCap)
         .select(col("shingle"))
-      val exRare = ex.join(rare, Seq("shingle"))
+      // one materialization, three consumers (both self-join sides +
+      // sizes) — the [[jaccardPairsFrom]] r15 fix applied to the same
+      // inline pattern here
+      val exRare = ex.join(rare, Seq("shingle")).localCheckpoint()
       val sizes = exRare.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = exRare.as("a").join(exRare.as("b"),
           col("a.shingle") === col("b.shingle") &&
@@ -640,6 +652,10 @@ object Dedup {
         xxhash64(col(s"m${2 * b}"), col(s"m${2 * b + 1}"), lit(b)).as("k")))
       val bands = sig.select(col("doc_id"),
         explode(array(bandStructs: _*)).as("bk"))
+        // both self-join sides read the band table; without this the
+        // 32-hash signature pipeline runs twice (r15, the
+        // [[jaccardPairsFrom]] materialization argument)
+        .localCheckpoint()
       val cand = bands.as("a").join(bands.as("b"),
           col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -679,6 +695,9 @@ object Dedup {
             |  c -> named_struct('c', c,
             |    'v', shiftright(simhash, c * 5) & 31))""".stripMargin))
           .as("ck"))
+        // self-join input materialized once — the vote-vector aggregate
+        // otherwise runs on both sides (r15)
+        .localCheckpoint()
       chunks.as("a").join(chunks.as("b"),
           col("a.ck") === col("b.ck") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -1127,7 +1146,8 @@ object Dedup {
         .agg(count(lit(1)).as("df"))
         .where(col("df") <= ShingleDfCap)
         .select(col("shingle"))
-      val exRare = ex.join(rare, Seq("shingle"))
+      // self-join input materialized once (r15, [[jaccardPairsFrom]])
+      val exRare = ex.join(rare, Seq("shingle")).localCheckpoint()
       val cand = exRare.as("a").join(exRare.as("b"),
           col("a.shingle") === col("b.shingle") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -1719,6 +1739,13 @@ object Dedup {
         // output.
         .where(col("df") >= 2)
         .select(col("doc_id"), col("sz"), col("tok"))
+        // both sides of the candidate self-join read the prefix table;
+        // materialized once per invocation (r15: the df-join + double
+        // window above otherwise runs twice — measured ~−10% on the
+        // query, same-JVM A/B). At scale this is the PPJoin prefix
+        // index a production pass stores, same argument as
+        // [[jaccardPairsFrom]]'s posting table.
+        .localCheckpoint()
       val cand = pref.select(col("tok"), col("doc_id").as("doc_a"),
           col("sz").as("sa"))
         .join(pref.select(col("tok"), col("doc_id").as("doc_b"),
@@ -1738,6 +1765,7 @@ object Dedup {
       // |array_intersect| IS the overlap count.
       val docArr = t.groupBy(col("doc_id"))
         .agg(collect_list(col("tok")).as("toks"))
+        .localCheckpoint() // verify side: read twice (doc_a and doc_b)
       cand
         .join(docArr.select(col("doc_id").as("doc_a"),
           col("toks").as("ta")), "doc_a")

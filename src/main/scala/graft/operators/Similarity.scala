@@ -1266,6 +1266,10 @@ object Similarity {
       val e = e0
         .withColumn("bucket", element_at(srp_band_keys(col("v"), 1, bits), 1))
         .withColumn("nsq", decimal_dot(col("v"), col("v")).cast("double"))
+        // both self-join sides read the bucketed table; materialized
+        // once so the SRP signature + decimal norm pass runs once, not
+        // twice (r15, the Dedup.jaccardPairsFrom argument)
+        .localCheckpoint()
       val cand = e.as("a").join(e.as("b"),
           col("a.bucket") === col("b.bucket") &&
             col("a.vec_id") =!= col("b.vec_id"))

@@ -290,6 +290,9 @@ object TextAnalysis {
       val shifted = toks
         .withColumn("b1", lead(col("tok"), 1).over(wDoc))
         .withColumn("b2", lead(col("tok"), 2).over(wDoc))
+        // r15: consumed by BOTH branches of the edge union — the
+        // posexplode + lead window otherwise runs twice per query
+        .localCheckpoint()
       val allp = shifted
         .select(col("tok").as("a"), col("b1").as("b"))
         .where(col("b").isNotNull)
@@ -306,7 +309,9 @@ object TextAnalysis {
         .localCheckpoint() // the 5 rank rounds + strength reuse it
       val strength = edges.groupBy(col("src")).agg(sum(col("w")).as("s"))
         .localCheckpoint()
-      val vocab = toks.select(col("tok")).distinct().localCheckpoint()
+      // same tok multiset as `toks` — read from the checkpointed table
+      // so the distinct doesn't re-run the posexplode (r15)
+      val vocab = shifted.select(col("tok")).distinct().localCheckpoint()
       val n = vocab.count() // bounded driver scalar (vocab size)
       val base = 1000000000L / n
       val tele = 15L * base / 100L
@@ -975,13 +980,22 @@ object TextAnalysis {
               i => concat_ws(" ", element_at(col("w"), i),
                 element_at(col("w"), i + 1), element_at(col("w"), i + 2))))
           .otherwise(array(array_join(col("w"), " ")))).as("sh"))
-      val ds = tri.distinct()
+      // one trigram explode for both the distinct arm and the sketch
+      // arm, and one distinct for its three consumers (sizes + both
+      // exact self-join sides) — r15, the Dedup self-join
+      // materialization argument applied here
+      val triM = tri.localCheckpoint()
+      val ds = triM.distinct().localCheckpoint()
       val sizes = ds.groupBy(col("source")).agg(count(lit(1)).as("n"))
       val inter = ds.as("a").join(ds.as("b"),
           col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
         .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
         .agg(count(lit(1)).as("inter"))
-      val sk = tri.groupBy(col("source"))
+      // NOT checkpointed: the one corpus-sized ObjectHashAggregate is
+      // the query's plan contract (PlanSpec asserts it); it reads the
+      // materialized trigram table, so the re-derivation per self-join
+      // side is an agg over a checkpoint scan, not a re-explode
+      val sk = triM.groupBy(col("source"))
         .agg(kmv_agg(neutral_hash40(col("sh"))).as("kmv"))
       // deliberate k²-row sketch-pair product: the sketch table is
       // n_sources rows BY DESIGN (that's the whole point of sketching)
@@ -1168,6 +1182,10 @@ object TextAnalysis {
             |    i -> concat_ws(' ', slice(toks, i, 8))))
             |ELSE array(array_join(toks, ' ')) END""".stripMargin))
           .as("span"))
+        // r15: feeds the df aggregate AND the join back — the 8-gram
+        // explode otherwise runs twice per query (the Dedup
+        // jaccardPairsFrom materialization argument)
+        .localCheckpoint()
       val df = spans.groupBy(col("span"))
         .agg(countDistinct(col("doc_id")).as("sdf"))
       spans.join(df, "span")
@@ -1197,6 +1215,9 @@ object TextAnalysis {
         .select(col("doc_id"), posexplode(expr(
           "transform(sequence(1, size(w) - 7), i -> concat_ws(' ', slice(w, i, 8)))")))
         .toDF("doc_id", "pos", "span")
+        // r15: feeds the ownership aggregate AND the join back — one
+        // positional explode per query, not two
+        .localCheckpoint()
       val owner = spans.groupBy(col("span"))
         .agg(min(col("doc_id")).as("owner_id"))
       val rm = spans.join(owner, "span")
@@ -1261,6 +1282,10 @@ object TextAnalysis {
           array_sort(collect_list(struct(col("pos"), col("tok"))))
             .as("mem"))
         .where(col("plen") <= 4)
+        // r15: phrases feeds the member explode AND the final score
+        // join — as a plan, the explode + stop join + run-length window
+        // + collect_list aggregate above ran twice per query
+        .localCheckpoint()
       val members = phrases.select(col("doc_id"), col("grp"), col("plen"),
         explode(expr("transform(mem, m -> m.tok)")).as("tok"))
       val wordStats = members.groupBy(col("tok"))

@@ -2047,8 +2047,15 @@ object EventStreams {
       val all = s.read.parquet(s"$d/documents.parquet")
       val cut = all.count() * 4 / 5 // footer-read count, SQL-replayable
       val (seqs, _) = Bpe.train(s, d, cut)
+      // r15: the stream-static join re-executes its static side per
+      // trigger — the encoded-vocabulary table (baseSeqs + the full
+      // merge-replace chain) was re-derived on each of the 4
+      // micro-batches. Materialized once per invocation: at 100 TB
+      // this is the stored tokenizer's vocab table a monitor READS
+      // (the pipelineV2Plan/evalG treatment; vocab-sized rows).
       val wordTok = seqs.select(col("w"),
         expr(Bpe.NSubExpr).cast("long").as("n_sub"))
+        .localCheckpoint()
       // 4-file drop zone → four REAL micro-batches (see
       // q_stream_ann_drift), staged once per (JVM, dataset)
       val zone = stagedZone(s, "stok", d)(all)
@@ -2142,6 +2149,14 @@ object EventStreams {
           neutral_hash40b(col("gram")).as("h2"))
         .distinct()
         .withColumn("hit", lit(1))
+        // r15: a stream-static join re-executes its static side per
+        // trigger — this 4-trigger stream re-derived the eval gram set
+        // 4× per invocation (the q_stream_clusters r11 lesson /
+        // pipelineV2Plan's treatment of the SAME table). Materialized
+        // once per invocation; at 100 TB this is the stored benchmark
+        // gram index a decontamination gate reads, not a per-trigger
+        // derivation. Bounded: 16-byte hash pairs.
+        .localCheckpoint()
       // 4-file drop zone → four REAL micro-batches: each batch's docs
       // enter the per-doc state table and every earlier batch's rows
       // must survive the complete-mode re-emission (a doc's own

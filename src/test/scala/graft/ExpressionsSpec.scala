@@ -106,6 +106,39 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(fast == slow, s"$fast != $slow")
   }
 
+  test("DecimalQuant.unscaled12 fast path equals the valueOf reference") {
+    // r15: the kernels' per-element quantization swapped the BigDecimal
+    // string round-trip for guarded double rounding — fuzz the
+    // equivalence on the regimes that matter plus boundary adversaries.
+    import graft.functions.DecimalQuant
+    def ref(p: Double): Long = DecimalQuant.exact(p)
+    val rnd = new scala.util.Random(42)
+    // unit-scale products (the embedding regime), wide magnitudes, and
+    // subnormal/tiny values
+    val random = Seq.fill(200000)(rnd.nextDouble() * 2 - 1) ++
+      Seq.fill(100000)((rnd.nextDouble() * 2 - 1) *
+        math.pow(10, rnd.nextInt(20) - 13)) ++
+      Seq.fill(1000)(rnd.nextGaussian() * 1e-300)
+    // adversarial: exact HALF_UP tie points k + 0.5 (at scale 1e-12),
+    // their float neighbours, exact integers, negative zero, and the
+    // fast-path cutoff region around 2^50
+    val ties = (0 until 2000).flatMap { i =>
+      val t = (i.toLong * 7919 + (i % 2)) + 0.5
+      val p = t / 1e12
+      Seq(p, -p, Math.nextUp(p), Math.nextDown(p))
+    }
+    val ints = (0 until 1000).flatMap { i =>
+      val p = i.toLong * 104729 / 1e12
+      Seq(p, -p)
+    }
+    val cutoff = Seq.tabulate(100)(i =>
+      ((1L << 50) - 50 + i).toDouble / 1e12).flatMap(p => Seq(p, -p))
+    for (p <- random ++ ties ++ ints ++ cutoff ++ Seq(0.0, -0.0)) {
+      assert(DecimalQuant.unscaled12(p) == ref(p),
+        s"p=$p (bits ${java.lang.Double.doubleToLongBits(p)})")
+    }
+  }
+
   test("decimal_dot overflow fallback equals the interpreted spelling") {
     import spark.implicits._
     // Two distinct overflow routes into the arbitrary-precision
