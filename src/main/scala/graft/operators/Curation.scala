@@ -497,6 +497,9 @@ object Curation {
           explode(expr(Dedup.ShingleExpr)).as("sh"))
       val ref = sh.where(col("source") === "src0")
         .select(col("sh")).distinct()
+        // r15: read by BOTH the sizing count and the bloom aggregate —
+        // one explode+distinct instead of two
+        .localCheckpoint()
       val nRef = ref.count() // bounded driver scalar: sizes the filter
       // clamp to the oracle's enumerated bit range [12, 26] — past 2^23
       // reference shingles the two engines would otherwise diverge, and
