@@ -495,6 +495,19 @@ object EventStreams {
     case m => m
   }
 
+  /** The posting table as the probe join's build side. Under the
+    * `partitioned` layout the checkpoint already carries the `h`
+    * hash-partitioning, so a sort-merge join would add nothing but a
+    * per-trigger SORT of the whole index (SMJ sorts both sides every
+    * micro-batch — the index side's sort is corpus-sized re-work);
+    * the shuffled-hash hint builds the co-located posting partition
+    * into a hash map instead, the [[joinDocArrays]] bucketed-mode
+    * discipline applied to the posting side. `plain` keeps the r15
+    * join untouched for A/B probes. */
+  private def probeSide(s: SparkSession, statSide: DataFrame): DataFrame =
+    if (postingsLayout(s) == "partitioned") statSide.hint("shuffle_hash")
+    else statSide
+
   /** Join per-candidate rows to the stored doc-array table in the
     * RESOLVED mode. `idxArr` comes out of [[clusterIndex]] already
     * partitioned for the same mode. */
@@ -529,6 +542,23 @@ object EventStreams {
     s"(${fold40Sql(e, FoldA)} * 8388608 + ${fold40Sql(e, FoldB)} % 8388608)"
   }
 
+  /** Posting-table layout (`spark.graft.cluster.postings`) — r16: the
+    * probe join `arrivals ⋈ postings ON h` re-partitioned the WHOLE
+    * posting table on EVERY micro-batch trigger (the stored side is a
+    * plain localCheckpoint, so its RDD carries the idx_id partitioning
+    * of the label join, not the probe key), i.e. 4 triggers = 4 full
+    * index shuffles per invocation, per gate. `partitioned` (default)
+    * bakes the `h` hash-partitioning INTO the checkpoint — the
+    * [[docArrayMode]] `bucketed` trick applied to the posting table —
+    * so each trigger shuffles only its arrivals TO the index: shuffle
+    * ∝ batch, never ∝ index, which is also the only shape that
+    * survives 100 TB (a stored posting index is hash-bucketed on its
+    * probe key on disk; re-partitioning it per trigger is corpus-sized
+    * work per micro-batch). `plain` keeps the r15 shape for A/B
+    * probes. Rows are layout-independent (same join, same keys). */
+  private[graft] def postingsLayout(s: SparkSession): String =
+    s.conf.get("spark.graft.cluster.postings", "partitioned")
+
   /** Build (or memo-hit) the cluster gate's stored index pair — see
     * [[clusterPostingsMemo]]. Shared by q_stream_clusters and
     * q_stream_pipeline_v2 under ONE memo entry (same cut convention,
@@ -536,9 +566,10 @@ object EventStreams {
   private def clusterIndex(s: SparkSession, d: String, cut: Long,
       g: DataFrame, oldLabels: DataFrame, mode: String)
       : (DataFrame, DataFrame) = {
+    val layout = postingsLayout(s)
     graft.MemoStats.memoized("cluster_postings", clusterPostingsMemo,
         (org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s), d, cut,
-          mode)) {
+          mode + "/" + layout)) {
       val stored = g.where(col("doc_id") < cut)
         .select(col("doc_id").as("idx_id"),
           transform(col("sh"), x => fold63(x)).as("idx_h"))
@@ -547,17 +578,45 @@ object EventStreams {
         .agg(count(lit(1)).as("df"))
         .where(col("df") <= graft.operators.Dedup.ShingleDfCap)
         .select(col("h"))
-      val postings = ex.join(rare, Seq("h"))
+      val joined = ex.join(rare, Seq("h"))
         .join(oldLabels.select(col("doc_id").as("idx_id"),
           col("lbl").as("idx_lbl")), Seq("idx_id"))
-        .localCheckpoint()
+      // `partitioned`: hash-partition on the probe key h inside the
+      // checkpoint (LogicalRDD keeps outputPartitioning) — see
+      // [[postingsLayout]]; triggers then shuffle arrivals only
+      val postings = (if (layout == "partitioned")
+        partitionedCheckpoint(s, joined, col("h"))
+      else joined.localCheckpoint())
       // bucketed mode: bake the idx_id hash-partitioning INTO the
       // checkpoint (LogicalRDD keeps outputPartitioning), so triggers
       // shuffle candidates to the index, never the index to candidates
       val arr = if (mode == "bucketed")
-        stored.repartition(col("idx_id")) else stored
-      (postings, arr.localCheckpoint())
+        partitionedCheckpoint(s, stored, col("idx_id"))
+      else stored.localCheckpoint()
+      (postings, arr)
     }
+  }
+
+  /** Checkpoint `df` hash-partitioned by `key` so the partitioning
+    * SURVIVES into every consumer plan (LogicalRDD keeps
+    * outputPartitioning). AQE must be off while the checkpoint
+    * materializes: its partition coalescing rewrites the repartition
+    * into an AQEShuffleRead whose (coalesced) partitioning the
+    * checkpoint cannot express, so the stored index silently loses its
+    * layout and every trigger re-shuffles BOTH probe sides (measured:
+    * the r14 `bucketed` doc-array checkpoint — built under AQE — never
+    * actually carried idx_id partitioning; the probe join re-exchanged
+    * it per micro-batch). The same session-local AQE toggle the Bpe
+    * trainer uses; restored immediately, and the partition count is
+    * the session's shuffle.partitions — scale-adaptive via conf, not a
+    * constant. */
+  private def partitionedCheckpoint(s: SparkSession, df: DataFrame,
+      key: org.apache.spark.sql.Column): DataFrame = {
+    val k = "spark.sql.adaptive.enabled"
+    val prev = s.conf.getOption(k)
+    s.conf.set(k, "false")
+    try df.repartition(key).localCheckpoint()
+    finally prev.fold(s.conf.unset(k))(s.conf.set(k, _))
   }
 
   /** Stage the prefix-enriched 4-file document drop zone shared by the
@@ -653,7 +712,8 @@ object EventStreams {
         transform(expr(Dedup.ShingleExpr), x => fold63(x)).as("sh_h"),
         explode_outer(col("pfx")).as("h"))
     val scored = joinDocArrays(
-        arrivals.join(statSide, Seq("h"), "left"), idxArr, daMode)
+        arrivals.join(probeSide(s, statSide), Seq("h"), "left"),
+        idxArr, daMode)
       .withColumn("inter",
         size(array_intersect(col("sh_h"), col("idx_h"))).cast("double"))
       .withColumn("jac", col("inter") /
@@ -749,6 +809,21 @@ object EventStreams {
     require(buckets > 0, s"spark.graft.publish.buckets: $buckets")
     val receipts =
       s.conf.get("spark.graft.publish.receipts", "on") == "on"
+    // r16 (guide §6 small files / Iceberg write.distribution-mode=hash):
+    // without a pre-write cluster, EVERY task holding rows of a bucket
+    // opens its own writer in that bucket's partition dir — the 8-shard
+    // batch frame × the keep-read's scan partitions yielded ~dozens of
+    // near-empty parquet files PER TRIGGER, each paying open/footer/
+    // commit-rename on write and listing/open on the NEXT trigger's
+    // keep-read (and on the published-table read). `on` (default)
+    // hash-clusters rows by the partition key before each write, so a
+    // trigger writes one file per touched bucket — a shuffle of the
+    // (tiny) emitted batch buys O(buckets) instead of
+    // O(tasks × buckets) files. `off` keeps the r15 shape for A/B.
+    val clusteredWrite =
+      s.conf.get("spark.graft.publish.clusteredWrite", "on") == "on"
+    def clustered(df: DataFrame): DataFrame =
+      if (clusteredWrite) df.repartition(col("pb")) else df
     // publish schema, derived WITHOUT running anything: `finish` is
     // pure column arithmetic, so applying it to an empty static frame
     // of the gate's schema yields the published shape
@@ -798,11 +873,16 @@ object EventStreams {
               // keeps an empty FIRST batch from creating a schemaless
               // parquet dir the next trigger's read would choke on
             } else if (!fs.exists(outPath)) {
-              bp.write.partitionBy("pb").parquet(out)
+              clustered(bp).write.partitionBy("pb").parquet(out)
             } else {
               val touched = bp.select(col("pb")).distinct()
                 .collect().map(_.getLong(0)).toSeq
-              val read = s.read.parquet(out)
+              // schema stated, not inferred: the published schema is
+              // known (pubSchema + the pb partition key), so the
+              // keep-read skips the per-trigger footer-sampling pass
+              val read = s.read
+                .schema(pubSchema.add(StructField("pb", LongType)))
+                .parquet(out)
                 .where(col("pb").isin(touched: _*))
               // receipts: bounded driver listing (≤ bucket count
               // entries) of which touched buckets exist on disk — the
@@ -824,8 +904,8 @@ object EventStreams {
                 .join(bp.select(col(keyCol)), Seq(keyCol), "left_anti")
                 .select(bp.columns.map(col).toIndexedSeq: _*)
                 .localCheckpoint()
-              keep.union(bp.select(keep.columns.map(col)
-                  .toIndexedSeq: _*))
+              clustered(keep.union(bp.select(keep.columns.map(col)
+                  .toIndexedSeq: _*)))
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("pb").parquet(out)
@@ -2406,7 +2486,7 @@ object EventStreams {
       val scored = joinDocArrays(probes
         .join(broadcast(evalG), Seq("gh1", "gh2"), "left")
         .join(dupG, Seq("gh1", "gh2"), "left")
-        .join(statSide, Seq("h"), "left"), idxArr, daMode)
+        .join(probeSide(s, statSide), Seq("h"), "left"), idxArr, daMode)
         .withColumn("inter",
           size(array_intersect(col("sh_h"), col("idx_h"))).cast("double"))
         .withColumn("jac", col("inter") /

@@ -293,6 +293,188 @@ object OptProbe {
       }
     }
 
+    // ---- r16 same-JVM A/B legs ------------------------------------
+
+    if (which("gates16") || which("gates16x")) {
+      // postings layout (per-trigger index re-shuffle vs h-partitioned
+      // checkpoint + shuffled-hash probe) × publish write clustering.
+      // Each (query, variant) leg min-of-3; rep 1 of a variant pays its
+      // memo-miss index build, so compare MINs. Interleaved A/B/A/B so
+      // host drift hits both variants alike.
+      val gateQs =
+        if (which("gates16x")) // cw isolation: only the publish pair
+          Seq("q_stream_cluster_publish", "q_stream_pipeline_publish")
+        else Seq("q_stream_clusters", "q_stream_pipeline_v2",
+          "q_stream_cluster_publish", "q_stream_pipeline_publish")
+      s.conf.set("spark.graft.publish.receipts", "off")
+      val combos =
+        if (which("gates16x"))
+          Seq(("partitioned", "off"), ("partitioned", "on")) // isolate cw
+        else Seq(("plain", "off"), ("partitioned", "on"))
+      for (r <- 1 to 3; q <- gateQs;
+           (lay, cw) <- combos) {
+        s.conf.set("spark.graft.cluster.postings", lay)
+        s.conf.set("spark.graft.publish.clusteredWrite", cw)
+        time(s"$q [$lay/cw=$cw] (rep $r)") { runQ(q) }
+        cleanup()
+      }
+      s.conf.unset("spark.graft.cluster.postings")
+      s.conf.unset("spark.graft.publish.clusteredWrite")
+    }
+
+    if (which("graph16")) {
+      // pagerank/kcore round checkpoints: eager (one job per round) vs
+      // lazy (rounds fold into the consuming job) — replicas, the
+      // declared queries are untouched by this probe
+      import graft.operators.Dedup
+      val pairs = Dedup.ngramJaccardPairsMemo(s, d)
+      val edges = pairs.unionAll(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .toDF("src", "dst")
+      def kcoreLike(eager: Boolean): DataFrame = {
+        var alive = edges.localCheckpoint()
+        for (_ <- 1 to Dedup.PeelRounds) {
+          val keep = alive.groupBy(col("src"))
+            .agg(count(lit(1)).as("deg"))
+            .where(col("deg") >= 2)
+            .select(col("src"))
+          alive = alive
+            .join(keep, Seq("src"), "semi")
+            .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "semi")
+            .select(col("src"), col("dst"))
+            .localCheckpoint(eager = eager)
+        }
+        val coreDeg = alive.groupBy(col("src"))
+          .agg(count(lit(1)).as("core_deg"))
+        val docs = graft.sources.Tables.documents(s, d).select(col("doc_id"))
+        docs.join(coreDeg, docs("doc_id") === coreDeg("src"), "left")
+          .select(col("doc_id"),
+            when(col("core_deg").isNull, 0L).otherwise(1L).as("in_2core"),
+            coalesce(col("core_deg"), lit(0L)).as("core_deg"))
+          .orderBy(col("doc_id"))
+      }
+      def pagerankLike(eager: Boolean): DataFrame = {
+        val g = edges.join(
+            edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+          .localCheckpoint()
+        val nodes = graft.sources.Tables.documents(s, d)
+          .select(col("doc_id")).localCheckpoint()
+        val n = nodes.count()
+        val base = 1000000000L / n
+        val tele = 15L * base / 100L
+        var ranks = nodes.select(col("doc_id"), lit(base).as("r"))
+          .localCheckpoint()
+        for (_ <- 1 to 5) {
+          val mass = g
+            .join(ranks.withColumnRenamed("doc_id", "src"), "src")
+            .select(col("dst"), expr("r div deg").as("c"))
+            .groupBy(col("dst")).agg(sum(col("c")).as("m"))
+          ranks = nodes.join(mass, nodes("doc_id") === mass("dst"), "left")
+            .select(col("doc_id"),
+              expr(s"$tele + (85 * coalesce(m, 0L)) div 100").as("r"))
+            .localCheckpoint(eager = eager)
+        }
+        val deg = g.select(col("src"), col("deg")).distinct()
+        ranks
+          .join(deg, ranks("doc_id") === deg("src"), "left")
+          .select(col("doc_id"), col("r").as("rank_nn"),
+            coalesce(col("deg"), lit(0L)).as("deg"))
+          .orderBy(col("doc_id"))
+      }
+      for (r <- 1 to 3) {
+        time(s"kcore EAGER rounds (rep $r)") { noop(kcoreLike(true)) }
+        time(s"kcore LAZY rounds (rep $r)") { noop(kcoreLike(false)) }
+        time(s"pagerank EAGER rounds (rep $r)") { noop(pagerankLike(true)) }
+        time(s"pagerank LAZY rounds (rep $r)") { noop(pagerankLike(false)) }
+      }
+    }
+
+    if (which("ckpt16")) {
+      // diagnosis: does a repartition(col).localCheckpoint() carry its
+      // hash partitioning into a downstream join (no exchange on the
+      // checkpointed side)? Try with AQE on (session default) and off
+      // during the checkpoint build.
+      def leg(tag: String, aqe: String): Unit = {
+        s.conf.set("spark.sql.adaptive.enabled", aqe)
+        val base = s.range(0, 100000).selectExpr("id % 1000 AS k", "id AS v")
+        val ck = base.repartition(col("k")).localCheckpoint()
+        s.conf.set("spark.sql.adaptive.enabled", "true")
+        println(s"[ckpt16/$tag] ckpt partitions=${ck.rdd.getNumPartitions}")
+        val probe = s.range(0, 1000).selectExpr("id AS k", "id AS w")
+        val j = probe.join(ck.hint("shuffle_hash"), Seq("k"), "left")
+        val plan = j.queryExecution.executedPlan.toString
+        val exch = plan.linesIterator.count(_.contains("Exchange"))
+        println(s"[ckpt16/$tag] join exchanges=$exch")
+        plan.linesIterator.filter(l => l.contains("Exchange") ||
+          l.contains("Join") || l.contains("Scan ExistingRDD"))
+          .foreach(l => println(s"[ckpt16/$tag]   ${l.trim.take(120)}"))
+      }
+      leg("aqe-on-build", "true")
+      leg("aqe-off-build", "false")
+    }
+
+    if (which("prefix16")) {
+      // does materializing the exploded token table t (3 consumers:
+      // dfreq, pref join, docArr) win on top of r15's pref/docArr
+      // checkpoints?
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.Dedup
+      def prefixT(tMat: Boolean): DataFrame = {
+        val t0 = Dedup.withShingles(s, d)
+          .select(col("doc_id"), explode(col("sh")).as("tok"))
+        val t = if (tMat) t0.localCheckpoint() else t0
+        val dfreq = t.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val wDoc = Window.partitionBy(col("doc_id"))
+        val pref = t.join(dfreq, "tok")
+          .withColumn("sz", count(lit(1)).over(wDoc).cast("long"))
+          .withColumn("rn", row_number().over(
+            wDoc.orderBy(col("df"), col("tok"))))
+          .where(col("rn") <= expr("sz div 2 + 1"))
+          .where(col("df") >= 2)
+          .select(col("doc_id"), col("sz"), col("tok"))
+          .localCheckpoint()
+        val cand = pref.select(col("tok"), col("doc_id").as("doc_a"),
+            col("sz").as("sa"))
+          .join(pref.select(col("tok"), col("doc_id").as("doc_b"),
+            col("sz").as("sb")), "tok")
+          .where(col("doc_a") < col("doc_b") &&
+            col("sb") <= col("sa") * 2 && col("sa") <= col("sb") * 2)
+          .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+          .distinct()
+        val docArr = t.groupBy(col("doc_id"))
+          .agg(collect_list(col("tok")).as("toks"))
+          .localCheckpoint()
+        cand
+          .join(docArr.select(col("doc_id").as("doc_a"),
+            col("toks").as("ta")), "doc_a")
+          .join(docArr.select(col("doc_id").as("doc_b"),
+            col("toks").as("tb")), "doc_b")
+          .withColumn("inter",
+            size(array_intersect(col("ta"), col("tb"))).cast("long"))
+          .where(lit(3) * col("inter") >= col("sa") + col("sb"))
+          .select(col("doc_a"), col("doc_b"), col("inter"), col("sa"),
+            col("sb"),
+            expr("(1000 * inter) div (sa + sb - inter)").as("jac_pm"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      }
+      for (r <- 1 to 3) {
+        time(s"prefix t AS-IS (rep $r)") { noop(prefixT(false)) }
+        cleanup()
+        time(s"prefix t MATERIALIZED (rep $r)") { noop(prefixT(true)) }
+        cleanup()
+      }
+    }
+
+    if (which("v2ab16")) {
+      // q_pipeline_e2e_v2 with the clean checkpoint now in the query —
+      // time the declared query as-is (min-of-3); compare with the r16
+      // baseline bench numbers
+      for (r <- 1 to 3) {
+        time(s"q_pipeline_e2e_v2 full (rep $r)") { runQ("q_pipeline_e2e_v2") }
+        cleanup()
+      }
+    }
+
     if (which.isEmpty || which("streams")) {
       for (r <- 1 to 2) {
         for (q <- Seq("q_stream_clusters", "q_stream_pipeline_v2",

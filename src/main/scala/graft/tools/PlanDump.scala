@@ -38,6 +38,20 @@ object PlanDump {
       java.nio.file.Files.write(
         outDir.resolve(s"${q}_$tag.txt"), txt.getBytes("UTF-8"))
       println(s"wrote ${outDir.resolve(s"${q}_$tag.txt")}")
+      // streaming queries: the interesting plan is the per-TRIGGER
+      // micro-batch plan (constructing the df above already ran the
+      // stream to completion), captured by the runToMemory /
+      // publishKeyedUpsert census hook — append it when present
+      graft.streaming.EventStreams.sinkToQuery.collectFirst {
+        case (prefix, name) if name == q &&
+            graft.streaming.EventStreams.lastPlans.contains(prefix) =>
+          graft.streaming.EventStreams.lastPlans(prefix)
+      }.foreach { p =>
+        java.nio.file.Files.write(
+          outDir.resolve(s"${q}_microbatch_$tag.txt"),
+          p.toString.getBytes("UTF-8"))
+        println(s"wrote ${outDir.resolve(s"${q}_microbatch_$tag.txt")}")
+      }
       // drop per-query temp state like Bench's cleanup does
       spark.catalog.clearCache()
       spark.catalog.listTables().collect().filter(_.isTemporary)
