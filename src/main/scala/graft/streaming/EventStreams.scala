@@ -868,15 +868,20 @@ object EventStreams {
             n.foreach { c =>
               publishBatchRows.put(sinkKey, publishBatchRows(sinkKey) :+ c)
             }
-            if (n.fold(bp.isEmpty)(_ == 0L)) {
+            // ONE emptiness/placement job (r16): the touched-bucket
+            // set — a bounded driver scalar (≤ bucket-count ids) the
+            // upsert branch needs anyway — doubles as the emptiness
+            // probe, replacing the separate isEmpty job each trigger
+            // paid before
+            val touched = bp.select(col("pb")).distinct()
+              .collect().map(_.getLong(0)).toSeq
+            if (n.fold(touched.isEmpty)(_ == 0L)) {
               // nothing to upsert — and skipping the write is what
               // keeps an empty FIRST batch from creating a schemaless
               // parquet dir the next trigger's read would choke on
             } else if (!fs.exists(outPath)) {
               clustered(bp).write.partitionBy("pb").parquet(out)
             } else {
-              val touched = bp.select(col("pb")).distinct()
-                .collect().map(_.getLong(0)).toSeq
               // schema stated, not inferred: the published schema is
               // known (pubSchema + the pb partition key), so the
               // keep-read skips the per-trigger footer-sampling pass
